@@ -1,0 +1,18 @@
+"""f1_data_pipeline_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and data-processing
+capabilities of the reference ETL pipeline (``ftenorioinkluziva/f1_data_pipeline``,
+surveyed in SURVEY.md): bronze text-line ingest, per-topic decode/flatten to
+typed silver tables, a full relational query surface (SURVEY §2.12), and
+scale-out extension operators (dedup, similarity search, text analysis,
+multimodal plumbing) designed for 100 TB-class clusters.
+
+Everything is declarative DataFrame/SQL so Catalyst + Tungsten own the
+physical plan; Python UDFs appear only where no builtin exists (raw-deflate
+inflate, Python-literal line parse) and are Arrow-vectorized.
+"""
+
+from f1_data_pipeline_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, first-wins, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Designed for the 100 TB regime:
+
+- exact dedup is a hash groupBy on a fingerprint (never on the raw text —
+  shuffling 100 TB of text to dedup it is the classic mistake; shuffling
+  16-byte md5s is free);
+- MinHash+LSH turns the O(n²) near-dup problem into per-band hash joins:
+  signatures are one groupBy over exploded shingles, candidate pairs one
+  self-equi-join on (band, band_hash);
+- everything is deterministic (xxhash64 with pinned salts) so re-runs and
+  retries are idempotent.
+
+Reference parity note: the reference's only dedups are batch first-wins by
+attribute (transformer.py:79-90) and an unbounded seen-ID set
+(monitor_race_control.py:38,126) — covered by ``dedup_first_wins`` and
+streaming ``dropDuplicates`` in streaming.py. Everything else here is the
+training-data extension surface.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import Tables
+from f1_data_pipeline_spark.queries import query
+
+
+def dedup_first_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the first row per key by explicit arrival order.
+
+    Deterministic replacement for the reference's arrival-order dict dedup
+    (transformer.py:79-90): ``order_col`` is a monotonic ordinal carried from
+    the source (SURVEY §7.4). One shuffle on the key; WindowGroupLimit keeps
+    a single row per key before the exchange when keys are dense.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup: group by md5 fingerprint, keep the smallest id.
+
+    Only the fingerprint + id travel through the shuffle; the winner rows are
+    recovered with a self semi-join, so payload bytes move at most once.
+    """
+    fp = df.select(id_col, F.md5(F.col(text_col)).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash / LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per document: (doc_id, shingle) rows.
+
+    Pure Catalyst higher-order functions — the transform/explode runs inside
+    codegen, no Python crossing.
+    """
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
+    return (
+        df.withColumn("w", F.split(F.trim(F.col(text_col)), " "))
+        .where(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(array_distinct(transform(sequence(0, size(w)-{n}), "
+                f"i -> concat_ws(' ', {idx}))))"
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}): min over xxhash64(salt_j, shingle).
+
+    One groupBy with k min-aggregates — a single shuffle keyed by doc_id with
+    full map-side partial aggregation, independent of document size.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_hash): hash each band of the signature."""
+    cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*parts).alias("band_hash")))
+    return sigs.select(
+        "doc_id", F.explode(F.array(*cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (d1 < d2) via MinHash banding.
+
+    Self-equi-join on (band, band_hash) — at scale this is the whole point:
+    candidates emerge from hash-bucket collisions, never from an O(n²)
+    comparison. Estimated Jaccard = matching signature fraction.
+    """
+    rows = num_hashes // bands
+    sh = word_shingles(df, text_col, shingle_n)
+    sigs = minhash_signatures(sh, num_hashes).cache()
+    bb = lsh_bands(sigs, bands, rows)
+    pairs = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sig_cols_a = [F.col(f"a.sig_{j}") for j in range(num_hashes)]
+    sig_cols_b = [F.col(f"b.sig_{j}") for j in range(num_hashes)]
+    matches = sum(
+        F.when(a == b, 1).otherwise(0) for a, b in zip(sig_cols_a, sig_cols_b)
+    )
+    return (
+        pairs.join(sigs.alias("a"), pairs.d1 == F.col("a.doc_id"))
+        .join(sigs.alias("b"), pairs.d2 == F.col("b.doc_id"))
+        .select("d1", "d2", (matches / F.lit(num_hashes)).alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bits.
+
+    explode(tokens) → one groupBy(doc_id) with 64 signed-vote aggregates →
+    bit assembly. Single shuffle keyed by doc_id; the 64 aggregates are
+    codegen'd column expressions, not UDFs.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    ]
+    sim = functools.reduce(lambda x, y: x.bitwiseOR(y), bit_terms)
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS dups FROM documents
+       GROUP BY md5(text) ORDER BY keep_id""",
+)
+def x_dedup_exact(t: Tables) -> DataFrame:
+    """Exact dedup groups: smallest doc_id per content fingerprint."""
+    return (
+        t.documents.groupBy(F.md5("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+        .drop("__fp")
+        .select("keep_id", "dups")
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "x_dedup_ngram",
+    """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+              FROM tok WHERE len(w) >= 3),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+       FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       ORDER BY jaccard DESC, d1, d2 LIMIT 20""",
+)
+def x_dedup_ngram(t: Tables) -> DataFrame:
+    """Exact 3-gram-word Jaccard: top-20 most-similar document pairs.
+
+    This is the exact verifier that backs MinHash candidates; at scale you
+    run it only on LSH candidate pairs, here it runs exhaustively so the
+    DuckDB oracle can check it.
+    """
+    sh = word_shingles(t.documents)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        inter.join(ca, inter.d1 == F.col("ca.doc_id"))
+        .join(cb, inter.d2 == F.col("cb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("i")), 4
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "d1", "d2")
+        .limit(20)
+    )
+
+
+@query("x_dedup_minhash", None)  # xxhash64 has no DuckDB twin → rows-only check
+def x_dedup_minhash(t: Tables) -> DataFrame:
+    """MinHash signatures (32 hashes) per document — deterministic, so the
+    rows-only check is stable across runs; pair extraction is exercised with
+    planted duplicates in tests/test_dedup.py."""
+    sigs = minhash_signatures(word_shingles(t.documents))
+    return sigs.select("doc_id", "sig_0", "sig_31").orderBy("doc_id")
+
+
+@query("x_dedup_simhash", None)  # xxhash64 has no DuckDB twin → rows-only check
+def x_dedup_simhash(t: Tables) -> DataFrame:
+    """64-bit SimHash per document."""
+    return simhash(t.documents).orderBy("doc_id")

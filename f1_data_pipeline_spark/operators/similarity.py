@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (`embeddings(vec_id,
+embedding: array<float>, label)`).
+
+Brute-force cosine top-k is the exact baseline; the scale path is
+random-hyperplane LSH bucketing, which turns the all-pairs problem into
+per-bucket joins (the 100 TB analog: bucket by hash prefix, co-partition,
+and only compare within buckets).
+
+All vector math is Catalyst higher-order functions (`zip_with` +
+`aggregate`) over `array<double>` — sequential left-fold summation, which is
+exactly what the DuckDB oracle computes, so results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import Tables
+from f1_data_pipeline_spark.queries import query
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a (single-row) query vector.
+
+    The query side is broadcast; the scan side computes similarity in one
+    narrow pass and TakeOrderedAndProject keeps k rows per partition — no
+    global sort, no collect. This is the correct 100 TB plan for one-off
+    queries; for query *batches*, crossJoin the broadcast batch instead.
+    """
+    q = query_df.select(as_double_vec(vec_col).alias("__qv"))
+    return (
+        vectors.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine(as_double_vec(vec_col), F.col("__qv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of plane dot products.
+
+    ``planes`` is a small driver-side constant (seeded, deterministic) that
+    ships inside the plan as literals — no shuffle, no UDF. Vectors landing
+    in the same bucket are near-neighbor candidates.
+    """
+    v = as_double_vec(vec_col)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return vectors.select(id_col, vec_col, F.concat(*bits).alias("bucket"))
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict exact cosine to the query's LSH bucket.
+
+    At 100 TB the bucket column is a partition key, so this prunes the scan
+    itself (partition pruning), not just the comparison count.
+    """
+    bucketed = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col)
+    qb = hyperplane_lsh_buckets(query_df, planes, id_col, vec_col).select(
+        F.col("bucket").alias("__qb"), as_double_vec(vec_col).alias("__qv")
+    )
+    return (
+        bucketed.join(F.broadcast(qb), F.col("bucket") == F.col("__qb"))
+        .select(
+            id_col,
+            F.round(cosine(as_double_vec(vec_col), F.col("__qv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    Exhaustive form for verification; production pre-filters pairs through
+    ``hyperplane_lsh_buckets`` so the join is per-bucket, not cartesian.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness queries
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_aggregate(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+)
+
+
+@query(
+    "x_sim_topk",
+    f"""SELECT a.vec_id, ROUND({_COS}, 4) AS sim
+        FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE a.vec_id <> 0
+        ORDER BY sim DESC, a.vec_id LIMIT 10""",
+)
+def x_sim_topk(t: Tables) -> DataFrame:
+    """Exact brute-force cosine top-10 neighbors of vec_id 0."""
+    e = t.embeddings
+    return cosine_topk(e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "x_sim_pairs",
+    f"""SELECT a.vec_id AS id_a, q.vec_id AS id_b, ROUND({_COS}, 4) AS sim
+        FROM embeddings a, embeddings q
+        WHERE a.vec_id < q.vec_id
+        ORDER BY sim DESC, id_a, id_b LIMIT 25""",
+)
+def x_sim_pairs(t: Tables) -> DataFrame:
+    """Top-25 most-cosine-similar embedding pairs (near-dup detection)."""
+    e = t.embeddings
+    a = e.select(F.col("vec_id").alias("id_a"), as_double_vec("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), as_double_vec("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(25)
+    )
+
+
+@query("x_sim_lsh", None)  # approximate by design → rows-only check
+def x_sim_lsh(t: Tables) -> DataFrame:
+    """LSH-bucketed ANN top-10 for vec_id 0 (deterministic seeded planes);
+    recall vs the exact top-k is asserted in tests/test_similarity.py."""
+    import random
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    e = t.embeddings
+    return lsh_ann_topk(
+        e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), planes, k=10
+    )

@@ -1,0 +1,667 @@
+"""The declared correctness-query corpus (SURVEY.md §2.12).
+
+Each query is implemented **DataFrame-first** (Catalyst plans the physical
+strategy) with a colocated ANSI-SQL oracle string that DuckDB runs over the
+same parquet tables. Aliases match exactly on both sides because the driver's
+compare sorts columns by name before hashing values.
+
+Scale notes are attached per query: the corpus is exercised at sf0.001–0.1
+locally but every plan is written as it should run at 100 TB — broadcast
+hints on fixed-cardinality dims, aggregate pushdown-friendly shapes, no
+driver-side collection anywhere (the only ``collect`` is the driver's own).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import Tables, load_tables
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    doc: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → not SQL-expressible; driver does rows-only check
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    """Register a builder ``fn(tables) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[Tables], DataFrame]):
+        def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(load_tables(spark, sf_dir))
+
+        REGISTRY[name] = Query(name, fn.__doc__ or "", build, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Scans / projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_s1",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       ORDER BY l_orderkey, l_partkey, l_linenumber LIMIT 100""",
+)
+def q_s1(t: Tables) -> DataFrame:
+    """Scan + projection (S3/P4). Column pruning reaches the parquet footer:
+    only 4 of 11 lineitem columns are read; sort+limit compiles to
+    TakeOrderedAndProject (no global sort materialization)."""
+    return (
+        t.lineitem.select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber")
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+        .limit(100)
+        .drop("l_linenumber")
+    )
+
+
+@query(
+    "q_p1",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 1000 ORDER BY o_orderkey""",
+)
+def q_p1(t: Tables) -> DataFrame:
+    """Conjunctive filter predicates (P1–P6); both predicates push down to the
+    parquet scan (PushedFilters: EqualTo, GreaterThan)."""
+    return (
+        t.orders.where((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_p2",
+    """SELECT count(*) AS c FROM events WHERE props IS NOT NULL AND event_type <> ''""",
+)
+def q_p2(t: Tables) -> DataFrame:
+    """Null/exists predicates (P5) — IsNotNull pushes to the scan."""
+    return (
+        t.events.where(F.col("props").isNotNull() & (F.col("event_type") != ""))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_c1",
+    """SELECT c_custkey, upper(substring(c_name, 1, 8)) AS n,
+              CAST(length(c_mktsegment) AS INTEGER) AS lm
+       FROM customer ORDER BY c_custkey LIMIT 100""",
+)
+def q_c1(t: Tables) -> DataFrame:
+    """String functions (C4/C11/C13) inside whole-stage codegen."""
+    return (
+        t.customer.select(
+            "c_custkey",
+            F.upper(F.substring("c_name", 1, 8)).alias("n"),
+            F.length("c_mktsegment").alias("lm"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_c2",
+    """SELECT CAST(l_quantity AS INTEGER) AS q,
+              ROUND(l_extendedprice * (1 - l_discount), 2) AS net
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q_c2(t: Tables) -> DataFrame:
+    """Numeric coercion + arithmetic (C8/C9). l_quantity is integral-valued in
+    the corpus, so Spark's truncating cast and DuckDB's rounding cast agree."""
+    return (
+        t.lineitem.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            F.col("l_quantity").cast("int").alias("q"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+        )
+    )
+
+
+@query(
+    "q_c3",
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+              CAST(month(o_orderdate) AS INTEGER) AS m,
+              o_orderdate + INTERVAL 90 DAY AS due
+       FROM orders ORDER BY o_orderkey LIMIT 100""",
+)
+def q_c3(t: Tables) -> DataFrame:
+    """Datetime extraction + interval arithmetic (C5/C14)."""
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_c4",
+    """SELECT l_orderkey, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS ret,
+              coalesce(NULLIF(l_linestatus, ''), 'NONE') AS ls
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q_c4(t: Tables) -> DataFrame:
+    """Conditional expressions (C8/C10/C12): CASE WHEN / NULLIF / COALESCE."""
+    return (
+        t.lineitem.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select(
+            "l_orderkey",
+            F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("ret"),
+            F.coalesce(F.nullif(F.col("l_linestatus"), F.lit("")), F.lit("NONE")).alias("ls"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_a1",
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+              ROUND(sum(l_extendedprice), 2) AS sp, ROUND(avg(l_discount), 4) AS ad,
+              count(*) AS c
+       FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def q_a1(t: Tables) -> DataFrame:
+    """TPC-H Q1 shape (A4–A9): multi-measure hash aggregate with map-side
+    partial aggregation; 4-group output so the shuffle is tiny at any scale."""
+    return (
+        t.lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+            F.round(F.avg("l_discount"), 4).alias("ad"),
+            F.count("*").alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("q_a2", "SELECT count(DISTINCT c_nationkey) AS n FROM customer")
+def q_a2(t: Tables) -> DataFrame:
+    """Distinct aggregate (A7): expand+two-phase agg; partials keep the
+    shuffle at |distinct keys| not |rows|."""
+    return t.customer.agg(F.count_distinct("c_nationkey").alias("n"))
+
+
+@query(
+    "q_a3",
+    """SELECT o_custkey, min(o_orderkey) AS first_order FROM orders
+       GROUP BY o_custkey ORDER BY o_custkey""",
+)
+def q_a3(t: Tables) -> DataFrame:
+    """First-wins dedup made deterministic (A1): min over the stable key
+    replaces the reference's arrival-order 'first' (transformer.py:79-90)."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("first_order"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_a4",
+    """SELECT l_orderkey, max(l_shipdate) AS last_ship, min(l_shipdate) AS first_ship
+       FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""",
+)
+def q_a4(t: Tables) -> DataFrame:
+    """Min/max per key (A3/K5 analog — last-non-null merge reduces to
+    extremal aggregates on the merge key)."""
+    return (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"), F.min("l_shipdate").alias("first_ship"))
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_a5",
+    """SELECT n_regionkey, n_nationkey, count(*) AS c FROM nation
+       GROUP BY ROLLUP(n_regionkey, n_nationkey)
+       ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""",
+)
+def q_a5(t: Tables) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    return (
+        t.nation.rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first())
+    )
+
+
+@query(
+    "q_a6",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders
+       GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+)
+def q_a6(t: Tables) -> DataFrame:
+    """CUBE cross-tab totals."""
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_a7",
+    """SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q_a7(t: Tables) -> DataFrame:
+    """Explicit GROUPING SETS."""
+    return (
+        t.lineitem.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")], []],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_j1",
+    """SELECT c.c_custkey, o.o_orderkey FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       WHERE c.c_nationkey = 1 ORDER BY c.c_custkey, o.o_orderkey LIMIT 100""",
+)
+def q_j1(t: Tables) -> DataFrame:
+    """Inner equi-join (J4). The selective nationkey filter is applied before
+    the join (Catalyst pushes it below), shrinking the build side; AQE picks
+    broadcast when the filtered side fits."""
+    cust = t.customer.where(F.col("c_nationkey") == 1)
+    return (
+        cust.join(t.orders, cust.c_custkey == t.orders.o_custkey)
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_j2",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS cnt FROM customer c
+       LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey ORDER BY c.c_custkey LIMIT 100""",
+)
+def q_j2(t: Tables) -> DataFrame:
+    """Left outer join + count of non-null (J1)."""
+    o = t.orders
+    return (
+        t.customer.join(o, t.customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_j3",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+       ORDER BY c_custkey LIMIT 100""",
+)
+def q_j3(t: Tables) -> DataFrame:
+    """Left-semi join (J2): existence check without row multiplication."""
+    big = t.orders.where(F.col("o_totalprice") > 100000)
+    return (
+        t.customer.join(big, t.customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_j4",
+    """SELECT c_custkey FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c_custkey AND o.o_totalprice > 400000)
+       ORDER BY c_custkey LIMIT 100""",
+)
+def q_j4(t: Tables) -> DataFrame:
+    """Left-anti join (A10): NOT EXISTS without a subquery re-scan."""
+    big = t.orders.where(F.col("o_totalprice") > 400000)
+    return (
+        t.customer.join(big, t.customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_j5",
+    """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+def q_j5(t: Tables) -> DataFrame:
+    """TPC-H Q5 shape (J5): multi-way join + aggregate. Fact-to-fact joins
+    (lineitem⋈orders) shuffle on the join key; the dimension chain
+    (supplier⋈nation⋈region) is explicitly broadcast so the big side never
+    re-shuffles for it. At 100 TB this is exactly the plan you want: one
+    shuffle per fact-fact edge, zero for dims."""
+    li, o, c, s, n, r = t.lineitem, t.orders, t.customer, t.supplier, t.nation, t.region
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "q_j6",
+    """SELECT n.n_name, count(*) AS c FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def q_j6(t: Tables) -> DataFrame:
+    """Broadcast dimension join (J3): nation is fixed-cardinality — the hint
+    guarantees a broadcast hash join at any fact-table scale."""
+    n = t.nation
+    return (
+        t.customer.join(F.broadcast(n), t.customer.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_w1",
+    """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+       FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 300""",
+)
+def q_w1(t: Tables) -> DataFrame:
+    """Top-N per group (W1). Catalyst rewrites rank<=k filters into
+    WindowGroupLimit so each partition keeps only k rows pre-shuffle."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+        .limit(300)
+    )
+
+
+@query(
+    "q_w2",
+    """SELECT o_orderpriority, o_orderkey,
+              CAST(rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS r,
+              CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_orderstatus, o_orderkey) AS INTEGER) AS dr
+       FROM orders ORDER BY o_orderpriority, r LIMIT 200""",
+)
+def q_w2(t: Tables) -> DataFrame:
+    """rank / dense_rank over independent orderings (two window specs share
+    one partitioning, so a single shuffle serves both)."""
+    p = Window.partitionBy("o_orderpriority")
+    w1 = p.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = p.orderBy("o_orderstatus", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w1).alias("r"),
+            F.dense_rank().over(w2).alias("dr"),
+        )
+        .orderBy("o_orderpriority", "r")
+        .limit(200)
+    )
+
+
+@query(
+    "q_w3",
+    """SELECT o_custkey, o_orderdate,
+              lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev
+       FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 200""",
+)
+def q_w3(t: Tables) -> DataFrame:
+    """Analytic lag (W3)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).alias("prev"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .limit(200)
+        .drop("o_orderkey")
+    )
+
+
+@query(
+    "q_w4",
+    """SELECT o_orderkey, o_orderdate,
+              ROUND(avg(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW), 2) AS ma
+       FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 200""",
+)
+def q_w4(t: Tables) -> DataFrame:
+    """Moving average with an explicit ROWS frame (W4/A9). NOTE: an unkeyed
+    ORDER BY window is single-partition by construction — fine for a bounded
+    report, unacceptable over a 100 TB fact table. The scale-out form keys
+    the window (per entity/day) or uses the streaming rolling metrics in
+    streaming.py; this query exists to pin the frame semantics."""
+    w = (
+        Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-99, Window.currentRow)
+    )
+    return (
+        t.orders.select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.avg("o_totalprice").over(w), 2).alias("ma"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q_o1",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_o1(t: Tables) -> DataFrame:
+    """Global top-k (W1): TakeOrderedAndProject — per-partition heaps + a
+    k-row merge on the driver, never a full sort."""
+    return (
+        t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_u1",
+    """SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier
+       ORDER BY k""",
+)
+def q_u1(t: Tables) -> DataFrame:
+    """UNION (distinct)."""
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .union(t.supplier.select("s_nationkey"))
+        .distinct()
+        .orderBy("k")
+    )
+
+
+@query(
+    "q_u2",
+    """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+       ORDER BY k""",
+)
+def q_u2(t: Tables) -> DataFrame:
+    """INTERSECT."""
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .intersect(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+    )
+
+
+@query(
+    "q_u3",
+    """SELECT DISTINCT event_type AS k FROM events
+       EXCEPT SELECT DISTINCT o_orderstatus FROM orders ORDER BY k""",
+)
+def q_u3(t: Tables) -> DataFrame:
+    """EXCEPT (A10 set difference)."""
+    return (
+        t.events.select(F.col("event_type").alias("k"))
+        .subtract(t.orders.select(F.col("o_orderstatus").alias("k")))
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time / event analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_t1",
+    """SELECT date_trunc('minute', ts) AS w, count(*) AS c, ROUND(sum(value), 4) AS sv
+       FROM events GROUP BY date_trunc('minute', ts) ORDER BY w""",
+)
+def q_t1(t: Tables) -> DataFrame:
+    """Tumbling-window aggregate (T7) in batch form; the streaming twin lives
+    in streaming.py with a watermark."""
+    return (
+        t.events.groupBy(F.date_trunc("minute", "ts").alias("w"))
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 4).alias("sv"))
+        .orderBy("w")
+    )
+
+
+@query(
+    "q_t2",
+    """SELECT count(*) AS c FROM events
+       WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 5 MINUTE""",
+)
+def q_t2(t: Tables) -> DataFrame:
+    """Recent-window filter (A5/C14). The scalar max is a broadcast
+    single-row join, not a driver collect — the same plan works when events
+    is 100 TB (max pushes into the scan via aggregate pushdown)."""
+    mx = t.events.agg(F.max("ts").alias("_mx"))
+    return (
+        t.events.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") > F.col("_mx") - F.expr("INTERVAL 5 MINUTE"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query(
+    "q_t3",
+    """SELECT t.user_id, t.ts, t.event_type FROM
+       (SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        FROM events) t WHERE rn = 1 ORDER BY t.user_id LIMIT 100""",
+)
+def q_t3(t: Tables) -> DataFrame:
+    """Latest-per-key (W3/A6) — the canonical 'current state from a changelog'
+    query; WindowGroupLimit keeps one row per key pre-shuffle."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id")
+    return (
+        t.events.select("user_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q_t4",
+    """SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events) t""",
+)
+def q_t4(t: Tables) -> DataFrame:
+    """Stateful-dedup analog (A2): distinct pairs then count."""
+    return t.events.select("user_id", "event_type").distinct().agg(F.count("*").alias("c"))
+
+
+def all_queries() -> dict[str, Query]:
+    # Import extension modules for their registration side effects.
+    import f1_data_pipeline_spark.operators.text  # noqa: F401
+    import f1_data_pipeline_spark.operators.dedup  # noqa: F401
+    import f1_data_pipeline_spark.operators.similarity  # noqa: F401
+
+    return dict(REGISTRY)
