@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the full registered query corpus at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured end-to-end per query (plan + execute) into the noop
+sink, so driver-side materialization cost is excluded and full pipeline
+execution (scan → shuffle → sink) is included. Session is warmed first so
+JVM/codegen startup doesn't pollute query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from f1_data_pipeline_spark.session import get_spark
+    from f1_data_pipeline_spark.queries import all_queries
+
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+
+    # Warm up: JVM, codegen, parquet footer caches.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    queries["q_s1"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        df = queries[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "query_corpus_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
