@@ -33,17 +33,32 @@ def parse_event_time(col: Column | str) -> Column:
     return F.coalesce(F.try_to_timestamp(cleaned), F.current_timestamp())
 
 
+def parse_iso_strict(col: Column | str) -> Column:
+    """ISO-8601 (optionally ``Z``-suffixed) → timestamp, NULL on failure.
+
+    Deterministic variant of ``parse_event_time`` for payload-embedded
+    event times (CarData ``Utc``, Position ``Timestamp``) where a
+    current_timestamp fallback would poison dedup/idempotence.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.try_to_timestamp(F.regexp_replace(c.cast("string"), "Z$", "+00:00"))
+
+
 def lap_time_seconds(col: Column | str) -> Column:
     """Parse ``"M:SS.mmm"`` (or plain float string) → seconds as double.
 
     Reference: transformer.py:434-456 (C7): try ``float()`` first, else regex
-    ``(\\d+):(\\d+\\.?\\d*)`` → ``min*60+sec``; NULL when neither matches.
+    ``(\\d+):(\\d+\\.\\d+)`` → ``min*60+sec``; NULL when neither matches.
+    Divergence (deliberate): Python's ``\\d``/``float()`` accept Unicode
+    digits, Java regex is ASCII-only — the wire protocol is ASCII.
     """
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("string")
-    direct = F.try_cast(c, "double")
-    mins = F.try_cast(F.regexp_extract(c, r"^(\d+):(\d+\.?\d*)$", 1), "double")
-    secs = F.try_cast(F.regexp_extract(c, r"^(\d+):(\d+\.?\d*)$", 2), "double")
+    direct = c.try_cast("double")
+    # reference pattern r'(\d+):(\d+\.\d+)' is re.match (prefix, fraction
+    # required) — keep identical accept/reject behavior
+    mins = F.regexp_extract(c, r"^(\d+):(\d+\.\d+)", 1).try_cast("double")
+    secs = F.regexp_extract(c, r"^(\d+):(\d+\.\d+)", 2).try_cast("double")
     return F.coalesce(direct, mins * 60 + secs)
 
 
@@ -57,7 +72,7 @@ def numeric_coerce(col: Column | str) -> Column:
     return (
         F.when(s == "true", F.lit(1.0))
         .when(s == "false", F.lit(0.0))
-        .otherwise(F.try_cast(s, "double"))
+        .otherwise(s.try_cast("double"))
     )
 
 
@@ -68,7 +83,7 @@ def int_coerce(col: Column | str) -> Column:
     numeric) truncates. ``try_cast(string→int)`` matches the string path.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(c.cast("string"), "int")
+    return c.cast("string").try_cast("int")
 
 
 def bool_parse(col: Column | str) -> Column:

@@ -1,0 +1,50 @@
+"""Bronze layer: wire text file → (ordinal, topic, payload, ts) DataFrame.
+
+Sources S2/S3 (SURVEY §2.1). Batch reads the whole file; streaming uses the
+file source whose checkpointed offsets strictly strengthen the reference's
+in-process byte-offset resume (extractor.py:60-80, T3).
+
+Arrival order: the reference depends on it for first-wins dedup and lap
+merge (SURVEY §7.4). ``monotonically_increasing_id`` is ordered within a
+partition and partitions follow file-split order for a text source, so the
+ordinal reproduces byte order without any shuffle or window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.functions.udfs import parse_wire_line
+
+
+def _parse(lines: DataFrame) -> DataFrame:
+    parsed = (
+        lines.withColumn("ordinal", F.monotonically_increasing_id())
+        # P3: blank-line filter BEFORE the Python UDF crossing
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select("ordinal", "value", parse_wire_line("value").alias("r"))
+    )
+    # T10: malformed lines surface as corrupt_line instead of failing the task
+    return parsed.select(
+        "ordinal",
+        F.col("r.topic").alias("topic"),
+        F.col("r.payload").alias("payload"),
+        F.col("r.ts").alias("ts"),
+        F.when(F.col("r.topic").isNull(), F.col("value")).alias("corrupt_line"),
+    )
+
+
+def read_bronze(spark: SparkSession, path: str) -> DataFrame:
+    """S3 batch scan of a wire-format file."""
+    return _parse(spark.read.text(path))
+
+
+def read_bronze_stream(
+    spark: SparkSession, path_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S2 incremental tail as a file-source stream (checkpointed offsets)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return _parse(reader.load(path_dir))

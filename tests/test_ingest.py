@@ -1,0 +1,165 @@
+"""Bronze→silver pipeline tests (SURVEY §5.2 items 2-5): reconciliation
+counters (found == inserted), merge semantics, schema contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark import schemas as sc
+from f1_data_pipeline_spark.ingest import read_bronze, build_silver
+from f1_data_pipeline_spark.ingest.fixture import generate, DRIVER_NUMBERS
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wire") / "wire.txt")
+    counts = generate(path, n_lines=400, seed=7)
+    bronze = read_bronze(spark, path).cache()
+    return counts, bronze, build_silver(bronze)
+
+
+def test_reconciliation_counts(pipeline):
+    """§5.1 counter semantics: every sample found in the wire is inserted."""
+    counts, bronze, silver = pipeline
+    assert bronze.count() == counts.lines
+    assert bronze.where("corrupt_line is not null").count() == counts.corrupt_lines
+    assert silver["car_telemetry"].count() == counts.telemetry_samples
+    assert silver["car_positions"].count() == counts.position_samples
+    assert silver["weather"].count() == counts.weather_rows
+    assert silver["race_control"].count() == counts.rc_messages
+    assert silver["sessions"].count() == 1
+    assert silver["drivers"].count() == len(DRIVER_NUMBERS)
+
+
+def test_lap_merge_unique_and_filled(pipeline):
+    """A3/K5: one row per (driver, lap); TimingAppData sector-3 fill-ins
+    land on laps created by TimingData."""
+    counts, _, silver = pipeline
+    laps = silver["lap_data"].cache()
+    n = laps.count()
+    assert n == laps.select("driver_number", "lap_number").distinct().count()
+    assert n <= counts.lap_rows + 1  # merge only ever collapses rows (+1: lap 0 partials)
+    # every TimingData lap carries a lap_time; some laps also got sector_3
+    # exclusively from the TimingAppData merge
+    assert laps.where("lap_time is not null and sector_3_time is not null").count() > 0
+
+
+def test_lap_merge_last_non_null_semantics(spark, tmp_path):
+    """Handcrafted two-line merge: AppData fills sector_3 without clobbering
+    TimingData's lap_time (COALESCE upsert semantics, loader.py:262-278)."""
+    lines = [
+        repr(
+            [
+                "TimingData",
+                {"Lines": {"7": {"LastLapTime": {"Value": "1:30.500"}, "NumberOfLaps": "5", "Sector1Time": {"Value": "28.1"}}}},
+                "2025-05-17T14:00:00.000Z",
+            ]
+        ),
+        repr(
+            [
+                "TimingAppData",
+                {"Lines": {"7": {"Lines": {"1": {"NumberOfLaps": "5", "Sector3": {"Value": "31.250"}}}}}},
+                "2025-05-17T14:00:01.000Z",
+            ]
+        ),
+    ]
+    p = tmp_path / "mini.txt"
+    p.write_text("\n".join(lines) + "\n")
+    silver = build_silver(read_bronze(spark, str(p)))
+    row = silver["lap_data"].collect()[0].asDict()
+    assert row["driver_number"] == 7 and row["lap_number"] == 5
+    assert row["lap_time"] == 90.5
+    assert row["sector_1_time"] == 28.1
+    assert row["sector_3_time"] == 31.25
+
+
+def test_first_wins_dedup_deterministic(spark, tmp_path):
+    """A1: drivers dedup keeps the FIRST arrival (by ordinal), not an
+    arbitrary one."""
+    lines = [
+        repr(["DriverList", {"9": {"Name": "First Arrival"}}, "2025-05-17T14:00:00Z"]),
+        repr(["DriverList", {"9": {"Name": "Second Arrival"}}, "2025-05-17T14:00:01Z"]),
+    ]
+    p = tmp_path / "dup.txt"
+    p.write_text("\n".join(lines) + "\n")
+    drivers = build_silver(read_bronze(spark, str(p)))["drivers"].collect()
+    assert len(drivers) == 1
+    assert drivers[0]["name"] == "First Arrival"
+
+
+def test_race_control_two_wire_shapes(spark, tmp_path):
+    """F4: Messages as list AND as dict decode to the same schema; dict keys
+    become msg_id; duplicate msg_ids dedup first-wins (A2)."""
+    msg = {"Utc": "2025-05-17T14:00:00", "Category": "Flag", "Flag": "GREEN", "Scope": "Track", "Message": "GO"}
+    lines = [
+        repr(["RaceControlMessages", {"Messages": [msg]}, "2025-05-17T14:00:00Z"]),
+        repr(["RaceControlMessages", {"Messages": {"42": dict(msg, Message="DICT SHAPE")}}, "2025-05-17T14:00:01Z"]),
+        repr(["RaceControlMessages", {"Messages": {"42": dict(msg, Message="DUPLICATE")}}, "2025-05-17T14:00:02Z"]),
+    ]
+    p = tmp_path / "rc.txt"
+    p.write_text("\n".join(lines) + "\n")
+    rc = build_silver(read_bronze(spark, str(p)))["race_control"]
+    rows = {r["msg_id"]: r["message"] for r in rc.collect()}
+    assert rows["42"] == "DICT SHAPE"  # first arrival wins
+    assert any(v == "GO" for v in rows.values())
+    assert len(rows) == 2
+
+
+def test_corrupt_lines_do_not_fail_task(spark, tmp_path):
+    """T10: garbage lines surface in corrupt_line; valid lines still decode."""
+    lines = [
+        "not a python literal [[[",
+        repr(["WeatherData", {"AirTemp": "21.5", "Rainfall": "true"}, "2025-05-17T14:00:00Z"]),
+        "",
+        repr([1, 2]),  # wrong arity
+    ]
+    p = tmp_path / "bad.txt"
+    p.write_text("\n".join(lines) + "\n")
+    bronze = read_bronze(spark, str(p))
+    assert bronze.where("corrupt_line is not null").count() == 2  # blank dropped
+    w = build_silver(bronze)["weather"].collect()
+    assert len(w) == 1 and w[0]["air_temp"] == 21.5 and w[0]["rainfall"] is True
+
+
+def test_silver_schema_contracts(pipeline):
+    """§5.2 item 5 (verify_tables.py analog): silver frames match declared
+    StructTypes on names and types."""
+    _, _, silver = pipeline
+    declared = {
+        "sessions": sc.SESSIONS,
+        "drivers": sc.DRIVERS,
+        "lap_data": sc.LAP_DATA,
+        "driver_positions": sc.DRIVER_POSITIONS,
+        "car_telemetry": sc.CAR_TELEMETRY,
+        "car_positions": sc.CAR_POSITIONS,
+        "race_control": sc.RACE_CONTROL,
+        "weather": sc.WEATHER,
+    }
+    for name, expected in declared.items():
+        got = silver[name].schema
+        assert [f.name for f in got.fields] == [f.name for f in expected.fields], name
+        assert [f.dataType for f in got.fields] == [f.dataType for f in expected.fields], name
+
+
+def test_telemetry_values_roundtrip(spark, tmp_path):
+    """Golden decode: one compressed CarData.z line → exact channel values."""
+    from f1_data_pipeline_spark.ingest.fixture import _deflate
+
+    payload = _deflate(
+        {
+            "Entries": [
+                {
+                    "Utc": "2025-05-17T14:00:05.123000Z",
+                    "Cars": {"16": {"Channels": {"0": 11450, "2": 301, "3": 7, "4": 99, "5": 0, "45": 12}}},
+                }
+            ]
+        }
+    )
+    p = tmp_path / "car.txt"
+    p.write_text(repr(["CarData.z", payload, "2025-05-17T14:00:05.500Z"]) + "\n")
+    row = build_silver(read_bronze(spark, str(p)))["car_telemetry"].collect()[0].asDict()
+    assert row["driver_number"] == "16"
+    assert (row["rpm"], row["speed"], row["gear"], row["drs"]) == (11450, 301, 7, 12)
+    assert row["throttle"] == 99.0 and row["brake"] == 0.0
+    assert str(row["utc_timestamp"]) == "2025-05-17 14:00:05.123000"
