@@ -18,9 +18,17 @@ from pyspark.sql import functions as F
 from f1_data_pipeline_spark.functions.udfs import parse_wire_line
 
 
-def _parse(lines: DataFrame) -> DataFrame:
+def _parse(lines: DataFrame, streaming: bool = False) -> DataFrame:
+    # Batch: monotonically_increasing_id follows file byte order → true
+    # arrival ordinal. Streaming forbids it; a content hash gives a
+    # deterministic (retry-stable) surrogate id — arrival *order* inside a
+    # micro-batch is restored in foreachBatch where the frame is batch again
+    # (streaming.stream_keyed_upsert).
+    ordinal = (
+        F.xxhash64("value") if streaming else F.monotonically_increasing_id()
+    )
     parsed = (
-        lines.withColumn("ordinal", F.monotonically_increasing_id())
+        lines.withColumn("ordinal", ordinal)
         # P3: blank-line filter BEFORE the Python UDF crossing
         .where(F.length(F.trim(F.col("value"))) > 0)
         .select("ordinal", "value", parse_wire_line("value").alias("r"))
@@ -47,4 +55,4 @@ def read_bronze_stream(
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return _parse(reader.load(path_dir))
+    return _parse(reader.load(path_dir), streaming=True)

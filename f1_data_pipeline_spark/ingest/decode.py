@@ -251,12 +251,12 @@ def decode_car_positions(bronze: DataFrame) -> DataFrame:
     )
 
 
-def decode_race_control(bronze: DataFrame) -> DataFrame:
-    """RaceControlMessages → messages. The wire has two shapes — Messages as
-    a list (snapshot) or dict keyed by message id (update) — dispatched by
-    parsing with both schemas and unioning (SURVEY §7.4); dict keys become
-    msg_id, list entries get a synthetic ordinal-position id. Cross-batch
-    dedup (A2) keeps the first arrival per msg_id."""
+def _race_control_rows(bronze: DataFrame) -> DataFrame:
+    """Two-shape RaceControlMessages projection shared by the batch and
+    streaming decoders: Messages as a list (snapshot) or dict keyed by
+    message id (update), dispatched by parsing with both schemas and
+    unioning (SURVEY §7.4); dict keys become msg_id, list entries get a
+    synthetic ordinal-position id."""
     base = _topic(bronze, "RaceControlMessages")
     as_list = (
         base.select(
@@ -289,8 +289,22 @@ def decode_race_control(bronze: DataFrame) -> DataFrame:
             "msg_id",
         )
 
-    rows = project(as_list).unionByName(project(as_dict))
+    return project(as_list).unionByName(project(as_dict))
+
+
+def decode_race_control(bronze: DataFrame) -> DataFrame:
+    """Batch race-control decode: cross-batch dedup (A2) keeps the first
+    arrival per msg_id (deterministic by ordinal)."""
+    rows = _race_control_rows(bronze)
     return dedup_first_wins(rows, ["msg_id"], "ordinal").drop("ordinal")
+
+
+def decode_race_control_stream(bronze: DataFrame) -> DataFrame:
+    """Streaming-safe race-control decode: same projection but NO
+    window-based dedup — streaming dedup is the caller's
+    ``withWatermark + dropDuplicatesWithinWatermark`` (streaming.py), which
+    bounds state (T6 divergence)."""
+    return _race_control_rows(bronze).drop("ordinal")
 
 
 def decode_weather(bronze: DataFrame) -> DataFrame:

@@ -1,0 +1,221 @@
+"""Join operators beyond vanilla equi-joins: as-of, range, and the
+broadcast/semi/anti helper surface (SURVEY §2.7; as-of declared at §2.12 as
+an engine capability the reference's data model implies — latest weather at
+telemetry time — but never implements).
+
+As-of is implemented with the union + running-last-value trick rather than a
+join: both sides shuffle ONCE on the key, sort by time, and a single window
+pass carries the most recent right-side payload forward. That is
+sort-merge-join cost with no range-explosion, and it scales to arbitrarily
+dense right sides (the naive join-then-max approach explodes on skewed
+keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_lookup(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """J3/J6: dimension join that is guaranteed broadcast at any fact scale."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J2: existence filter without row multiplication."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """A10: NOT EXISTS."""
+    return left.join(right, on, "left_anti")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same key group (backward as-of,
+    equal timestamps match).
+
+    One shuffle on ``keys``, one sort on (ts, side) — right rows sort before
+    left rows at equal timestamps so ties are inclusive — then
+    ``last(ignorenulls)`` over an unbounded-preceding frame carries the
+    payload forward. Left rows with no prior right row get NULL payload
+    (left-outer semantics).
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload]).alias("__p")
+    r = right.select(
+        *keys, F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"), payload
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    # align column sets for the union
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    r = r.select(*l.columns)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).withColumn(
+        "__last", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        *left_cols,
+        *[F.col(f"__last.{c}").alias(f"{prefix}{c}") for c in right_payload],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+) -> DataFrame:
+    """Point-in-interval join: left.ts ∈ [right.lo, right.hi) per key.
+
+    Expressed as an equi-join on keys plus range predicates so Catalyst can
+    hash-partition on the key; for keyless range joins, bucket both sides by
+    time-bin first (the standard interval-bucketing rewrite) instead of the
+    O(n·m) theta join.
+    """
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col(f"l.{left_ts}") >= F.col(f"r.{right_lo}"),
+        F.col(f"l.{left_ts}") < F.col(f"r.{right_hi}"),
+    ]
+    return left.alias("l").join(right.alias("r"), cond)
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event (per key) exceeds ``gap_seconds``.
+
+    lag → flag → running sum, all over one (key, ts) sort: exactly two
+    window passes sharing one shuffle. The streaming twin is
+    ``F.session_window`` in streaming.py.
+    """
+    o = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(ts).over(o)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev)) > gap_seconds),
+        1,
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("__new", new_s).withColumn(
+        "session_no", F.sum("__new").over(run)
+    ).drop("__new")
+
+
+# ---------------------------------------------------------------------------
+# Registered correctness queries
+# ---------------------------------------------------------------------------
+
+from f1_data_pipeline_spark.catalog import Tables  # noqa: E402
+from f1_data_pipeline_spark.queries import query  # noqa: E402
+
+
+@query(
+    "x_asof_join",
+    """SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND c.ts <= p.ts
+       ORDER BY p.event_id LIMIT 200""",
+)
+def x_asof_join(t: Tables):
+    """Backward as-of join: each purchase matched to the user's latest
+    click at-or-before it (DuckDB oracle uses its native ASOF JOIN)."""
+    e = t.events
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click")
+    joined = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "value"],
+        prefix="c_",
+    )
+    return (
+        joined.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("c_ts").alias("click_ts"),
+            F.col("c_value").alias("click_value"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "x_sessionize",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR date_diff('second', lag(ts) OVER w, ts) > 600
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT user_id, ts,
+                CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+         FROM g)
+       SELECT user_id, session_no, count(*) AS n_events,
+              min(ts) AS session_start, max(ts) AS session_end
+       FROM s GROUP BY user_id, session_no
+       ORDER BY user_id, session_no LIMIT 300""",
+)
+def x_sessionize(t: Tables):
+    """Gap-based sessionization (10-minute gap) + per-session rollup."""
+    s = sessionize(
+        t.events.select("user_id", "ts", "event_id"),
+        key="user_id",
+        ts="ts",
+        gap_seconds=600,
+        tiebreak="event_id",
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+        .limit(300)
+    )

@@ -663,6 +663,7 @@ def all_queries() -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.text  # noqa: F401
     import f1_data_pipeline_spark.operators.dedup  # noqa: F401
     import f1_data_pipeline_spark.operators.similarity  # noqa: F401
+    import f1_data_pipeline_spark.operators.joins  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     return dict(REGISTRY)

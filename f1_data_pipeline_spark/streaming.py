@@ -1,0 +1,203 @@
+"""Structured-streaming wiring (SURVEY §2.9 T1–T11, §3.3).
+
+The reference's four monitor *processes* become four streaming queries off
+ONE bronze source DataFrame, each with its own checkpoint (T11) — the
+orchestrator disappears. Other mappings:
+
+- T1 micro-batch cadence → ``Trigger.processingTime`` (or AvailableNow for
+  replay/catch-up);
+- T3 offset resume → file-source checkpoints (strictly stronger than the
+  reference's in-memory byte offset, which replays from 0 on restart);
+- T6 unbounded dedup state → watermark + ``dropDuplicatesWithinWatermark``
+  (deliberate divergence: we bound state, the reference leaks);
+- T2/A9 backpressure + rates → ``observe`` metrics + StreamingQueryListener;
+- T4 delivery → append entities are at-least-once into parquet; keyed
+  entities go through the idempotent upsert sink (sinks.py), giving
+  effectively-once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.ingest import decode
+from f1_data_pipeline_spark.ingest.bronze import read_bronze_stream
+
+# Entities whose decode is a pure narrow pipeline (filter/UDF/explode/cast)
+# — streamable as-is in append mode.
+APPEND_ENTITIES = {
+    "car_telemetry": decode.decode_car_telemetry,
+    "car_positions": decode.decode_car_positions,
+    "weather": decode.decode_weather,
+    "driver_positions": decode.decode_driver_positions,
+    "timing_laps_raw": decode.decode_timing_laps,
+}
+
+
+def stream_silver(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_root: str,
+    out_root: str,
+    entities: list[str] | None = None,
+    trigger: dict | None = None,
+):
+    """Fan-out: one bronze stream → one parquet-appending query per entity.
+
+    Each query has its own checkpoint (independent progress/restart, exactly
+    like the reference's independent monitors, but with exactly-once file
+    sink semantics).
+    """
+    bronze = read_bronze_stream(spark, source_dir)
+    trigger = trigger or {"availableNow": True}
+    queries = []
+    for name in entities or list(APPEND_ENTITIES):
+        df = APPEND_ENTITIES[name](bronze)
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{out_root}/{name}")
+            .option("checkpointLocation", f"{checkpoint_root}/{name}")
+            .trigger(**trigger)
+            .start()
+        )
+        queries.append(q)
+    return queries
+
+
+def stream_race_control(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    out_path: str,
+    watermark: str = "10 minutes",
+    trigger: dict | None = None,
+):
+    """A2/T6: cross-batch message dedup with *bounded* state.
+
+    The reference keeps an unbounded ``processed_ids`` set
+    (monitor_race_control.py:38); here the watermark on event time bounds
+    dedup state, trading unbounded-late duplicates for bounded memory —
+    the documented divergence.
+    """
+    bronze = read_bronze_stream(spark, source_dir)
+    rc = decode.decode_race_control_stream(bronze)
+    deduped = rc.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["msg_id"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def stream_weather_windows(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger: dict | None = None,
+    output_mode: str = "append",
+):
+    """T7: event-time tumbling-window aggregation with late-data handling —
+    the streaming twin of q_t1/f1_weather_10min.
+
+    ``append`` emits each window once, when the watermark passes it (the
+    production mode: downstream sees immutable rows). ``complete`` re-emits
+    the full window table every batch (dashboard/replay mode — a bounded
+    replay never advances the watermark past its last window, so append
+    would hold the tail windows open)."""
+    bronze = read_bronze_stream(spark, source_dir)
+    w = decode.decode_weather(bronze)
+    agg = (
+        w.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", window).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("air_temp"), 2).alias("avg_air"),
+            F.round(F.avg("track_temp"), 2).alias("avg_track"),
+        )
+        .select(F.col("win.start").alias("w"), "n", "avg_air", "avg_track")
+    )
+    writer = agg.writeStream.outputMode(output_mode).option(
+        "checkpointLocation", checkpoint
+    )
+    if sink is not None:
+        writer = writer.foreachBatch(sink)
+    else:
+        writer = writer.format("memory").queryName("weather_windows")
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def stream_keyed_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    entity: str,
+    upsert: Callable[[DataFrame, int], None],
+    trigger: dict | None = None,
+):
+    """K4/K5/K6 path for keyed entities (sessions, drivers, lap_data):
+    decode inside ``foreachBatch`` with the batch decoders (they use windows
+    /merges that need batch semantics), then hand the typed frame to the
+    idempotent upsert sink. T4: at-least-once delivery × idempotent merge =
+    effectively-once."""
+    bronze = read_bronze_stream(spark, source_dir)
+    builder = decode.SILVER_BUILDERS[entity]
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # restore true arrival order within the micro-batch (the frame is
+        # batch here, so monotonically_increasing_id is legal again)
+        ordered = batch_df.drop("ordinal").withColumn(
+            "ordinal", F.monotonically_increasing_id()
+        )
+        upsert(builder(ordered), epoch_id)
+
+    return (
+        bronze.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+class RateObserver:
+    """T2/A9: throughput + slow-batch warning via StreamingQueryListener."""
+
+    def __init__(self, slow_batch_ms: float = 500.0):
+        self.slow_batch_ms = slow_batch_ms
+        self.progress: list[dict] = []
+
+    def attach(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        observer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                rec = {
+                    "batchId": p.batchId,
+                    "numInputRows": p.numInputRows,
+                    "durationMs": dict(p.durationMs),
+                    "slow": sum(p.durationMs.values()) > observer.slow_batch_ms,
+                }
+                observer.progress.append(rec)
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        spark.streams.addListener(_L())

@@ -1,0 +1,129 @@
+"""Operator unit tests on handcrafted frames (SURVEY §5.2 item 2):
+as-of/range joins, sessionization, MinHash candidate recall on planted
+duplicates, SimHash locality, LSH ANN recall."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash,
+)
+from f1_data_pipeline_spark.operators.joins import as_of_join, range_join, sessionize
+from f1_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+
+
+def test_as_of_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "k int, t int, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 15, 200.0), (3, 1, 999.0)], "k int, t int, v double"
+    )
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in as_of_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert out == {"a": 100.0, "b": 200.0, "c": 100.0, "d": None}
+    # tie inclusivity: right at t=5 matches left at t=5 ("c")
+
+
+def test_range_join(spark):
+    pts = spark.createDataFrame([(1, 5), (1, 10), (1, 20)], "k int, t int")
+    iv = spark.createDataFrame([(1, 0, 10, "lo"), (1, 10, 30, "hi")], "k int, lo int, hi int, label string")
+    got = sorted(
+        (r["t"], r["label"])
+        for r in range_join(pts, iv, ["k"], "t", "lo", "hi").collect()
+    )
+    assert got == [(5, "lo"), (10, "hi"), (20, "hi")]  # [lo, hi) boundaries
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, i, i) for i in [0, 100, 800, 900, 2000]] + [(2, 0, 10)]
+    df = spark.createDataFrame(rows, "user int, s long, eid int").select(
+        "user", F.timestamp_seconds("s").alias("ts"), "eid"
+    )
+    out = sessionize(df, "user", "ts", gap_seconds=600, tiebreak="eid")
+    sessions = {
+        (r["user"], r["eid"]): r["session_no"] for r in out.collect()
+    }
+    assert sessions[(1, 0)] == 1 and sessions[(1, 100)] == 1
+    assert sessions[(1, 800)] == 2 and sessions[(1, 900)] == 2
+    assert sessions[(1, 2000)] == 3
+    assert sessions[(2, 10)] == 1
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = random.Random(0)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(60)) for _ in range(40)]
+    # plant near-duplicates: docs 100/101 differ by one token from doc 0
+    toks = texts[0].split()
+    near1 = toks[:]
+    near1[10] = "CHANGED"
+    near2 = toks[:]
+    near2[-1] = "ALSO_CHANGED"
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (100, " ".join(near1)),
+        (101, " ".join(near2)),
+        (102, texts[1]),  # exact duplicate of doc 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, planted_docs):
+    kept = exact_dedup(planted_docs)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 102 not in ids and 1 in ids
+    assert len(ids) == planted_docs.count() - 1
+
+
+def test_minhash_finds_planted_near_dups(spark, planted_docs):
+    pairs = minhash_candidate_pairs(planted_docs)
+    got = {(r["d1"], r["d2"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 100) in got and (0, 101) in got, got
+    assert got[(0, 100)] > 0.5 and got[(0, 101)] > 0.5
+    # exact duplicate collides in every band with estimated jaccard 1.0
+    assert got.get((1, 102)) == 1.0
+    # unrelated docs must not flood the candidate set
+    assert len(got) < 20
+
+
+def test_simhash_locality(spark, planted_docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(planted_docs).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(h[0], h[100]) <= 8  # near-dup → close in hamming space
+    assert hamming(h[1], h[102]) == 0  # exact dup → identical
+    dists = [hamming(h[2], h[i]) for i in range(3, 40)]
+    assert sum(dists) / len(dists) > 10  # unrelated docs far apart on average
+
+
+def test_lsh_ann_recall_vs_exact(spark):
+    rng = random.Random(1)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = df.where(F.col("vec_id") == 0)
+    base = df.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(base, qdf, k=10).collect()]
+    planes = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(3)]
+    approx = [r["vec_id"] for r in lsh_ann_topk(base, qdf, planes, k=10).collect()]
+    # 3 hyperplanes → 8 buckets → ~37 candidates; recall won't be perfect,
+    # but the bucket must contain a meaningful share of the true top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 2, (exact, approx)
+    assert len(approx) > 0

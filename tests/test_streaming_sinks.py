@@ -1,0 +1,156 @@
+"""Streaming (T1–T11) and sink (K1–K8) tests: file-source replay with
+AvailableNow, fan-out queries, watermarked dedup, windowed aggregation, and
+the ON CONFLICT upsert writer exercised end-to-end against DuckDB (which
+speaks the same INSERT … ON CONFLICT dialect as Postgres)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark import streaming as strm
+from f1_data_pipeline_spark.ingest import read_bronze, build_silver
+from f1_data_pipeline_spark.ingest.fixture import generate
+from f1_data_pipeline_spark.sinks import (
+    insert_on_conflict_sql,
+    jdbc_upsert_writer,
+    upsert_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def wire_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    generate(str(d / "wire.txt"), n_lines=250, seed=11)
+    return str(d)
+
+
+def _await_all(queries, timeout=120):
+    for q in queries:
+        assert q.awaitTermination(timeout), "stream did not finish"
+
+
+def test_stream_fanout_matches_batch(spark, wire_dir, tmp_path):
+    """T11: fan-out streaming replay produces exactly the batch decode
+    results for every append entity."""
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    queries = strm.stream_silver(
+        spark, wire_dir, str(ckpt), str(out), entities=["car_telemetry", "weather"]
+    )
+    _await_all(queries)
+    batch = build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))
+    got_t = spark.read.parquet(str(out / "car_telemetry"))
+    got_w = spark.read.parquet(str(out / "weather"))
+    assert got_t.count() == batch["car_telemetry"].count()
+    assert got_w.count() == batch["weather"].count()
+    # restart with same checkpoint: no new data → no duplicates (T3/T4)
+    queries = strm.stream_silver(
+        spark, wire_dir, str(ckpt), str(out), entities=["car_telemetry"]
+    )
+    _await_all(queries)
+    assert spark.read.parquet(str(out / "car_telemetry")).count() == batch["car_telemetry"].count()
+
+
+def test_stream_race_control_watermark_dedup(spark, wire_dir, tmp_path):
+    """A2/T6: watermarked streaming dedup matches batch first-wins dedup on
+    msg_id cardinality."""
+    q = strm.stream_race_control(
+        spark, wire_dir, str(tmp_path / "ck"), str(tmp_path / "rc")
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "rc"))
+    batch = build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))["race_control"]
+    assert got.count() == batch.count()
+    assert got.select("msg_id").distinct().count() == got.count()
+
+
+def test_stream_weather_windows(spark, wire_dir, tmp_path):
+    """T7: event-time tumbling windows over the replayed stream equal the
+    batch groupBy-window aggregation."""
+    epochs: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        epochs[epoch_id] = [r.asDict() for r in df.collect()]
+
+    # complete mode: a bounded replay never advances the watermark past its
+    # own tail, so append would hold the last windows open — the final
+    # complete-mode emission must equal the batch aggregation exactly
+    q = strm.stream_weather_windows(
+        spark, wire_dir, str(tmp_path / "ck"), sink=sink, output_mode="complete"
+    )
+    assert q.awaitTermination(120)
+    batch = (
+        build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))["weather"]
+        .groupBy(F.window("timestamp", "1 minute").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("w"), "n")
+    )
+    final = {r["w"]: r["n"] for r in epochs[max(epochs)]}
+    want = {r["w"]: r["n"] for r in batch.collect()}
+    assert final == want
+
+
+def test_insert_on_conflict_sql_shapes():
+    lww = insert_on_conflict_sql("drivers", ["driver_number", "name"], ["driver_number"], False)
+    assert "ON CONFLICT (driver_number) DO UPDATE SET name = EXCLUDED.name" in lww
+    ff = insert_on_conflict_sql(
+        "lap_data", ["driver_number", "lap_number", "lap_time"], ["driver_number", "lap_number"], True
+    )
+    assert "lap_time = COALESCE(EXCLUDED.lap_time, lap_data.lap_time)" in ff
+
+
+def test_jdbc_upsert_end_to_end(spark, wire_dir, tmp_path):
+    """K4/K6 through a real SQL engine: stream the keyed `drivers` entity
+    into DuckDB via foreachBatch ON CONFLICT; re-run to prove idempotence."""
+    db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        """CREATE TABLE drivers (
+             driver_number INTEGER PRIMARY KEY, name VARCHAR, team VARCHAR,
+             country_code VARCHAR, team_color VARCHAR, first_name VARCHAR,
+             last_name VARCHAR, short_name VARCHAR, broadcast_name VARCHAR)"""
+    )
+    con.close()
+
+    def connect():
+        return duckdb.connect(db)
+
+    upsert = jdbc_upsert_writer(connect, "drivers", ["driver_number"])
+    for _ in range(2):  # T4: re-delivery must be a no-op
+        q = strm.stream_keyed_upsert(
+            spark, wire_dir, str(tmp_path / f"ck{_}"), "drivers", upsert
+        )
+        assert q.awaitTermination(120)
+    con = duckdb.connect(db)
+    rows = con.execute("SELECT driver_number, name FROM drivers ORDER BY 1").fetchall()
+    con.close()
+    batch = build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))["drivers"]
+    assert len(rows) == batch.count()
+    assert all(name.startswith("Driver ") for _, name in rows)
+
+
+def test_upsert_parquet_coalesce_merge(spark, tmp_path):
+    """K5 lakehouse path: second batch fills NULLs and updates keys without
+    duplicating rows; replay is idempotent."""
+    path = str(tmp_path / "laps")
+    b1 = spark.createDataFrame(
+        [(1, 1, 90.5, None), (1, 2, 88.0, 30.0)],
+        "driver_number int, lap_number int, lap_time double, sector_3_time double",
+    )
+    upsert_parquet(spark, b1, path, keys=["driver_number", "lap_number"])
+    b2 = spark.createDataFrame(
+        [(1, 1, None, 29.5), (1, 3, 87.0, None)],
+        "driver_number int, lap_number int, lap_time double, sector_3_time double",
+    )
+    for _ in range(2):
+        upsert_parquet(spark, b2, path, keys=["driver_number", "lap_number"])
+    got = {
+        (r["driver_number"], r["lap_number"]): r.asDict()
+        for r in spark.read.parquet(path).collect()
+    }
+    assert len(got) == 3
+    assert got[(1, 1)]["lap_time"] == 90.5  # existing value survived NULL
+    assert got[(1, 1)]["sector_3_time"] == 29.5  # NULL filled by batch 2
+    assert got[(1, 3)]["lap_time"] == 87.0
