@@ -16,6 +16,35 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+_shipped = False
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `f1_data_pipeline_spark` importable on Python workers even when
+    the driver process was launched from an arbitrary cwd: pandas-UDF /
+    mapInPandas kernels are cloudpickled *by reference* to this module, so
+    workers must be able to import it — addPyFile ships a zip of the package
+    to every worker."""
+    global _shipped
+    if _shipped:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "f1_data_pipeline_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "f1_data_pipeline_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _shipped = True
+
+
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply session settings the engine depends on regardless of who built
     the SparkSession (driver or our own factory)."""
@@ -24,6 +53,7 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf in some deployments; catalog handles both shapes
+    _ship_package(spark)
     return spark
 
 

@@ -43,6 +43,28 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # BASELINE protocol #1: bronze→silver transform throughput on replayed
+    # wire-format data (reference point: 23 rows/s sink-bound, ~29 silver
+    # rows per input line — BASELINE.md).
+    import tempfile
+
+    from f1_data_pipeline_spark.ingest import build_silver, read_bronze
+    from f1_data_pipeline_spark.ingest.fixture import generate
+
+    with tempfile.TemporaryDirectory() as td:
+        wire = os.path.join(td, "wire.txt")
+        n_lines = 20000
+        generate(wire, n_lines=n_lines, seed=42)
+        bronze = read_bronze(spark, wire)
+        t0 = time.perf_counter()
+        silver = build_silver(bronze)
+        out_rows = 0
+        for name in ("car_telemetry", "car_positions", "weather", "race_control", "lap_data"):
+            out_rows += silver[name].count()
+        transform_sec = time.perf_counter() - t0
+        timings["f1_transform_20k_lines"] = round(transform_sec, 4)
+        transform_rows_per_sec = round(out_rows / transform_sec, 1)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -52,6 +74,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "transform_rows_per_sec": transform_rows_per_sec,
+                "transform_output_rows": out_rows,
+                "transform_input_lines": n_lines,
             }
         )
     )

@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing is real and tested — schema, partition-parallel
+generation, kernel signatures, batch shapes, feature extraction over raw
+bytes. The *codec* step is stubbed (this container ships no PIL/ffmpeg):
+``decode_real`` raises ``NotImplementedError`` behind an import-try, and the
+test path uses a deterministic fake format (header + raw samples) so every
+kernel still exercises true byte-level work.
+
+Scale design: payloads never leave the executor (no collect, no driver
+bottleneck); kernels see ``Iterator[pd.DataFrame]`` so one Python worker
+amortizes model/codec init across many Arrow batches — the pattern that
+matters when the real decode is a GPU model at 100 TB.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# fake wire format: magic(4s) kind(B) width(H) height(H) then w*h uint8 samples
+_MAGIC = b"SGMM"
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, source string"
+)
+
+
+def _fake_payload(media_id: int, kind: str, width: int, height: int) -> bytes:
+    rng = np.random.default_rng(media_id)  # deterministic per id
+    samples = rng.integers(0, 256, size=width * height, dtype=np.uint8)
+    kind_code = {"image": 0, "audio": 1, "video": 2}[kind]
+    return _MAGIC + struct.pack("<BHH", kind_code, width, height) + samples.tobytes()
+
+
+def make_media_table(spark: SparkSession, n: int = 1000, partitions: int = 8) -> DataFrame:
+    """Deterministic synthetic media table, generated partition-parallel
+    (spark.range → mapInPandas); stands in for a 100 TB object-store scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            kinds = np.array(["image", "audio", "video"])[ids % 3]
+            widths = 16 + (ids % 5).astype(int) * 8
+            heights = 16 + (ids % 3).astype(int) * 8
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kinds,
+                    "payload": [
+                        _fake_payload(int(i), k, int(w), int(h))
+                        for i, k, w, h in zip(ids, kinds, widths, heights)
+                    ],
+                    "width": widths,
+                    "height": heights,
+                    "source": [f"bucket/{int(i) % 10}" for i in ids],
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_real(payload: bytes):  # pragma: no cover - stub by design
+    """Real codec path — requires PIL/soundfile/ffmpeg, absent here."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image/audio decode needs PIL/ffmpeg; container ships none — "
+            "use the fake-format kernels or install codecs in production"
+        ) from e
+
+
+def _parse_fake(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload[:4] != _MAGIC:
+        raise ValueError("bad magic")
+    _, width, height = struct.unpack("<BHH", payload[4:9])
+    samples = np.frombuffer(payload[9 : 9 + width * height], dtype=np.uint8)
+    return width, height, samples.reshape(height, width)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item feature extraction over raw bytes (mean/std/edge-count) —
+    the shape of an embedding-model scoring pass."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, m = _parse_fake(bytes(payload))
+                a = m.astype(np.float64)
+                out.append(
+                    (
+                        int(mid),
+                        float(np.round(a.mean(), 4)),
+                        float(np.round(a.std(), 4)),
+                        int((np.abs(np.diff(a, axis=1)) > 64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "mean_val", "std_val", "edges"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, mean_val double, std_val double, edges long"
+    )
+
+
+def resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of the fake raster — byte-level transform
+    with a payload-out signature (the thumbnailing pass)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                w, h, m = _parse_fake(bytes(payload))
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                small = m[np.ix_(yi, xi)]
+                kind_code = {"image": 0, "audio": 1, "video": 2}[kind]
+                rows.append(
+                    (
+                        int(mid),
+                        _MAGIC
+                        + struct.pack("<BHH", kind_code, out_w, out_h)
+                        + small.astype(np.uint8).tobytes(),
+                        out_w,
+                        out_h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, "media_id long, payload binary, width int, height int"
+    )
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Row-expanding kernel (video → frames): every item yields
+    height/``every`` 'frames' — the explode-shaped UDTF pattern."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, means = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, m = _parse_fake(bytes(payload))
+                for fi in range(0, h, every):
+                    ids.append(int(mid))
+                    frames.append(fi)
+                    means.append(float(np.round(m[fi].astype(np.float64).mean(), 4)))
+            yield pd.DataFrame({"media_id": ids, "frame": frames, "frame_mean": means})
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(kernel, "media_id long, frame int, frame_mean double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered query (rows-only: binary kernels have no SQL twin)
+# ---------------------------------------------------------------------------
+
+from f1_data_pipeline_spark.catalog import Tables  # noqa: E402
+from f1_data_pipeline_spark.queries import query  # noqa: E402
+
+
+@query("x_multimodal_features", None)
+def x_multimodal_features(t: Tables) -> DataFrame:
+    """Binary-column pipeline: generate 500 deterministic media blobs →
+    byte-level feature kernel → per-kind aggregate. Deterministic, so the
+    rows-only check is stable across runs."""
+    media = make_media_table(t.spark, n=500)
+    feats = extract_features(media).join(media.select("media_id", "kind"), "media_id")
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("mean_val"), 2).alias("avg_mean"),
+            F.round(F.avg("std_val"), 2).alias("avg_std"),
+            F.sum("edges").alias("total_edges"),
+        )
+        .orderBy("kind")
+    )

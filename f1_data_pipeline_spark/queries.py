@@ -658,12 +658,33 @@ def q_t4(t: Tables) -> DataFrame:
     return t.events.select("user_id", "event_type").distinct().agg(F.count("*").alias("c"))
 
 
+@query(
+    "q_c5",
+    """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+       WHERE props IS NOT NULL ORDER BY event_id LIMIT 200""",
+)
+def q_c5(t: Tables) -> DataFrame:
+    """Semi-structured JSON extraction (C2 analog on the relational corpus):
+    ``get_json_object`` path access stays JVM-side — at scale prefer parsing
+    once with ``from_json`` into a struct column over repeated path reads."""
+    return (
+        t.events.where(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401
     import f1_data_pipeline_spark.operators.dedup  # noqa: F401
     import f1_data_pipeline_spark.operators.similarity  # noqa: F401
     import f1_data_pipeline_spark.operators.joins  # noqa: F401
+    import f1_data_pipeline_spark.operators.multimodal  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     return dict(REGISTRY)

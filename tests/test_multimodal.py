@@ -1,0 +1,60 @@
+"""Multimodal binary-column plumbing tests: deterministic generation,
+byte-level kernels, row-expanding frame sampling, stubbed real-codec path."""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_data_pipeline_spark.operators.multimodal import (
+    decode_real,
+    extract_features,
+    frame_sample,
+    make_media_table,
+    resize,
+    _parse_fake,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return make_media_table(spark, n=60).cache()
+
+
+def test_media_generation_deterministic(spark, media):
+    a = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    b = {
+        r["media_id"]: bytes(r["payload"])
+        for r in make_media_table(spark, n=60).collect()
+    }
+    assert a == b
+    assert len(a) == 60
+
+
+def test_extract_features(media):
+    feats = extract_features(media).collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert 0 <= r["mean_val"] <= 255 and r["std_val"] > 0
+
+
+def test_resize_dims_and_payload(media):
+    out = resize(media, 8, 8).collect()
+    for r in out:
+        w, h, m = _parse_fake(bytes(r["payload"]))
+        assert (w, h) == (8, 8) and m.shape == (8, 8)
+
+
+def test_frame_sample_expands_video_rows(media):
+    vids = media.where("kind = 'video'")
+    frames = frame_sample(media, every=4)
+    per_vid = {
+        r["media_id"]: r["cnt"]
+        for r in frames.groupBy("media_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for r in vids.select("media_id", "height").collect():
+        assert per_vid[r["media_id"]] == -(-r["height"] // 4)
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG....")
