@@ -1,0 +1,55 @@
+"""Gold-layer analytics (SURVEY §2.6 A4–A9, §2.1 S5, dashboard.py parity)
+— plus ``observe()`` in-flight metrics, the Spark-native replacement for the
+reference's hand-rolled throughput counters (main_supabase.py:27-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+
+def table_counts(tables: dict[str, DataFrame]) -> dict[str, int]:
+    """A4: COUNT(*) per table (dashboard.py:56-60). Parquet count() is
+    metadata-only (aggregate pushdown) — no data scan."""
+    return {name: df.count() for name, df in tables.items()}
+
+
+def recent_counts(df: DataFrame, ts_col: str, minutes: int = 5) -> DataFrame:
+    """A5: rows in the trailing window, anchored at max(ts) so the query is
+    deterministic on replayed data (dashboard.py:65-68)."""
+    mx = df.agg(F.max(ts_col).alias("_mx"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .where(F.col(ts_col) > F.col("_mx") - F.expr(f"INTERVAL {minutes} MINUTE"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def last_update(df: DataFrame, ts_col: str) -> DataFrame:
+    """A6: MAX(created_at) freshness probe (dashboard.py:71-74)."""
+    return df.agg(F.max(ts_col).alias("last_update"))
+
+
+def observed_run(df: DataFrame, measures: dict[str, F.Column]) -> tuple[DataFrame, Observation]:
+    """A9: attach observe() metrics — computed during the SAME job that
+    materializes ``df`` (zero extra passes), replacing the reference's
+    driver-side counters. Read ``obs.get`` after an action."""
+    obs = Observation()
+    named = [c.alias(n) for n, c in measures.items()]
+    return df.observe(obs, *named), obs
+
+
+def verify_tables(spark: SparkSession, expected: dict[str, list[str]]) -> dict[str, dict]:
+    """S5 catalog introspection (verify_tables.py:89-206 analog): for each
+    expected table, report existence + missing/extra columns."""
+    report: dict[str, dict] = {}
+    for name, cols in expected.items():
+        exists = spark.catalog.tableExists(name)
+        entry: dict = {"exists": exists, "missing": [], "extra": []}
+        if exists:
+            actual = [c.name for c in spark.catalog.listColumns(name)]
+            entry["missing"] = sorted(set(cols) - set(actual))
+            entry["extra"] = sorted(set(actual) - set(cols))
+        report[name] = entry
+    return report

@@ -1,0 +1,56 @@
+"""Gold-layer analytics tests: dashboard parity (A4–A6), observe metrics
+(A9), catalog introspection (S5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.analytics import (
+    last_update,
+    observed_run,
+    recent_counts,
+    table_counts,
+    verify_tables,
+)
+from f1_data_pipeline_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+
+def test_table_counts_and_freshness(spark):
+    t = load_tables(spark, SF_DIR)
+    counts = table_counts({"events": t.events, "nation": t.nation})
+    assert counts["events"] == 1000 and counts["nation"] == 25
+    lu = last_update(t.events, "ts").collect()[0]["last_update"]
+    assert lu is not None
+
+
+def test_recent_counts_matches_manual(spark):
+    t = load_tables(spark, SF_DIR)
+    got = recent_counts(t.events, "ts", minutes=5).collect()[0]["c"]
+    mx = t.events.agg(F.max("ts")).collect()[0][0]
+    manual = t.events.where(
+        F.col("ts") > F.lit(mx) - F.expr("INTERVAL 5 MINUTE")
+    ).count()
+    assert got == manual > 0
+
+
+def test_observe_metrics_single_pass(spark):
+    t = load_tables(spark, SF_DIR)
+    df, obs = observed_run(
+        t.events,
+        {"rows": F.count(F.lit(1)), "null_props": F.sum(F.isnull("props").cast("int"))},
+    )
+    df.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == 1000
+    assert obs.get["null_props"] >= 0
+
+
+def test_verify_tables_report(spark):
+    t = load_tables(spark, SF_DIR)
+    t.events.createOrReplaceTempView("events_v")
+    rep = verify_tables(
+        spark,
+        {"events_v": ["event_id", "ts", "nope"], "missing_table": ["x"]},
+    )
+    assert rep["events_v"]["exists"] and rep["events_v"]["missing"] == ["nope"]
+    assert not rep["missing_table"]["exists"]
