@@ -192,6 +192,106 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    sample: int = 2000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic mini k-means on a bounded sample.
+
+    Codebook training is legitimately a small-sample, driver-side step (the
+    codebook is what gets broadcast); assignment and search stay fully
+    distributed. Returns a (k, dim) numpy array of L2-normalized centroids.
+    """
+    import numpy as np
+
+    pdf = vectors.select(vec_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / (np.linalg.norm(c) or 1.0)
+    return C
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (mapInPandas GEMM).
+
+    At 100 TB the ``cell`` column becomes the table's partition key, so a
+    query scans only its probed cells — partition pruning on vector space.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+
+    def kernel(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            cells = np.argmax(An @ C.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ANN: probe the ``nprobe`` cells nearest the query, exact cosine
+    within them. Scan cost drops to ~nprobe/k_cells of brute force."""
+    import numpy as np
+
+    q = query_df.select(vec_col).toPandas()[vec_col].iloc[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    probe_cells = [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    qdf = query_df.select(as_double_vec(vec_col).alias("__qv"))
+    return (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            id_col,
+            F.round(cosine(as_double_vec(vec_col), F.col("__qv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered correctness queries
 # ---------------------------------------------------------------------------
@@ -228,6 +328,16 @@ def x_sim_pairs(t: Tables) -> DataFrame:
     """Top-25 most-cosine-similar embedding pairs (near-dup detection),
     via the blocked-GEMM ``cosine_allpairs_topk`` scale path."""
     return cosine_allpairs_topk(t.embeddings, k=25)
+
+
+@query("x_sim_ivf", None)  # approximate by design → rows-only check
+def x_sim_ivf(t: Tables) -> DataFrame:
+    """IVF-ANN top-10 for vec_id 0 (deterministic seeded codebook); recall
+    vs exact asserted in tests/test_operators.py."""
+    e = t.embeddings
+    base = e.where(F.col("vec_id") != 0)
+    C = ivf_centroids(base, k=8, seed=42)
+    return ivf_topk(base, e.where(F.col("vec_id") == 0), C, nprobe=3, k=10)
 
 
 @query("x_sim_lsh", None)  # approximate by design → rows-only check

@@ -678,6 +678,144 @@ def q_c5(t: Tables) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extended SQL surface (gap list §2.11 + TPC-H-shaped workloads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_j7",
+    """SELECT ROUND(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+       FROM lineitem, part WHERE l_partkey = p_partkey""",
+)
+def q_j7(t: Tables) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a fact⋈dim join. part is
+    hinted broadcast — the fact side never shuffles."""
+    li, p = t.lineitem, t.part
+    net = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(p.p_type == "PROMO", net).otherwise(0.0))
+                / F.sum(net),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_j8",
+    """SELECT l_orderkey, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def q_j8(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two-fact join → grouped
+    revenue → top-k. The segment filter applies before the join (Catalyst
+    pushes it), shrinking the build side ~5×."""
+    c = t.customer.where(F.col("c_mktsegment") == "BUILDING")
+    li, o = t.lineitem, t.orders
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_sub1",
+    """SELECT count(*) AS c, ROUND(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem l1
+       WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)""",
+)
+def q_sub1(t: Tables) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery, written directly in its
+    decorrelated form — per-part averages via one groupBy, joined back.
+    (Catalyst performs the same rewrite for the SQL form; authoring it
+    decorrelated makes the single-shuffle plan explicit.)"""
+    li = t.lineitem
+    avgs = li.groupBy("l_partkey").agg((0.5 * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(avgs, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+@query(
+    "q_h1",
+    """SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend, count(*) AS n
+       FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+       ORDER BY o_custkey""",
+)
+def q_h1(t: Tables) -> DataFrame:
+    """HAVING surface: post-aggregation filter."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"), F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q_p3",
+    """SELECT p_partkey, p_name, p_type FROM part
+       WHERE p_size BETWEEN 10 AND 20
+         AND p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')
+         AND p_name LIKE '%bolt%'
+       ORDER BY p_partkey""",
+)
+def q_p3(t: Tables) -> DataFrame:
+    """Predicate variety: BETWEEN + IN-list + LIKE — all push to the scan
+    (In, GreaterThanOrEqual/LessThanOrEqual, StringContains)."""
+    return (
+        t.part.where(
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9")
+            & F.col("p_name").like("%bolt%")
+        )
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_v1",
+    """SELECT l_returnflag,
+              sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS O,
+              sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS F
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q_v1(t: Tables) -> DataFrame:
+    """Pivot: DataFrame ``pivot`` with pinned values compiles to the same
+    conditional-aggregate plan as the SQL twin (pinning values avoids the
+    extra distinct-scan a dynamic pivot needs)."""
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .na.fill(0.0, ["O", "F"])
+        .orderBy("l_returnflag")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401

@@ -168,6 +168,57 @@ def stream_keyed_upsert(
     )
 
 
+def stream_running_driver_stats(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    sink: Callable[[DataFrame, int], None],
+    trigger: dict | None = None,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-driver lap statistics (laps seen, best lap so far) maintained across
+    micro-batches — the pattern for any cross-batch accumulator Spark lacks
+    a builtin for (SURVEY §2.10's extension surface).
+
+    State is one tiny tuple per driver (bounded by key cardinality, unlike
+    the reference's unbounded caches); each batch emits the refreshed stats
+    for drivers that changed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bronze = read_bronze_stream(spark, source_dir)
+    laps = decode.decode_timing_laps(bronze).select(
+        "driver_number", "lap_number", "lap_time"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        laps_seen, best = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            laps_seen += len(pdf)
+            batch_best = pd.to_numeric(pdf["lap_time"], errors="coerce").min()
+            if pd.notna(batch_best):
+                best = float(batch_best) if best is None else min(best, float(batch_best))
+        state.update((laps_seen, best))
+        yield pd.DataFrame(
+            {"driver_number": [key[0]], "laps_seen": [laps_seen], "best_lap": [best]}
+        )
+
+    stats = laps.groupBy("driver_number").applyInPandasWithState(
+        update,
+        outputStructType="driver_number int, laps_seen long, best_lap double",
+        stateStructType="laps_seen long, best_lap double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 class RateObserver:
     """T2/A9: throughput + slow-batch warning via StreamingQueryListener."""
 

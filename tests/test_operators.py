@@ -127,3 +127,19 @@ def test_lsh_ann_recall_vs_exact(spark):
     overlap = len(set(exact) & set(approx))
     assert overlap >= 2, (exact, approx)
     assert len(approx) > 0
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.where(F.col("vec_id") == 0)
+    base = df.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(base, qdf, k=10).collect()]
+    from f1_data_pipeline_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    C = ivf_centroids(base, k=8, seed=9)
+    approx = [r["vec_id"] for r in ivf_topk(base, qdf, C, nprobe=4, k=10).collect()]
+    overlap = len(set(exact) & set(approx))
+    # probing half the cells must recover at least half the true top-10
+    assert overlap >= 5, (exact, approx)

@@ -1,0 +1,72 @@
+"""Physical-layout tests: bucketed joins must be exchange-free; salted
+joins must equal plain joins row-for-row."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import load_tables
+from f1_data_pipeline_spark.storage import salted_join, write_bucketed
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    t = load_tables(spark, SF_DIR)
+    write_bucketed(t.orders, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(
+        t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    ob, cb = spark.table("orders_b"), spark.table("customer_b")
+    joined = ob.join(cb, "o_custkey").groupBy("c_nationkey").count()
+    # at test scale the dim fits the broadcast threshold, which would hide
+    # the bucketing; disable to expose the co-located sort-merge join that a
+    # fact⋈fact join would get at 100 TB
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # co-bucketed: the join key needs NO hash exchange on either side
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+        assert "SelectedBucketsCount" in plan
+        # sanity: same result as the unbucketed join
+        want = (
+            t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+            .groupBy("c_nationkey")
+            .count()
+        )
+        got = {r["c_nationkey"]: r["count"] for r in joined.collect()}
+        assert got == {r["c_nationkey"]: r["count"] for r in want.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_equals_plain_join(spark):
+    t = load_tables(spark, SF_DIR)
+    plain = t.orders.join(t.nation, t.orders.o_custkey % 25 == t.nation.n_nationkey)
+    left = t.orders.withColumn("k", F.col("o_custkey") % 25)
+    right = t.nation.withColumnRenamed("n_nationkey", "k")
+    salted = salted_join(left, right, "k", num_salts=4)
+    assert salted.count() == plain.count()
+    a = sorted(
+        (r["o_orderkey"], r["n_name"]) for r in salted.select("o_orderkey", "n_name").collect()
+    )
+    b = sorted(
+        (r["o_orderkey"], r["n_name"]) for r in plain.select("o_orderkey", "n_name").collect()
+    )
+    assert a == b

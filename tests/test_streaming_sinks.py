@@ -154,3 +154,28 @@ def test_upsert_parquet_coalesce_merge(spark, tmp_path):
     assert got[(1, 1)]["lap_time"] == 90.5  # existing value survived NULL
     assert got[(1, 1)]["sector_3_time"] == 29.5  # NULL filled by batch 2
     assert got[(1, 3)]["lap_time"] == 87.0
+
+
+def test_stream_running_driver_stats_stateful(spark, wire_dir, tmp_path):
+    """applyInPandasWithState: cross-batch running stats equal the batch
+    aggregation at stream end."""
+    latest: dict[int, dict] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            latest[r["driver_number"]] = r.asDict()
+
+    q = strm.stream_running_driver_stats(spark, wire_dir, str(tmp_path / "ck"), sink)
+    assert q.awaitTermination(180)
+    from f1_data_pipeline_spark.ingest.decode import decode_timing_laps
+
+    want = {
+        r["driver_number"]: (r["laps"], r["best"])
+        for r in decode_timing_laps(read_bronze(spark, f"{wire_dir}/wire.txt"))
+        .groupBy("driver_number")
+        .agg(F.count("*").alias("laps"), F.min("lap_time").alias("best"))
+        .collect()
+    }
+    assert set(latest) == set(want)
+    for d, row in latest.items():
+        assert (row["laps_seen"], row["best_lap"]) == want[d], (d, row, want[d])
