@@ -41,7 +41,9 @@ class Tables:
     """Lazy name→DataFrame catalog over one scale-factor directory."""
 
     def __init__(self, spark: SparkSession, sf_dir: str | None = None):
-        self.spark = spark
+        from f1_data_pipeline_spark.session import ensure_session_confs
+
+        self.spark = ensure_session_confs(spark)
         self.sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
         self._cache: dict[str, DataFrame] = {}
 

@@ -26,6 +26,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine's semantics depend on,
+    for sessions built by someone else (the driver, a notebook): UTC
+    timestamps and nanos-parquet reading. Safe to call repeatedly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static in some deployments; catalog handles both shapes
+    return spark
+
+
 def get_spark(
     app_name: str = "f1_data_pipeline_spark",
     master: str | None = None,
