@@ -816,6 +816,111 @@ def q_v1(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "q_c6",
+    """SELECT c_custkey,
+              concat_ws('-', c_mktsegment, CAST(c_nationkey AS STRING)) AS tag,
+              lpad(CAST(c_custkey AS STRING), 8, '0') AS pad,
+              reverse(c_name) AS rev,
+              CAST(POSITION('#' IN c_name) AS INTEGER) AS pos,
+              translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr
+       FROM customer ORDER BY c_custkey LIMIT 100""",
+)
+def q_c6(t: Tables) -> DataFrame:
+    """String-function breadth (C4/C11/C13 extended): concat_ws, lpad,
+    reverse, position, translate — all codegen'd builtins."""
+    return (
+        t.customer.select(
+            "c_custkey",
+            F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("tag"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("pad"),
+            F.reverse("c_name").alias("rev"),
+            F.instr("c_name", "#").alias("pos"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_w5",
+    """SELECT o_orderkey,
+              count(*) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice
+                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS nearby
+       FROM orders ORDER BY o_orderkey LIMIT 200""",
+)
+def q_w5(t: Tables) -> DataFrame:
+    """Value-based RANGE frame (vs q_w4's ROWS frame): the frame is defined
+    by the ordering value, not row count. Counting (exact) rather than
+    averaging: engines' running-window float summation orders differ, which
+    flips round() at boundaries — the frame semantics are what's under
+    test."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        t.orders.select("o_orderkey", F.count("*").over(w).alias("nearby"))
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q_w6",
+    """SELECT o_custkey, o_orderkey,
+              first_value(o_totalprice) OVER w AS first_price,
+              last_value(o_totalprice) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+              CAST(ntile(4) OVER w AS INTEGER) AS quartile
+       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey LIMIT 300""",
+)
+def q_w6(t: Tables) -> DataFrame:
+    """Analytic value functions: first_value / last_value (full frame) /
+    ntile — one partitioning serves all three specs (single shuffle)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(wfull).alias("last_price"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(300)
+    )
+
+
+@query(
+    "x_percentiles",
+    """SELECT o_orderstatus, ROUND(median(o_totalprice), 2) AS med,
+              ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+              ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def x_percentiles(t: Tables) -> DataFrame:
+    """Exact interpolated percentiles (DuckDB spells it quantile_cont, Spark
+    percentile — x_ name because the dialects differ, the math matches
+    bit-for-bit). At 100 TB swap for approx_percentile and re-oracle with a
+    tolerance band."""
+    return (
+        t.orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 2).alias("med"),
+            F.round(F.percentile("o_totalprice", 0.25), 2).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.95), 2).alias("p95"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401

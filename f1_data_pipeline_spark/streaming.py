@@ -168,6 +168,42 @@ def stream_keyed_upsert(
     )
 
 
+def stream_driver_sessions(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    gap: str = "30 seconds",
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger: dict | None = None,
+    output_mode: str = "complete",
+):
+    """Native streaming sessionization: ``F.session_window`` merges
+    per-driver telemetry into gap-bounded sessions with watermark-bounded
+    state — the streaming twin of the batch ``operators.joins.sessionize``
+    (same gap rule, cross-validated in tests)."""
+    bronze = read_bronze_stream(spark, source_dir)
+    tel = decode.decode_car_telemetry(bronze)
+    agg = (
+        tel.withWatermark("timestamp", "10 minutes")
+        .groupBy(F.session_window("timestamp", gap).alias("sw"), F.col("driver_number"))
+        .agg(F.count("*").alias("n_samples"))
+        .select(
+            "driver_number",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_samples",
+        )
+    )
+    writer = agg.writeStream.outputMode(output_mode).option(
+        "checkpointLocation", checkpoint
+    )
+    if sink is not None:
+        writer = writer.foreachBatch(sink)
+    else:
+        writer = writer.format("memory").queryName("driver_sessions")
+    return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
 def stream_running_driver_stats(
     spark: SparkSession,
     source_dir: str,

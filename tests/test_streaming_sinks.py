@@ -179,3 +179,40 @@ def test_stream_running_driver_stats_stateful(spark, wire_dir, tmp_path):
     assert set(latest) == set(want)
     for d, row in latest.items():
         assert (row["laps_seen"], row["best_lap"]) == want[d], (d, row, want[d])
+
+
+def test_stream_session_windows_match_batch_sessionize(spark, wire_dir, tmp_path):
+    """F.session_window (streaming) and the batch window-based sessionize
+    operator implement the same gap rule — session counts per driver must
+    agree."""
+    epochs: dict[int, list] = {}
+
+    def sink(df, epoch_id):
+        epochs[epoch_id] = [r.asDict() for r in df.collect()]
+
+    q = strm.stream_driver_sessions(
+        spark, wire_dir, str(tmp_path / "ck"), gap="30 seconds", sink=sink
+    )
+    assert q.awaitTermination(180)
+    got = {}
+    for r in epochs[max(epochs)]:
+        got[r["driver_number"]] = got.get(r["driver_number"], 0) + 1
+
+    from f1_data_pipeline_spark.ingest.decode import decode_car_telemetry
+    from f1_data_pipeline_spark.operators.joins import sessionize
+
+    tel = decode_car_telemetry(read_bronze(spark, f"{wire_dir}/wire.txt"))
+    batch = sessionize(
+        tel.select("driver_number", "timestamp", "utc_timestamp"),
+        key="driver_number",
+        ts="timestamp",
+        gap_seconds=30,
+        tiebreak="utc_timestamp",
+    )
+    want = {
+        r["driver_number"]: r["s"]
+        for r in batch.groupBy("driver_number")
+        .agg(F.max("session_no").alias("s"))
+        .collect()
+    }
+    assert got == want, (got, want)
