@@ -30,6 +30,11 @@ def main() -> None:
     from f1_data_pipeline_spark.queries import all_queries
 
     spark = get_spark(app_name="bench")
+    # ship the package to Python workers: mapInPandas kernels need to import
+    # it even when bench is launched from outside the repo dir
+    import __spark_entry__
+
+    __spark_entry__._configure(spark)
     queries = all_queries()
 
     # Warm up: JVM, codegen, parquet footer caches.
@@ -37,11 +42,15 @@ def main() -> None:
     queries["q_s1"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(queries):
         t0 = time.perf_counter()
-        df = queries[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = queries[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # one broken query must not kill the bench
+            failed.append(f"{name}: {type(e).__name__}")
 
     # BASELINE protocol #1: bronze→silver transform throughput on replayed
     # wire-format data (reference point: 23 rows/s sink-bound, ~29 silver
@@ -77,6 +86,7 @@ def main() -> None:
                 "transform_rows_per_sec": transform_rows_per_sec,
                 "transform_output_rows": out_rows,
                 "transform_input_lines": n_lines,
+                "failed": failed,
             }
         )
     )

@@ -921,6 +921,35 @@ def x_percentiles(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "q_cte1",
+    """WITH top_suppliers AS (
+         SELECT s_nationkey, s_name, s_acctbal,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC, s_suppkey) AS rn
+         FROM supplier)
+       SELECT n_name, s_name, ROUND(s_acctbal, 2) AS bal
+       FROM top_suppliers t JOIN nation n ON t.s_nationkey = n.n_nationkey
+       WHERE rn = 1 ORDER BY n_name""",
+)
+def q_cte1(t: Tables) -> DataFrame:
+    """CTE + window + dim join: richest-supplier-per-nation (TPC-H Q2
+    flavor). The CTE is just a named subplan — identical DataFrame
+    composition; WindowGroupLimit prunes to one row per nation pre-join."""
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    top = (
+        t.supplier.select(
+            "s_nationkey", "s_name", "s_acctbal", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") == 1)
+    )
+    n = t.nation
+    return (
+        top.join(F.broadcast(n), top.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("bal"))
+        .orderBy("n_name")
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401
