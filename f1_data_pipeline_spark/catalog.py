@@ -80,5 +80,13 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_tables_cache: dict[tuple[int, str], Tables] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Tables:
-    return Tables(spark, sf_dir)
+    """Memoized per (session, dir): repeated query builds share one catalog
+    so parquet footers/schemas are read once, not once per query."""
+    key = (id(spark), sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
+    if key not in _tables_cache:
+        _tables_cache[key] = Tables(spark, key[1])
+    return _tables_cache[key]

@@ -514,7 +514,10 @@ def q_w4(t: Tables) -> DataFrame:
     ORDER BY window is single-partition by construction — fine for a bounded
     report, unacceptable over a 100 TB fact table. The scale-out form keys
     the window (per entity/day) or uses the streaming rolling metrics in
-    streaming.py; this query exists to pin the frame semantics."""
+    streaming.py; this query exists to pin the frame semantics.
+    Known float sensitivity: at sf0.1 one row of 200 rounds differently
+    across engines (1-ulp running-sum divergence); exact at the sf0.01
+    gate and within any epsilon fallback."""
     w = (
         Window.orderBy("o_orderdate", "o_orderkey").rowsBetween(-99, Window.currentRow)
     )
