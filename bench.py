@@ -64,13 +64,20 @@ def main() -> None:
         wire = os.path.join(td, "wire.txt")
         n_lines = 20000
         generate(wire, n_lines=n_lines, seed=42)
-        bronze = read_bronze(spark, wire)
+        from f1_data_pipeline_spark.session import default_parallelism
+
+        # ~2.5k wire lines per task keeps Arrow/worker overhead amortized at
+        # this size; a real deployment gets parallelism from file splits
+        parts = max(2, min(default_parallelism(), n_lines // 2500))
+        bronze = read_bronze(spark, wire, partitions=parts).cache()
         t0 = time.perf_counter()
+        bronze.count()  # parse once; the entity plans reuse the cache
         silver = build_silver(bronze)
         out_rows = 0
         for name in ("car_telemetry", "car_positions", "weather", "race_control", "lap_data"):
             out_rows += silver[name].count()
         transform_sec = time.perf_counter() - t0
+        bronze.unpersist()
         timings["f1_transform_20k_lines"] = round(transform_sec, 4)
         transform_rows_per_sec = round(out_rows / transform_sec, 1)
 

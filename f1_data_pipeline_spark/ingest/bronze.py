@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from f1_data_pipeline_spark.functions.udfs import parse_wire_line
 
 
-def _parse(lines: DataFrame, streaming: bool = False) -> DataFrame:
+def _parse(
+    lines: DataFrame, streaming: bool = False, partitions: int | None = None
+) -> DataFrame:
     # Batch: monotonically_increasing_id follows file byte order → true
     # arrival ordinal. Streaming forbids it; a content hash gives a
     # deterministic (retry-stable) surrogate id — arrival *order* inside a
@@ -27,8 +29,16 @@ def _parse(lines: DataFrame, streaming: bool = False) -> DataFrame:
     ordinal = (
         F.xxhash64("value") if streaming else F.monotonically_increasing_id()
     )
+    with_ord = lines.withColumn("ordinal", ordinal)
+    if partitions:
+        # A single small-ish file is one input split, which would serialize
+        # the Python decode; redistribute AFTER ordinal assignment (values
+        # already fixed, so arrival order survives the shuffle) and BEFORE
+        # the UDF so the expensive crossing runs on every core. At 100 TB
+        # the source is many files/splits and this is unnecessary.
+        with_ord = with_ord.repartition(partitions)
     parsed = (
-        lines.withColumn("ordinal", ordinal)
+        with_ord
         # P3: blank-line filter BEFORE the Python UDF crossing
         .where(F.length(F.trim(F.col("value"))) > 0)
         .select("ordinal", "value", parse_wire_line("value").alias("r"))
@@ -43,9 +53,12 @@ def _parse(lines: DataFrame, streaming: bool = False) -> DataFrame:
     )
 
 
-def read_bronze(spark: SparkSession, path: str) -> DataFrame:
-    """S3 batch scan of a wire-format file."""
-    return _parse(spark.read.text(path))
+def read_bronze(
+    spark: SparkSession, path: str, partitions: int | None = None
+) -> DataFrame:
+    """S3 batch scan of a wire-format file; ``partitions`` spreads the
+    decode of a single-split file across cores (see _parse)."""
+    return _parse(spark.read.text(path), partitions=partitions)
 
 
 def read_bronze_stream(
