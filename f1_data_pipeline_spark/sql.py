@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from f1_data_pipeline_spark.catalog import TABLE_NAMES, load_tables
+from f1_data_pipeline_spark.catalog import load_tables
 
 
 class SqlSession:
