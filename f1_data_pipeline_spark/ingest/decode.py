@@ -89,16 +89,23 @@ def decode_drivers(bronze: DataFrame) -> DataFrame:
 
 
 def _timing_lines(bronze: DataFrame) -> DataFrame:
+    """Driver-keyed timing entries from BOTH wire shapes: the live feed's
+    ``{"Lines": {driver: entry}}`` envelope and the transformer path's bare
+    ``{driver: entry}`` map (transformer.py:162 reads the map directly).
+    Parsing with both schemas and coalescing costs one extra from_json on
+    the same (already filtered) rows — no additional scan or shuffle."""
     j = _topic(bronze, "TimingData").select(
         "ordinal",
         "event_time",
         F.from_json(
             "payload", StructType([StructField("Lines", sc.TIMING_MAP_SCHEMA, True)])
         ).alias("p"),
+        F.from_json("payload", sc.TIMING_MAP_SCHEMA).alias("root"),
     )
+    lines_map = F.coalesce(F.col("p.Lines"), F.col("root"))
     return (
-        j.where(F.col("p.Lines").isNotNull())
-        .select("ordinal", "event_time", F.explode("p.Lines").alias("k", "v"))
+        j.where(lines_map.isNotNull())
+        .select("ordinal", "event_time", F.explode(lines_map).alias("k", "v"))
         .withColumn("driver_number", F.col("k").try_cast("int"))
         .where(F.col("driver_number").isNotNull())
     )
@@ -221,16 +228,48 @@ def decode_car_telemetry(bronze: DataFrame) -> DataFrame:
 
 
 def decode_car_positions(bronze: DataFrame) -> DataFrame:
-    """Position.z → 3D track coords: inflate → explode frames/Entries (F3);
-    z defaults 0 when absent (transformer.py:287)
-    (monitor_car_positions.py:105-150)."""
-    inflated = _topic(bronze, "Position.z").select(
+    """Position.z → 3D track coords, from BOTH wire shapes:
+
+    - compressed (monitor path): base64+deflate → ``{"Position": [frames]}``
+      → explode frames/Entries (F3); z defaults 0 (transformer.py:287);
+    - legacy uncompressed (transformer path, transformer.py:280-296): JSON
+      ``{driver: [x, y, z]}`` map — positional array access (F6), z
+      defaults 0 when the array has only 2 elements.
+
+    Dispatch is a cheap prefix test (JSON payloads start with '{', base64
+    never does), authored before the inflate UDF so only compressed rows
+    cross to Python."""
+    base = _topic(bronze, "Position.z")
+    is_json = F.trim("payload").startswith("{")
+
+    legacy = (
+        base.where(is_json)
+        .select(
+            "event_time",
+            F.explode(
+                F.from_json("payload", "map<string, array<double>>")
+            ).alias("driver_number", "xyz"),
+        )
+        .where(F.size("xyz") >= 2)
+        .select(
+            "driver_number",
+            F.col("event_time").alias("timestamp"),
+            F.lit(None).cast("timestamp").alias("utc_time"),
+            F.lit(None).cast("string").alias("status"),
+            F.element_at("xyz", 1).alias("x_coord"),
+            F.element_at("xyz", 2).alias("y_coord"),
+            # try_element_at: ANSI element_at throws on a 2-element array
+            F.coalesce(F.try_element_at("xyz", F.lit(3)), F.lit(0.0)).alias("z_coord"),
+        )
+    )
+
+    inflated = base.where(~is_json).select(
         "ordinal", "event_time", raw_inflate("payload").alias("json")
     )
     j = inflated.where(F.col("json").isNotNull()).select(
         "ordinal", "event_time", F.from_json("json", sc.POSITION_SCHEMA).alias("d")
     )
-    return (
+    compressed = (
         j.where(F.col("d.Position").isNotNull())
         .select("ordinal", "event_time", F.explode("d.Position").alias("f"))
         .select(
@@ -249,6 +288,7 @@ def decode_car_positions(bronze: DataFrame) -> DataFrame:
             F.coalesce(F.col("e.Z"), F.lit(0.0)).alias("z_coord"),
         )
     )
+    return compressed.unionByName(legacy)
 
 
 def _race_control_rows(bronze: DataFrame) -> DataFrame:

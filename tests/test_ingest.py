@@ -163,3 +163,49 @@ def test_telemetry_values_roundtrip(spark, tmp_path):
     assert (row["rpm"], row["speed"], row["gear"], row["drs"]) == (11450, 301, 7, 12)
     assert row["throttle"] == 99.0 and row["brake"] == 0.0
     assert str(row["utc_timestamp"]) == "2025-05-17 14:00:05.123000"
+
+
+def test_timing_bare_map_shape(spark, tmp_path):
+    """Transformer-path TimingData: driver-keyed map with NO Lines envelope
+    (transformer.py:162) decodes identically to the enveloped shape."""
+    entry = {"LastLapTime": {"Value": "1:28.000"}, "NumberOfLaps": "3"}
+    lines = [
+        repr(["TimingData", {"5": entry}, "2025-05-17T14:00:00.000Z"]),
+        repr(["TimingData", {"Lines": {"6": entry}}, "2025-05-17T14:00:01.000Z"]),
+    ]
+    p = tmp_path / "t.txt"
+    p.write_text("\n".join(lines) + "\n")
+    laps = build_silver(read_bronze(spark, str(p)))["lap_data"].collect()
+    got = {r["driver_number"]: r["lap_time"] for r in laps}
+    assert got == {5: 88.0, 6: 88.0}
+
+
+def test_position_legacy_xyz_shape(spark, tmp_path):
+    """Transformer-path Position.z: uncompressed {driver: [x,y,z]} map (F6
+    positional access, z defaults 0 for 2-element arrays)."""
+    lines = [
+        repr(["Position.z", {"7": [100.0, 200.0, 5.0], "8": [1.0, 2.0]}, "2025-05-17T14:00:00.000Z"]),
+    ]
+    p = tmp_path / "p.txt"
+    p.write_text("\n".join(lines) + "\n")
+    pos = build_silver(read_bronze(spark, str(p)))["car_positions"].collect()
+    got = {r["driver_number"]: (r["x_coord"], r["y_coord"], r["z_coord"]) for r in pos}
+    assert got == {"7": (100.0, 200.0, 5.0), "8": (1.0, 2.0, 0.0)}
+
+
+def test_analyze_wire(spark, tmp_path):
+    """analyze_f1_data.py parity: per-topic counts + first-N samples."""
+    from f1_data_pipeline_spark.ingest.analyze import analyze_wire
+
+    path = str(tmp_path / "w.txt")
+    counts_fixture = generate(path, n_lines=120, seed=3)
+    counts_df, samples_df = analyze_wire(spark, path, samples_per_topic=2)
+    got = {r["topic"]: r["n"] for r in counts_df.collect()}
+    for topic, n in counts_fixture.per_topic.items():
+        assert got[topic] == n, topic
+    assert got[None] == counts_fixture.corrupt_lines
+    per_topic = {}
+    for r in samples_df.collect():
+        per_topic.setdefault(r["topic"], []).append(r["sample"])
+    assert all(len(v) <= 2 for v in per_topic.values())
+    assert set(per_topic) == set(counts_fixture.per_topic)
