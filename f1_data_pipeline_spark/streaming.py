@@ -168,6 +168,41 @@ def stream_keyed_upsert(
     )
 
 
+def stream_quarantine(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    out_path: str,
+    trigger: dict | None = None,
+):
+    """T10 dead-letter path: corrupt wire lines (failed literal-eval) are
+    persisted with their ordinal for offline inspection/replay instead of
+    being silently dropped — the durable form of the reference's
+    log-and-skip (transformer.py:65-68)."""
+    bronze = read_bronze_stream(spark, source_dir)
+    bad = bronze.where(F.col("corrupt_line").isNotNull()).select(
+        "ordinal", "corrupt_line"
+    )
+    return (
+        bad.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def stop_all(queries, timeout: int | None = None) -> None:
+    """T9 graceful shutdown: stop every query, draining in-flight batches
+    (query.stop() is graceful in Spark 3.0+; the reference drains its loop
+    and closes the pool on SIGTERM, main_supabase.py:196-221)."""
+    for q in queries:
+        if timeout is not None:
+            q.awaitTermination(timeout)
+        if q.isActive:
+            q.stop()
+
+
 def stream_driver_sessions(
     spark: SparkSession,
     source_dir: str,

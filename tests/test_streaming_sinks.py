@@ -216,3 +216,22 @@ def test_stream_session_windows_match_batch_sessionize(spark, wire_dir, tmp_path
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_stream_quarantine_dead_letter(spark, wire_dir, tmp_path):
+    """T10: corrupt lines land in the dead-letter table with their ordinal;
+    count matches the generator's corrupt-line count."""
+    from f1_data_pipeline_spark.ingest.fixture import generate as gen
+
+    q = strm.stream_quarantine(
+        spark, wire_dir, str(tmp_path / "ck"), str(tmp_path / "dlq")
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "dlq"))
+    batch_corrupt = (
+        read_bronze(spark, f"{wire_dir}/wire.txt")
+        .where("corrupt_line is not null")
+        .count()
+    )
+    assert got.count() == batch_corrupt > 0
+    assert set(got.columns) == {"ordinal", "corrupt_line"}
