@@ -209,3 +209,17 @@ def test_analyze_wire(spark, tmp_path):
         per_topic.setdefault(r["topic"], []).append(r["sample"])
     assert all(len(v) <= 2 for v in per_topic.values())
     assert set(per_topic) == set(counts_fixture.per_topic)
+
+
+def test_bronze_directory_of_files(spark, tmp_path):
+    """A directory of wire files (the real 100 TB layout) reads as one
+    bronze frame; parallelism comes from file splits, no repartition
+    needed."""
+    d = tmp_path / "many"
+    d.mkdir()
+    c1 = generate(str(d / "a.txt"), n_lines=60, seed=1)
+    c2 = generate(str(d / "b.txt"), n_lines=60, seed=2)
+    bronze = read_bronze(spark, str(d))
+    assert bronze.count() == c1.lines + c2.lines
+    silver = build_silver(bronze)
+    assert silver["weather"].count() == c1.weather_rows + c2.weather_rows
