@@ -953,6 +953,46 @@ def q_cte1(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "q_l1",
+    """SELECT c.c_custkey, t.o_orderkey FROM customer c,
+       LATERAL (SELECT o_orderkey FROM orders o WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c.c_custkey, t.o_orderkey LIMIT 200""",
+)
+def q_l1(t: Tables) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT. The DataFrame twin is
+    the decorrelated plan Catalyst produces anyway: top-2-per-key window
+    (WindowGroupLimit) then join — one shuffle each side instead of a
+    per-customer re-scan."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    top2 = (
+        t.orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 2)
+    )
+    return (
+        t.customer.join(top2, t.customer.c_custkey == top2.o_custkey)
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q_u4",
+    """SELECT c_nationkey AS k FROM customer
+       UNION ALL SELECT s_nationkey FROM supplier ORDER BY k LIMIT 500""",
+)
+def q_u4(t: Tables) -> DataFrame:
+    """UNION ALL (bag union — no dedup shuffle, unlike q_u1)."""
+    return (
+        t.customer.select(F.col("c_nationkey").alias("k"))
+        .unionAll(t.supplier.select(F.col("s_nationkey").alias("k")))
+        .orderBy("k")
+        .limit(500)
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401

@@ -75,6 +75,19 @@ def salted_join(
     return out.drop("__salt")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+) -> None:
+    """Hive-style partitioned parquet layout (e.g. silver tables by date):
+    queries filtering on the partition column scan ONLY matching
+    directories — `PartitionFilters` in the plan, zero I/O for pruned
+    partitions. The 100 TB default for every time-keyed silver/gold table
+    (asserted in tests/test_storage.py)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
 def repartition_for(df: DataFrame, keys: list[str], partitions: int | None = None) -> DataFrame:
     """Pre-partition once, reuse across several keyed operations — the
     'reuse a partitioning across stages' rule: groupBy/join on the same keys

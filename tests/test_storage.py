@@ -70,3 +70,22 @@ def test_salted_join_equals_plain_join(spark):
         (r["o_orderkey"], r["n_name"]) for r in plain.select("o_orderkey", "n_name").collect()
     )
     assert a == b
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    """Partition pruning: a filter on the partition column appears in
+    PartitionFilters and the scan lists only matching directories."""
+    from f1_data_pipeline_spark.storage import write_partitioned
+
+    t = load_tables(spark, SF_DIR)
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(t.events, path, ["event_type"])
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    # pruned read returns exactly the clicks
+    assert df.count() == t.events.where("event_type = 'click'").count()
+    import os
+    # physical layout: one directory per event_type
+    dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(dirs) == t.events.select("event_type").distinct().count()
