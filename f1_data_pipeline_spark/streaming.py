@@ -168,6 +168,44 @@ def stream_keyed_upsert(
     )
 
 
+def stream_enriched_telemetry(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    drivers_static: DataFrame,
+    out_path: str,
+    trigger: dict | None = None,
+):
+    """Stream-static join: enrich streaming telemetry with the drivers
+    dimension — the Spark replacement for the reference's cross-batch
+    ``drivers_cache`` dict (transformer.py:14-16, SURVEY §1.1: key-value
+    caches → broadcast/stream-static join). The static side is re-read per
+    micro-batch (picks up dimension updates) and broadcast, so the stream
+    side never shuffles.
+
+    ``drivers_static`` must be a *materialized* table read (parquet/Delta):
+    a lazy batch plan is re-analyzed inside the streaming query, and
+    batch-only expressions in it (e.g. the ordinal's
+    monotonically_increasing_id from the batch dedup) are rejected there."""
+    bronze = read_bronze_stream(spark, source_dir)
+    tel = decode.decode_car_telemetry(bronze)
+    dim = F.broadcast(
+        drivers_static.select(
+            F.col("driver_number").cast("string").alias("driver_number"),
+            "name",
+            "team",
+        )
+    )
+    enriched = tel.join(dim, "driver_number", "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_quarantine(
     spark: SparkSession,
     source_dir: str,

@@ -235,3 +235,26 @@ def test_stream_quarantine_dead_letter(spark, wire_dir, tmp_path):
     )
     assert got.count() == batch_corrupt > 0
     assert set(got.columns) == {"ordinal", "corrupt_line"}
+
+
+def test_stream_static_enrichment(spark, wire_dir, tmp_path):
+    """Stream-static broadcast join: every telemetry row carries its
+    driver's name/team from the static dimension; rows without a dimension
+    match keep NULLs (left join)."""
+    batch = build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))
+    # the dimension must be a materialized table: a lazy batch plan with
+    # mono-id inside is rejected when re-analyzed in the streaming query
+    batch["drivers"].write.mode("overwrite").parquet(str(tmp_path / "drivers"))
+    q = strm.stream_enriched_telemetry(
+        spark,
+        wire_dir,
+        str(tmp_path / "ck"),
+        spark.read.parquet(str(tmp_path / "drivers")),
+        str(tmp_path / "out"),
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == batch["car_telemetry"].count()
+    assert got.where("name IS NULL").count() == 0  # fixture drivers all known
+    one = got.limit(1).collect()[0]
+    assert one["name"].startswith("Driver ") and one["team"].startswith("Team ")
