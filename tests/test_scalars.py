@@ -135,3 +135,11 @@ def test_bool_parse_golden(spark):
     vals = ["true", "TRUE", " True ", "false", "0", "1", "", None]
     got = _run(spark, bool_parse, vals)
     assert got == [True, True, True, False, False, False, False, None]
+
+
+def test_strip_quotes(spark):
+    from f1_data_pipeline_spark.functions.scalars import strip_quotes
+
+    vals = ['"quoted"', "plain", '"half', 'tail"', '""']
+    got = _run(spark, strip_quotes, vals)
+    assert got == ["quoted", "plain", "half", "tail", ""]
