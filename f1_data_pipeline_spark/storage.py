@@ -88,6 +88,37 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ceil(total_bytes / target) files.
+
+    Streaming sinks (and the reference's per-batch appends) accrete many
+    tiny files; at 100 TB that inflates scan task counts and NameNode/
+    listing pressure. Returns the new file count. For partitioned layouts
+    run per-partition (compact the day that closed, not the table)."""
+    import glob
+    import math
+    import os as _os
+
+    files = [f for f in glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)]
+    total = sum(_os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    # swap: write staged output over the original atomically-enough for a
+    # single writer (lakehouse tables use a transactional commit instead)
+    import shutil as _shutil
+
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return n
+
+
 def repartition_for(df: DataFrame, keys: list[str], partitions: int | None = None) -> DataFrame:
     """Pre-partition once, reuse across several keyed operations — the
     'reuse a partitioning across stages' rule: groupBy/join on the same keys

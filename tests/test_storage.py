@@ -89,3 +89,22 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     # physical layout: one directory per event_type
     dirs = [d for d in os.listdir(path) if d.startswith("event_type=")]
     assert len(dirs) == t.events.select("event_type").distinct().count()
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction collapses a many-file dataset to the target count without
+    changing its rows."""
+    from f1_data_pipeline_spark.storage import compact
+
+    t = load_tables(spark, SF_DIR)
+    path = str(tmp_path / "frag")
+    t.orders.repartition(24).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 24
+    rows_before = spark.read.parquet(path).count()
+    n = compact(spark, path, target_file_bytes=1 << 30)  # everything fits one file
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == rows_before
