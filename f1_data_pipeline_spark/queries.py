@@ -993,6 +993,41 @@ def q_u4(t: Tables) -> DataFrame:
     )
 
 
+@query(
+    "x_stringagg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+)
+def x_stringagg(t: Tables) -> DataFrame:
+    """Ordered string aggregation (Spark spells it listagg WITHIN GROUP,
+    DuckDB string_agg ORDER BY — x_ name for the dialect gap; values match
+    exactly)."""
+    return (
+        t.nation.groupBy("n_regionkey")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("names")
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "x_arrayagg",
+    """SELECT o_custkey, list_sort(list(o_orderkey)) AS orders_arr
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100""",
+)
+def x_arrayagg(t: Tables) -> DataFrame:
+    """Array aggregation made deterministic: collect_list order is
+    partition-dependent, so always sort_array before comparing/persisting
+    (same rule at 100 TB — never rely on collect_list order)."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orders_arr"))
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
 def all_queries() -> dict[str, Query]:
     # Import extension modules for their registration side effects.
     import f1_data_pipeline_spark.operators.text  # noqa: F401
