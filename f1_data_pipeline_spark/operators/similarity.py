@@ -136,54 +136,122 @@ def cosine_allpairs_topk(
     k: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Exact top-k most-similar pairs via blocked matrix multiply.
+    """Exact top-k most-similar pairs via *blocked* matrix multiply.
 
-    The scale path for all-pairs similarity: one side is broadcast as a
-    normalized numpy matrix (the classic broadcast-join build side — here
-    ~1 MB per 5k×64 block), the other side streams through ``mapInPandas``
-    where each Arrow batch computes ``A_norm @ B_norm.T`` and keeps its local
-    top-k; a final global top-k merges. This replaces 12.5M interpreted
-    per-pair folds with a few vectorized GEMMs (~20× faster at sf0.1).
+    The scale path for all-pairs similarity — nothing ever lands on the
+    driver and nothing is broadcast whole:
 
-    At 100 TB both sides are blocked: cross-join the block ids, broadcast one
-    block per task — the per-task kernel below is unchanged.
+    1. every row gets a hash block id (``B = ceil(n / block_rows)`` blocks);
+    2. each block is packed into ONE row (``collect_list`` of (id, vec)
+       structs — bounded at ``block_rows`` vectors, ~2 MB at 64-dim/4k);
+    3. the tiny B-row block-id table is self-joined (``ba <= bb``) and the
+       block *payloads* are attached by equi-join, so each block's bytes move
+       through the shuffle O(B) times — never a full-table broadcast;
+    4. each of the B(B+1)/2 pair-tasks runs one ``A_norm @ B_norm.T`` GEMM
+       and keeps an exact local top-k (threshold + tie-aware sort, so local
+       selection composes exactly with the global ordering);
+    5. a global top-k merges k·B(B+1)/2 candidate rows — trivially small.
+
+    Replaces n²/2 interpreted per-pair folds with vectorized GEMMs; at 100 TB
+    ``block_rows`` sizes per-task memory and B scales the task count.
     """
     import numpy as np
     import pandas as pd
 
-    side = vectors.select(id_col, vec_col).toPandas()
-    ids = side[id_col].to_numpy()
-    M = np.stack(side[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    bc = vectors.sparkSession.sparkContext.broadcast((ids, Mn))
+    n = vectors.count()
+    num_blocks = max(1, -(-n // block_rows))
+
+    packed = (
+        vectors.select(
+            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                as_double_vec(vec_col).alias("vec"),
+            ).alias("row"),
+        )
+        .groupBy("block")
+        .agg(F.collect_list("row").alias("rows"))
+    )
+
+    block_ids = packed.select("block")
+    pair_ids = (
+        block_ids.select(F.col("block").alias("ba"))
+        .join(F.broadcast(block_ids.select(F.col("block").alias("bb"))),
+              F.col("ba") <= F.col("bb"))
+    )
+    pairs = (
+        pair_ids
+        .join(packed.select(F.col("block").alias("ba"), F.col("rows").alias("rows_a")), "ba")
+        .join(packed.select(F.col("block").alias("bb"), F.col("rows").alias("rows_b")), "bb")
+        .repartition(max(num_blocks * (num_blocks + 1) // 2, 1))
+    )
 
     def kernel(batches):
-        b_ids, b_mat = bc.value
+        def unpack(rows):
+            ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+            M = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+            return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            a_ids = pdf[id_col].to_numpy()
-            S = An @ b_mat.T
-            # keep ordered pairs (id_a < id_b) only
-            mask = a_ids[:, None] < b_ids[None, :]
-            ai, bi = np.nonzero(mask)
-            sims = S[ai, bi]
-            if len(sims) > k:
-                top = np.argpartition(-sims, k)[:k]
-                ai, bi, sims = ai[top], bi[top], sims[top]
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": b_ids[bi], "sim": np.round(sims, 4)}
-            )
+            for _, task in pdf.iterrows():
+                ids_a, An = unpack(task["rows_a"])
+                ids_b, Bn = unpack(task["rows_b"])
+                S = np.round(An @ Bn.T, 4)
+                if task["ba"] == task["bb"]:
+                    ai, bi = np.nonzero(ids_a[:, None] < ids_b[None, :])
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:  # disjoint blocks: every cross pair once, ids ordered
+                    ai, bi = np.nonzero(np.ones((len(ids_a), len(ids_b)), dtype=bool))
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
+                sims = S[ai, bi]
+                if len(sims) > k:
+                    # exact local top-k under the global (sim desc, id_a, id_b)
+                    # order: threshold at the k-th rounded sim, keep ALL ties,
+                    # then tie-break deterministically.
+                    thresh = np.partition(sims, len(sims) - k)[len(sims) - k]
+                    keep = sims >= thresh
+                    sims, lo, hi = sims[keep], lo[keep], hi[keep]
+                    order = np.lexsort((hi, lo, -sims))[:k]
+                    sims, lo, hi = sims[order], lo[order], hi[order]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims})
 
     return (
-        vectors.select(id_col, vec_col)
-        .mapInPandas(kernel, "id_a long, id_b long, sim double")
+        pairs.mapInPandas(kernel, "id_a long, id_b long, sim double")
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(k)
     )
+
+
+def cosine_near_dup_pairs_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exhaustive cartesian form.
+
+    TEST ORACLE ONLY (O(n²) BroadcastNestedLoopJoin): used to measure the
+    recall of the LSH-bucketed default below. Production callers use
+    ``cosine_near_dup_pairs``.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _default_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def cosine_near_dup_pairs(
@@ -191,16 +259,47 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the default).
 
-    Exhaustive form for verification; production pre-filters pairs through
-    ``hyperplane_lsh_buckets`` so the join is per-bucket, not cartesian.
+    Candidate pairs come from ``n_tables`` independent random-hyperplane
+    hash tables (a pair is a candidate if it collides in ANY table — OR-ed
+    tables drive recall up exactly like MinHash bands); exact cosine then
+    verifies each candidate once.  The join is equi on (table, bucket), so
+    at 100 TB it is an ordinary shuffle-hash join on a low-cardinality key,
+    never a cartesian.  Recall vs the exhaustive form is asserted in tests
+    (≥0.9 on the planted-near-dup fixture).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
+    all_planes = planes if planes is not None else _default_planes(
+        dim, n_tables * n_planes, seed
+    )
+    tagged = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    hashed = hyperplane_lsh_buckets(tagged, all_planes, id_col="id", vec_col="vec")
+    # split the sign-bit string into n_tables independent buckets
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                F.substring("bucket", t * n_planes + 1, n_planes).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    keyed = hashed.select("id", "vec", F.explode(tables).alias("k")).select(
+        "id", "vec", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt")
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "tbl", "bkt")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "tbl", "bkt")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", as_double_vec("va").alias("va"), as_double_vec("vb").alias("vb"))
+        .distinct()  # collapse multi-table collisions before the exact check
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
         .where(F.col("sim") >= threshold)
         .orderBy("id_a", "id_b")

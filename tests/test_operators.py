@@ -143,3 +143,59 @@ def test_ivf_ann_recall_vs_exact(spark):
     overlap = len(set(exact) & set(approx))
     # probing half the cells must recover at least half the true top-10
     assert overlap >= 5, (exact, approx)
+
+
+def test_allpairs_topk_blocked_matches_single_block(spark):
+    """The blocked all-pairs path must return identical pairs regardless of
+    how many blocks the table is split into (1 block vs many)."""
+    from f1_data_pipeline_spark.operators.similarity import cosine_allpairs_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = [tuple(r) for r in cosine_allpairs_topk(df, k=15, block_rows=10_000).collect()]
+    blocked = [tuple(r) for r in cosine_allpairs_topk(df, k=15, block_rows=32).collect()]
+    assert single == blocked
+    assert len(single) == 15
+    # descending by sim, ids ascending on ties
+    sims = [s for _, _, s in single]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_allpairs_topk_no_driver_collect(spark):
+    """The blocked path never materializes the vector table on the driver:
+    its physical plan carries the vectors through shuffle (collect_list) +
+    mapInPandas, with no full-table broadcast of the payload."""
+    from f1_data_pipeline_spark.operators.similarity import cosine_allpairs_topk
+
+    rng = random.Random(8)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = cosine_allpairs_topk(df, k=5, block_rows=20)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapsInPandas" in plan or "MapInPandas" in plan
+    # the only broadcast allowed is the tiny block-id pair table
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan  # collect_list blocks
+
+
+def test_near_dup_lsh_recall_vs_exhaustive(spark):
+    """LSH-bucketed near-dup (the public default) must recover ≥90% of the
+    pairs the exhaustive cartesian oracle finds on planted near-duplicates."""
+    from f1_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_exact,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(60)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        # plant a near-duplicate of every third vector
+        if i % 3 == 0:
+            rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs_exact(df, 0.95).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, 0.95).collect()}
+    assert truth, "fixture must plant at least one true near-dup pair"
+    assert got <= truth  # every emitted pair is exact-verified, no false positives
+    assert len(got & truth) / len(truth) >= 0.9, (truth - got)
