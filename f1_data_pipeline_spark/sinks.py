@@ -10,6 +10,10 @@ Two upsert paths:
   — the DB wire, not Spark, is the bottleneck by design, exactly as in the
   reference. One transaction per batch (K6) makes at-least-once delivery
   effectively-once for keyed tables (T4).
+- ``jdbc_upsert_writer_distributed`` — the cluster-scale path: the same
+  ON CONFLICT statements, but executed per-partition on the executors
+  (``foreachPartition``), one connection + transaction per partition, so the
+  DB sees ``num_partitions`` concurrent writers instead of one driver thread.
 - ``upsert_parquet`` — the lakehouse path: read-merge-overwrite with the
   deterministic merge operators. On a real deployment this is Delta/Iceberg
   ``MERGE INTO``; plain parquet keeps the container dependency-free while
@@ -96,6 +100,58 @@ def jdbc_upsert_writer(
             raise
         finally:
             conn.close()
+
+    return write
+
+
+def jdbc_upsert_writer_distributed(
+    connect: Callable,
+    table: str,
+    keys: list[str],
+    coalesce_merge: bool = False,
+    chunk_size: int = 1000,
+    num_partitions: int | None = None,
+):
+    """foreachBatch sink: executor-side upserts via ``foreachPartition``.
+
+    The cluster-scale variant of ``jdbc_upsert_writer``: each partition opens
+    its own DB-API connection ON THE EXECUTOR and upserts its rows in one
+    per-partition transaction, so write parallelism equals ``num_partitions``
+    instead of one driver thread funnelling every row (``toLocalIterator``).
+
+    Transactional semantics shift from K6's one-transaction-per-batch to
+    one-transaction-per-partition: a retried task replays only its partition,
+    and because the statements are keyed ``ON CONFLICT`` upserts the replay is
+    idempotent — effectively-once for keyed tables (T4) still holds. Use the
+    driver-side writer when a single all-or-nothing batch transaction is a
+    hard requirement; use this one when throughput is.
+
+    ``connect`` must be picklable and executor-safe (e.g. builds a new
+    psycopg/duckdb connection per call). ``num_partitions`` bounds the number
+    of concurrent DB connections — size it to what the database tolerates.
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+        sql = insert_on_conflict_sql(table, cols, keys, coalesce_merge)
+        df = batch_df.repartition(num_partitions) if num_partitions else batch_df
+
+        def write_partition(rows) -> None:
+            first = list(itertools.islice(rows, 1))
+            if not first:
+                return  # empty partition: never open a connection
+            conn = connect()
+            try:
+                for chunk in _chunks(itertools.chain(first, rows), chunk_size):
+                    conn.executemany(sql, [tuple(row) for row in chunk])
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.close()
+
+        df.foreachPartition(write_partition)
 
     return write
 

@@ -15,6 +15,7 @@ from f1_data_pipeline_spark.ingest.fixture import generate
 from f1_data_pipeline_spark.sinks import (
     insert_on_conflict_sql,
     jdbc_upsert_writer,
+    jdbc_upsert_writer_distributed,
     upsert_parquet,
 )
 
@@ -129,6 +130,57 @@ def test_jdbc_upsert_end_to_end(spark, wire_dir, tmp_path):
     batch = build_silver(read_bronze(spark, f"{wire_dir}/wire.txt"))["drivers"]
     assert len(rows) == batch.count()
     assert all(name.startswith("Driver ") for _, name in rows)
+
+
+def test_jdbc_upsert_distributed_idempotent(spark, tmp_path):
+    """Executor-side upsert path: ≥2 partitions write concurrently through
+    per-partition connections; double delivery must be a no-op (T4).
+
+    DuckDB is single-writer-per-process, so the connect factory retries on
+    lock contention — partitions serialize on the file lock here, but each
+    one opens its own executor-side connection exactly as it would against
+    Postgres (where they genuinely run in parallel)."""
+    db = str(tmp_path / "dist.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE kv (k INTEGER PRIMARY KEY, v VARCHAR, n INTEGER)"
+    )
+    con.close()
+
+    def connect():
+        import time
+
+        for attempt in range(60):
+            try:
+                return duckdb.connect(db)
+            except Exception:
+                time.sleep(0.25)
+        return duckdb.connect(db)  # final attempt surfaces the real error
+
+    rows = [(i, f"v{i}", i * 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "k int, v string, n int").repartition(4)
+    assert df.rdd.getNumPartitions() >= 2
+
+    write = jdbc_upsert_writer_distributed(connect, "kv", ["k"], chunk_size=7)
+    write(df, 0)
+    # re-delivery (same batch again) and an update batch
+    write(df, 1)
+    updated = spark.createDataFrame(
+        [(i, f"v{i}x", i * 10 + 1) for i in range(0, 40, 2)], "k int, v string, n int"
+    ).repartition(3)
+    write(updated, 2)
+
+    con = duckdb.connect(db)
+    got = dict(
+        (k, (v, n)) for k, v, n in con.execute("SELECT k, v, n FROM kv").fetchall()
+    )
+    con.close()
+    assert len(got) == 40  # double delivery added nothing
+    for i in range(40):
+        if i % 2 == 0:
+            assert got[i] == (f"v{i}x", i * 10 + 1)  # last write wins
+        else:
+            assert got[i] == (f"v{i}", i * 10)
 
 
 def test_upsert_parquet_coalesce_merge(spark, tmp_path):
