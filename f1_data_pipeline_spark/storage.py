@@ -108,14 +108,29 @@ def compact(
     total = sum(_os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compact_tmp"
+    base = path.rstrip("/")
+    tmp = base + "__compact_tmp"
+    old = base + "__compact_old"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # swap: write staged output over the original atomically-enough for a
-    # single writer (lakehouse tables use a transactional commit instead)
+    # verify the staged copy is complete before touching the original
+    if not _os.path.exists(_os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"staged compaction at {tmp} missing _SUCCESS marker")
+    # swap via two renames so the original is never deleted before the
+    # replacement is in place: a crash leaves either the original (step 1
+    # not reached), or the staged copy installed with the original intact
+    # under __compact_old (recoverable). Both renames are same-directory,
+    # hence atomic on POSIX. Lakehouse tables use a transactional commit
+    # (Delta/Iceberg snapshot swap) instead.
     import shutil as _shutil
 
-    _shutil.rmtree(path)
-    _os.rename(tmp, path)
+    _shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+    _os.rename(base, old)
+    try:
+        _os.rename(tmp, base)
+    except Exception:
+        _os.rename(old, base)  # roll back: restore the original
+        raise
+    _shutil.rmtree(old)
     return n
 
 

@@ -108,3 +108,42 @@ def test_compact_small_files(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert n == 1 and after == 1
     assert spark.read.parquet(path).count() == rows_before
+
+
+def test_compact_swap_is_crash_safe(spark, tmp_path, monkeypatch):
+    """The two-rename swap never deletes the original before the replacement
+    is installed: a failure installing the staged copy rolls the original
+    back; success leaves no __compact_old/__compact_tmp residue."""
+    import glob
+    import os
+
+    from f1_data_pipeline_spark.storage import compact
+
+    t = load_tables(spark, SF_DIR)
+    path = str(tmp_path / "ds")
+    t.nation.repartition(4).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+
+    # leave a stale __compact_old from a "previous crash"; it must be cleared
+    os.makedirs(path + "__compact_old/junk", exist_ok=True)
+
+    real_rename = os.rename
+    def failing_rename(src, dst):
+        if src.endswith("__compact_tmp"):
+            raise OSError("simulated crash installing staged copy")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="simulated crash"):
+        compact(spark, path, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+
+    # original dataset survived the failed swap, fully readable
+    assert spark.read.parquet(path).count() == rows
+
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
