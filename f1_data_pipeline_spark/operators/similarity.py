@@ -374,6 +374,42 @@ def ivf_assign(
     )
 
 
+def _probe_cells(query_df: DataFrame, centroids, nprobe: int, vec_col: str) -> list[int]:
+    import numpy as np
+
+    q = query_df.select(vec_col).toPandas()[vec_col].iloc[0]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    return [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
+
+
+def ivf_search_assigned(
+    assigned: DataFrame,
+    query_df: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine over the ``nprobe`` probed cells of an already-assigned
+    table (one carrying a ``cell`` column). When ``assigned`` is read from a
+    cell-partitioned index (``ivf_write_index``), the ``cell IN (...)``
+    predicate becomes a partition filter — the scan itself is pruned."""
+    probe = _probe_cells(query_df, centroids, nprobe, vec_col)
+    qdf = query_df.select(as_double_vec(vec_col).alias("__qv"))
+    return (
+        assigned.where(F.col("cell").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            id_col,
+            F.round(cosine(as_double_vec(vec_col), F.col("__qv")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_df: DataFrame,
@@ -384,26 +420,47 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-ANN: probe the ``nprobe`` cells nearest the query, exact cosine
-    within them. Scan cost drops to ~nprobe/k_cells of brute force."""
-    import numpy as np
+    within them. Scan cost drops to ~nprobe/k_cells of brute force.
 
-    q = query_df.select(vec_col).toPandas()[vec_col].iloc[0]
-    qv = np.asarray(q, dtype=np.float64)
-    qn = qv / np.linalg.norm(qv)
-    probe_cells = [int(c) for c in np.argsort(-(centroids @ qn))[:nprobe]]
+    This form re-assigns cells inline — fine for one-off queries. Repeated
+    query workloads build the index ONCE with ``ivf_write_index`` and search
+    it with ``ivf_topk_indexed`` so every query prunes partitions instead of
+    recomputing the assignment GEMM."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    return ivf_search_assigned(assigned, query_df, centroids, nprobe, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    vectors: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: the assigned table written Hive-partitioned by
+    ``cell``, so each cell is its own directory. At 100 TB this is THE form
+    the index lives in — a query touching nprobe of k_cells reads exactly
+    those directories (partition pruning), the rest is zero I/O."""
+    from f1_data_pipeline_spark.storage import write_partitioned
 
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    qdf = query_df.select(as_double_vec(vec_col).alias("__qv"))
-    return (
-        assigned.where(F.col("cell").isin(probe_cells))
-        .crossJoin(F.broadcast(qdf))
-        .select(
-            id_col,
-            F.round(cosine(as_double_vec(vec_col), F.col("__qv")), 4).alias("sim"),
-        )
-        .orderBy(F.col("sim").desc(), id_col)
-        .limit(k)
-    )
+    write_partitioned(assigned, path, ["cell"])
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted cell-partitioned IVF index with partition pruning
+    (``PartitionFilters: [cell IN (...)]`` — plan-asserted in tests)."""
+    assigned = spark.read.parquet(index_path)
+    return ivf_search_assigned(assigned, query_df, centroids, nprobe, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

@@ -199,3 +199,33 @@ def test_near_dup_lsh_recall_vs_exhaustive(spark):
     assert truth, "fixture must plant at least one true near-dup pair"
     assert got <= truth  # every emitted pair is exact-verified, no false positives
     assert len(got & truth) / len(truth) >= 0.9, (truth - got)
+
+
+def test_ivf_indexed_search_prunes_partitions(spark, tmp_path):
+    """A persisted IVF index is cell-partitioned; searching it must push the
+    probed cells into PartitionFilters (pruned scan), and return exactly what
+    the inline-assignment path returns."""
+    from f1_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.where(F.col("vec_id") == 0)
+    base = df.where(F.col("vec_id") != 0)
+    C = ivf_centroids(base, k=8, seed=3)
+
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(base, C, idx)
+
+    out = ivf_topk_indexed(spark, idx, qdf, C, nprobe=3, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruned-scan result equals the inline-assignment result
+    inline = [tuple(r) for r in ivf_topk(base, qdf, C, nprobe=3, k=10).collect()]
+    indexed = [tuple(r) for r in out.collect()]
+    assert indexed == inline
