@@ -69,3 +69,23 @@ def read_bronze_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return _parse(reader.load(path_dir), streaming=True)
+
+
+def read_bronze_socket(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S1 live feed: wire lines over a TCP socket, decoded by the SAME
+    bronze parse as file replay — the Spark-native stand-in for the
+    reference's SignalR websocket subscription (extractor.py:21-58).
+
+    The socket source is Spark's no-fault-tolerance ingestion edge (no
+    offsets to checkpoint — a restart resumes from whatever the feed sends
+    next, exactly like the reference's live websocket). Production hardens
+    this the usual way: a tiny relay appends the feed to files/Kafka and the
+    checkpointed ``read_bronze_stream`` tails that; this source exists so
+    the live path is runnable end-to-end."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    return _parse(lines, streaming=True)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.ingest import decode
-from f1_data_pipeline_spark.ingest.bronze import read_bronze_stream
+from f1_data_pipeline_spark.ingest.bronze import read_bronze_socket, read_bronze_stream
 
 # Entities whose decode is a pure narrow pipeline (filter/UDF/explode/cast)
 # — streamable as-is in append mode.
@@ -55,6 +55,39 @@ def stream_silver(
     trigger = trigger or {"availableNow": True}
     queries = []
     for name in entities or list(APPEND_ENTITIES):
+        df = APPEND_ENTITIES[name](bronze)
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{out_root}/{name}")
+            .option("checkpointLocation", f"{checkpoint_root}/{name}")
+            .trigger(**trigger)
+            .start()
+        )
+        queries.append(q)
+    return queries
+
+
+def stream_silver_from_socket(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    checkpoint_root: str,
+    out_root: str,
+    entities: list[str] | None = None,
+    trigger: dict | None = None,
+):
+    """S1 live-feed fan-out: the same per-entity queries as ``stream_silver``
+    but fed from a TCP socket instead of file replay (the reference's live
+    SignalR mode, extractor.py:21-58 → main.py's monitor processes).
+
+    Note each query instantiates its own socket source, i.e. its own TCP
+    connection — the feed server must serve every subscriber (the reference
+    has the same shape: one websocket per extractor process). For a single-
+    connection feed, run one query and fan out in ``foreachBatch``."""
+    trigger = trigger or {"processingTime": "1 second"}
+    queries = []
+    for name in entities or list(APPEND_ENTITIES):
+        bronze = read_bronze_socket(spark, host, port)
         df = APPEND_ENTITIES[name](bronze)
         q = (
             df.writeStream.format("parquet")

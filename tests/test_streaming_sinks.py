@@ -310,3 +310,75 @@ def test_stream_static_enrichment(spark, wire_dir, tmp_path):
     assert got.where("name IS NULL").count() == 0  # fixture drivers all known
     one = got.limit(1).collect()[0]
     assert one["name"].startswith("Driver ") and one["team"].startswith("Team ")
+
+
+def test_socket_source_live_feed(spark, wire_dir, tmp_path):
+    """S1 end-to-end: a TCP server replays the wire fixture; the socket
+    bronze stream decodes it with the same pipeline as file replay and the
+    parquet sink converges to the batch decode's row count."""
+    import socket
+    import threading
+    import time
+
+    with open(f"{wire_dir}/wire.txt", "rb") as f:
+        payload = f.read()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        srv.settimeout(1.0)
+        conns = []
+        while not stop.is_set():
+            try:
+                c, _ = srv.accept()
+            except socket.timeout:
+                continue
+            c.sendall(payload)
+            conns.append(c)  # keep open: closing would fail the source
+        for c in conns:
+            c.close()
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    from f1_data_pipeline_spark.ingest.decode import decode_car_telemetry
+
+    expected = decode_car_telemetry(
+        read_bronze(spark, f"{wire_dir}/wire.txt")
+    ).count()
+    assert expected > 0
+
+    out = str(tmp_path / "sock_out")
+    qs = strm.stream_silver_from_socket(
+        spark, "127.0.0.1", port, str(tmp_path / "sock_ck"), out,
+        entities=["car_telemetry"], trigger={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 150
+        got = -1
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(f"{out}/car_telemetry").count()
+            except Exception:
+                got = 0
+            if got >= expected:
+                break
+            time.sleep(1)
+        # the socket edge is at-least-once (a source reconnect replays the
+        # feed), so assert coverage, not exactly-once: every batch row must
+        # be present, and dedup must recover the exact batch row set
+        assert got >= expected, f"socket stream decoded {got} of {expected} rows"
+        sock_rows = spark.read.parquet(f"{out}/car_telemetry").distinct().count()
+        batch_rows = decode_car_telemetry(
+            read_bronze(spark, f"{wire_dir}/wire.txt")
+        ).distinct().count()
+        assert sock_rows == batch_rows
+    finally:
+        stop.set()
+        strm.stop_all(qs)
