@@ -164,18 +164,40 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registered query (rows-only: binary kernels have no SQL twin)
+# Registered query
 # ---------------------------------------------------------------------------
 
 from f1_data_pipeline_spark.catalog import Tables  # noqa: E402
 from f1_data_pipeline_spark.queries import query  # noqa: E402
 
+# The kernels are deterministic per media_id (seeded RNG), so the per-kind
+# aggregate over the 500-item table is a fixed 3-row constant. The oracle
+# inlines those rows as literals; they are NOT copied from a Spark run —
+# tests/test_multimodal.py re-derives them with an independent pure-numpy
+# pipeline (generation rules → payload parse → aggregate) and asserts the
+# literals match, so the oracle stays an external check, not an echo.
+X_MULTIMODAL_EXPECTED: tuple[tuple[str, int, float, float, int], ...] = (
+    ("audio", 167, 127.3, 73.8, 69331),
+    ("image", 167, 127.73, 73.87, 46238),
+    ("video", 166, 127.56, 73.79, 91918),
+)
 
-@query("x_multimodal_features", None)
+_X_MULTIMODAL_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{kind}', CAST({n} AS BIGINT), CAST({am} AS DOUBLE), "
+        f"CAST({asd} AS DOUBLE), CAST({te} AS BIGINT))"
+        for kind, n, am, asd, te in X_MULTIMODAL_EXPECTED
+    )
+    + ") AS t(kind, n, avg_mean, avg_std, total_edges) ORDER BY kind"
+)
+
+
+@query("x_multimodal_features", _X_MULTIMODAL_ORACLE)
 def x_multimodal_features(t: Tables) -> DataFrame:
     """Binary-column pipeline: generate 500 deterministic media blobs →
     byte-level feature kernel → per-kind aggregate. Deterministic, so the
-    rows-only check is stable across runs."""
+    expected output is a fixed constant (see X_MULTIMODAL_EXPECTED)."""
     media = make_media_table(t.spark, n=500)
     feats = extract_features(media).join(media.select("media_id", "kind"), "media_id")
     return (

@@ -58,3 +58,43 @@ def test_frame_sample_expands_video_rows(media):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG....")
+
+
+def test_x_multimodal_expected_derived_independently():
+    """Re-derive X_MULTIMODAL_EXPECTED with a pure-numpy pipeline (no Spark):
+    replays make_media_table's generation rules and extract_features' kernel
+    math item-by-item, then aggregates. Pinning the literals to this
+    independent derivation is what makes the VALUES oracle a genuine check
+    rather than an echo of a Spark run."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.multimodal import (
+        X_MULTIMODAL_EXPECTED,
+        _fake_payload,
+    )
+
+    per_kind: dict[str, list[tuple[float, float, int]]] = {}
+    for i in range(500):
+        kind = ["image", "audio", "video"][i % 3]
+        w = 16 + (i % 5) * 8
+        h = 16 + (i % 3) * 8
+        _, _, m = _parse_fake(_fake_payload(i, kind, w, h))
+        a = m.astype(np.float64)
+        per_kind.setdefault(kind, []).append(
+            (
+                float(np.round(a.mean(), 4)),
+                float(np.round(a.std(), 4)),
+                int((np.abs(np.diff(a, axis=1)) > 64).sum()),
+            )
+        )
+    derived = tuple(
+        (
+            kind,
+            len(vals),
+            round(float(np.mean([v[0] for v in vals])), 2),
+            round(float(np.mean([v[1] for v in vals])), 2),
+            sum(v[2] for v in vals),
+        )
+        for kind, vals in sorted(per_kind.items())
+    )
+    assert derived == X_MULTIMODAL_EXPECTED

@@ -28,14 +28,11 @@ def test_registry_leads_with_priority_order():
 
 
 def test_window_is_oracle_dense():
-    """Every query inside the checked window must carry a DuckDB oracle,
-    except the explicitly rows-only multimodal query (binary kernels have
-    no SQL twin)."""
-    allowed_rows_only = {"x_multimodal_features"}
+    """Every query inside the checked window must carry a DuckDB oracle —
+    including x_multimodal_features, whose deterministic output is pinned as
+    a literal VALUES oracle (independently derived in test_multimodal.py)."""
     for name in DRIVER_PRIORITY:
         q = QUERIES[name]
-        if name in allowed_rows_only:
-            continue
         assert q.oracle is not None, f"{name} sits in the driver window without an oracle"
 
 
