@@ -83,10 +83,32 @@ def stream_silver_from_socket(
     Note each query instantiates its own socket source, i.e. its own TCP
     connection — the feed server must serve every subscriber (the reference
     has the same shape: one websocket per extractor process). For a single-
-    connection feed, run one query and fan out in ``foreachBatch``."""
+    connection feed, run one query and fan out in ``foreachBatch``.
+
+    .. warning::
+        Spark's socket source is NOT fault-tolerant: a restart from the
+        checkpoint cannot replay socket offsets, so rows in flight at crash
+        time are lost (or, with an at-least-once feed server, duplicated).
+        This is a dev/demo source; the production live path is the file/
+        Kafka relay (``read_bronze_stream``), whose offsets replay. A
+        loud warning is logged when more than one entity is requested,
+        because most single-connection feeds serve only the first
+        subscriber."""
     trigger = trigger or {"processingTime": "1 second"}
+    wanted = entities or list(APPEND_ENTITIES)
+    if len(wanted) > 1:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stream_silver_from_socket: %d entities requested -> %d separate "
+            "TCP connections to %s:%d; a single-connection feed serves only "
+            "the first. Socket offsets do NOT replay from checkpoint "
+            "(non-fault-tolerant source) - use read_bronze_stream (file/Kafka "
+            "relay) for the production live path.",
+            len(wanted), len(wanted), host, port,
+        )
     queries = []
-    for name in entities or list(APPEND_ENTITIES):
+    for name in wanted:
         bronze = read_bronze_socket(spark, host, port)
         df = APPEND_ENTITIES[name](bronze)
         q = (
