@@ -170,7 +170,18 @@ def upsert_parquet(
     when given), so re-running the same batch is idempotent — the T4
     requirement. Production swaps this for ``MERGE INTO`` on Delta/Iceberg;
     semantics (and tests) carry over unchanged.
+
+    Crash-safe: the merged table is staged to ``path__swap_tmp`` (reading
+    the existing table stays safe — never overwrite-while-reading), verified
+    via ``_SUCCESS``, then installed with the same rename-aside swap as
+    ``compact`` — a crash leaves either the old or the new table, and a swap
+    interrupted mid-rename self-heals on the next call (``recover_swap``).
+    Single-writer per path, as with every non-transaction-log table format.
     """
+    from f1_data_pipeline_spark.storage import SWAP_TMP_SUFFIX, recover_swap, staged_swap
+
+    base_path = path.rstrip("/")
+    recover_swap(base_path)  # heal a swap interrupted by a previous crash
     try:
         existing = spark.read.parquet(path)
         exists = True
@@ -193,6 +204,6 @@ def upsert_parquet(
         merged = last_non_null_merge(ranked_new, keys=keys, order_col="__ord")
 
     out_cols = [c for c in new_rows.columns]
-    # rewrite atomically-enough for tests: stage then move is the real path;
-    # overwrite mode suffices here
-    merged.select(*out_cols).write.mode("overwrite").parquet(path)
+    tmp = base_path + SWAP_TMP_SUFFIX
+    merged.select(*out_cols).write.mode("overwrite").parquet(tmp)
+    staged_swap(base_path, tmp)

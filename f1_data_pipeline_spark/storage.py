@@ -88,6 +88,60 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+# Staged-swap suffixes shared by every rewrite-in-place sink (compact,
+# upsert_parquet). A dataset at ``base`` is only ever replaced by: write the
+# replacement to ``base__swap_tmp``, verify ``_SUCCESS``, rename the original
+# aside to ``base__swap_old``, rename tmp into place, drop old. Both renames
+# are same-directory, hence atomic on POSIX.
+SWAP_TMP_SUFFIX = "__swap_tmp"
+SWAP_OLD_SUFFIX = "__swap_old"
+
+
+def recover_swap(path: str) -> bool:
+    """Recover from a crash inside a staged swap's rename window.
+
+    If ``path`` is missing but ``path__swap_old`` exists, a previous swap
+    died between rename(base→old) and rename(tmp→base): restore the
+    original with one rename. Returns True when a recovery happened. Every
+    staged-swap entry point calls this first, so the crash window
+    self-heals on the next operation instead of failing on a missing path.
+    """
+    old = path.rstrip("/") + SWAP_OLD_SUFFIX
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
+def staged_swap(base: str, tmp: str) -> None:
+    """Install the staged dataset at ``tmp`` as ``base`` crash-safely.
+
+    Verifies the stage is complete (``_SUCCESS``), then renames the original
+    aside and the stage into place. A crash at ANY point leaves either the
+    original (stage incomplete / first rename not reached, or rollback), or
+    the new table installed — never neither; the one window where ``base``
+    is momentarily absent is healed by ``recover_swap`` on the next call.
+
+    Single-writer assumption: concurrent writers to the same path are not
+    coordinated (that is a lakehouse transaction log's job — Delta/Iceberg
+    snapshot commit replaces this helper at 100 TB); a concurrent READER can
+    observe the brief missing-path window during the two renames.
+    """
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError(f"staged dataset at {tmp} missing _SUCCESS marker")
+    old = base + SWAP_OLD_SUFFIX
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+    if os.path.exists(base):
+        os.rename(base, old)
+    try:
+        os.rename(tmp, base)
+    except Exception:
+        if os.path.isdir(old):
+            os.rename(old, base)  # roll back: restore the original
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact(
     spark,
     path: str,
@@ -99,38 +153,20 @@ def compact(
     Streaming sinks (and the reference's per-batch appends) accrete many
     tiny files; at 100 TB that inflates scan task counts and NameNode/
     listing pressure. Returns the new file count. For partitioned layouts
-    run per-partition (compact the day that closed, not the table)."""
+    run per-partition (compact the day that closed, not the table).
+    Crash-safe via ``staged_swap``; single-writer (see staged_swap)."""
     import glob
     import math
-    import os as _os
 
-    files = [f for f in glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)]
-    total = sum(_os.path.getsize(f) for f in files)
+    base = path.rstrip("/")
+    recover_swap(base)  # heal a swap interrupted by a previous crash
+    files = [f for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)]
+    total = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    base = path.rstrip("/")
-    tmp = base + "__compact_tmp"
-    old = base + "__compact_old"
+    tmp = base + SWAP_TMP_SUFFIX
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # verify the staged copy is complete before touching the original
-    if not _os.path.exists(_os.path.join(tmp, "_SUCCESS")):
-        raise RuntimeError(f"staged compaction at {tmp} missing _SUCCESS marker")
-    # swap via two renames so the original is never deleted before the
-    # replacement is in place: a crash leaves either the original (step 1
-    # not reached), or the staged copy installed with the original intact
-    # under __compact_old (recoverable). Both renames are same-directory,
-    # hence atomic on POSIX. Lakehouse tables use a transactional commit
-    # (Delta/Iceberg snapshot swap) instead.
-    import shutil as _shutil
-
-    _shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
-    _os.rename(base, old)
-    try:
-        _os.rename(tmp, base)
-    except Exception:
-        _os.rename(old, base)  # roll back: restore the original
-        raise
-    _shutil.rmtree(old)
+    staged_swap(base, tmp)
     return n
 
 

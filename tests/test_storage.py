@@ -113,23 +113,22 @@ def test_compact_small_files(spark, tmp_path):
 def test_compact_swap_is_crash_safe(spark, tmp_path, monkeypatch):
     """The two-rename swap never deletes the original before the replacement
     is installed: a failure installing the staged copy rolls the original
-    back; success leaves no __compact_old/__compact_tmp residue."""
-    import glob
+    back; success leaves no __swap_old/__swap_tmp residue."""
     import os
 
-    from f1_data_pipeline_spark.storage import compact
+    from f1_data_pipeline_spark.storage import SWAP_OLD_SUFFIX, SWAP_TMP_SUFFIX, compact
 
     t = load_tables(spark, SF_DIR)
     path = str(tmp_path / "ds")
     t.nation.repartition(4).write.parquet(path)
     rows = spark.read.parquet(path).count()
 
-    # leave a stale __compact_old from a "previous crash"; it must be cleared
-    os.makedirs(path + "__compact_old/junk", exist_ok=True)
+    # leave a stale __swap_old from a "previous crash"; it must be cleared
+    os.makedirs(path + SWAP_OLD_SUFFIX + "/junk", exist_ok=True)
 
     real_rename = os.rename
     def failing_rename(src, dst):
-        if src.endswith("__compact_tmp"):
+        if src.endswith(SWAP_TMP_SUFFIX):
             raise OSError("simulated crash installing staged copy")
         return real_rename(src, dst)
 
@@ -145,5 +144,31 @@ def test_compact_swap_is_crash_safe(spark, tmp_path, monkeypatch):
     n = compact(spark, path, target_file_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(path).count() == rows
-    assert not os.path.exists(path + "__compact_old")
-    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + SWAP_OLD_SUFFIX)
+    assert not os.path.exists(path + SWAP_TMP_SUFFIX)
+
+
+def test_swap_orphan_recovers_on_next_call(spark, tmp_path):
+    """A crash BETWEEN the two renames (base moved aside, stage not yet
+    installed) leaves no dataset at path — the next compact() call must
+    restore the original and proceed, not fail on a missing path."""
+    import os
+
+    from f1_data_pipeline_spark.storage import SWAP_OLD_SUFFIX, compact, recover_swap
+
+    t = load_tables(spark, SF_DIR)
+    path = str(tmp_path / "ds")
+    t.nation.repartition(4).write.parquet(path)
+    rows = spark.read.parquet(path).count()
+
+    # simulate the mid-swap crash state: base renamed aside, nothing at path
+    os.rename(path, path + SWAP_OLD_SUFFIX)
+    assert not os.path.exists(path)
+
+    n = compact(spark, path, target_file_bytes=1 << 30)  # self-heals first
+    assert n == 1
+    assert spark.read.parquet(path).count() == rows
+    assert not os.path.exists(path + SWAP_OLD_SUFFIX)
+
+    # recover_swap is a no-op when the dataset is intact
+    assert recover_swap(path) is False

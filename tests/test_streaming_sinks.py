@@ -208,6 +208,48 @@ def test_upsert_parquet_coalesce_merge(spark, tmp_path):
     assert got[(1, 3)]["lap_time"] == 87.0
 
 
+def test_upsert_parquet_crash_leaves_old_or_new(spark, tmp_path, monkeypatch):
+    """Crash injection at every stage of the upsert's staged swap: the table
+    at path must always be readable as either the pre-upsert or post-upsert
+    state — never missing, never torn."""
+    import os
+
+    from f1_data_pipeline_spark.storage import SWAP_OLD_SUFFIX, SWAP_TMP_SUFFIX
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    upsert_parquet(spark, b1, path, keys=["k"])
+    old_state = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+    b2 = spark.createDataFrame([(2, 21.0), (3, 30.0)], "k int, v double")
+
+    # crash 1: installing the staged copy fails -> rollback restores original
+    real_rename = os.rename
+    def fail_install(src, dst):
+        if src.endswith(SWAP_TMP_SUFFIX):
+            raise OSError("simulated crash at install")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", fail_install)
+    with pytest.raises(OSError, match="simulated crash"):
+        upsert_parquet(spark, b2, path, keys=["k"])
+    monkeypatch.undo()
+    assert {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()} == old_state
+
+    # crash 2: hard kill between the two renames (base aside, tmp staged) ->
+    # next upsert self-heals from __swap_old and completes
+    import shutil
+
+    shutil.rmtree(path + SWAP_TMP_SUFFIX, ignore_errors=True)
+    os.rename(path, path + SWAP_OLD_SUFFIX)
+    assert not os.path.exists(path)
+    upsert_parquet(spark, b2, path, keys=["k"])
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 10.0), (2, 21.0), (3, 30.0)}
+    assert not os.path.exists(path + SWAP_OLD_SUFFIX)
+    assert not os.path.exists(path + SWAP_TMP_SUFFIX)
+
+
 def test_stream_running_driver_stats_stateful(spark, wire_dir, tmp_path):
     """applyInPandasWithState: cross-batch running stats equal the batch
     aggregation at stream end."""
