@@ -6,18 +6,33 @@ equivalent is `spark.read.jdbc`, which plans the read as a JDBCRelation scan
 with predicate pushdown into the database and optional partitioned parallel
 reads.
 
-This container ships no JDBC driver jar, so the helpers raise a clear,
-typed error when the driver class is absent instead of an opaque Py4J trace;
-the test suite skips cleanly in that case. In production, launch with::
+No Postgres jar ships in this container, so the helpers raise a clear,
+typed error when a requested driver class is absent instead of an opaque
+Py4J trace. In production, launch with::
 
     spark-submit --packages org.postgresql:postgresql:42.7.4 ...
 
 and pass ``driver="org.postgresql.Driver"``.
+
+The read path IS exercised end-to-end in-container: Spark's own
+distribution bundles Apache Derby (``derby-10.16``, an embedded pure-JVM
+SQL database used by the Hive metastore), whose JDBC driver
+(``DERBY_EMBEDDED_DRIVER``) is already on the classpath — the test suite
+writes a table through ``df.write.jdbc`` and reads it back through
+``read_jdbc``, including the partitioned-scan and pushdown-subquery forms
+(tests/test_jdbc.py).
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Embedded Derby: bundled with the Spark distribution itself (metastore
+# dependency), so it is the one JDBC endpoint guaranteed present wherever
+# Spark runs. Single-JVM only — an e2e-test / dev endpoint, not a serving DB.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 class JdbcDriverMissing(RuntimeError):
@@ -85,16 +100,30 @@ def read_jdbc(
     return reader.load()
 
 
-def table_stats_query(table: str, session_id: int | None = None) -> str:
+_IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def table_stats_query(
+    table: str, session_id: int | None = None, schema: str = "public"
+) -> str:
     """The dashboard's polling aggregate as ONE pushdown subquery
     (`dashboard.py:56-81` issues three round-trips; one scan suffices).
 
     Feed the result to ``read_jdbc(spark, url, table_stats_query(...))``.
+    ``table`` and ``schema`` are validated against a strict identifier
+    pattern — they are interpolated into SQL, so free-form input is
+    rejected rather than risking injection. Postgres dialect (FILTER,
+    now()), matching the reference's serving database.
     """
+    for ident in (table, schema):
+        if not _IDENTIFIER.match(ident):
+            raise ValueError(
+                f"invalid SQL identifier {ident!r}: must match {_IDENTIFIER.pattern}"
+            )
     where = f"WHERE session_id = {int(session_id)}" if session_id is not None else ""
     return (
         f"(SELECT COUNT(*) AS total, "
         f"COUNT(*) FILTER (WHERE created_at > now() - interval '5 minutes') AS recent, "
         f"MAX(created_at) AS last_record "
-        f"FROM public.{table} {where}) AS stats"
+        f"FROM {schema}.{table} {where}) AS stats"
     )
