@@ -1068,8 +1068,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_percentiles", "x_stringagg", "x_arrayagg",
     # multimodal has no SQL twin — rows-only, but the module deserves a row
     "x_multimodal_features",
-    # most distinctive of the extended SQL-surface queries
-    "q_sub1", "q_cte1", "q_h1", "q_w5",
+    # most distinctive of the extended SQL-surface queries; x_rolling_scaled
+    # is q_w4's scale-safe two-pass twin (operators/windows.py) — it takes
+    # q_w5's slot so the window covers the 100 TB form of the one query the
+    # r2 verdict flagged as a plan-level scale risk (q_w5 itself stays
+    # verified by the in-repo sweep).
+    "q_sub1", "q_cte1", "q_h1", "x_rolling_scaled",
 )
 
 
@@ -1087,6 +1091,7 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.similarity  # noqa: F401
     import f1_data_pipeline_spark.operators.joins  # noqa: F401
     import f1_data_pipeline_spark.operators.multimodal  # noqa: F401
+    import f1_data_pipeline_spark.operators.windows  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     if order == "registration":

@@ -56,6 +56,7 @@ def test_every_operator_module_inside_window():
         "similarity": {"x_sim_topk", "x_sim_pairs"},
         "joins": {"x_asof_join", "x_sessionize"},
         "multimodal": {"x_multimodal_features"},
+        "windows": {"x_rolling_scaled"},
     }
     for family, names in families.items():
         assert names & window, f"operator family {family!r} has no query in the driver window"

@@ -1,0 +1,94 @@
+"""Two-pass global rolling frames (operators/windows.py): exact parity with
+the single-partition window it replaces, plan-level proof that no stage
+funnels into one partition, and the registered q_w4 twin cross-validated."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.operators.windows import global_rolling_avg
+from f1_data_pipeline_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def _fixture(spark, rows=500, null_every=17):
+    """Deterministic integer series with NULLs sprinkled in (SQL avg must
+    skip them in both sum and count)."""
+    data = [
+        (i, None if i % null_every == 0 else (i * 7919) % 1000) for i in range(rows)
+    ]
+    return spark.createDataFrame(data, "k int, v int")
+
+
+def _plain(df, n):
+    w = Window.orderBy("k").rowsBetween(-(n - 1), Window.currentRow)
+    return df.select("k", F.avg("v").over(w).alias("ma"))
+
+
+@pytest.mark.parametrize("n,partitions", [(1, 4), (3, 4), (50, 4), (100, 2)])
+def test_parity_with_single_partition_window(spark, n, partitions):
+    df = _fixture(spark)
+    got = {
+        r["k"]: r["ma"]
+        for r in global_rolling_avg(
+            df, ["k"], "v", frame_rows=n, partitions=partitions
+        ).collect()
+    }
+    want = {r["k"]: r["ma"] for r in _plain(df, n).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            # long sums on both sides -> the division is the same IEEE op
+            assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_null_only_frame_yields_null(spark):
+    df = spark.createDataFrame([(0, None), (1, None), (2, 5)], "k int, v int")
+    got = {
+        r["k"]: r["ma"]
+        for r in global_rolling_avg(df, ["k"], "v", frame_rows=2, partitions=1).collect()
+    }
+    assert got[0] is None and got[1] is None and got[2] == 5.0
+
+
+def test_rejects_partitions_smaller_than_frame(spark):
+    df = _fixture(spark, rows=40)
+    with pytest.raises(ValueError, match="fewer than frame_rows"):
+        global_rolling_avg(df, ["k"], "v", frame_rows=30, partitions=4)
+
+
+def test_no_single_partition_exchange_in_plan(spark):
+    """The whole point: the two-pass plan must not contain the
+    Exchange SinglePartition that the naive global window requires."""
+    df = _fixture(spark)
+    two_pass = global_rolling_avg(df, ["k"], "v", frame_rows=10, partitions=4)
+    plan = two_pass._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    # sanity contrast: the naive form DOES funnel into one partition
+    naive_plan = _plain(df, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan
+
+
+def test_x_rolling_scaled_matches_q_w4_semantics(spark):
+    """The registered twin reproduces q_w4's frame over the corpus; the
+    measure differs only by exact-cents vs running-double arithmetic, so
+    rounded values agree within one cent (and exactly on almost all rows)."""
+    qs = all_queries()
+    w4 = {
+        (r["o_orderkey"]): r["ma"] for r in qs["q_w4"].builder(spark, SF_DIR).collect()
+    }
+    twin = {
+        (r["o_orderkey"]): r["ma"]
+        for r in qs["x_rolling_scaled"].builder(spark, SF_DIR).collect()
+    }
+    assert twin.keys() == w4.keys()
+    exact = sum(1 for k in w4 if twin[k] == w4[k])
+    for k in w4:
+        assert math.isclose(twin[k], w4[k], abs_tol=0.011), (k, twin[k], w4[k])
+    assert exact >= len(w4) - 2  # at most the documented ulp-flip rows differ
