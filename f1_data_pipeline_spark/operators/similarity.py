@@ -511,6 +511,50 @@ def x_sim_ivf(t: Tables) -> DataFrame:
     return ivf_topk(base, e.where(F.col("vec_id") == 0), C, nprobe=3, k=10)
 
 
+# Per-process registry of built IVF indexes, keyed by sf_dir. A previous
+# process's index is reused when its _SUCCESS marker exists: the codebook is
+# seeded and the corpus is immutable, so the index is a pure function of the
+# sf_dir — exactly the build-once/search-many lifecycle a production ANN
+# index has (and what the bench must measure: the pruned search, not the
+# rebuild).
+_IVF_INDEXES: dict[str, tuple[str, object]] = {}
+
+
+def _ensure_ivf_index(t: Tables, k_cells: int = 8, seed: int = 42):
+    import os
+    import tempfile
+
+    key = t.sf_dir
+    if key not in _IVF_INDEXES:
+        base = t.embeddings.where(F.col("vec_id") != 0)
+        C = ivf_centroids(base, k=k_cells, seed=seed)
+        name = os.path.basename(key.rstrip("/")) or "default"
+        path = os.path.join(tempfile.gettempdir(), f"f1dp_ivf_index_{name}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            ivf_write_index(base, C, path)
+        _IVF_INDEXES[key] = (path, C)
+    return _IVF_INDEXES[key]
+
+
+@query("x_sim_ivf_indexed", None)  # approximate by design → rows-only check
+def x_sim_ivf_indexed(t: Tables) -> DataFrame:
+    """IVF-ANN top-10 for vec_id 0 against the PERSISTED cell-partitioned
+    index (built once per sf_dir, reused across calls) — the repeated-query
+    production path. The builder verifies in the plan that the probed cells
+    reached the scan as PartitionFilters: a regression to a full-index scan
+    raises instead of silently measuring the wrong thing."""
+    path, C = _ensure_ivf_index(t)
+    out = ivf_topk_indexed(
+        t.spark, path, t.embeddings.where(F.col("vec_id") == 0), C, nprobe=3, k=10
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in plan or "cell" not in plan:
+        raise RuntimeError(
+            "IVF indexed search lost partition pruning (no cell PartitionFilters)"
+        )
+    return out
+
+
 @query("x_sim_lsh", None)  # approximate by design → rows-only check
 def x_sim_lsh(t: Tables) -> DataFrame:
     """LSH-bucketed ANN top-10 for vec_id 0 (deterministic seeded planes);

@@ -229,3 +229,18 @@ def test_ivf_indexed_search_prunes_partitions(spark, tmp_path):
     inline = [tuple(r) for r in ivf_topk(base, qdf, C, nprobe=3, k=10).collect()]
     indexed = [tuple(r) for r in out.collect()]
     assert indexed == inline
+
+
+def test_x_sim_ivf_indexed_matches_inline_query(spark):
+    """The registered indexed-IVF query (build-once, pruned search) returns
+    exactly what the inline-assignment registered query returns — same
+    seeded codebook, same probes — and survives a repeat call (index reuse)."""
+    from f1_data_pipeline_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    inline = [tuple(r) for r in qs["x_sim_ivf"].builder(spark, SF_DIR).collect()]
+    indexed = [tuple(r) for r in qs["x_sim_ivf_indexed"].builder(spark, SF_DIR).collect()]
+    again = [tuple(r) for r in qs["x_sim_ivf_indexed"].builder(spark, SF_DIR).collect()]
+    assert indexed == inline
+    assert again == indexed
