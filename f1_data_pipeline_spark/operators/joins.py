@@ -219,3 +219,43 @@ def x_sessionize(t: Tables):
         .orderBy("user_id", "session_no")
         .limit(300)
     )
+
+
+@query(
+    "x_salted_join",
+    """SELECT n.n_name, COUNT(*) AS cnt, CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+       FROM (SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+                         ELSE l_orderkey % 25 END AS k, l_quantity
+             FROM lineitem) l
+       JOIN nation n ON n.n_nationkey = l.k
+       GROUP BY n.n_name ORDER BY n.n_name""",
+)
+def x_salted_join(t: Tables):
+    """Hot-key join through ``salted_join``: half of lineitem collapses onto
+    one key (a pathological 50% hot key), the dim side is forced to
+    sort-merge (the ``merge`` hint stands in for a dim too big to
+    broadcast — broadcast joins have no skew problem), and the salt spreads
+    the hot key over 8 tasks. Values must equal the plain SQL join —
+    salting must never change results, only the shuffle geometry
+    (skew-spread asserted in tests/test_storage.py)."""
+    from f1_data_pipeline_spark.storage import salted_join
+
+    left = t.lineitem.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 25)
+        .cast("long")
+        .alias("n_nationkey"),
+        "l_quantity",
+    )
+    dim = t.nation.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    ).hint("merge")
+    return (
+        salted_join(left, dim, "n_nationkey", num_salts=8)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_quantity").cast("bigint").alias("qty"),
+        )
+        .orderBy("n_name")
+    )

@@ -172,3 +172,31 @@ def test_swap_orphan_recovers_on_next_call(spark, tmp_path):
 
     # recover_swap is a no-op when the dataset is intact
     assert recover_swap(path) is False
+
+
+def test_salted_join_spreads_pathological_hot_key(spark):
+    """One key owning 50% of the fact side: salting must (a) keep row
+    parity with the plain join and (b) cut the largest shuffle group —
+    what one task must consume — down to ~1/num_salts of the hot key."""
+    n, num_salts = 20_000, 8
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") + 1000).alias("w"))
+
+    plain = fact.join(dim.hint("merge"), "k")
+    salted = salted_join(fact, dim.hint("merge"), "k", num_salts=num_salts)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # shuffle-group sizes: plain groups by k (hot key = n/2 rows in ONE
+    # group); salted groups by (k, salt) — no group may exceed ~2x the
+    # ideal hot/num_salts split
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts))
+    groups = fact.withColumn("__salt", lsalt).groupBy("k", "__salt").count()
+    max_group = groups.agg(F.max("count")).collect()[0][0]
+    hot = n // 2
+    assert max_group <= 2 * hot / num_salts, (
+        f"largest salted shuffle group {max_group} exceeds 2x the ideal "
+        f"{hot}/{num_salts} split"
+    )
