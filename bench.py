@@ -90,6 +90,89 @@ def bench_transform(spark) -> dict:
     }
 
 
+def bench_upsert(spark, n_rows: int = 20_000, partitions: int = 8) -> dict:
+    """K4/K6 sink throughput: the driver-funnel upsert (one connection,
+    ``toLocalIterator``) vs the executor-side ``foreachPartition`` path, 8
+    partitions each, keyed ON CONFLICT upserts into a DuckDB target.
+
+    DuckDB is single-writer per file, so the executor path writes one shard
+    file per partition (``TaskContext.partitionId()``) — emulating the
+    connection-per-worker parallelism a server database (the reference's
+    Postgres) gives on a single table. Same statements, same chunking, same
+    per-row DB cost on both paths; the measured difference is purely the
+    funnel."""
+    import os
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    from f1_data_pipeline_spark.sinks import (
+        jdbc_upsert_writer,
+        jdbc_upsert_writer_distributed,
+    )
+
+    df = (
+        spark.range(n_rows)
+        .selectExpr("CAST(id AS INT) k", "concat('v', id) v", "CAST(id*10 AS INT) n")
+        .repartition(partitions)
+        .cache()
+    )
+    df.count()
+    td = tempfile.mkdtemp(prefix="f1dp_upsert_bench_")
+    ddl = "CREATE TABLE IF NOT EXISTS kv (k INTEGER PRIMARY KEY, v VARCHAR, n INTEGER)"
+    try:
+        driver_db = os.path.join(td, "driver.duckdb")
+        c = duckdb.connect(driver_db)
+        c.execute(ddl)
+        c.close()
+        write_driver = jdbc_upsert_writer(
+            lambda: duckdb.connect(driver_db), "kv", ["k"]
+        )
+        t0 = time.perf_counter()
+        write_driver(df, 0)
+        driver_sec = time.perf_counter() - t0
+
+        shard_dir = os.path.join(td, "shards")
+        os.makedirs(shard_dir)
+
+        def connect():
+            import os as _os
+
+            import duckdb as _duckdb
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            conn = _duckdb.connect(_os.path.join(shard_dir, f"shard_{pid}.duckdb"))
+            conn.execute(ddl)
+            return conn
+
+        write_exec = jdbc_upsert_writer_distributed(connect, "kv", ["k"])
+        t0 = time.perf_counter()
+        write_exec(df, 0)
+        exec_sec = time.perf_counter() - t0
+
+        written = sum(
+            duckdb.connect(os.path.join(shard_dir, f))
+            .execute("SELECT count(*) FROM kv")
+            .fetchone()[0]
+            for f in os.listdir(shard_dir)
+        )
+        assert written == n_rows, f"executor upsert wrote {written}/{n_rows} rows"
+    finally:
+        df.unpersist()
+        shutil.rmtree(td, ignore_errors=True)
+    return {
+        "upsert_rows": n_rows,
+        "upsert_partitions": partitions,
+        "upsert_driver_sec": round(driver_sec, 4),
+        "upsert_executor_sec": round(exec_sec, 4),
+        "upsert_driver_rows_per_sec": round(n_rows / driver_sec, 1),
+        "upsert_executor_rows_per_sec": round(n_rows / exec_sec, 1),
+        "upsert_executor_speedup": round(driver_sec / exec_sec, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -110,7 +193,20 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     queries["q_s1"].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Machine-speed canaries: fixed workloads whose only variable is the
+    # host (shared-VM CPU steal moved measured throughput >2x within one
+    # session). Judge round-over-round numbers relative to these.
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    canary_spark = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    canary_python = round(time.perf_counter() - t0, 4)
+
     transform = bench_transform(spark)
+    upsert = bench_upsert(spark)
 
     failed: list[str] = []
 
@@ -165,6 +261,9 @@ def main() -> None:
                 "transform_rows_per_sec": transform["transform_rows_per_sec"],
                 "transform_output_rows": transform["transform_output_rows"],
                 "transform_input_lines": transform["transform_input_lines"],
+                **upsert,
+                "canary_spark_sum_sec": canary_spark,
+                "canary_python_loop_sec": canary_python,
                 "failed": failed,
             }
         )
