@@ -402,9 +402,16 @@ def test_socket_source_live_feed(spark, wire_dir, tmp_path):
         entities=["car_telemetry"], trigger={"processingTime": "1 second"},
     )
     try:
-        deadline = time.time() + 150
+        # generous deadline: under full-suite load on a contended host the
+        # 1s-trigger stream can need minutes, and a short deadline makes
+        # this the one flaky test in the suite. Fail fast only when the
+        # stream itself died.
+        deadline = time.time() + 300
         got = -1
         while time.time() < deadline:
+            for q in qs:
+                if q.exception() is not None:
+                    raise AssertionError(f"stream died: {q.exception()}")
             try:
                 got = spark.read.parquet(f"{out}/car_telemetry").count()
             except Exception:
