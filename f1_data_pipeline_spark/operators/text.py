@@ -59,6 +59,62 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(c)
 
 
+# GPT-2-style pre-tokenizer shape (contraction suffixes, space-prefixed
+# letter/digit/punctuation runs, whitespace runs), restricted to constructs
+# RE2 also supports (no lookahead) so one pattern serves Spark's Java regex
+# AND the DuckDB oracle identically. ASCII classes on purpose: Java's \\d/\\w
+# are ASCII-only while Python's are Unicode — ASCII classes mean every engine
+# agrees (the same divergence rule the lap-time parser documents).
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: how many pre-tokenizer pieces the text splits
+    into — the scan-local proxy for LLM token cost (real BPE merges only
+    subdivide within pieces, so this lower-bounds and tracks the true
+    count). Pure `regexp_extract_all`, JVM-side, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)))
+
+
+def _winnow_gram_sql(pos: str, k: int) -> str:
+    # polynomial k-gram hash Σ code(c_{pos+j})·31^j — plain BIGINT integer
+    # arithmetic (max ≈ k·127·31^{k-1} ≪ 2^63) so Spark and any SQL oracle
+    # compute bit-identical values; Horner/mod would need engine-specific
+    # reduce primitives
+    return "+".join(
+        f"CAST(ascii(substring({{col}}, {pos}+{j}, 1)) AS BIGINT)*{31 ** j}"
+        for j in range(k)
+    )
+
+
+def winnow_fingerprint(text: str = "text", k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, MOSS):
+    rolling k-gram hashes, minimum per w-window, distinct-sorted, serialized
+    to CSV so the result is hashable by any comparator.
+
+    Guarantees: any shared substring of length ≥ k + w - 1 yields at least
+    one shared fingerprint (the winnowing theorem), so near-dup candidate
+    generation can band on fingerprint membership. Entirely Catalyst
+    higher-order functions over the scan — zero shuffle, zero Python;
+    fingerprint sets are tiny relative to text so the 100 TB cost is the
+    scan itself. ``text`` is a column NAME (the expression is built as SQL).
+    Documents shorter than ``k`` fingerprint to the empty string."""
+    grams = (
+        f"transform(sequence(1, greatest(length({text})-{k}+1, 0)), "
+        f"__i -> {_winnow_gram_sql('__i', k)})"
+    ).format(col=text)
+    # bind the gram array ONCE (transform-over-singleton is the SQL lambda
+    # `let`): referencing the array expression twice would compute it twice
+    return F.expr(
+        f"CASE WHEN length({text}) < {k} THEN '' ELSE "
+        f"transform(array({grams}), __g -> "
+        f"array_join(array_sort(array_distinct("
+        f"transform(sequence(1, greatest(size(__g)-{w}+1, 1)), "
+        f"__p -> array_min(slice(__g, __p, {w}))))), ','))[0] END"
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat bundle — single narrow projection, no shuffle."""
     return df.withColumns(
@@ -131,3 +187,93 @@ def x_text_langid(t: Tables) -> DataFrame:
 def x_text_fingerprint(t: Tables) -> DataFrame:
     """Content fingerprinting (md5)."""
     return t.documents.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+_BPE_PAT_SQL = BPE_PRETOKEN_PATTERN.replace("'", "''")
+_WINNOW_K, _WINNOW_W = 8, 4
+_GRAM_SQL = _winnow_gram_sql("i", _WINNOW_K).format(col="text")
+
+
+@query(
+    "x_text_bpe",
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS INTEGER)
+                 AS n_bpe
+        FROM documents ORDER BY doc_id""",
+)
+def x_text_bpe(t: Tables) -> DataFrame:
+    """BPE-ish pre-tokenizer count — the LLM-token-cost column every
+    training-data pipeline carries. One regex, identical bytes-in/count-out
+    on Spark (Java regex) and the DuckDB oracle (RE2)."""
+    return t.documents.select(
+        "doc_id", bpe_token_count("text").alias("n_bpe")
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_text_winnow",
+    f"""WITH g AS (
+          SELECT doc_id, text,
+                 list_transform(
+                   generate_series(1, greatest(length(text)-{_WINNOW_K}+1, 0)),
+                   i -> {_GRAM_SQL}) AS gl
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN length(text) < {_WINNOW_K} THEN '' ELSE
+                 array_to_string(list_sort(list_distinct(
+                   list_transform(
+                     generate_series(1, greatest(len(gl)-{_WINNOW_W}+1, 1)),
+                     p -> list_aggregate(list_slice(gl, p, p+{_WINNOW_W}-1), 'min'))
+                 )), ',') END AS wfp
+        FROM g ORDER BY doc_id""",
+)
+def x_text_winnow(t: Tables) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints over documents: integer k-gram
+    polynomial hashes → per-window minima → distinct sorted CSV. BIGINT
+    arithmetic end-to-end, so both engines produce identical strings."""
+    return t.documents.select(
+        "doc_id",
+        winnow_fingerprint("text", k=_WINNOW_K, w=_WINNOW_W).alias("wfp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_curation",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 AS doc_id, text FROM documents
+       ), kept AS (
+         SELECT doc_id, text,
+                CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens
+         FROM corpus
+         WHERE CAST(len(string_split(trim(text), ' ')) AS INTEGER) >= 30
+           AND CAST(len(list_filter(string_split(trim(text), ' '),
+                     w -> w IN ('the','a'))) AS DOUBLE)
+               / len(string_split(trim(text), ' ')) >= 0.08
+       ), dd AS (
+         SELECT doc_id, n_tokens, md5(text) AS fp,
+                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         FROM kept)
+       SELECT doc_id, n_tokens, fp FROM dd WHERE rn = 1 ORDER BY doc_id""",
+)
+def x_curation(t: Tables) -> DataFrame:
+    """End-to-end curation pipeline in ONE Catalyst plan: simulated
+    re-crawl (self-union with shifted ids) → token/quality/language gates →
+    exact content dedup (first-wins by id). The gates run scan-local BEFORE
+    the dedup shuffle, so the only shuffle moves 16-byte fingerprints of
+    surviving docs — the ordering every 100 TB curation run needs. Each
+    stage is the library operator (`token_count`, `lang_id`,
+    `exact_dedup`), not a bespoke expression."""
+    from f1_data_pipeline_spark.operators.dedup import exact_dedup
+
+    base = t.documents.select("doc_id", "text")
+    recrawl = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = base.unionByName(recrawl)
+    kept = corpus.select(
+        "doc_id", "text", token_count("text").alias("n_tokens")
+    ).where((F.col("n_tokens") >= 30) & (lang_id("text") == "en"))
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.select(
+        "doc_id", "n_tokens", F.md5("text").alias("fp")
+    ).orderBy("doc_id")
