@@ -131,12 +131,54 @@ def lsh_ann_topk(
     )
 
 
+def _blocked_pair_tasks(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Shared fan-out for exact all-pairs kernels: hash rows into
+    ``B = ceil(n / block_rows)`` blocks, pack each block into one row, and
+    equi-join the B(B+1)/2 ordered block pairs so every task holds exactly
+    two block payloads. ``n_rows`` (when the caller knows the table size or
+    an estimate) skips the sizing ``count()`` scan."""
+    n = n_rows if n_rows is not None else vectors.count()
+    num_blocks = max(1, -(-n // block_rows))
+
+    packed = (
+        vectors.select(
+            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                as_double_vec(vec_col).alias("vec"),
+            ).alias("row"),
+        )
+        .groupBy("block")
+        .agg(F.collect_list("row").alias("rows"))
+    )
+
+    block_ids = packed.select("block")
+    pair_ids = (
+        block_ids.select(F.col("block").alias("ba"))
+        .join(F.broadcast(block_ids.select(F.col("block").alias("bb"))),
+              F.col("ba") <= F.col("bb"))
+    )
+    return (
+        pair_ids
+        .join(packed.select(F.col("block").alias("ba"), F.col("rows").alias("rows_a")), "ba")
+        .join(packed.select(F.col("block").alias("bb"), F.col("rows").alias("rows_b")), "bb")
+        .repartition(max(num_blocks * (num_blocks + 1) // 2, 1))
+    )
+
+
 def cosine_allpairs_topk(
     vectors: DataFrame,
     k: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k most-similar pairs via *blocked* matrix multiply.
 
@@ -160,33 +202,7 @@ def cosine_allpairs_topk(
     import numpy as np
     import pandas as pd
 
-    n = vectors.count()
-    num_blocks = max(1, -(-n // block_rows))
-
-    packed = (
-        vectors.select(
-            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
-            F.struct(
-                F.col(id_col).cast("long").alias("id"),
-                as_double_vec(vec_col).alias("vec"),
-            ).alias("row"),
-        )
-        .groupBy("block")
-        .agg(F.collect_list("row").alias("rows"))
-    )
-
-    block_ids = packed.select("block")
-    pair_ids = (
-        block_ids.select(F.col("block").alias("ba"))
-        .join(F.broadcast(block_ids.select(F.col("block").alias("bb"))),
-              F.col("ba") <= F.col("bb"))
-    )
-    pairs = (
-        pair_ids
-        .join(packed.select(F.col("block").alias("ba"), F.col("rows").alias("rows_a")), "ba")
-        .join(packed.select(F.col("block").alias("bb"), F.col("rows").alias("rows_b")), "bb")
-        .repartition(max(num_blocks * (num_blocks + 1) // 2, 1))
-    )
+    pairs = _blocked_pair_tasks(vectors, id_col, vec_col, block_rows, n_rows)
 
     def kernel(batches):
         def unpack(rows):
@@ -222,6 +238,52 @@ def cosine_allpairs_topk(
         pairs.mapInPandas(kernel, "id_a long, id_b long, sim double")
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(k)
+    )
+
+
+def cosine_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT, via the same blocked
+    GEMM fan-out as ``cosine_allpairs_topk``: every ordered block pair is
+    one task, one matrix multiply, and only the ≥ ``threshold`` entries
+    leave the kernel — output volume is the (tiny) near-dup set, not the
+    n² candidate space. Exact and deterministic, so unlike the LSH default
+    (``cosine_near_dup_pairs``) it is directly SQL-oracle-checkable; it
+    costs O(B²) GEMM tasks, which is the price of exactness — use the LSH
+    form when approximate recall is acceptable."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = _blocked_pair_tasks(vectors, id_col, vec_col, block_rows, n_rows)
+
+    def kernel(batches):
+        def unpack(rows):
+            ids = np.asarray([r["id"] for r in rows], dtype=np.int64)
+            M = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+            return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                ids_a, An = unpack(task["rows_a"])
+                ids_b, Bn = unpack(task["rows_b"])
+                S = np.round(An @ Bn.T, 4)
+                if task["ba"] == task["bb"]:
+                    ai, bi = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (S >= threshold))
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:
+                    ai, bi = np.nonzero(S >= threshold)
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": S[ai, bi]})
+
+    return pairs.mapInPandas(kernel, "id_a long, id_b long, sim double").orderBy(
+        "id_a", "id_b"
     )
 
 
@@ -509,6 +571,22 @@ def x_sim_ivf(t: Tables) -> DataFrame:
     base = e.where(F.col("vec_id") != 0)
     C = ivf_centroids(base, k=8, seed=42)
     return ivf_topk(base, e.where(F.col("vec_id") == 0), C, nprobe=3, k=10)
+
+
+@query(
+    "x_sim_neardup",
+    f"""SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, q.vec_id AS id_b, ROUND({_COS}, 4) AS sim
+          FROM embeddings a, embeddings q WHERE a.vec_id < q.vec_id) s
+        WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+)
+def x_sim_neardup(t: Tables) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs through the exact blocked-GEMM
+    path (every pair ≥ threshold, verified against the exhaustive SQL twin).
+    Threshold 0.4 because the synthetic corpus plants no true near-dups —
+    the densest genuine neighbor band exercises identical semantics to a
+    production 0.95 run."""
+    return cosine_near_dup_pairs_blocked(t.embeddings, threshold=0.4)
 
 
 # Per-process registry of built IVF indexes, keyed by sf_dir. A previous

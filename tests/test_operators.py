@@ -244,3 +244,32 @@ def test_x_sim_ivf_indexed_matches_inline_query(spark):
     again = [tuple(r) for r in qs["x_sim_ivf_indexed"].builder(spark, SF_DIR).collect()]
     assert indexed == inline
     assert again == indexed
+
+
+def test_blocked_near_dup_equals_exhaustive_across_blocks(spark):
+    """cosine_near_dup_pairs_blocked with tiny blocks (forcing many
+    cross-block GEMM tasks) must emit exactly the exhaustive cartesian
+    form's pairs — same ids, same rounded sims."""
+    from f1_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+        cosine_near_dup_pairs_exact,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    # plant near-dups: jittered copies of existing vectors
+    for j in range(8):
+        src = base[j * 3]
+        rows.append((100 + j, [x + rng.gauss(0, 0.05) for x in src]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    want = sorted(
+        tuple(r) for r in cosine_near_dup_pairs_exact(df, threshold=0.9).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in cosine_near_dup_pairs_blocked(df, threshold=0.9, block_rows=8).collect()
+    )
+    assert len(want) >= 8  # the planted dups are present
+    assert got == want
