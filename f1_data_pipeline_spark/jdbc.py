@@ -103,6 +103,90 @@ def read_jdbc(
 _IDENTIFIER = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def _check_identifiers(*idents: str) -> None:
+    for ident in idents:
+        if not _IDENTIFIER.match(ident):
+            raise ValueError(
+                f"invalid SQL identifier {ident!r}: must match {_IDENTIFIER.pattern}"
+            )
+
+
+def jdbc_merge_upsert_writer(
+    url: str,
+    table: str,
+    keys: list[str],
+    driver: str,
+    stage_table: str | None = None,
+    stage_partitions: int | None = None,
+):
+    """K4/K6 through the ACTUAL JDBC path: a ``foreachBatch`` sink that
+    upserts each micro-batch with standard SQL ``MERGE`` in ONE database
+    transaction.
+
+    Two steps per batch, mirroring how a warehouse loads at scale:
+
+    1. **Stage in parallel** — ``df.write.jdbc`` overwrites a staging table;
+       Spark opens one INSERT cursor per partition (``stage_partitions``
+       bounds the connection count), so the data movement is distributed.
+    2. **Merge set-based** — one ``MERGE INTO target USING stage ON keys``
+       statement on a JVM-side connection, committed atomically: the
+       database applies update-or-insert in one transaction, the exact
+       semantics of the reference's ``INSERT … ON CONFLICT DO UPDATE``
+       batches (`loader.py:202-278`) at micro-batch granularity (K6).
+
+    Keyed MERGE is idempotent under batch redelivery (T4). Works against
+    any MERGE-capable JDBC database; exercised end-to-end in-container
+    against embedded Derby (tests/test_jdbc.py), including a streaming
+    ``foreachBatch`` run. Staged columns are quoted case-exact (Spark's
+    JDBC writer creates quoted columns); the target table is referenced
+    unquoted, matching a conventionally-created schema.
+    """
+    stage = stage_table or f"{table}_stage"
+    _check_identifiers(table, stage, *keys)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        cols = batch_df.columns
+        _check_identifiers(*cols)
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"merge keys {missing} not in batch columns {cols}")
+        df = (
+            batch_df.repartition(stage_partitions) if stage_partitions else batch_df
+        )
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", stage)
+            .option("driver", driver)
+            .mode("overwrite")
+            .save()
+        )
+        spark = batch_df.sparkSession
+        jvm = spark._jvm  # type: ignore[union-attr]
+        jvm.java.lang.Class.forName(driver)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            conn.setAutoCommit(False)
+            on = " AND ".join(f't.{k} = s."{k}"' for k in keys)
+            sets = ", ".join(f't.{c} = s."{c}"' for c in cols if c not in keys)
+            ins_cols = ", ".join(cols)
+            ins_vals = ", ".join(f's."{c}"' for c in cols)
+            st = conn.createStatement()
+            st.executeUpdate(
+                f"MERGE INTO {table} t USING {stage} s ON {on} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    return write
+
+
 def table_stats_query(
     table: str, session_id: int | None = None, schema: str = "public"
 ) -> str:
