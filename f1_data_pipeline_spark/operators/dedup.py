@@ -257,3 +257,89 @@ def x_dedup_minhash(t: Tables) -> DataFrame:
 def x_dedup_simhash(t: Tables) -> DataFrame:
     """64-bit SimHash per document."""
     return simhash(t.documents).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-band near-dup (deterministic, oracle-exact)
+# ---------------------------------------------------------------------------
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by winnowing-fingerprint banding —
+    the second candidate-generation mode beside MinHash LSH, and unlike it
+    fully DETERMINISTIC (no hash seeds), hence directly oracle-checkable.
+
+    Shape at 100 TB: fingerprints are computed scan-local
+    (``text.winnow_fingerprint_array``); candidates come from one
+    self-equi-join on the fingerprint value — the same geometry as an LSH
+    band join, never a cartesian. ``max_df`` drops stop-fingerprints
+    (shared boilerplate appearing in more than ``max_df`` docs) BEFORE the
+    join, the standard guard against hot-key blowup; a pair qualifies when
+    it shares ≥ ``min_shared`` surviving fingerprints (each a witness of a
+    ≥ k+w-1-char common substring).
+    """
+    from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array
+
+    fps = df.select(
+        F.col(id_col), F.explode(winnow_fingerprint_array(text_col, k, w)).alias("fp")
+    )
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _winnow_oracle_sql(k: int, w: int, min_shared: int, max_df: int) -> str:
+    from f1_data_pipeline_spark.operators.text import _winnow_gram_sql
+
+    gram = _winnow_gram_sql("i", k).format(col="text")
+    return f"""
+      WITH g AS (
+        SELECT doc_id, list_transform(
+                 generate_series(1, greatest(length(text)-{k}+1, 0)),
+                 i -> {gram}) AS gl
+        FROM documents),
+      fps AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(
+                   generate_series(1, greatest(len(gl)-{w}+1, 1)),
+                   p -> list_aggregate(list_slice(gl, p, p+{w}-1), 'min')))) AS fp
+        FROM g WHERE len(gl) > 0),
+      rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      WHERE a.fp IN (SELECT fp FROM rare)
+      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}
+      ORDER BY id_a, id_b"""
+
+
+@query("x_dedup_winnow", _winnow_oracle_sql(k=8, w=4, min_shared=2, max_df=5))
+def x_dedup_winnow(t: Tables) -> DataFrame:
+    """Winnowing-band near-dup candidates over documents (k=8, w=4,
+    stop-fingerprint cap df≤5, ≥2 shared fingerprints), exact vs the
+    exhaustive SQL twin — deterministic counterpart to x_dedup_minhash."""
+    return winnow_candidate_pairs(
+        t.documents, min_shared=2, max_df=5
+    )

@@ -88,18 +88,19 @@ def _winnow_gram_sql(pos: str, k: int) -> str:
     )
 
 
-def winnow_fingerprint(text: str = "text", k: int = 8, w: int = 4) -> Column:
-    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, MOSS):
-    rolling k-gram hashes, minimum per w-window, distinct-sorted, serialized
-    to CSV so the result is hashable by any comparator.
+def winnow_fingerprint_array(text: str = "text", k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    rolling k-gram hashes, minimum per w-window, distinct-sorted
+    ``array<bigint>``.
 
     Guarantees: any shared substring of length ≥ k + w - 1 yields at least
     one shared fingerprint (the winnowing theorem), so near-dup candidate
-    generation can band on fingerprint membership. Entirely Catalyst
-    higher-order functions over the scan — zero shuffle, zero Python;
-    fingerprint sets are tiny relative to text so the 100 TB cost is the
-    scan itself. ``text`` is a column NAME (the expression is built as SQL).
-    Documents shorter than ``k`` fingerprint to the empty string."""
+    generation can band on fingerprint membership
+    (``dedup.winnow_candidate_pairs``). Entirely Catalyst higher-order
+    functions over the scan — zero shuffle, zero Python; fingerprint sets
+    are tiny relative to text so the 100 TB cost is the scan itself.
+    ``text`` is a column NAME (the expression is built as SQL). Documents
+    shorter than ``k`` fingerprint to the empty array."""
     grams = (
         f"transform(sequence(1, greatest(length({text})-{k}+1, 0)), "
         f"__i -> {_winnow_gram_sql('__i', k)})"
@@ -107,12 +108,18 @@ def winnow_fingerprint(text: str = "text", k: int = 8, w: int = 4) -> Column:
     # bind the gram array ONCE (transform-over-singleton is the SQL lambda
     # `let`): referencing the array expression twice would compute it twice
     return F.expr(
-        f"CASE WHEN length({text}) < {k} THEN '' ELSE "
+        f"CASE WHEN length({text}) < {k} THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
         f"transform(array({grams}), __g -> "
-        f"array_join(array_sort(array_distinct("
+        f"array_sort(array_distinct("
         f"transform(sequence(1, greatest(size(__g)-{w}+1, 1)), "
-        f"__p -> array_min(slice(__g, __p, {w}))))), ','))[0] END"
+        f"__p -> array_min(slice(__g, __p, {w}))))))[0] END"
     )
+
+
+def winnow_fingerprint(text: str = "text", k: int = 8, w: int = 4) -> Column:
+    """CSV serialization of ``winnow_fingerprint_array`` (hashable by any
+    downstream comparator; empty string for sub-``k`` documents)."""
+    return F.array_join(winnow_fingerprint_array(text, k, w), ",")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
