@@ -762,6 +762,56 @@ def q_sub1(t: Tables) -> DataFrame:
 
 
 @query(
+    "q_sub2",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT'
+                       AND o.o_totalprice > 150000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice < 5000)
+       ORDER BY c_custkey""",
+)
+def q_sub2(t: Tables) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (TPC-H Q21/Q22 shape): semi + anti
+    join against pre-filtered orders. The predicates sit INSIDE the
+    subquery scans, so both pushes reach parquet before any shuffle; the
+    two joins share the o_custkey key. The SQL form runs verbatim through
+    spark.sql (test_sql_surface) — Catalyst decorrelates to the same plan."""
+    urgent = t.orders.where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 150000)
+    ).select("o_custkey")
+    cheap_f = t.orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 5000)
+    ).select("o_custkey")
+    return (
+        t.customer.join(urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi")
+        .join(cheap_f, F.col("c_custkey") == cheap_f.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query("x_approx_stats", None)  # HLL/KLL sketches are engine-specific → rows-only
+def x_approx_stats(t: Tables) -> DataFrame:
+    """The 100 TB cardinality/quantile path: approx_count_distinct (HLL++)
+    and approx_percentile replace their exact forms when the exact answer
+    would shuffle every distinct value. One pass, mergeable partial
+    sketches, bounded memory per group. Relative error vs the exact
+    answers is asserted in tests/test_operators.py (rsd 2%, tested ≤5%)."""
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q_h1",
     """SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend, count(*) AS n
        FROM orders GROUP BY o_custkey HAVING count(*) >= 10

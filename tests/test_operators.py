@@ -273,3 +273,32 @@ def test_blocked_near_dup_equals_exhaustive_across_blocks(spark):
     )
     assert len(want) >= 8  # the planted dups are present
     assert got == want
+
+
+def test_approx_stats_error_bounds(spark):
+    """x_approx_stats sketches must land within 5% of the exact answers
+    (HLL++ at rsd=0.02; approx_percentile accuracy 10k)."""
+    from f1_data_pipeline_spark.queries import all_queries
+    from f1_data_pipeline_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    qs = all_queries()
+    approx = {
+        r["o_orderpriority"]: (r["approx_custs"], r["approx_median"])
+        for r in qs["x_approx_stats"].builder(spark, SF_DIR).collect()
+    }
+    t = load_tables(spark, SF_DIR)
+    exact = {
+        r["o_orderpriority"]: (r["custs"], r["med"])
+        for r in t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("custs"),
+            F.median("o_totalprice").alias("med"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and len(approx) >= 3
+    for k, (ac, am) in approx.items():
+        ec, em = exact[k]
+        assert abs(ac - ec) / ec <= 0.05, (k, ac, ec)
+        assert abs(am - em) / em <= 0.05, (k, am, em)
