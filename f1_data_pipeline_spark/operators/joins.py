@@ -259,3 +259,35 @@ def x_salted_join(t: Tables):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "x_range_join",
+    """SELECT c.event_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 10 MINUTE
+       ORDER BY c.event_id, purchase_id LIMIT 300""",
+)
+def x_range_join(t: Tables):
+    """Point-in-interval range join: clicks landing within 10 minutes after
+    a purchase by the same user. The key equi-predicate rides the hash
+    partitioning; the range predicates filter inside each task — never a
+    theta join. (DuckDB's IEJoin executes the same SQL natively.)"""
+    e = t.events
+    intervals = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("hi"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        range_join(clicks, intervals, ["user_id"], "ts", "lo", "hi")
+        .select("event_id", "purchase_id")
+        .orderBy("event_id", "purchase_id")
+        .limit(300)
+    )
