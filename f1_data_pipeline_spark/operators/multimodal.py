@@ -193,6 +193,48 @@ _X_MULTIMODAL_ORACLE = (
 )
 
 
+# Same literal-oracle pattern for the frame-sampling (row-expanding) kernel:
+# all 166 video items have height 32, so every(=4) yields frames 0..28; the
+# per-frame-index aggregate is a fixed 8-row constant, independently
+# re-derived in tests/test_multimodal.py.
+X_MULTIMODAL_FRAMES_EXPECTED: tuple[tuple[int, int, float], ...] = (
+    (0, 166, 128.34),
+    (4, 166, 128.39),
+    (8, 166, 124.45),
+    (12, 166, 126.09),
+    (16, 166, 127.95),
+    (20, 166, 126.67),
+    (24, 166, 127.48),
+    (28, 166, 128.16),
+)
+
+_X_MULTIMODAL_FRAMES_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({frame}, CAST({n} AS BIGINT), CAST({avg} AS DOUBLE))"
+        for frame, n, avg in X_MULTIMODAL_FRAMES_EXPECTED
+    )
+    + ") AS t(frame, n, avg_frame_mean) ORDER BY frame"
+)
+
+
+@query("x_multimodal_frames", _X_MULTIMODAL_FRAMES_ORACLE)
+def x_multimodal_frames(t: Tables) -> DataFrame:
+    """Frame-sampling pipeline: 500 media blobs → video rows exploded to
+    every-4th-scanline 'frames' (the UDTF-shaped kernel) → per-frame-index
+    aggregate. Deterministic, pinned by a literal VALUES oracle."""
+    media = make_media_table(t.spark, n=500)
+    frames = frame_sample(media, every=4)
+    return (
+        frames.groupBy("frame")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("frame_mean"), 2).alias("avg_frame_mean"),
+        )
+        .orderBy("frame")
+    )
+
+
 @query("x_multimodal_features", _X_MULTIMODAL_ORACLE)
 def x_multimodal_features(t: Tables) -> DataFrame:
     """Binary-column pipeline: generate 500 deterministic media blobs →

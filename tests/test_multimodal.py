@@ -98,3 +98,31 @@ def test_x_multimodal_expected_derived_independently():
         for kind, vals in sorted(per_kind.items())
     )
     assert derived == X_MULTIMODAL_EXPECTED
+
+
+def test_x_multimodal_frames_expected_derived_independently():
+    """Same independence rule for the frame-sample oracle: replay the
+    generation rules + frame_sample kernel math in pure numpy and assert
+    the pinned literals match."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.multimodal import (
+        X_MULTIMODAL_FRAMES_EXPECTED,
+        _fake_payload,
+    )
+
+    per_frame: dict[int, list[float]] = {}
+    for i in range(500):
+        if i % 3 != 2:  # frame_sample keeps kind == 'video' only
+            continue
+        w = 16 + (i % 5) * 8
+        h = 16 + (i % 3) * 8
+        _, _, m = _parse_fake(_fake_payload(i, "video", w, h))
+        for fi in range(0, h, 4):
+            per_frame.setdefault(fi, []).append(
+                float(np.round(m[fi].astype(np.float64).mean(), 4))
+            )
+    derived = tuple(
+        (fi, len(v), round(float(np.mean(v)), 2)) for fi, v in sorted(per_frame.items())
+    )
+    assert derived == X_MULTIMODAL_FRAMES_EXPECTED
