@@ -302,3 +302,34 @@ def test_approx_stats_error_bounds(spark):
         ec, em = exact[k]
         assert abs(ac - ec) / ec <= 0.05, (k, ac, ec)
         assert abs(am - em) / em <= 0.05, (k, am, em)
+
+
+def test_winnowing_theorem_shared_substring_shares_fingerprint(spark):
+    """The winnowing guarantee: two documents sharing any substring of
+    length >= k + w - 1 share at least one fingerprint. 60 constructed
+    pairs with an 11-char (k=8, w=4) common run planted at random offsets
+    inside otherwise-unrelated text."""
+    from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array
+
+    rng = random.Random(0)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    rows = []
+    for i in range(60):
+        shared = rand_text(11 + rng.randrange(0, 20))
+        a = rand_text(rng.randrange(0, 40)) + shared + rand_text(rng.randrange(0, 40))
+        b = rand_text(rng.randrange(0, 40)) + shared + rand_text(rng.randrange(0, 40))
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "pair_id int, ta string, tb string")
+    overlaps = df.select(
+        "pair_id",
+        F.arrays_overlap(
+            winnow_fingerprint_array("ta", k=8, w=4),
+            winnow_fingerprint_array("tb", k=8, w=4),
+        ).alias("shared"),
+    ).collect()
+    missing = [r["pair_id"] for r in overlaps if not r["shared"]]
+    assert not missing, f"pairs without a shared fingerprint: {missing}"
