@@ -1109,21 +1109,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_w1", "q_w2", "q_w3", "q_w4",
     "q_o1", "q_u1", "q_u2", "q_u3",
     "q_t1", "q_t2", "q_t3", "q_t4",
-    # oracle-bearing operator-module queries (the extension flagships)
+    # oracle-bearing operator-module queries (the extension flagships):
+    # every operator family lands its strongest oracle-checked entry —
+    # x_curation (the composed curation pipeline), x_dedup_winnow
+    # (deterministic banding), x_sim_neardup (exact blocked near-dup),
+    # x_rolling_scaled (q_w4's scale-safe two-pass twin). Displaced
+    # queries (x_stringagg, x_arrayagg, q_h1, q_w5) stay verified by the
+    # in-repo oracle sweep.
     "x_text_tokens", "x_text_quality", "x_text_langid", "x_text_fingerprint",
-    "x_dedup_exact", "x_dedup_ngram",
-    "x_sim_topk", "x_sim_pairs",
+    "x_dedup_exact", "x_dedup_ngram", "x_dedup_winnow",
+    "x_sim_topk", "x_sim_pairs", "x_sim_neardup",
     "x_asof_join", "x_sessionize",
-    # oracle-bearing aggregate extensions
-    "x_percentiles", "x_stringagg", "x_arrayagg",
-    # multimodal has no SQL twin — rows-only, but the module deserves a row
+    "x_percentiles", "x_curation",
+    # multimodal's deterministic aggregate is pinned by a literal VALUES oracle
     "x_multimodal_features",
-    # most distinctive of the extended SQL-surface queries; x_rolling_scaled
-    # is q_w4's scale-safe two-pass twin (operators/windows.py) — it takes
-    # q_w5's slot so the window covers the 100 TB form of the one query the
-    # r2 verdict flagged as a plan-level scale risk (q_w5 itself stays
-    # verified by the in-repo sweep).
-    "q_sub1", "q_cte1", "q_h1", "x_rolling_scaled",
+    "q_sub1", "q_cte1", "x_rolling_scaled",
 )
 
 
