@@ -286,10 +286,11 @@ def winnow_candidate_pairs(
     it shares ≥ ``min_shared`` surviving fingerprints (each a witness of a
     ≥ k+w-1-char common substring).
     """
-    from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array
+    from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array_fast
 
     fps = df.select(
-        F.col(id_col), F.explode(winnow_fingerprint_array(text_col, k, w)).alias("fp")
+        F.col(id_col),
+        F.explode(winnow_fingerprint_array_fast(k, w)(F.col(text_col))).alias("fp"),
     )
     if max_df is not None:
         rare = (

@@ -333,3 +333,27 @@ def test_winnowing_theorem_shared_substring_shares_fingerprint(spark):
     ).collect()
     missing = [r["pair_id"] for r in overlaps if not r["shared"]]
     assert not missing, f"pairs without a shared fingerprint: {missing}"
+
+
+def test_winnow_fast_udf_matches_catalyst_form(spark):
+    """The vectorized pandas-UDF winnow must be BIT-IDENTICAL to the
+    Catalyst higher-order form (the oracle twin) — including short docs,
+    empty strings, and docs shorter than the window."""
+    from f1_data_pipeline_spark.operators.text import (
+        winnow_fingerprint_array,
+        winnow_fingerprint_array_fast,
+    )
+
+    rng = random.Random(3)
+    texts = ["", "short", "exactly8", "just above k len"] + [
+        "".join(rng.choice("abcdef ghij") for _ in range(rng.randrange(1, 300)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = df.select(
+        "i",
+        winnow_fingerprint_array("t").alias("slow"),
+        winnow_fingerprint_array_fast()(F.col("t")).alias("fast"),
+    ).collect()
+    for r in got:
+        assert r["slow"] == r["fast"], (r["i"], texts[r["i"]], r["slow"], r["fast"])
