@@ -762,6 +762,22 @@ def q_sub1(t: Tables) -> DataFrame:
 
 
 @query(
+    "q_u5",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_custkey""",
+)
+def q_u5(t: Tables) -> DataFrame:
+    """INTERSECT (set semantics — customers holding both finished and open
+    orders). Completes the set-op family beside q_u1 UNION / q_u3 EXCEPT /
+    q_u4 UNION ALL; plans as a left-semi join after per-side dedup."""
+    f = t.orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t.orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o).orderBy("o_custkey")
+
+
+@query(
     "q_sub2",
     """SELECT c_custkey, c_name FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o
