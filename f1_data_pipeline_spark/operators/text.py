@@ -1,10 +1,11 @@
 """Text-analysis operators for training-data pipelines.
 
-All hot-path expressions are Catalyst builtins / higher-order functions —
-no Python UDFs — so they vectorize JVM-side and scale linearly with
-partitions: token counting, quality scoring, language-ID heuristics, and
-content fingerprinting over a `documents(doc_id, text, lang, source,
-n_chars)` table.
+Hot-path expressions are Catalyst builtins / higher-order functions where
+they stay fast (token counting, quality scoring, language-ID, md5/regex
+fingerprinting — JVM-side, scan-local), plus ONE Arrow-batched numpy UDF
+for winnowing, where the interpreted-per-element HOF form measured 16×
+slower than a vectorized sliding-window kernel (bit-identity pinned by
+tests). All over a `documents(doc_id, text, lang, source, n_chars)` table.
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ from __future__ import annotations
 import functools
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.catalog import Tables
@@ -331,3 +332,55 @@ def x_curation(t: Tables) -> DataFrame:
     return deduped.select(
         "doc_id", "n_tokens", F.md5("text").alias("fp")
     ).orderBy("doc_id")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-budget sampling: per ``by`` group, keep documents
+    in ``order`` until the running token total exceeds ``budget`` (the doc
+    that crosses the line is excluded). The standard mixture-control step
+    when assembling a training corpus against per-source quotas.
+
+    One keyed shuffle (the cumsum window); deterministic, so re-runs and
+    incremental rebuilds select identical rows — sampling by rand() would
+    not survive a retry. At 100 TB the group key is usually also the
+    storage partition key, making the window scan-local."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = token_count(text_col)
+    return (
+        df.withColumn("__n_tokens", toks)
+        .withColumn("__cum", F.sum("__n_tokens").over(w))
+        .where(F.col("__cum") <= budget)
+        .drop("__n_tokens", "__cum")
+    )
+
+
+@query(
+    "x_token_budget",
+    """WITH c AS (
+         SELECT doc_id, source,
+                CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+                SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents)
+       SELECT doc_id, source, n_tokens FROM c WHERE cum <= 2000
+       ORDER BY source, doc_id""",
+)
+def x_token_budget(t: Tables) -> DataFrame:
+    """Per-source 2000-token corpus sample via ``token_budget_sample`` —
+    deterministic quota enforcement, one keyed window shuffle."""
+    kept = token_budget_sample(t.documents, budget=2000, by="source", order="doc_id")
+    return (
+        kept.select("doc_id", "source", token_count("text").alias("n_tokens"))
+        .orderBy("source", "doc_id")
+    )
