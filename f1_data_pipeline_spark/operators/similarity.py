@@ -325,6 +325,7 @@ def cosine_near_dup_pairs(
     n_tables: int = 4,
     n_planes: int = 6,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (the default).
 
@@ -335,11 +336,19 @@ def cosine_near_dup_pairs(
     at 100 TB it is an ordinary shuffle-hash join on a low-cardinality key,
     never a cartesian.  Recall vs the exhaustive form is asserted in tests
     (≥0.9 on the planted-near-dup fixture).
+
+    Pass either pre-built ``planes`` or the embedding ``dim`` (Spark array
+    schemas carry no width, and probing a row for it would cost a driver
+    job per call — the caller always knows its model's dimensionality).
     """
-    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"]
-    all_planes = planes if planes is not None else _default_planes(
-        dim, n_tables * n_planes, seed
-    )
+    if planes is None:
+        if dim is None:
+            raise ValueError(
+                "cosine_near_dup_pairs needs `dim` (to build default "
+                "hyperplanes) or explicit `planes`"
+            )
+        planes = _default_planes(dim, n_tables * n_planes, seed)
+    all_planes = planes
     tagged = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     hashed = hyperplane_lsh_buckets(tagged, all_planes, id_col="id", vec_col="vec")
     # split the sign-bit string into n_tables independent buckets

@@ -19,9 +19,13 @@ from pyspark.sql import functions as F
 from f1_data_pipeline_spark.catalog import Tables
 from f1_data_pipeline_spark.queries import query
 
-# Tiny deterministic stopword list shared with the SQL oracles.
+# Tiny deterministic stopword list shared with the SQL oracles. The SQL IN
+# lists below are GENERATED from these tuples (single source of truth — the
+# Spark expression and the oracle can't drift apart silently).
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
 EN_MARKERS = ("the", "a")
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_EN_MARKERS_SQL = ", ".join(f"'{w}'" for w in EN_MARKERS)
 
 
 def tokens(text: Column | str) -> Column:
@@ -200,9 +204,9 @@ def x_text_tokens(t: Tables) -> DataFrame:
 
 @query(
     "x_text_quality",
-    """SELECT doc_id,
+    f"""SELECT doc_id,
               ROUND(CAST(len(list_filter(string_split(trim(text), ' '),
-                    w -> w IN ('the','a','of','to','and','in'))) AS DOUBLE)
+                    w -> w IN ({_STOPWORDS_SQL}))) AS DOUBLE)
                     / len(string_split(trim(text), ' ')), 4) AS stop_ratio,
               ROUND(CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
                     / len(string_split(trim(text), ' ')), 4) AS awl
@@ -219,9 +223,9 @@ def x_text_quality(t: Tables) -> DataFrame:
 
 @query(
     "x_text_langid",
-    """SELECT doc_id,
+    f"""SELECT doc_id,
               CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
-                        w -> w IN ('the','a'))) AS DOUBLE)
+                        w -> w IN ({_EN_MARKERS_SQL}))) AS DOUBLE)
                         / len(string_split(trim(text), ' ')) >= 0.08
                    THEN 'en' ELSE 'other' END AS pred_lang
        FROM documents ORDER BY doc_id""",
@@ -294,7 +298,7 @@ def x_text_winnow(t: Tables) -> DataFrame:
 
 @query(
     "x_curation",
-    """WITH corpus AS (
+    f"""WITH corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
          SELECT doc_id + 100000 AS doc_id, text FROM documents
@@ -304,7 +308,7 @@ def x_text_winnow(t: Tables) -> DataFrame:
          FROM corpus
          WHERE CAST(len(string_split(trim(text), ' ')) AS INTEGER) >= 30
            AND CAST(len(list_filter(string_split(trim(text), ' '),
-                     w -> w IN ('the','a'))) AS DOUBLE)
+                     w -> w IN ({_EN_MARKERS_SQL}))) AS DOUBLE)
                / len(string_split(trim(text), ' ')) >= 0.08
        ), dd AS (
          SELECT doc_id, n_tokens, md5(text) AS fp,

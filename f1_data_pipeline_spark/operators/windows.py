@@ -6,43 +6,58 @@ Partition Defined``) — the last single-node bottleneck a 100 TB pipeline
 can hide. ``global_rolling_avg`` computes the identical frame with the
 classic two-pass decomposition:
 
-1. **Range-partition** by the order key (``repartitionByRange``): each
-   partition holds a contiguous, disjoint key range, so "the previous
-   ``n-1`` rows" of any row live either in its own partition or in the
-   tail of the immediately-preceding one.
-2. **Local pass**: per-partition ROWS-frame aggregates through a window
-   *keyed by partition id* — fully parallel.
-3. **Carry-ins**: each partition's last ``n-1`` rows (≤ ``P·(n-1)`` rows
-   total — tiny) are re-keyed to the next partition and broadcast-joined
+1. **Range-bucket** by the order key: partition boundaries are sampled
+   ONCE on the driver (hash-systematic sample over the pruned order
+   columns, bounded size) and embedded as LITERALS, so the bucket id is a
+   pure deterministic expression of the row — every later pass computes
+   the same assignment with no coordination. Each bucket holds a
+   contiguous, disjoint key range, so "the previous ``n-1`` rows" of any
+   row live either in its own bucket or in the tail of the
+   immediately-preceding one.
+2. **Local pass**: per-bucket ROWS-frame aggregates through a window
+   *keyed by bucket id* — fully parallel (the window's own hash shuffle
+   does the physical partitioning; no ``repartitionByRange``).
+3. **Carry-ins**: each bucket's last ``n-1`` rows (≤ ``P·(n-1)`` rows
+   total — tiny) are re-keyed to the next bucket and broadcast-joined
    to its first ``n-1`` rows, completing frames that cross the boundary.
 
 Every shuffle is keyed, every join against boundary data is a broadcast;
-no operator ever sees more than one partition's rows plus an ``n-1``-row
-tail. The driver touches only the ``P``-row per-partition count table
-(the same legitimately-small class of data as an IVF codebook).
+no operator ever sees more than one bucket's rows plus an ``n-1``-row
+tail. The driver touches only the bounded boundary sample and the P-row
+per-bucket count table (the same legitimately-small class of data as an
+IVF codebook).
 
-Determinism note: range-partition boundaries are RESAMPLED on every
-evaluation (AQE can change the upstream partitioning between jobs, which
-reseeds the sampler), so anything derived from two separate evaluations —
-the count table vs the main plan — can silently disagree. The ranged
-dataset is therefore pinned with a disk-backed ``persist`` before anything
-reads it: one extra dataset-sized spill to executor local disk, the same
-order of cost as the shuffle that produced it, and the price ANY
-multi-pass algorithm over a global order pays for consistency. The cached
-partitions stay registered until the caller clears them
-(``spark.catalog.clearCache()``) — same lifecycle as a bucketed temp table.
+Because bucket assignment is a deterministic literal-comparison
+expression (NOT ``repartitionByRange``, whose boundaries are resampled
+per evaluation under AQE), the multiple passes need no ``persist`` to
+stay consistent — nothing is pinned in executor storage, fixing the
+cache-leak this operator carried in earlier rounds.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Callable
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.catalog import Tables
 from f1_data_pipeline_spark.queries import query
+
+
+def _key_struct(df: DataFrame, order_cols: list[str], vals=None) -> Column:
+    """Comparable struct over the order columns; with ``vals``, the literal
+    twin with identical field names/types (struct comparison in Spark is
+    field-ordinal and type-strict)."""
+    if vals is None:
+        return F.struct(*[F.col(c).alias(f"k{i}") for i, c in enumerate(order_cols)])
+    return F.struct(
+        *[
+            F.lit(v).cast(df.schema[c].dataType).alias(f"k{i}")
+            for i, (c, v) in enumerate(zip(order_cols, vals))
+        ]
+    )
 
 
 def global_rolling_avg(
@@ -59,7 +74,7 @@ def global_rolling_avg(
 
     ``order_cols`` must be a TOTAL order (include a tiebreaker column) —
     the same requirement any deterministic global window has. Each range
-    partition must end up with at least ``frame_rows`` rows so a frame
+    bucket must end up with at least ``frame_rows`` rows so a frame
     spans at most one boundary; the helper verifies this from the P-row
     count table and raises with guidance if violated (lower ``partitions``
     — at scale, size ``partitions ≈ rows / target_partition_rows``, which
@@ -70,45 +85,78 @@ def global_rolling_avg(
     (e.g. cents) where the division/rounding must be pinned. NULLs in
     ``value_col`` follow SQL ``avg``: excluded from both sum and count.
 
-    Two passes over the input (partition counts + the main plan), both
-    embarrassingly parallel.
+    Three light driver-visible passes over the PRUNED order columns
+    (count, boundary sample, per-bucket counts — the first two are
+    metadata/filter scans) plus the main plan; no persist, no pinned
+    storage, deterministic output regardless of AQE re-planning.
     """
     n = int(frame_rows)
     if n < 1:
         raise ValueError("frame_rows must be >= 1")
-    order = [F.col(c) for c in order_cols]
     keep_cols = df.columns
+    key = _key_struct(df, order_cols)
+    order = [F.col(c) for c in order_cols]
 
-    ranged = (
-        df.repartitionByRange(partitions, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.DISK_ONLY)
+    total = df.count()
+    if total == 0:
+        fin0 = finisher if finisher is not None else F.try_divide
+        null_b = F.lit(None).cast("bigint")
+        return df.select(*keep_cols, fin0(null_b, null_b).alias(out_col))
+
+    # Boundary sample: hash-systematic (deterministic for a given dataset
+    # irrespective of physical partitioning — unlike sample(seed), whose
+    # output depends on the partition layout AQE may change). Collected
+    # once, bounded at ~target rows of just the order columns.
+    target = max(200 * partitions, 10_000)
+    mod = max(1, total // target)
+    sample_rows = (
+        df.select(key.alias("k"))
+        .where(F.pmod(F.hash(*order), F.lit(mod)) == 0)
+        .collect()
     )
+    sample = sorted(tuple(r["k"]) for r in sample_rows)
+    n_parts = min(partitions, max(1, len(sample)))
+    raw_bounds = [sample[(i * len(sample)) // n_parts] for i in range(1, n_parts)]
+    bounds = sorted(set(raw_bounds))  # dedup — heavy key skew collapses cuts
 
-    # Pass 1: the P-row partition-count table — groupBy on the (pinned)
-    # ranged scan, no window needed. Collected on the driver to (a) validate
-    # the min-partition-size precondition and (b) pin tail membership
-    # without a descending second window. The collect also materializes the
-    # persist, freezing the boundaries every later branch reads.
+    if bounds:
+        pid_raw = reduce(
+            Column.__add__,
+            [(key >= _key_struct(df, order_cols, b)).cast("int") for b in bounds],
+        )
+    else:
+        pid_raw = F.lit(0)
+
+    # P-row per-bucket count table: validates the min-bucket-size
+    # precondition and pins tail membership without a descending window.
+    # Deterministic (pure expression of the row), so no pinning needed for
+    # the main plan to agree with it.
     pstats = sorted(
         (r["__pid"], r["c"])
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+        for r in df.groupBy(pid_raw.alias("__pid")).agg(F.count("*").alias("c")).collect()
     )
-    pids = [p for p, _ in pstats]
-    if len(pstats) > 1 and (
-        pids != list(range(len(pstats))) or min(c for _, c in pstats) < n
-    ):
-        total = sum(c for _, c in pstats)
+    if min(c for _, c in pstats) < n and len(pstats) > 1:
         raise ValueError(
-            f"range partitioning produced partitions with fewer than "
+            f"range bucketing produced buckets with fewer than "
             f"frame_rows={n} rows (counts={pstats}); re-run with partitions "
             f"<= {max(1, total // (2 * n))} so every frame spans at most one "
-            f"partition boundary"
+            f"bucket boundary"
         )
+    # densify ids (a cut with no rows below it leaves a gap) so that
+    # "previous bucket" is always pid-1
+    dense = {p: i for i, (p, _) in enumerate(pstats)}
+    if dense and any(p != i for p, i in dense.items()):
+        pid_expr = F.create_map(
+            *[F.lit(x) for p, i in dense.items() for x in (p, i)]
+        )[pid_raw]
+        pstats = [(dense[p], c) for p, c in pstats]
+    else:
+        pid_expr = pid_raw
 
+    withpid = df.withColumn("__pid", pid_expr)
     w = Window.partitionBy("__pid").orderBy(*order)
     wf = w.rowsBetween(-(n - 1), Window.currentRow)
-    local = ranged.select(
+    local = withpid.select(
         *keep_cols,
         "__pid",
         F.row_number().over(w).alias("__rn"),
@@ -123,8 +171,8 @@ def global_rolling_avg(
         cnt_col = F.create_map(
             *[F.lit(x) for pc in pstats for x in pc]
         )  # tiny literal map pid -> count
-        # tails: the last n-1 rows of every partition, re-keyed to the NEXT
-        # partition id; __from_end = 0 for the partition's very last row.
+        # tails: the last n-1 rows of every bucket, re-keyed to the NEXT
+        # bucket id; __from_end = 0 for the bucket's very last row.
         tails = (
             local.withColumn("__pcnt", cnt_col[F.col("__pid")])
             .where(F.col("__rn") > F.col("__pcnt") - (n - 1))
@@ -135,7 +183,7 @@ def global_rolling_avg(
             )
         )
         # a boundary row at local position r (r < n) is missing the deepest
-        # n-r rows of the previous partition: exactly __from_end < n - r
+        # n-r rows of the previous bucket: exactly __from_end < n - r
         boundary = local.where((F.col("__rn") <= n - 1) & (F.col("__pid") > 0))
         carry = (
             boundary.join(
@@ -169,7 +217,7 @@ def global_rolling_avg(
        ORDER BY o_orderdate, o_orderkey LIMIT 200""",
 )
 def x_rolling_scaled(t: Tables) -> DataFrame:
-    """q_w4's global moving average through the two-pass range-partitioned
+    """q_w4's global moving average through the two-pass range-bucketed
     decomposition — the executable 100 TB form of the single-partition
     window that q_w4 pins semantically. The measure is summed as exact
     integer cents (order-independent — double summation order differs

@@ -195,7 +195,7 @@ def test_near_dup_lsh_recall_vs_exhaustive(spark):
             rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     truth = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs_exact(df, 0.95).collect()}
-    got = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, 0.95).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in cosine_near_dup_pairs(df, 0.95, dim=32).collect()}
     assert truth, "fixture must plant at least one true near-dup pair"
     assert got <= truth  # every emitted pair is exact-verified, no false positives
     assert len(got & truth) / len(truth) >= 0.9, (truth - got)

@@ -75,6 +75,29 @@ def test_no_single_partition_exchange_in_plan(spark):
     assert "SinglePartition" in naive_plan
 
 
+def test_no_cache_residue(spark):
+    """The operator must leave NOTHING pinned in executor storage: bucket
+    assignment is a deterministic literal expression, so no persist is
+    needed for cross-pass consistency (regression test for the r3 leak
+    where the ranged dataset stayed cached until clearCache)."""
+    spark.catalog.clearCache()
+    df = _fixture(spark)
+    for _ in range(2):
+        global_rolling_avg(df, ["k"], "v", frame_rows=10, partitions=4).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_deterministic_across_evaluations(spark):
+    """Two independent evaluations of the SAME returned plan agree row-for-row
+    (the r3 design needed a disk persist for this; literal boundaries don't)."""
+    df = _fixture(spark)
+    out = global_rolling_avg(df, ["k"], "v", frame_rows=25, partitions=4)
+    first = sorted(map(tuple, out.collect()))
+    second = sorted(map(tuple, out.collect()))
+    assert first == second
+
+
 def test_x_rolling_scaled_matches_q_w4_semantics(spark):
     """The registered twin reproduces q_w4's frame over the corpus; the
     measure differs only by exact-cents vs running-double arithmetic, so
