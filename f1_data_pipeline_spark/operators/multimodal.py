@@ -3,10 +3,16 @@ metadata, processed by Arrow-batched ``mapInPandas`` kernels.
 
 The Spark-side plumbing is real and tested — schema, partition-parallel
 generation, kernel signatures, batch shapes, feature extraction over raw
-bytes. The *codec* step is stubbed (this container ships no PIL/ffmpeg):
-``decode_real`` raises ``NotImplementedError`` behind an import-try, and the
-test path uses a deterministic fake format (header + raw samples) so every
-kernel still exercises true byte-level work.
+bytes. The codec layer has two tiers:
+
+- **Real stdlib codecs**: PCM WAV (RIFF chunk walk) and uncompressed
+  24-bit BMP (BITMAPINFOHEADER) are parsed with nothing but ``struct`` +
+  numpy — ``decode_real`` dispatches on magic bytes and the
+  ``x_multimodal_real`` query runs the full generate→decode→aggregate
+  pipeline on genuine WAV/BMP files, pinned by a literal VALUES oracle.
+- **Native-lib formats** (PNG/JPEG/MP4/...): still a documented
+  ``NotImplementedError`` — this container ships no PIL/ffmpeg; the fake
+  wire format below keeps those kernel shapes exercised regardless.
 
 Scale design: payloads never leave the executor (no collect, no driver
 bottleneck); kernels see ``Iterator[pd.DataFrame]`` so one Python worker
@@ -65,15 +71,100 @@ def make_media_table(spark: SparkSession, n: int = 1000, partitions: int = 8) ->
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_real(payload: bytes):  # pragma: no cover - stub by design
-    """Real codec path — requires PIL/soundfile/ffmpeg, absent here."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PCM WAV (RIFF) and uncompressed 24-bit BMP
+# ---------------------------------------------------------------------------
+
+
+def wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Serialize int16 mono PCM to a spec-conformant RIFF/WAVE file
+    (fmt + data chunks) — the writer twin of ``decode_wav``."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a PCM WAV: proper RIFF chunk walk (unknown chunks skipped,
+    odd-size padding honored). Returns (sample_rate, channels, int16
+    samples). Non-PCM encodings (ADPCM/float/µ-law) need a real codec →
+    NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM WAV is stdlib-decodable (fmt={audio_fmt}, "
+                    f"bits={bits}); other encodings need native codecs"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
+def bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Serialize an (h, w, 3) uint8 BGR raster to an uncompressed 24-bit
+    BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up, 4-byte row pad)."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = b"".join(
+        pixels[y].tobytes() + b"\x00" * (row_size - w * 3) for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+    return header + info + rows
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed 24-bit BMP. Returns (width, height, (h, w, 3)
+    uint8 BGR, top-down). Handles both bottom-up (positive height — the
+    overwhelmingly common case) and top-down files, honors the pixel-data
+    offset and 4-byte row padding. Palettized/compressed/other-depth BMPs
+    need a real codec → NotImplementedError."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
         raise NotImplementedError(
-            "real image/audio decode needs PIL/ffmpeg; container ships none — "
-            "use the fake-format kernels or install codecs in production"
-        ) from e
+            f"only uncompressed 24-bit BMP is stdlib-decodable (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    height = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload[data_off : data_off + row_size * height], np.uint8)
+    rows = raw.reshape(height, row_size)[:, : w * 3].reshape(height, w, 3)
+    return w, height, rows[::-1] if h > 0 else rows
+
+
+def decode_real(payload: bytes) -> dict:
+    """Real codec dispatch on magic bytes.
+
+    WAV and BMP decode with pure stdlib (above); formats that genuinely
+    require native libraries (PNG/JPEG/MP4 — no PIL/ffmpeg in this
+    container) raise NotImplementedError, documented and tested."""
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, channels, samples = decode_wav(payload)
+        return {"fmt": "wav", "rate": rate, "channels": channels, "samples": samples}
+    if payload[:2] == b"BM":
+        w, h, pixels = decode_bmp(payload)
+        return {"fmt": "bmp", "width": w, "height": h, "pixels": pixels}
+    raise NotImplementedError(
+        "payload is not WAV/BMP; decoding other formats needs PIL/ffmpeg — "
+        "absent in this container, install codecs in production"
+    )
 
 
 def _parse_fake(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -232,6 +323,108 @@ def x_multimodal_frames(t: Tables) -> DataFrame:
             F.round(F.avg("frame_mean"), 2).alias("avg_frame_mean"),
         )
         .orderBy("frame")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-format pipeline: genuine WAV/BMP bytes end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _real_payload(media_id: int) -> tuple[str, bytes]:
+    """Deterministic REAL media file per id: odd ids → 16-bit PCM WAV,
+    even ids → 24-bit BMP. These are spec-conformant files any external
+    tool could open, not the synthetic fake format."""
+    rng = np.random.default_rng(media_id)
+    if media_id % 2:
+        n = 256 + (media_id % 7) * 64
+        samples = rng.integers(-2048, 2048, size=n, dtype=np.int16)
+        return "wav", wav_bytes(samples, rate=8000)
+    w = 16 + (media_id % 5) * 4
+    h = 8 + (media_id % 3) * 4
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return "bmp", bmp_bytes(pixels)
+
+
+def make_real_media_table(
+    spark: SparkSession, n: int = 500, partitions: int = 8
+) -> DataFrame:
+    """Partition-parallel table of real WAV/BMP files as binary payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                fmt, payload = _real_payload(int(i))
+                rows.append((int(i), fmt, payload, f"store/{int(i) % 10}"))
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "payload", "source"])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, "media_id long, fmt string, payload binary, source string"
+    )
+
+
+def extract_real_features(media: DataFrame) -> DataFrame:
+    """Decode REAL bytes executor-side via ``decode_real`` and emit unified
+    per-item features: n_units (samples / pixels), mean_level (mean |PCM| /
+    mean channel value, 4dp), peak (max |PCM| / max channel value)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_real(bytes(payload))
+                if d["fmt"] == "wav":
+                    a = np.abs(d["samples"].astype(np.int64))
+                    rows.append((int(mid), "wav", int(a.size), float(np.round(a.mean(), 4)), int(a.max())))
+                else:
+                    p = d["pixels"].astype(np.float64)
+                    rows.append((int(mid), "bmp", int(d["width"] * d["height"]), float(np.round(p.mean(), 4)), int(d["pixels"].max())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "n_units", "mean_level", "peak"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, fmt string, n_units long, mean_level double, peak long"
+    )
+
+
+# Literal VALUES oracle, same independence rule as the fake-format queries:
+# tests/test_multimodal.py re-derives these constants with a pure-numpy
+# pipeline (generation rules → REAL wav/bmp encode → REAL decode →
+# aggregate), so the oracle is an external check, not an echo.
+X_MULTIMODAL_REAL_EXPECTED: tuple[tuple[str, int, float, float, int], ...] = (
+    ("bmp", 250, 287.94, 127.42, 255),
+    ("wav", 250, 446.98, 1024.42, 2048),
+)
+
+_X_MULTIMODAL_REAL_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{fmt}', CAST({n} AS BIGINT), CAST({au} AS DOUBLE), "
+        f"CAST({al} AS DOUBLE), CAST({mp} AS BIGINT))"
+        for fmt, n, au, al, mp in X_MULTIMODAL_REAL_EXPECTED
+    )
+    + ") AS t(fmt, n, avg_units, avg_level, max_peak) ORDER BY fmt"
+)
+
+
+@query("x_multimodal_real", _X_MULTIMODAL_REAL_ORACLE)
+def x_multimodal_real(t: Tables) -> DataFrame:
+    """REAL-codec pipeline: 500 genuine WAV/BMP files → stdlib struct
+    decode in an Arrow-batched kernel → per-format aggregate. The concrete
+    counterpart to the fake-format plumbing queries."""
+    media = make_real_media_table(t.spark, n=500)
+    feats = extract_real_features(media)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_units"), 2).alias("avg_units"),
+            F.round(F.avg("mean_level"), 2).alias("avg_level"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("fmt")
     )
 
 
