@@ -1129,17 +1129,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # every operator family lands its strongest oracle-checked entry —
     # x_curation (the composed curation pipeline), x_dedup_winnow
     # (deterministic banding), x_sim_neardup (exact blocked near-dup),
-    # x_rolling_scaled (q_w4's scale-safe two-pass twin). Displaced
-    # queries (x_stringagg, x_arrayagg, q_h1, q_w5) stay verified by the
-    # in-repo oracle sweep.
+    # x_rolling_scaled (q_w4's scale-safe two-pass twin). Rotated in for
+    # round 4: x_token_budget (deterministic corpus quota sampling),
+    # x_text_winnow (vectorized winnowing fingerprints), x_multimodal_real
+    # (REAL WAV/BMP stdlib codec pipeline) — displacing x_percentiles,
+    # q_sub1, q_cte1, which (like x_stringagg, x_arrayagg, q_h1, q_w5)
+    # stay verified by the in-repo oracle sweep.
     "x_text_tokens", "x_text_quality", "x_text_langid", "x_text_fingerprint",
     "x_dedup_exact", "x_dedup_ngram", "x_dedup_winnow",
     "x_sim_topk", "x_sim_pairs", "x_sim_neardup",
     "x_asof_join", "x_sessionize",
-    "x_percentiles", "x_curation",
-    # multimodal's deterministic aggregate is pinned by a literal VALUES oracle
-    "x_multimodal_features",
-    "q_sub1", "q_cte1", "x_rolling_scaled",
+    "x_token_budget", "x_curation",
+    # multimodal: both the fake-plumbing aggregate and the real-codec
+    # pipeline are pinned by literal VALUES oracles
+    "x_multimodal_features", "x_multimodal_real",
+    "x_text_winnow", "x_rolling_scaled",
 )
 
 

@@ -52,10 +52,13 @@ def test_every_operator_module_inside_window():
     window = set(DRIVER_PRIORITY)
     families = {
         "text": {"x_text_tokens", "x_text_quality", "x_text_langid", "x_text_fingerprint"},
+        "text-sampling": {"x_token_budget"},
+        "text-winnow": {"x_text_winnow"},
         "dedup": {"x_dedup_exact", "x_dedup_ngram"},
         "similarity": {"x_sim_topk", "x_sim_pairs"},
         "joins": {"x_asof_join", "x_sessionize"},
         "multimodal": {"x_multimodal_features"},
+        "multimodal-real": {"x_multimodal_real"},
         "windows": {"x_rolling_scaled"},
     }
     for family, names in families.items():
