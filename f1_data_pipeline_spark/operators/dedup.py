@@ -344,3 +344,144 @@ def x_dedup_winnow(t: Tables) -> DataFrame:
     return winnow_candidate_pairs(
         t.documents, min_shared=2, max_df=5
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate pairs → duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 15,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into connected components by
+    min-label propagation: every node ends up labeled with the smallest id
+    reachable from it. Returns ``(n, rep)`` — one row per node appearing
+    in any pair. This is the step between candidate generation (MinHash/
+    winnow/LSH emit PAIRS) and the dedup decision (keep ONE doc per
+    CLUSTER) that a production pipeline cannot skip: pair-wise keep-the-
+    smaller loses documents when A~B and B~C but A!~C.
+
+    Execution shape: labels/edges carry only (id, id) longs — document
+    bytes never enter. The symmetrized edge set (+ self-loops) is
+    MATERIALIZED once to ``scratch_dir`` parquet (a temp dir by default;
+    object storage at cluster scale) — the standard checkpoint every
+    iterative graph algorithm needs: it costs O(E) once and truncates
+    lineage, so round ``k``'s plan is ``k`` shallow join+agg levels over a
+    parquet scan instead of ``k`` embedded copies of the candidate-
+    generation pipeline (which grows plan handling past driver memory).
+    Each round shuffles O(E), rounds ≈ cluster diameter (near-dup clusters
+    are star/clique-like: single digits even at corpus scale). The
+    convergence probe runs on persisted label iterates to find the needed
+    depth ``k``, then everything is unpersisted and the RETURNED frame is
+    a fresh persist-free static ``k``-round plan — no cache residue,
+    deterministic output. Like the IVF codebook build, the probe is a
+    legitimate driver-side action during query construction."""
+    import os
+    import tempfile
+
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    undirected = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    nodes = undirected.select(F.col("a").alias("n")).distinct()
+    # self-loops fold "keep own label" into the SAME join as "min neighbor
+    # label", so each propagation round references the label frame exactly
+    # once — a two-reference formulation (join + least) doubles the logical
+    # plan per round (2^k tree → OOM in plan handling); this one grows it
+    # linearly in k
+    edges_plan = undirected.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b")))
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="f1dp_cc_")
+    epath = os.path.join(scratch_dir, "edges.parquet")
+    edges_plan.write.mode("overwrite").parquet(epath)
+    edges = pairs.sparkSession.read.parquet(epath)
+    nodes = edges.where(F.col("a") == F.col("b")).select(F.col("a").alias("n"))  # self-loops
+
+    def propagate(labels: DataFrame) -> DataFrame:
+        # labels descends from edges: rename to fresh columns so the join
+        # condition can't resolve both sides to the same attribute
+        lab = labels.select(F.col("n").alias("__ln"), F.col("rep").alias("__lrep"))
+        return (
+            edges.join(lab, edges["b"] == F.col("__ln"))
+            .groupBy(edges["a"].alias("n"))
+            .agg(F.min("__lrep").alias("rep"))
+        )
+
+    labels0 = nodes.select("n", F.col("n").alias("rep"))
+    pinned_edges = edges.persist()
+    cur = labels0.persist()
+    pinned = [cur]
+    iters = 0
+    try:
+        for _ in range(max_iter):
+            nxt = propagate(cur).persist()
+            pinned.append(nxt)
+            changed = (
+                nxt.select(F.col("n"), F.col("rep").alias("__new"))
+                .join(cur.select(F.col("n"), F.col("rep").alias("__old")), "n")
+                .where(F.col("__new") != F.col("__old"))
+                .count()
+            )
+            cur = nxt
+            iters += 1
+            if changed == 0:
+                break
+        else:
+            raise ValueError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"(cluster diameter too large — raise max_iter)"
+            )
+    finally:
+        pinned_edges.unpersist()
+        for df in pinned:
+            df.unpersist()
+
+    out = labels0
+    for _ in range(iters):
+        out = propagate(out)
+    return out
+
+
+def dedup_by_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply near-dup dedup: keep the smallest-id document of every
+    duplicate cluster plus every unpaired document — the standard
+    candidate→cluster→canonical pipeline tail. Anti-join on the (tiny)
+    loser id set, so document bytes move zero times."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("n") != F.col("rep")).select(F.col("n").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
+_X_CLUSTERS_ORACLE = f"""
+  WITH RECURSIVE
+  pairs AS (SELECT id_a, id_b FROM ({_winnow_oracle_sql(k=8, w=4, min_shared=2, max_df=5)}) t),
+  edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach AS (
+    SELECT a AS n, b AS m FROM edges
+    UNION
+    SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+  ),
+  lbl AS (SELECT n, LEAST(n, MIN(m)) AS rep FROM reach GROUP BY n)
+  SELECT CAST(rep AS BIGINT) AS rep_id, CAST(count(*) AS BIGINT) AS size
+  FROM lbl GROUP BY rep ORDER BY rep_id"""
+
+
+@query("x_dedup_clusters", _X_CLUSTERS_ORACLE)
+def x_dedup_clusters(t: Tables) -> DataFrame:
+    """Duplicate clusters over the winnowing candidate graph: connected
+    components of x_dedup_winnow's pairs, one row per cluster with its
+    canonical (minimum) doc_id and member count — checked exactly against
+    a recursive-CTE transitive-closure oracle."""
+    pairs = winnow_candidate_pairs(t.documents, min_shared=2, max_df=5)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy(F.col("rep").alias("rep_id"))
+        .agg(F.count("*").alias("size"))
+        .orderBy("rep_id")
+    )

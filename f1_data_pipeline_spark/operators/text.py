@@ -368,6 +368,155 @@ def token_budget_sample(
     )
 
 
+def tfidf_term_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level TF-IDF term statistics: per term, document frequency,
+    total term frequency, and summed tf·idf (idf = ln((N+1)/(df+1))).
+
+    Two keyed shuffles, both with map-side partial aggregation: (doc, term)
+    term-frequency, then per-term stats; the corpus size N joins in as a
+    broadcast 1-row aggregate (never a driver action). At 100 TB this is
+    the standard vocabulary-pass shape — the explode never leaves the scan
+    stage and only (term, counts) rows move."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+    ndocs = df.agg(F.count("*").alias("__n"))
+    return stats.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        "df",
+        "total_tf",
+        F.round(
+            F.col("total_tf") * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+
+
+@query(
+    "x_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                        CAST(sum(tf) AS BIGINT) AS total_tf
+                 FROM tf GROUP BY term),
+       n AS (SELECT count(*) AS n FROM documents)
+       SELECT term, df, total_tf,
+              ROUND(total_tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+       FROM stats, n ORDER BY tfidf DESC, term LIMIT 25""",
+)
+def x_tfidf(t: Tables) -> DataFrame:
+    """Top-25 corpus terms by summed TF-IDF — the vocabulary/term-weight
+    pass every corpus analysis starts with. Tie-broken by term so the
+    LIMIT is deterministic across engines."""
+    return (
+        tfidf_term_stats(t.documents)
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(25)
+    )
+
+
+def pack_stats(
+    df: DataFrame,
+    seq_len: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing statistics: documents are
+    (conceptually) concatenated per ``by`` group in ``order`` and split
+    into ``seq_len``-token training sequences; this computes, per group,
+    how many sequences result and how many documents straddle a sequence
+    boundary (the doc-truncation metric packing decisions are judged by).
+
+    Same single-keyed-shuffle geometry as ``token_budget_sample``: one
+    cumsum window per group, one aggregate — at scale the group key is the
+    storage partition key, making the window scan-local. All arithmetic is
+    integer (``div``), so engines cannot drift."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count(text_col).cast("long")).over(w)
+    c = df.select(
+        F.col(by),
+        cum.alias("__cum"),
+        token_count(text_col).cast("long").alias("__n"),
+    )
+    straddle = (
+        F.expr(f"(__cum - __n) div {seq_len}") != F.expr(f"(__cum - 1) div {seq_len}")
+    ).cast("long")
+    return (
+        c.withColumn("__straddle", straddle)
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("__cum").alias("total_tokens"),
+            F.expr(f"(max(__cum) + {seq_len - 1}) div {seq_len}").alias("n_sequences"),
+            F.sum("__straddle").alias("n_straddling"),
+        )
+    )
+
+
+@query(
+    "x_seq_pack",
+    """WITH c AS (
+         SELECT source, doc_id,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents)
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs, MAX(cum) AS total_tokens,
+              (MAX(cum) + 511) // 512 AS n_sequences,
+              CAST(SUM(CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+       FROM c GROUP BY source ORDER BY source""",
+)
+def x_seq_pack(t: Tables) -> DataFrame:
+    """Per-source 512-token sequence-packing stats via ``pack_stats`` —
+    sequences produced and boundary-straddling docs under concat-and-chunk."""
+    return pack_stats(t.documents, seq_len=512).orderBy("source")
+
+
+def stratified_sample(
+    df: DataFrame, n_per_group: int, by: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, group_size)`` rows
+    per ``by`` group, chosen by md5-of-id order — a fixed pseudo-random
+    permutation both engines compute identically, so re-runs, retries and
+    incremental rebuilds pick the same rows (``rand()`` would not survive
+    a task retry). One keyed shuffle; WindowGroupLimit prunes to ≤n rows
+    per group before the exchange."""
+    w = Window.partitionBy(by).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+@query(
+    "x_stratified",
+    """WITH r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                  FROM documents)
+       SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY source, doc_id""",
+)
+def x_stratified(t: Tables) -> DataFrame:
+    """Balanced 5-per-source corpus sample via ``stratified_sample``."""
+    return (
+        stratified_sample(t.documents, n_per_group=5)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
 @query(
     "x_token_budget",
     """WITH c AS (

@@ -357,3 +357,101 @@ def test_winnow_fast_udf_matches_catalyst_form(spark):
     ).collect()
     for r in got:
         assert r["slow"] == r["fast"], (r["i"], texts[r["i"]], r["slow"], r["fast"])
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    """Exactly min(n, group_size) rows per group; identical selection on
+    re-evaluation (the retry-safety contract rand() sampling lacks)."""
+    from f1_data_pipeline_spark.operators.text import stratified_sample
+
+    rows = [(i, f"g{i % 7}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, n_per_group=5)
+    sizes = {r["source"]: r["c"] for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert sizes["tiny"] == 1
+    assert all(sizes[f"g{g}"] == 5 for g in range(7))
+    first = sorted((r["doc_id"], r["source"]) for r in out.collect())
+    second = sorted((r["doc_id"], r["source"]) for r in out.collect())
+    assert first == second
+
+
+def test_pack_stats_matches_bruteforce(spark):
+    """pack_stats must agree with a literal concat-and-chunk simulation."""
+    from f1_data_pipeline_spark.operators.text import pack_stats
+
+    rng = random.Random(5)
+    rows = []
+    for g in range(3):
+        for i in range(40):
+            n = rng.randrange(1, 30)
+            rows.append((g * 1000 + i, f"s{g}", " ".join("w" * 1 for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["n_sequences"], r["n_straddling"])
+        for r in pack_stats(df, seq_len=64).collect()
+    }
+    for g in range(3):
+        docs = sorted((d, t) for d, s, t in rows if s == f"s{g}")
+        pos, straddle, total = 0, 0, 0
+        for _, t in docs:
+            n = len(t.split(" "))
+            if pos // 64 != (pos + n - 1) // 64:
+                straddle += 1
+            pos += n
+            total += n
+        want = (len(docs), total, (total + 63) // 64, straddle)
+        assert got[f"s{g}"] == want, (g, got[f"s{g}"], want)
+
+
+def test_tfidf_matches_handcomputed(spark):
+    """tfidf_term_stats vs a literal python computation on a tiny corpus."""
+    import math
+
+    from f1_data_pipeline_spark.operators.text import tfidf_term_stats
+
+    corpus = {1: "a b a", 2: "a c", 3: "b b d"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["df"], r["total_tf"], r["tfidf"]) for r in tfidf_term_stats(df).collect()}
+    from collections import Counter
+
+    df_ct, tf_ct = Counter(), Counter()
+    for text in corpus.values():
+        toks = text.split(" ")
+        tf_ct.update(toks)
+        df_ct.update(set(toks))
+    n = len(corpus)
+    for term in tf_ct:
+        want = (
+            df_ct[term],
+            tf_ct[term],
+            round(tf_ct[term] * math.log((n + 1) / (df_ct[term] + 1)), 4),
+        )
+        assert got[term] == want, (term, got[term], want)
+
+
+def test_connected_components_chain_and_island(spark):
+    """Transitive chains must collapse to one cluster (the pair-wise trap:
+    A~B, B~C, A!~C) — and leave no cache residue behind."""
+    from f1_data_pipeline_spark.operators.dedup import connected_components
+
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["n"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dedup_by_clusters_keeps_canonical_and_unpaired(spark):
+    from f1_data_pipeline_spark.operators.dedup import dedup_by_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
+    assert kept == [1, 7, 9]  # cluster reps 1 and 7, unpaired 9
