@@ -291,3 +291,86 @@ def x_range_join(t: Tables):
         .orderBy("event_id", "purchase_id")
         .limit(300)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill + LOCF (TimescaleDB time_bucket_gapfill / locf shape)
+# ---------------------------------------------------------------------------
+
+
+def gap_fill(
+    df,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "hour",
+):
+    """Regularize an irregular time series: bucket observations to the
+    ``unit`` grid (bucket value = avg), emit EVERY grid slot between each
+    key's first and last observation, and carry the last observation
+    forward into empty slots (LOCF) — the hypertable rollup shape
+    (``time_bucket_gapfill`` + ``locf``) every monitoring/feature pipeline
+    needs before resampling.
+
+    Output: (key, bucket, v_obs, v_filled) — ``v_obs`` NULL on gap rows.
+
+    Scale shape: one keyed shuffle for the bucket aggregate, a P-row
+    per-key bounds aggregate whose ``sequence``-explode generates the grid
+    scan-locally (never a driver-side calendar), one equi-join of grid to
+    buckets, and one keyed-window LOCF pass. Grid size is bounded by
+    span/unit per key — the caller picks ``unit`` to match retention the
+    same way a hypertable picks its chunk interval.
+    """
+    b = df.select(
+        F.col(key).alias("k"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        F.col(value_col).alias("__v"),
+    )
+    per_bucket = b.groupBy("k", "bucket").agg(F.avg("__v").alias("__v"))
+    bounds = b.groupBy("k").agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        "k", F.explode(F.expr(f"sequence(lo, hi, interval 1 {unit})")).alias("bucket")
+    )
+    joined = grid.join(per_bucket, ["k", "bucket"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key),
+        "bucket",
+        F.col("__v").alias("v_obs"),
+        F.last("__v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+@query(
+    "x_gapfill",
+    """WITH e AS (SELECT user_id AS k, date_trunc('hour', ts) AS bucket, value AS v
+                  FROM events WHERE user_id < 5),
+       pb AS (SELECT k, bucket, avg(v) AS v FROM e GROUP BY k, bucket),
+       bounds AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM e GROUP BY k),
+       grid AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                FROM bounds),
+       j AS (SELECT g.k, g.bucket, pb.v FROM grid g
+             LEFT JOIN pb ON pb.k = g.k AND pb.bucket = g.bucket)
+       SELECT k AS user_id, bucket, ROUND(v, 4) AS v_obs,
+              ROUND(last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY k ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled
+       FROM j ORDER BY user_id, bucket""",
+)
+def x_gapfill(t: Tables):
+    """Hourly gap-filled + LOCF'd event values for users 0-4 via
+    ``gap_fill`` — the TimescaleDB ``time_bucket_gapfill``/``locf`` rollup
+    expressed as bucket-agg → sequence-explode grid → keyed LOCF window."""
+    out = gap_fill(
+        t.events.where(F.col("user_id") < 5), "user_id", "ts", "value", unit="hour"
+    )
+    return out.select(
+        "user_id",
+        "bucket",
+        F.round("v_obs", 4).alias("v_obs"),
+        F.round("v_filled", 4).alias("v_filled"),
+    ).orderBy("user_id", "bucket")

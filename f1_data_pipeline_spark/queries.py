@@ -1175,3 +1175,33 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
         if name not in ordered:
             ordered[name] = q
     return ordered
+
+
+@query(
+    "q_j9",
+    """SELECT COALESCE(e.k, c.k) AS k, e.n_events, c.n_cust
+       FROM (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY user_id) e
+       FULL JOIN (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n_cust
+                  FROM customer GROUP BY c_custkey) c
+         ON e.k = c.k
+       ORDER BY k LIMIT 200""",
+)
+def q_j9(t: Tables) -> DataFrame:
+    """Full outer join (the one join type the corpus lacked): event
+    activity per user against the customer dimension on mismatched key
+    domains, so both null-extended sides actually occur. Aggregates
+    reduce each side BEFORE the join — the shuffle moves group rows,
+    not facts."""
+    e = t.events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    c = t.customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("n_cust")
+    )
+    return (
+        e.join(c, "k", "full_outer")
+        .select("k", "n_events", "n_cust")
+        .orderBy("k")
+        .limit(200)
+    )
