@@ -455,3 +455,30 @@ def test_dedup_by_clusters_keeps_canonical_and_unpaired(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
     kept = sorted(r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect())
     assert kept == [1, 7, 9]  # cluster reps 1 and 7, unpaired 9
+
+
+def test_gap_fill_emits_gaps_and_carries_forward(spark):
+    """Handcrafted series: hour buckets 10:00 (v=2.0, avg of 1+3), 13:00
+    (v=7.0) → grid must contain 11:00/12:00 gap rows with v_obs NULL and
+    v_filled carried from 10:00; a second key must fill independently."""
+    from f1_data_pipeline_spark.operators.joins import gap_fill
+
+    rows = [
+        (1, "2024-01-01 10:05:00", 1.0),
+        (1, "2024-01-01 10:55:00", 3.0),
+        (1, "2024-01-01 13:30:00", 7.0),
+        (2, "2024-01-01 00:10:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        (r["k"], str(r["bucket"])): (r["v_obs"], r["v_filled"])
+        for r in gap_fill(df, "k", "ts", "v", unit="hour").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == (2.0, 2.0)
+    assert got[(1, "2024-01-01 11:00:00")] == (None, 2.0)
+    assert got[(1, "2024-01-01 12:00:00")] == (None, 2.0)
+    assert got[(1, "2024-01-01 13:00:00")] == (7.0, 7.0)
+    assert got[(2, "2024-01-01 00:00:00")] == (5.0, 5.0)
+    assert len(got) == 5  # no slots outside each key's observed span
