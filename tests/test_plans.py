@@ -83,3 +83,35 @@ def test_decode_udf_runs_after_topic_filter(spark):
     assert udf_pos != -1 and filter_pos != -1
     # physical plans print top-down: the filter (later in text) executes first
     assert filter_pos > udf_pos
+
+
+def test_stratified_sample_prunes_before_exchange(spark):
+    """x_stratified's rank<=n filter must compile to WindowGroupLimit so at
+    most n rows per group survive BEFORE the shuffle."""
+    p = plan_of(spark, "x_stratified")
+    assert "WindowGroupLimit" in p
+
+
+def test_tfidf_aggregates_are_two_phase(spark):
+    """Both tf and per-term aggregates must partial-aggregate map-side, and
+    the corpus-size join must broadcast — never shuffle the stats side."""
+    p = plan_of(spark, "x_tfidf")
+    assert "partial_count" in p or "partial" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gapfill_has_no_cartesian_and_keyed_window(spark):
+    """The grid join is equi on (key, bucket) and the LOCF window is keyed —
+    no cartesian grid explosion, no single-partition window."""
+    p = plan_of(spark, "x_gapfill")
+    assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_full_outer_pre_aggregates_both_sides(spark):
+    """q_j9 reduces each side before joining: the join inputs are aggregate
+    outputs, so partial aggregation must appear under the join."""
+    p = plan_of(spark, "q_j9")
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "partial_count" in p or "partial" in p
