@@ -374,3 +374,29 @@ def x_gapfill(t: Tables):
         F.round("v_obs", 4).alias("v_obs"),
         F.round("v_filled", 4).alias("v_filled"),
     ).orderBy("user_id", "bucket")
+
+
+@query(
+    "x_scd2",
+    """SELECT user_id, ROUND(value, 4) AS value, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS is_current
+       FROM events WHERE user_id < 10
+       ORDER BY user_id, valid_from, value""",
+)
+def x_scd2(t: Tables):
+    """SCD Type-2 validity ranges over the per-user event stream via
+    ``merge.scd2_history`` — every update becomes a version row with
+    [valid_from, valid_to) and an is_current flag, deterministic through
+    the event_id tiebreak."""
+    from f1_data_pipeline_spark.operators.merge import scd2_history
+
+    src = t.events.where(F.col("user_id") < 10).select(
+        "user_id", "event_id", "ts", F.round("value", 4).alias("value")
+    )
+    return (
+        scd2_history(src, ["user_id"], "ts", "event_id", ["value"])
+        .select("user_id", "value", "valid_from", "valid_to", "is_current")
+        .orderBy("user_id", "valid_from", "value")
+    )

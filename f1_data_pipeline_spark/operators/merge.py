@@ -41,3 +41,35 @@ def first_non_null_merge(
         for c in cols
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from a change stream: each
+    update row becomes a version with ``valid_from`` = its timestamp,
+    ``valid_to`` = the next update's timestamp for the same key (NULL while
+    current), and ``is_current`` on the open version — the warehouse-grade
+    twin of the reference's last-write-wins upsert (loader.py:202-219),
+    which keeps only the final state and discards history.
+
+    One keyed window (``lead`` over the per-key update order); ``tiebreak``
+    pins simultaneous updates so validity ranges are deterministic under
+    any partitioning. At scale the window shuffle is keyed by the
+    dimension key — the same geometry as the upsert it replaces.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    valid_to = F.lead(ts_col).over(w)
+    return df.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

@@ -482,3 +482,30 @@ def test_gap_fill_emits_gaps_and_carries_forward(spark):
     assert got[(1, "2024-01-01 13:00:00")] == (7.0, 7.0)
     assert got[(2, "2024-01-01 00:00:00")] == (5.0, 5.0)
     assert len(got) == 5  # no slots outside each key's observed span
+
+
+def test_scd2_history_ranges_tile_without_overlap(spark):
+    """Per key: version ranges must chain exactly (valid_to of version i ==
+    valid_from of version i+1), with exactly one open current version."""
+    from f1_data_pipeline_spark.operators.merge import scd2_history
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 10.0),
+        (1, 2, "2024-01-02 00:00:00", 20.0),
+        (1, 3, "2024-01-03 00:00:00", 30.0),
+        (2, 4, "2024-01-05 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, eid int, ts string, v double").select(
+        "k", "eid", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = scd2_history(df, ["k"], "ts", "eid", ["v"]).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"] and versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, a, b)
+    assert [r["v"] for r in by_key[1]] == [10.0, 20.0, 30.0]
