@@ -534,6 +534,141 @@ def ivf_topk_indexed(
     return ivf_search_assigned(assigned, query_df, centroids, nprobe, k, id_col, vec_col)
 
 
+def _assign_query_cells(
+    queries_df: DataFrame,
+    centroids,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every query row exploded to its ``nprobe`` nearest IVF cells — the
+    batch generalization of ``_probe_cells`` (which reads ONE query via
+    ``iloc[0]``). Runs as a distributed Arrow kernel (one ``Q @ C.T`` GEMM
+    per batch against the broadcast codebook), so a million-query batch
+    never lands on the driver. Output: (qid, cell, qvec)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = queries_df.sparkSession.sparkContext.broadcast(centroids)
+
+    def kernel(batches):
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            # stable top-nprobe cells per query (argsort, not argpartition:
+            # deterministic under centroid-similarity ties)
+            cells = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :nprobe]
+            qids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, cells.shape[1]),
+                    "cell": cells.reshape(-1).astype(np.int32),
+                    "qvec": [v for v in pdf[vec_col] for _ in range(cells.shape[1])],
+                }
+            )
+
+    return queries_df.select(id_col, vec_col).mapInPandas(
+        kernel, "qid long, cell int, qvec array<double>"
+    )
+
+
+def ivf_topk_batch(
+    assigned: DataFrame,
+    queries_df: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """IVF-ANN for a BATCH of N query vectors at once — the retrieval-eval /
+    corpus-vs-corpus shape every single-query entry point above lacks.
+
+    Execution shape (nothing per-query on the driver, no N-pass scan):
+
+    1. queries → (qid, cell, qvec) via the distributed ``_assign_query_cells``
+       GEMM, then packed per cell (``collect_list`` — N·nprobe rows total);
+    2. the corpus side (an ``ivf_assign`` output or a cell-partitioned index
+       read) is packed into bounded (cell, block) payload rows, the same
+       pack-then-GEMM discipline as ``_blocked_pair_tasks``;
+    3. packed queries are BROADCAST and equi-joined on ``cell`` — each task
+       holds one corpus block plus every query probing its cell, and runs
+       ONE ``X @ Q.T`` GEMM. When ``assigned`` reads the partitioned index,
+       the broadcast join on the partition column lets Spark prune unprobed
+       cells at runtime (dynamic partition pruning) — the batch analog of
+       the single-query ``cell IN (...)`` PartitionFilters;
+    4. each task emits its local per-query top-k under the global total
+       order (sim desc, id asc) — local top-k under a total order composes
+       exactly — and a keyed ``row_number`` window keeps the global k.
+
+    Returns (qid, vec_id, sim) with exactly ≤k rows per qid, deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_cells = _assign_query_cells(queries_df, centroids, nprobe, id_col, vec_col)
+    q_packed = q_cells.groupBy("cell").agg(
+        F.collect_list(F.struct(F.col("qid"), F.col("qvec"))).alias("queries")
+    )
+
+    n = n_rows if n_rows is not None else assigned.count()
+    num_blocks = max(1, -(-n // block_rows))
+    c_packed = (
+        assigned.select(
+            "cell",
+            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"),
+                as_double_vec(vec_col).alias("vec"),
+            ).alias("row"),
+        )
+        .groupBy("cell", "block")
+        .agg(F.collect_list("row").alias("rows"))
+    )
+
+    tasks = c_packed.join(F.broadcast(q_packed), "cell")
+
+    def kernel(batches):
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                ids = np.asarray([r["id"] for r in task["rows"]], dtype=np.int64)
+                X = np.stack(
+                    [np.asarray(r["vec"], dtype=np.float64) for r in task["rows"]]
+                )
+                Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+                qids = np.asarray([q["qid"] for q in task["queries"]], dtype=np.int64)
+                Q = np.stack(
+                    [np.asarray(q["qvec"], dtype=np.float64) for q in task["queries"]]
+                )
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                S = np.round(Xn @ Qn.T, 4)  # (n_block, n_queries)
+                for j in range(len(qids)):
+                    sims = S[:, j]
+                    order = np.lexsort((ids, -sims))[:k]  # total order: sim desc, id asc
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qids[j]),
+                            id_col: ids[order],
+                            "sim": sims[order],
+                        }
+                    )
+
+    local = tasks.mapInPandas(kernel, f"qid long, {id_col} long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col, "sim")
+        .orderBy("qid", F.col("sim").desc(), id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered correctness queries
 # ---------------------------------------------------------------------------
@@ -640,6 +775,20 @@ def x_sim_ivf_indexed(t: Tables) -> DataFrame:
             "IVF indexed search lost partition pruning (no cell PartitionFilters)"
         )
     return out
+
+
+@query("x_sim_ivf_batch", None)  # approximate by design → rows-only check
+def x_sim_ivf_batch(t: Tables) -> DataFrame:
+    """Batch-query IVF-ANN: top-5 neighbors for EVERY vec_id < 10 in one
+    pass (queries assigned to probed cells distributedly, broadcast-packed,
+    one GEMM per corpus block) — the retrieval-eval shape. Recall vs the
+    per-query exact top-k is asserted in tests/test_operators.py."""
+    e = t.embeddings
+    corpus = e.where(F.col("vec_id") >= 10)
+    queries = e.where(F.col("vec_id") < 10)
+    C = ivf_centroids(corpus, k=8, seed=42)
+    assigned = ivf_assign(corpus, C)
+    return ivf_topk_batch(assigned, queries, C, nprobe=3, k=5)
 
 
 @query("x_sim_lsh", None)  # approximate by design → rows-only check
