@@ -347,6 +347,94 @@ def x_dedup_winnow(t: Tables) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_against(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data decontamination: per-document n-gram overlap with a
+    benchmark/eval set, the standard pre-training hygiene step (flag or
+    drop training docs that leak evaluation data).
+
+    Execution shape at 100 TB: the corpus side is a scan-local shingle
+    explode; the benchmark's distinct shingle set is BROADCAST (eval sets
+    are MBs even when the corpus is 100 TB) and left-joined without a
+    shuffle; one keyed aggregation then yields both the per-doc n-gram
+    total and the contaminated count — a single corpus shuffle total.
+
+    Returns (doc_id, n_ngrams, n_contaminated, contamination, flagged) for
+    every corpus doc with ≥ ``n`` words, ``flagged`` when the contaminated
+    share of distinct n-grams reaches ``threshold``.
+    """
+    corpus_sh = word_shingles(docs, text_col, n)
+    bench_sh = (
+        word_shingles(benchmark, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4).alias("contamination"),
+            (F.col("n_contaminated") / F.col("n_ngrams") >= threshold).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Shared shingle CTE text for the decontamination oracle (3-gram form, the
+# same generation rule as the x_dedup_ngram oracle above).
+_SH_SQL = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle "
+    "FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents) t "
+    "WHERE len(w) >= 3"
+)
+
+_X_DECONTAM_ORACLE = f"""
+  WITH sh AS ({_SH_SQL}),
+  corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+  bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+  agg AS (SELECT c.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_ngrams,
+                 CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated
+          FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+          GROUP BY c.doc_id)
+  SELECT doc_id, n_ngrams, n_contaminated,
+         ROUND(CAST(n_contaminated AS DOUBLE) / n_ngrams, 4) AS contamination,
+         CAST(n_contaminated AS DOUBLE) / n_ngrams >= 0.2 AS flagged
+  FROM agg ORDER BY doc_id"""
+
+
+@query("x_decontam", _X_DECONTAM_ORACLE)
+def x_decontam(t: Tables) -> DataFrame:
+    """Benchmark decontamination over documents: every doc_id % 20 == 0 doc
+    plays the held-out eval set, the rest are the training corpus; per-doc
+    3-gram contamination ratio + flag at 0.2 — the planted near-duplicates
+    in the corpus guarantee true positives. Broadcast benchmark set, one
+    corpus shuffle."""
+    bench = t.documents.where(F.col("doc_id") % 20 == 0)
+    corpus = t.documents.where(F.col("doc_id") % 20 != 0)
+    return decontaminate_against(corpus, bench, n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
 # Candidate pairs → duplicate clusters (connected components)
 # ---------------------------------------------------------------------------
 

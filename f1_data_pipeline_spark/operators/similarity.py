@@ -669,6 +669,41 @@ def ivf_topk_batch(
     )
 
 
+def ivf_topk_batch_indexed(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    centroids,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Batch ANN against a persisted cell-partitioned index with STATIC
+    partition pruning: the union of all queries' probed cells is collected
+    (bounded by the codebook size — ≤ k_cells ints, the same legitimately
+    small driver-side class as the codebook itself) and pushed as a
+    ``cell IN (...)`` literal, so the scan reads exactly the probed cell
+    directories and skips the rest as zero I/O. Raises if pruning
+    regresses, like ``x_sim_ivf_indexed``. The per-query cell routing
+    inside ``ivf_topk_batch`` then narrows each query to ITS cells."""
+    q_cells = _assign_query_cells(queries_df, centroids, nprobe, id_col, vec_col)
+    probed = sorted(
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    )
+    assigned = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
+    out = ivf_topk_batch(
+        assigned, queries_df, centroids, nprobe, k, id_col, vec_col, block_rows
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in plan or "cell" not in plan:
+        raise RuntimeError(
+            "batch IVF indexed search lost partition pruning (no cell PartitionFilters)"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registered correctness queries
 # ---------------------------------------------------------------------------

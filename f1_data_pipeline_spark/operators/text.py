@@ -517,6 +517,130 @@ def x_stratified(t: Tables) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signal: per document, the share of
+    n-gram occurrences taken by the single most frequent n-gram (high →
+    boilerplate/spam; MassiveText filters on exactly this family of
+    ratios). Counts REPEATED occurrences, so the shingle explode keeps
+    duplicates (unlike ``word_shingles``).
+
+    Two keyed shuffles, both with map-side partials: (doc, gram) counts,
+    then a per-doc max/sum — the same geometry as TF-IDF. Scan-local
+    otherwise; no UDFs."""
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
+    grams = (
+        df.withColumn("w", tokens(text_col))
+        .where(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform(sequence(0, size(w)-{n}), "
+                f"i -> concat_ws(' ', {idx})))"
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max("c").alias("top_gram_n"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "top_gram_n",
+            F.round(F.col("top_gram_n") / F.col("n_grams"), 4).alias("rep_ratio"),
+        )
+    )
+
+
+@query(
+    "x_text_repetition",
+    """WITH g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i+1])) AS gram
+                  FROM (SELECT doc_id, string_split(trim(text), ' ') AS w
+                        FROM documents) t
+                  WHERE len(w) >= 2),
+       c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+              CAST(max(c) AS BIGINT) AS top_gram_n,
+              ROUND(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio
+       FROM c GROUP BY doc_id ORDER BY doc_id""",
+)
+def x_text_repetition(t: Tables) -> DataFrame:
+    """Per-document top-2-gram repetition ratio (boilerplate/spam signal)
+    via ``repetition_stats``."""
+    return repetition_stats(t.documents, n=2).orderBy("doc_id")
+
+
+def mixture_weights(
+    df: DataFrame, targets: DataFrame, by: str = "source"
+) -> DataFrame:
+    """Domain-mixture reweighting: per ``by`` group, the sampling weight
+    that reshapes the corpus's actual mixture into a target mixture
+    (weight = target_share / actual_share — the number every
+    mixture-balancing sampler multiplies into its keep probability).
+
+    ``targets`` is (by, target_w) with arbitrary unnormalized weights —
+    a config-sized table, joined as a broadcast. Corpus side is ONE
+    keyed count aggregate; both normalizing totals are broadcast 1-row
+    aggregates (the TF-IDF corpus-size pattern), so nothing driver-side
+    and nothing quadratic."""
+    actual = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    total = actual.agg(F.sum("n_docs").alias("__total"))
+    t_total = targets.agg(F.sum("target_w").alias("__t_total"))
+    return (
+        actual.join(F.broadcast(targets), by)
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            by,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), 4).alias("actual_share"),
+            F.round(F.col("target_w") / F.col("__t_total"), 4).alias("target_share"),
+            F.round(
+                (F.col("target_w") / F.col("__t_total"))
+                / (F.col("n_docs") / F.col("__total")),
+                4,
+            ).alias("weight"),
+        )
+    )
+
+
+@query(
+    "x_mixture",
+    """WITH actual AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+       tgt AS (SELECT source,
+                      1 + (CAST(substr(source, 4) AS INTEGER) % 3) AS target_w
+               FROM (SELECT DISTINCT source FROM documents) s),
+       tot AS (SELECT sum(n_docs) AS total FROM actual),
+       ttot AS (SELECT sum(target_w) AS t_total FROM tgt)
+       SELECT a.source, a.n_docs,
+              ROUND(CAST(a.n_docs AS DOUBLE) / tot.total, 4) AS actual_share,
+              ROUND(CAST(g.target_w AS DOUBLE) / ttot.t_total, 4) AS target_share,
+              ROUND((CAST(g.target_w AS DOUBLE) / ttot.t_total)
+                    / (CAST(a.n_docs AS DOUBLE) / tot.total), 4) AS weight
+       FROM actual a JOIN tgt g USING (source), tot, ttot
+       ORDER BY source""",
+)
+def x_mixture(t: Tables) -> DataFrame:
+    """Domain-mixture reweighting over documents: a deterministic
+    non-uniform target (1 + source_index % 3) against the actual corpus
+    shares, via ``mixture_weights``."""
+    targets = (
+        t.documents.select("source")
+        .distinct()
+        .withColumn(
+            "target_w",
+            (F.lit(1) + F.substring("source", 4, 10).cast("int") % 3).cast("long"),
+        )
+    )
+    return mixture_weights(t.documents, targets, by="source").orderBy("source")
+
+
 @query(
     "x_token_budget",
     """WITH c AS (

@@ -1195,6 +1195,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_salted_join": "skew-salted join; join semantics in-window via x_asof_join",
     "x_range_join": "range join; interval semantics in-window via x_asof_join",
     "x_multimodal_frames": "frame-sample plumbing; family in-window via x_multimodal_real",
+    "x_decontam": "new in r5; rotate into the window next round",
+    "x_text_repetition": "new in r5; rotate into the window next round",
+    "x_mixture": "new in r5; rotate into the window next round",
 }
 
 

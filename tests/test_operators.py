@@ -617,3 +617,100 @@ def test_ivf_batch_matches_single_query_path(spark):
             assert got == single, (qid, got, single)
     finally:
         assigned.unpersist()
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Decontamination on a hand-built corpus: doc 1 copies a benchmark
+    passage verbatim (full contamination), doc 2 shares a clause, doc 3 is
+    clean — ratios and flags must match hand computation."""
+    from f1_data_pipeline_spark.operators.dedup import decontaminate_against
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # verbatim copy
+            (2, "i saw the quick brown fox yesterday morning"),   # shares a clause
+            (3, "completely unrelated sentence about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_against(docs, bench, n=3, threshold=0.2).collect()}
+    assert out[1]["contamination"] == 1.0 and out[1]["flagged"]
+    # doc 2: 6 distinct 3-grams, 2 contaminated ("the quick brown",
+    # "quick brown fox") -> 0.3333, flagged at 0.2
+    assert out[2]["n_ngrams"] == 6 and out[2]["n_contaminated"] == 2
+    assert out[2]["contamination"] == 0.3333 and out[2]["flagged"]
+    assert out[3]["n_contaminated"] == 0 and not out[3]["flagged"]
+
+
+def test_ivf_batch_indexed_prunes_and_matches(spark, tmp_path):
+    """Batch search against the persisted cell-partitioned index must (a)
+    push the probed-cell union down as PartitionFilters (asserted inside the
+    operator — a pruning regression raises) and (b) return exactly what the
+    in-memory batch path returns."""
+    from f1_data_pipeline_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk_batch,
+        ivf_topk_batch_indexed,
+        ivf_write_index,
+    )
+
+    rng = random.Random(31)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(24)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 3)
+    base = df.where(F.col("vec_id") >= 3)
+    C = ivf_centroids(base, k=6, seed=17)
+
+    idx = str(tmp_path / "ivf_batch_index")
+    ivf_write_index(base, C, idx)
+    indexed = ivf_topk_batch_indexed(spark, idx, queries, C, nprobe=2, k=7)
+    got = [(r["qid"], r["vec_id"], r["sim"]) for r in indexed.collect()]
+
+    inline = ivf_topk_batch(ivf_assign(base, C), queries, C, nprobe=2, k=7)
+    want = [(r["qid"], r["vec_id"], r["sim"]) for r in inline.collect()]
+    assert got == want
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Top-2-gram repetition ratio on hand-built docs: pure boilerplate →
+    1.0, half-repeated → hand value, all-distinct bigrams → 1/n_grams."""
+    from f1_data_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # 3 bigrams, all "spam spam"
+            (2, "buy now buy now buy now"),        # 5 bigrams: "buy now" x3, "now buy" x2
+            (3, "all bigrams here are unique"),    # 4 bigrams, all distinct
+            (4, "one"),                            # <2 words -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 3 and out[1]["top_gram_n"] == 3 and out[1]["rep_ratio"] == 1.0
+    assert out[2]["n_grams"] == 5 and out[2]["top_gram_n"] == 3 and out[2]["rep_ratio"] == 0.6
+    assert out[3]["n_grams"] == 4 and out[3]["top_gram_n"] == 1 and out[3]["rep_ratio"] == 0.25
+
+
+def test_mixture_weights_hand_computed(spark):
+    """weight = target_share / actual_share on a corpus with known skew:
+    web 75%, books 25%; target 50/50 -> weights 0.6667 / 2.0."""
+    from f1_data_pipeline_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 6 else "books") for i in range(8)],
+        "doc_id long, source string",
+    )
+    targets = spark.createDataFrame(
+        [("web", 1), ("books", 1)], "source string, target_w long"
+    )
+    out = {r["source"]: r for r in mixture_weights(docs, targets).collect()}
+    assert out["web"]["n_docs"] == 6 and out["web"]["actual_share"] == 0.75
+    assert out["web"]["target_share"] == 0.5 and out["web"]["weight"] == 0.6667
+    assert out["books"]["n_docs"] == 2 and out["books"]["actual_share"] == 0.25
+    assert out["books"]["weight"] == 2.0

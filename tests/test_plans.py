@@ -115,3 +115,14 @@ def test_full_outer_pre_aggregates_both_sides(spark):
     p = plan_of(spark, "q_j9")
     assert "FullOuter" in p or "full_outer" in p.lower()
     assert "partial_count" in p or "partial" in p
+
+
+def test_decontam_broadcasts_benchmark_set(spark):
+    """x_decontam's benchmark n-gram set must reach the corpus side as a
+    broadcast (eval sets are tiny; shuffling the 100 TB corpus against them
+    would be the classic mistake), and the per-doc aggregation must partial-
+    aggregate map-side."""
+    p = plan_of(spark, "x_decontam")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial" in p
