@@ -1123,14 +1123,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # also exercised by q_a1/q_t2/q_j4 in-window and re-verified every run
     # by the in-repo oracle sweep.
     "q_s1", "q_p1", "q_p2",
-    "q_c1", "q_c2", "q_c3", "q_c4",
+    "q_c1", "q_c3", "q_c4",
     "q_a1", "q_a2", "q_a3", "q_a4",
     "q_j1", "q_j2", "q_j3", "q_j4", "q_j5", "q_j6", "q_j9",
     # the wire-path hash check (round-5 judge ask #4): a literal VALUES
     # oracle over the deterministic fixture value-verifies bronze→silver
     # decode (U2/C3/F-family), which the rows-only f1_* checks never did
     "f1_weather_10min",
-    "q_w1", "q_w2", "q_w3", "q_w4",
+    "q_w1", "q_w3", "q_w4",
     "q_o1", "q_u1",
     "q_t1", "q_t2", "q_t3", "q_t4",
     # oracle-bearing operator-module queries (the extension flagships):
@@ -1145,10 +1145,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stay verified by the in-repo oracle sweep (SWEEP_ONLY below).
     "x_text_quality", "x_text_langid",
     "x_dedup_ngram", "x_dedup_winnow", "x_dedup_clusters",
-    "x_sim_topk", "x_sim_pairs", "x_sim_neardup",
+    "x_sim_pairs", "x_sim_neardup",
     "x_asof_join", "x_sessionize",
     "x_token_budget", "x_curation",
     "x_tfidf", "x_scd2", "x_gapfill", "x_seq_pack", "x_stratified",
+    # rotated in mid-round-5 (same session they were built, so the driver
+    # hashes them this round rather than next): decontamination,
+    # repetition-ratio gating, and mixture reweighting — displacing q_c2
+    # (C-family in-window via q_c1/q_c3/q_c4), q_w2 (ordered projection;
+    # ORDER BY is exercised by every windowed entry), and x_sim_topk
+    # (similarity family in-window via x_sim_pairs/x_sim_neardup)
+    "x_decontam", "x_text_repetition", "x_mixture",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1195,9 +1202,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_salted_join": "skew-salted join; join semantics in-window via x_asof_join",
     "x_range_join": "range join; interval semantics in-window via x_asof_join",
     "x_multimodal_frames": "frame-sample plumbing; family in-window via x_multimodal_real",
-    "x_decontam": "new in r5; rotate into the window next round",
-    "x_text_repetition": "new in r5; rotate into the window next round",
-    "x_mixture": "new in r5; rotate into the window next round",
+    "q_c2": "coercion surface; C-family in-window via q_c1/q_c3/q_c4",
+    "q_w2": "ordered projection; ORDER BY exercised by every windowed entry",
+    "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
 }
 
 
