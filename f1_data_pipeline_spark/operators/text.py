@@ -661,3 +661,103 @@ def x_token_budget(t: Tables) -> DataFrame:
         kept.select("doc_id", "source", token_count("text").alias("n_tokens"))
         .orderBy("source", "doc_id")
     )
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# Patterns are restricted to constructs Java regex and RE2 interpret
+# identically (ASCII classes, no lookaround, no backrefs) so ONE string
+# drives both the Spark expression and the DuckDB oracle — the same
+# single-source rule as BPE_PRETOKEN_PATTERN. Redaction order matters and
+# is part of the contract: emails first (their domains contain dotted
+# digit runs an IPv4 pattern would otherwise bite), then phones, then IPs.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_ORDER = (
+    (PII_EMAIL, "[EMAIL]"),
+    (PII_PHONE, "[PHONE]"),
+    (PII_IPV4, "[IP]"),
+)
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column, Column]:
+    """(n_email, n_phone, n_ip) match counts — pure ``regexp_count``
+    column expressions, JVM-side, zero shuffle. Counted on the RAW text
+    (before redaction), matching the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL)),
+        F.regexp_count(c, F.lit(PII_PHONE)),
+        F.regexp_count(c, F.lit(PII_IPV4)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder. Sequential
+    ``regexp_replace`` in ``_PII_ORDER`` — each one a scan-local Catalyst
+    expression; at 100 TB the cost is the scan itself."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, token in _PII_ORDER:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach PII counts + a redacted text column (the curation-pipeline
+    building block: count → route/quarantine, redact → publish)."""
+    n_email, n_phone, n_ip = pii_counts(text_col)
+    return (
+        df.withColumn("n_email", n_email)
+        .withColumn("n_phone", n_phone)
+        .withColumn("n_ip", n_ip)
+        .withColumn("redacted", redact_pii(text_col))
+    )
+
+
+# The synthetic corpus is PII-free word soup, so the query plants one
+# deterministic PII item per document (cycled by doc_id % 3) before
+# detecting — the planted corpus is expressed identically in both engines,
+# making the detector's counts AND the redacted bytes hash-checkable.
+_PII_PLANT_SQL = """CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com now'
+         WHEN 1 THEN text || ' call 555-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         ELSE text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       END"""
+
+
+@query(
+    "x_pii",
+    f"""WITH planted AS (
+         SELECT doc_id, {_PII_PLANT_SQL} AS text
+         FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER)
+                AS n_email,
+              CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS INTEGER)
+                AS n_phone,
+              CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS INTEGER)
+                AS n_ip,
+              right(regexp_replace(regexp_replace(regexp_replace(text,
+                      '{PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{PII_PHONE}', '[PHONE]', 'g'),
+                      '{PII_IPV4}', '[IP]', 'g'), 40) AS red_tail
+       FROM planted ORDER BY doc_id""",
+)
+def x_pii(t: Tables) -> DataFrame:
+    """PII detection + redaction over a deterministically planted corpus:
+    per-doc email/phone/IPv4 match counts and the tail of the redacted
+    text (tail keeps the checked bytes where the plant landed)."""
+    planted = t.documents.select(
+        "doc_id", F.expr(_PII_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    out = with_pii(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.expr("right(redacted, 40)").alias("red_tail"),
+    ).orderBy("doc_id")

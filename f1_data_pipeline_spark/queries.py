@@ -1132,7 +1132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "f1_weather_10min",
     "q_w1", "q_w3", "q_w4",
     "q_o1", "q_u1",
-    "q_t1", "q_t2", "q_t3", "q_t4",
+    "q_t1", "q_t2", "q_t3",
     # oracle-bearing operator-module queries (the extension flagships):
     # every operator family lands its strongest oracle-checked entry —
     # x_curation (the composed curation pipeline), x_dedup_winnow
@@ -1156,6 +1156,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ORDER BY is exercised by every windowed entry), and x_sim_topk
     # (similarity family in-window via x_sim_pairs/x_sim_neardup)
     "x_decontam", "x_text_repetition", "x_mixture",
+    # PII detection/redaction (built round 5) — displaces q_t4 (single-row
+    # count; T-family in-window via q_t1/q_t2/q_t3)
+    "x_pii",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1205,6 +1208,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_c2": "coercion surface; C-family in-window via q_c1/q_c3/q_c4",
     "q_w2": "ordered projection; ORDER BY exercised by every windowed entry",
     "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
+    "q_t4": "single-row time filter count; T-family in-window via q_t1/q_t2/q_t3",
 }
 
 

@@ -714,3 +714,54 @@ def test_mixture_weights_hand_computed(spark):
     assert out["web"]["target_share"] == 0.5 and out["web"]["weight"] == 0.6667
     assert out["books"]["n_docs"] == 2 and out["books"]["actual_share"] == 0.25
     assert out["books"]["weight"] == 2.0
+
+
+# --- PII detection / redaction -------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    from f1_data_pipeline_spark.operators.text import with_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org thanks"),
+            (2, "call 555-123-4567 or 555-9876-0001 today"),
+            (3, "server at 192.168.0.1 and 10.0.255.7"),
+            (4, "no pii here at all"),
+            (5, "jo@ex.io on 10.0.0.1 call 555-000-1111"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ip"]) == (1, 0, 0)
+    assert rows[1]["redacted"] == "mail me at [EMAIL] thanks"
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ip"]) == (0, 2, 0)
+    assert rows[2]["redacted"] == "call [PHONE] or [PHONE] today"
+    assert (rows[3]["n_email"], rows[3]["n_phone"], rows[3]["n_ip"]) == (0, 0, 2)
+    assert rows[3]["redacted"] == "server at [IP] and [IP]"
+    assert rows[4]["redacted"] == "no pii here at all"
+    assert (rows[5]["n_email"], rows[5]["n_phone"], rows[5]["n_ip"]) == (1, 1, 1)
+    assert rows[5]["redacted"] == "[EMAIL] on [IP] call [PHONE]"
+
+
+def test_pii_ip_shaped_domain_is_not_an_email(spark):
+    """The email pattern requires an alphabetic TLD, so an IPv4-shaped
+    host is NOT an email — the IP pass redacts the dotted quad instead.
+    Pins the pattern boundary (and that the two passes compose cleanly)."""
+    from f1_data_pipeline_spark.operators.text import with_pii
+
+    df = spark.createDataFrame([(1, "x user@10.0.0.7 y")], "doc_id int, text string")
+    r = with_pii(df).collect()[0]
+    assert r["redacted"] == "x user@[IP] y"
+    assert (r["n_email"], r["n_ip"]) == (0, 1)
+
+
+def test_pii_is_scan_local(spark):
+    """The PII expressions must stay inside the scan stage: no Python
+    eval nodes and no exchange introduced by with_pii itself."""
+    from f1_data_pipeline_spark.operators.text import with_pii
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = with_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
