@@ -761,3 +761,71 @@ def x_pii(t: Tables) -> DataFrame:
         F.col("n_ip").cast("int").alias("n_ip"),
         F.expr("right(redacted, 40)").alias("red_tail"),
     ).orderBy("doc_id")
+
+
+# --- Document chunking ----------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 50,
+    overlap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into chunks of
+    ``size`` whitespace tokens starting every ``size - overlap`` tokens
+    (consecutive chunks share ``overlap`` tokens — the standard
+    context-window shingling for retrieval/embedding pipelines).
+
+    Start offsets are generated scan-locally (``sequence`` + ``explode``
+    over the token array — no shuffle, no driver loop) so chunking 100 TB
+    costs exactly the scan plus the output write. The final chunk may be
+    shorter than ``size``; every token is covered; ``chunk_id`` is the
+    dense 0-based window ordinal ((start-1)/stride, exact in integer
+    arithmetic)."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    return (
+        df.withColumn("__w", tokens(text_col))
+        .withColumn(
+            "__start",
+            F.explode(F.expr(f"sequence(1, greatest(size(__w), 1), {stride})")),
+        )
+        .withColumn("__chunk_w", F.expr(f"slice(__w, __start, {size})"))
+        .select(
+            id_col,
+            ((F.col("__start") - 1) / stride).cast("int").alias("chunk_id"),
+            F.size("__chunk_w").alias("n_chunk_tokens"),
+            F.array_join("__chunk_w", " ").alias("chunk"),
+        )
+    )
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 50, 10
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "x_chunk",
+    f"""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                   FROM documents),
+        s AS (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w), 1),
+                                            {_CHUNK_STRIDE})) AS st
+              FROM w)
+       SELECT doc_id,
+              CAST((st - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+              CAST(len(list_slice(w, st, st + {_CHUNK_SIZE} - 1)) AS INTEGER)
+                AS n_chunk_tokens,
+              array_to_string(list_slice(w, st, st + {_CHUNK_SIZE} - 1), ' ')
+                AS chunk
+       FROM s ORDER BY doc_id, chunk_id""",
+)
+def x_chunk(t: Tables) -> DataFrame:
+    """50-token chunks with 10-token overlap over every document, via
+    ``chunk_documents`` — the retrieval-pipeline pre-embedding step."""
+    return chunk_documents(
+        t.documents, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")

@@ -1122,7 +1122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # long-stable single-shuffle aggregates/set-ops whose semantics are
     # also exercised by q_a1/q_t2/q_j4 in-window and re-verified every run
     # by the in-repo oracle sweep.
-    "q_s1", "q_p1", "q_p2",
+    "q_s1", "q_p1",
     "q_c1", "q_c3", "q_c4",
     "q_a1", "q_a2", "q_a3", "q_a4",
     "q_j1", "q_j2", "q_j3", "q_j4", "q_j5", "q_j6", "q_j9",
@@ -1159,6 +1159,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # PII detection/redaction (built round 5) — displaces q_t4 (single-row
     # count; T-family in-window via q_t1/q_t2/q_t3)
     "x_pii",
+    # sliding-window token chunking (built round 5) — displaces q_p2
+    # (1-row existence check; P-family in-window via q_s1/q_p1)
+    "x_chunk",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1209,6 +1212,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_w2": "ordered projection; ORDER BY exercised by every windowed entry",
     "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
     "q_t4": "single-row time filter count; T-family in-window via q_t1/q_t2/q_t3",
+    "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
 }
 
 

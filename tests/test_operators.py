@@ -765,3 +765,66 @@ def test_pii_is_scan_local(spark):
     plan = with_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- Document chunking ----------------------------------------------------
+
+
+def test_chunk_documents_sliding_window(spark):
+    from f1_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7"), (2, "a b"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(df, size=3, overlap=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk"]) for r in out
+    }
+    # stride 2: starts 1,3,5,7 over 7 tokens
+    assert got[(1, 0)] == (3, "t1 t2 t3")
+    assert got[(1, 1)] == (3, "t3 t4 t5")
+    assert got[(1, 2)] == (3, "t5 t6 t7")
+    assert got[(1, 3)] == (1, "t7")
+    assert got[(2, 0)] == (2, "a b")
+    assert got[(3, 0)] == (1, "solo")
+    assert len(got) == 6
+    # consecutive full chunks share exactly `overlap` tokens
+    assert got[(1, 0)][1].split()[-1:] == got[(1, 1)][1].split()[:1]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from f1_data_pipeline_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(137))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = chunk_documents(df, size=50, overlap=10).collect()
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk"].split())
+    assert covered == set(text.split())
+    # chunk_id is dense from 0
+    ids = sorted(r["chunk_id"] for r in rows)
+    assert ids == list(range(len(rows)))
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from f1_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=10, overlap=10)
+
+
+def test_chunk_is_scan_local(spark):
+    from f1_data_pipeline_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = (
+        chunk_documents(df, size=3, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
