@@ -829,3 +829,83 @@ def x_chunk(t: Tables) -> DataFrame:
     return chunk_documents(
         t.documents, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
     ).orderBy("doc_id", "chunk_id")
+
+
+# --- Gopher-style quality rules ------------------------------------------
+
+# Rule thresholds follow the MassiveText quality heuristics (Rae et al.
+# 2021, "Scaling Language Models: ... Gopher", table A1), with the word
+# count floor adapted to this corpus's short synthetic documents. Single
+# source of truth: the SQL oracle is generated from these constants.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 1
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText quality gate: per-document rule signals and the
+    composed keep decision. Every signal is a Catalyst higher-order
+    function over the token array — scan-local, zero shuffle, zero
+    Python; at 100 TB the gate costs only the scan it rides on.
+
+    Signals: word count bounds, mean word length bounds, symbol-token
+    ratio (tokens with no alphanumeric at all), alphabetic-word fraction,
+    and minimum stopword hits (the 'natural language, not boilerplate'
+    proxy)."""
+    w = tokens(text_col)
+    n_words = F.size(w)
+    mwl = avg_word_len(text_col)
+    n_symbol = F.size(F.filter(w, lambda x: ~x.rlike("[A-Za-z0-9]")))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    symbol_ratio = F.round(n_symbol / n_words, 4)
+    alpha_frac = F.round(n_alpha / n_words, 4)
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.round(mwl, 4).between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_wl"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "x_gopher",
+    f"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w,
+                          length(replace(trim(text), ' ', '')) AS nc
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(w) AS INTEGER) AS n_words,
+                     ROUND(CAST(nc AS DOUBLE) / len(w), 4) AS mean_wl,
+                     ROUND(CAST(len(list_filter(w,
+                           x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                         AS DOUBLE) / len(w), 4) AS symbol_ratio,
+                     ROUND(CAST(len(list_filter(w,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                         AS DOUBLE) / len(w), 4) AS alpha_frac,
+                     CAST(len(list_filter(w, x -> x IN ({_STOPWORDS_SQL})))
+                         AS INTEGER) AS n_stop
+              FROM t)
+       SELECT *,
+              (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AND mean_wl BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+               AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+               AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+               AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+       FROM s ORDER BY doc_id""",
+)
+def x_gopher(t: Tables) -> DataFrame:
+    """Gopher quality-rule signals + keep decision for every document,
+    via ``gopher_quality``."""
+    return gopher_quality(t.documents).orderBy("doc_id")

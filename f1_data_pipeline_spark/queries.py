@@ -1125,7 +1125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_s1", "q_p1",
     "q_c1", "q_c3", "q_c4",
     "q_a1", "q_a2", "q_a3", "q_a4",
-    "q_j1", "q_j2", "q_j3", "q_j4", "q_j5", "q_j6", "q_j9",
+    "q_j1", "q_j2", "q_j3", "q_j4", "q_j6", "q_j9",
     # the wire-path hash check (round-5 judge ask #4): a literal VALUES
     # oracle over the deterministic fixture value-verifies bronze→silver
     # decode (U2/C3/F-family), which the rows-only f1_* checks never did
@@ -1162,6 +1162,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sliding-window token chunking (built round 5) — displaces q_p2
     # (1-row existence check; P-family in-window via q_s1/q_p1)
     "x_chunk",
+    # Gopher/MassiveText quality gate (built round 5) — displaces q_j5
+    # (join family still densely in-window: q_j1..q_j4, q_j6, q_j9)
+    "x_gopher",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1213,6 +1216,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
     "q_t4": "single-row time filter count; T-family in-window via q_t1/q_t2/q_t3",
     "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
+    "q_j5": "composite-key join variant; join family densely in-window (q_j1..q_j9)",
 }
 
 

@@ -828,3 +828,39 @@ def test_chunk_is_scan_local(spark):
     )
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- Gopher quality rules -------------------------------------------------
+
+
+def test_gopher_rules_each_gate(spark):
+    from f1_data_pipeline_spark.operators.text import gopher_quality
+
+    good = "the " + " ".join(["word"] * 40)  # 41 words, mwl ~4, has stopword
+    rows = [
+        (1, good),
+        (2, "the short doc"),  # too few words
+        (3, "the " + " ".join(["w"] * 40)),  # mean word length < 3
+        (4, "the " + " ".join(["#!"] * 9) + " " + " ".join(["word"] * 30)),  # symbols
+        (5, " ".join(["word"] * 40)),  # no stopwords
+        (6, "the " + " ".join(["1234"] * 40)),  # alpha fraction too low
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n_words"] == 3
+    assert out[3]["keep"] is False and out[3]["mean_wl"] < 3
+    assert out[4]["keep"] is False and out[4]["symbol_ratio"] > 0.1
+    assert out[5]["keep"] is False and out[5]["n_stop"] == 0
+    assert out[6]["keep"] is False and out[6]["alpha_frac"] < 0.8
+    # signal sanity on the good doc
+    assert out[1]["symbol_ratio"] == 0.0 and out[1]["alpha_frac"] == 1.0
+
+
+def test_gopher_is_scan_local(spark):
+    from f1_data_pipeline_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame([(1, "the a b")], "doc_id int, text string")
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
