@@ -909,3 +909,98 @@ def x_gopher(t: Tables) -> DataFrame:
     """Gopher quality-rule signals + keep decision for every document,
     via ``gopher_quality``."""
     return gopher_quality(t.documents).orderBy("doc_id")
+
+
+# --- BM25 retrieval scoring ----------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 document scores for a bag of query terms (Robertson's
+    idf with Lucene's +1 floor: ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Shape for 100 TB: the term filter is an `isin` over a literal list so
+    only query-term hits leave the scan; (doc, term) tf is one keyed
+    aggregate; df/idf lives in a ≤|Q|-row broadcast; doc lengths join on
+    the id (the single real shuffle). Per-doc summation folds in sorted
+    term order (``aggregate`` over ``array_sort``) so the float result is
+    bit-deterministic — the same fold any SQL oracle can replay."""
+    dl = df.select(F.col(id_col), token_count(text_col).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("__avgdl"))
+    ndocs = df.agg(F.count("*").alias("__n"))
+    hits = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(tokens(text_col), lambda x: x.isin(*query_terms))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col(id_col),
+            "term",
+            (idf * (F.col("tf") * (k1 + 1.0)) / norm).alias("contrib"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ),
+            4,
+        ).alias("score")
+    )
+
+
+_BM25_TERMS = ("key", "hash", "merge")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "x_bm25",
+    f"""WITH dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl
+                    FROM documents),
+        st AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT t.doc_id, t.term,
+                 ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * {BM25_K1 + 1.0})
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * dl / avgdl)) AS contrib
+          FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), st)
+       SELECT doc_id,
+              ROUND(list_reduce(list(contrib ORDER BY term),
+                                (a, c) -> a + c), 4) AS score
+       FROM contrib GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 100""",
+)
+def x_bm25(t: Tables) -> DataFrame:
+    """Top-100 documents by BM25 score for a fixed 3-term query, via
+    ``bm25_scores`` — deterministic fold order makes the float scores
+    hash-identical across engines."""
+    return (
+        bm25_scores(t.documents, _BM25_TERMS)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )

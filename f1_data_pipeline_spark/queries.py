@@ -1124,7 +1124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # by the in-repo oracle sweep.
     "q_s1", "q_p1",
     "q_c1", "q_c3", "q_c4",
-    "q_a1", "q_a2", "q_a3", "q_a4",
+    "q_a1", "q_a3", "q_a4",
     "q_j1", "q_j2", "q_j3", "q_j4", "q_j6", "q_j9",
     # the wire-path hash check (round-5 judge ask #4): a literal VALUES
     # oracle over the deterministic fixture value-verifies bronze→silver
@@ -1165,6 +1165,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Gopher/MassiveText quality gate (built round 5) — displaces q_j5
     # (join family still densely in-window: q_j1..q_j4, q_j6, q_j9)
     "x_gopher",
+    # BM25 retrieval scoring (built round 5) — displaces q_a2 (1-row
+    # distinct cardinality; A-family in-window via q_a1/q_a3/q_a4)
+    "x_bm25",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1217,6 +1220,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_t4": "single-row time filter count; T-family in-window via q_t1/q_t2/q_t3",
     "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
     "q_j5": "composite-key join variant; join family densely in-window (q_j1..q_j9)",
+    "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
 }
 
 

@@ -864,3 +864,58 @@ def test_gopher_is_scan_local(spark):
     plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- BM25 -----------------------------------------------------------------
+
+
+def test_bm25_matches_hand_computation(spark):
+    import math
+
+    from f1_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "cat dog cat"),
+        (2, "cat mouse"),
+        (3, "dog dog dog dog"),
+        (4, "bird"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, ("cat", "dog")).collect()}
+
+    # independent replay of the formula
+    N, avgdl = 4, (3 + 2 + 4 + 1) / 4
+    dl = {1: 3, 2: 2, 3: 4, 4: 1}
+    tf = {1: {"cat": 2, "dog": 1}, 2: {"cat": 1}, 3: {"dog": 4}}
+    dfreq = {"cat": 2, "dog": 2}
+    k1, b = 1.2, 0.75
+
+    def idf(t):
+        return math.log((N - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+
+    for doc, terms in tf.items():
+        want = 0.0
+        for t in sorted(terms):  # the operator folds in sorted term order
+            want += (
+                idf(t)
+                * terms[t]
+                * (k1 + 1)
+                / (terms[t] + k1 * (1 - b + b * dl[doc] / avgdl))
+            )
+        assert got[doc] == pytest.approx(want, abs=1e-4), doc
+    assert 4 not in got  # no query-term hit -> no row
+
+
+def test_bm25_df_and_dl_broadcast_shape(spark):
+    """The df/idf side and the normalizing aggregates must enter as
+    broadcasts — only the doc-length join may shuffle."""
+    from f1_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(i, "cat dog bird") for i in range(10)], "doc_id int, text string"
+    )
+    plan = (
+        bm25_scores(df, ("cat", "dog"))._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
