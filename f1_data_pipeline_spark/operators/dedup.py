@@ -587,3 +587,101 @@ def x_dedup_clusters(t: Tables) -> DataFrame:
         .agg(F.count("*").alias("size"))
         .orderBy("rep_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (C4 / CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    line_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style global line deduplication: split every document into
+    non-overlapping ``line_tokens``-token lines, keep each distinct line's
+    FIRST occurrence corpus-wide (first = smallest (doc, line_no)), and
+    reconstruct the surviving text per document. Documents whose every
+    line was seen earlier disappear — exactly C4's three-sentence-span
+    rule reshaped to token lines (the corpus has no sentence breaks).
+
+    Scale shape: the line split is scan-local (sequence + slice); the
+    global first-wins shuffles ONLY (md5, id, line_no) — 16-byte
+    fingerprints, never line bytes; winners come back via a semi-join and
+    the reconstruction is one keyed ordered-concat aggregate. Nothing
+    driver-side, nothing quadratic."""
+    lines = (
+        df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(__w), 1), {line_tokens}),"
+                    f" s -> concat_ws(' ', slice(__w, s, {line_tokens})))"
+                )
+            ).alias("line_no", "line"),
+        )
+    )
+    fp = lines.select(id_col, "line_no", F.md5("line").alias("__fp"))
+    winners = (
+        fp.groupBy("__fp")
+        .agg(F.min(F.struct(id_col, "line_no")).alias("__w"))
+        .select(F.col(f"__w.{id_col}").alias(id_col), F.col("__w.line_no").alias("line_no"))
+    )
+    kept = lines.join(winners, [id_col, "line_no"], "left_semi")
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+
+
+_LINE_TOKENS = 20
+
+
+@query(
+    "x_dedup_lines",
+    f"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents
+          WHERE doc_id % 2 = 0),
+        w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
+        ln AS (SELECT doc_id, l.line_no AS line_no, l.line AS line
+               FROM (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, greatest(len(w), 1),
+                                              {_LINE_TOKENS}),
+                              s -> struct_pack(
+                                line_no := (s - 1) // {_LINE_TOKENS},
+                                line := array_to_string(
+                                  list_slice(w, s, s + {_LINE_TOKENS} - 1),
+                                  ' ')))) AS l
+                     FROM w) t),
+        r AS (SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM ln)
+       SELECT doc_id, CAST(count(*) AS INTEGER) AS n_lines_kept,
+              string_agg(line, ' ' ORDER BY line_no) AS text
+       FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+)
+def x_dedup_lines(t: Tables) -> DataFrame:
+    """Global line dedup over a corpus with planted full-copy documents
+    (every even doc re-crawled under a shifted id): the copies' lines are
+    all first seen in the originals, so the copies vanish and every
+    surviving document's reconstructed text hash-matches the oracle."""
+    d = t.documents
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return line_dedup(corpus, line_tokens=_LINE_TOKENS).orderBy("doc_id")

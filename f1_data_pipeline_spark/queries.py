@@ -1144,7 +1144,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_dedup_exact (plus the four declared entries above), all of which
     # stay verified by the in-repo oracle sweep (SWEEP_ONLY below).
     "x_text_quality", "x_text_langid",
-    "x_dedup_ngram", "x_dedup_winnow", "x_dedup_clusters",
+    "x_dedup_winnow", "x_dedup_clusters",
     "x_sim_pairs", "x_sim_neardup",
     "x_asof_join", "x_sessionize",
     "x_token_budget", "x_curation",
@@ -1168,6 +1168,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # BM25 retrieval scoring (built round 5) — displaces q_a2 (1-row
     # distinct cardinality; A-family in-window via q_a1/q_a3/q_a4)
     "x_bm25",
+    # C4-style global line dedup (built round 5) — displaces x_dedup_ngram
+    # (the documented-exempt exhaustive verifier; dedup family stays dense
+    # in-window via x_dedup_winnow/x_dedup_clusters/x_dedup_lines)
+    "x_dedup_lines",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
@@ -1221,6 +1225,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
     "q_j5": "composite-key join variant; join family densely in-window (q_j1..q_j9)",
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
+    "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
 }
 
 

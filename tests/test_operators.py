@@ -919,3 +919,51 @@ def test_bm25_df_and_dl_broadcast_shape(spark):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan
+
+
+# --- C4-style line dedup --------------------------------------------------
+
+
+def test_line_dedup_first_wins_and_reconstruction(spark):
+    from f1_data_pipeline_spark.operators.dedup import line_dedup
+
+    # 2-token lines: doc1 = [A B], doc2 = [B C], doc3 = [A]
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 b1 b2"),
+            (2, "b1 b2 c1 c2"),
+            (3, "a1 a2"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert out[1]["text"] == "a1 a2 b1 b2" and out[1]["n_lines_kept"] == 2
+    # line B first seen in doc1 -> doc2 keeps only C
+    assert out[2]["text"] == "c1 c2" and out[2]["n_lines_kept"] == 1
+    # doc3's only line was doc1's first line -> doc3 vanishes
+    assert 3 not in out
+
+
+def test_line_dedup_intra_document_repeat(spark):
+    from f1_data_pipeline_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x y x y z z")], "doc_id int, text string"
+    )
+    out = line_dedup(df, line_tokens=2).collect()[0]
+    # lines: [x y], [x y], [z z] -> second [x y] dropped, order preserved
+    assert out["text"] == "x y z z"
+    assert out["n_lines_kept"] == 2
+
+
+def test_line_dedup_shuffles_fingerprints_not_lines(spark):
+    """The first-wins aggregate must move md5 fingerprints, not line
+    bytes: the winner aggregate's input exchange carries the __fp column."""
+    from f1_data_pipeline_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    plan = (
+        line_dedup(df, line_tokens=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" in plan
+    assert "EvalPython" not in plan
