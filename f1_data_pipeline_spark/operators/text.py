@@ -1004,3 +1004,75 @@ def x_bm25(t: Tables) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(100)
     )
+
+
+# --- URL / domain extraction ----------------------------------------------
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+URL_HOST_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per URL occurrence: (id, url, domain). The extraction is a
+    scan-local ``regexp_extract_all`` explode (Java-regex/RE2 common
+    subset, same single-pattern rule as the PII and BPE operators);
+    domain parsing is a second anchored regex over the matched URL —
+    never a UDF, never `parse_url` (which RE2-based oracles lack)."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return urls.withColumn(
+        "domain", F.regexp_extract("url", URL_HOST_PATTERN, 1)
+    )
+
+
+def domain_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL and document counts — the Common-Crawl-style
+    domain-level curation signal (blocklists, per-domain caps, mixture
+    keys all join on this). One keyed aggregate over the scan-local URL
+    explode; only (domain, id) rows shuffle."""
+    return (
+        extract_urls(df, text_col, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+    )
+
+
+# Planted-URL corpus: word soup has no URLs, so the query stamps one or
+# two deterministic URLs onto every third document (same single-source
+# planting pattern as x_pii).
+_URL_PLANT_SQL = """CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' ok'
+         WHEN 1 THEN text || ' at http://m' || CAST(doc_id % 4 AS VARCHAR)
+                      || '.test.org/x and https://site'
+                      || CAST(doc_id % 7 AS VARCHAR) || '.example.com/q'
+         ELSE text
+       END"""
+
+
+@query(
+    "x_urls",
+    f"""WITH planted AS (
+         SELECT doc_id, {_URL_PLANT_SQL} AS text FROM documents),
+        u AS (SELECT doc_id,
+                     unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+              FROM planted)
+       SELECT regexp_extract(url, '{URL_HOST_PATTERN}', 1) AS domain,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM u GROUP BY domain ORDER BY domain""",
+)
+def x_urls(t: Tables) -> DataFrame:
+    """Per-domain URL/document counts over a deterministically planted
+    corpus, via ``domain_stats``."""
+    planted = t.documents.select(
+        "doc_id", F.expr(_URL_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    return domain_stats(planted).orderBy("domain")

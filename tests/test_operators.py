@@ -967,3 +967,36 @@ def test_line_dedup_shuffles_fingerprints_not_lines(spark):
     )
     assert "md5" in plan
     assert "EvalPython" not in plan
+
+
+# --- URL / domain extraction ----------------------------------------------
+
+
+def test_extract_urls_and_domains(spark):
+    from f1_data_pipeline_spark.operators.text import domain_stats, extract_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/p/1 and http://b.org/x ok"),
+            (2, "again https://a.example.com/p/2 plain text"),
+            (3, "no links"),
+        ],
+        "doc_id int, text string",
+    )
+    urls = {(r["doc_id"], r["url"], r["domain"]) for r in extract_urls(df).collect()}
+    assert (1, "https://a.example.com/p/1", "a.example.com") in urls
+    assert (1, "http://b.org/x", "b.org") in urls
+    assert (2, "https://a.example.com/p/2", "a.example.com") in urls
+    assert len(urls) == 3
+
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(df).collect()}
+    assert stats == {"a.example.com": (2, 2), "b.org": (1, 1)}
+
+
+def test_extract_urls_is_scan_local(spark):
+    from f1_data_pipeline_spark.operators.text import extract_urls
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = extract_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
