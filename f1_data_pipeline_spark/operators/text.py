@@ -844,6 +844,28 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOPWORDS = 1
 
 
+def gopher_keep(text_col: str = "text") -> Column:
+    """The composed Gopher keep decision as a standalone Column predicate —
+    reusable anywhere a scan-local gate fits (batch filters, streaming
+    micro-batches) without materializing the per-rule signal columns."""
+    w = tokens(text_col)
+    n_words = F.size(w)
+    symbol_ratio = F.round(
+        F.size(F.filter(w, lambda x: ~x.rlike("[A-Za-z0-9]"))) / n_words, 4
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words, 4
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.round(avg_word_len(text_col), 4).between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+
+
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher/MassiveText quality gate: per-document rule signals and the
     composed keep decision. Every signal is a Catalyst higher-order

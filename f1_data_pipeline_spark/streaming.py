@@ -416,3 +416,50 @@ class RateObserver:
                 pass
 
         spark.streams.addListener(_L())
+
+
+def stream_document_curation(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    out_path: str,
+    schema=None,
+    trigger: dict | None = None,
+):
+    """Incremental corpus curation: tail a directory of document parquet
+    drops and run the batch curation gates — the Gopher quality predicate
+    then PII redaction — on each micro-batch, persisting only kept,
+    redacted documents. Every gate is a scan-local Catalyst expression, so
+    the stream has NO state store and NO shuffle: each micro-batch is an
+    embarrassingly parallel map, which is why the same operators serve
+    both a 100 TB backfill and a continuous crawl feed unchanged. (The
+    cross-batch stateful piece — global dedup — stays a separate
+    watermark-bounded job; quality gating needs no state.)"""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from f1_data_pipeline_spark.operators.text import gopher_keep, with_pii
+
+    schema = schema or StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    gated = with_pii(docs.where(gopher_keep("text")))
+    return (
+        gated.select("doc_id", F.col("redacted").alias("text"), "source")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

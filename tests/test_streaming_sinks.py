@@ -431,3 +431,71 @@ def test_socket_source_live_feed(spark, wire_dir, tmp_path):
     finally:
         stop.set()
         strm.stop_all(qs)
+
+
+def test_stream_document_curation_matches_batch(spark, tmp_path):
+    """The streaming curation gate (Gopher keep + PII redaction) must
+    produce exactly the batch operators' results, restart-safely: two
+    document drops, two availableNow passes against one checkpoint, no
+    re-emission of the first drop's output."""
+    from f1_data_pipeline_spark.operators.text import gopher_keep, with_pii
+
+    src = tmp_path / "docs_src"
+    out = tmp_path / "docs_out"
+    ckpt = tmp_path / "docs_ckpt"
+    src.mkdir()
+
+    good = "the " + " ".join(["word"] * 40)
+    rows1 = [
+        (1, good + " mail me x@y.io", "en", "src0", 1),
+        (2, "too short", "en", "src0", 1),  # gated out
+    ]
+    rows2 = [
+        (3, good + " call 555-123-4567", "en", "src1", 1),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(str(src))
+
+    q = strm.stream_document_curation(spark, str(src), str(ckpt), str(out))
+    assert q.awaitTermination(120)
+    first = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
+    assert set(first) == {1}
+    assert first[1].endswith("mail me [EMAIL]")
+
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(str(src))
+    q2 = strm.stream_document_curation(spark, str(src), str(ckpt), str(out))
+    assert q2.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2  # doc 1 not re-emitted, doc 3 appended once
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    assert texts[3].endswith("call [PHONE]")
+
+    # batch equivalence on the full source
+    batch = with_pii(
+        spark.read.parquet(str(src)).where(gopher_keep("text"))
+    ).select("doc_id", F.col("redacted").alias("text"), "source")
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, got.select("doc_id", "text", "source").collect())
+    )
+
+
+def test_gopher_keep_predicate_matches_signal_frame(spark):
+    """gopher_keep (the reusable predicate) and gopher_quality (the signal
+    frame) must agree on every document — they share constants but build
+    expressions independently, so pin their equivalence."""
+    from f1_data_pipeline_spark.operators.text import gopher_keep, gopher_quality
+
+    good = "the " + " ".join(["word"] * 40)
+    rows = [
+        (1, good),
+        (2, "the short doc"),
+        (3, "the " + " ".join(["w"] * 40)),
+        (4, " ".join(["word"] * 40)),
+        (5, "the " + " ".join(["1234"] * 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    via_frame = {
+        r["doc_id"] for r in gopher_quality(df).where(F.col("keep")).collect()
+    }
+    via_pred = {r["doc_id"] for r in df.where(gopher_keep("text")).collect()}
+    assert via_frame == via_pred == {1}
