@@ -838,3 +838,55 @@ def x_sim_lsh(t: Tables) -> DataFrame:
     return lsh_ann_topk(
         e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), planes, k=10
     )
+
+
+# --- SemDeDup-style semantic deduplication --------------------------------
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shaped semantic dedup: embedding-cosine
+    near-duplicate pairs → connected components → keep one canonical
+    (smallest-id) item per semantic cluster. Composes the exact blocked
+    GEMM pair generator with the min-label-propagation clusterer, so every
+    stage is the already-scale-audited one: no cartesian pair space, edge
+    set shuffles only (id, id) longs, vectors move O(blocks) times."""
+    from f1_data_pipeline_spark.operators.dedup import dedup_by_clusters
+
+    pairs = cosine_near_dup_pairs_blocked(emb_df, threshold=threshold)
+    return dedup_by_clusters(
+        emb_df, pairs.select("id_a", "id_b"), id_col=id_col, scratch_dir=scratch_dir
+    )
+
+
+@query(
+    "x_semdedup",
+    f"""WITH RECURSIVE
+        p AS (SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, q.vec_id AS id_b,
+                       ROUND({_COS}, 4) AS sim
+                FROM embeddings a, embeddings q
+                WHERE a.vec_id < q.vec_id) s
+              WHERE sim >= 0.4),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        reach AS (SELECT a AS n, b AS m FROM edges
+                  UNION
+                  SELECT r.n, e.b AS m FROM reach r JOIN edges e ON r.m = e.a),
+        lbl AS (SELECT n, LEAST(n, MIN(m)) AS rep FROM reach GROUP BY n)
+       SELECT e.vec_id FROM embeddings e
+       WHERE e.vec_id NOT IN (SELECT n FROM lbl WHERE n <> rep)
+       ORDER BY vec_id""",
+)
+def x_semdedup(t: Tables) -> DataFrame:
+    """Semantic dedup of the embeddings table at the same 0.4 band
+    x_sim_neardup exercises: survivors after keeping one canonical vector
+    per cosine-similarity cluster — verified against an exhaustive
+    cosine + recursive-CTE transitive-closure oracle."""
+    return semantic_dedup(t.embeddings, threshold=0.4).select("vec_id").orderBy(
+        "vec_id"
+    )

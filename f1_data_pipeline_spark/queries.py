@@ -1227,6 +1227,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
     "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
     "x_urls": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_semdedup": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

@@ -1000,3 +1000,29 @@ def test_extract_urls_is_scan_local(spark):
     plan = extract_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+# --- SemDeDup -------------------------------------------------------------
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    from f1_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # plant a 3-member semantic cluster around base[0] (tiny perturbations)
+    for j, vid in enumerate((100, 101)):
+        rows.append((vid, [x + 0.001 * (j + 1) for x in base[0]]))
+    # and a transitive chain: 102~103 via 102~base[1] is NOT planted —
+    # 102/103 perturb base[1] so {1, 102, 103} must collapse together
+    rows.append((102, [x + 0.001 for x in base[1]]))
+    rows.append((103, [x - 0.001 for x in base[1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.999).collect()}
+    assert 0 in kept and 100 not in kept and 101 not in kept
+    assert 1 in kept and 102 not in kept and 103 not in kept
+    # every unplanted vector survives
+    assert set(range(20)) <= kept
+    assert len(kept) == 20
