@@ -1098,3 +1098,55 @@ def x_urls(t: Tables) -> DataFrame:
         "doc_id", F.expr(_URL_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
     )
     return domain_stats(planted).orderBy("domain")
+
+
+# --- Deterministic train/validation split ---------------------------------
+
+# Split on a hex digit of the salted md5: both engines index the same
+# character into the same alphabet, so assignment is reproducible
+# everywhere (retries, re-runs, other engines) — never rand()-based.
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def split_assign(
+    df: DataFrame,
+    val_sixteenths: int = 2,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each row to 'train' or 'val' by the first hex digit of
+    md5(id || salt): digits [0, val_sixteenths) → 'val' (so
+    ``val_sixteenths=2`` ≈ 12.5%). Deterministic: a function of id and
+    salt only — stable under retries, partitioning, engine, and time,
+    which rand()-based splits are not. Changing ``salt`` re-rolls the
+    split without touching data. Scan-local expression; zero shuffle."""
+    bucket = F.expr(
+        f"instr('{_HEX_ALPHABET}', substring(md5(concat(cast({id_col} AS STRING),"
+        f" '{salt}')), 1, 1))"
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket <= val_sixteenths, F.lit("val")).otherwise(F.lit("train")),
+    )
+
+
+@query(
+    "x_split",
+    """WITH a AS (
+         SELECT doc_id, source,
+                CASE WHEN strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 1))
+                     <= 2 THEN 'val' ELSE 'train' END AS split
+         FROM documents)
+       SELECT source, split, CAST(count(*) AS BIGINT) AS n
+       FROM a GROUP BY source, split ORDER BY source, split""",
+)
+def x_split(t: Tables) -> DataFrame:
+    """Per-source train/val counts under the deterministic hash split,
+    via ``split_assign``."""
+    return (
+        split_assign(t.documents)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "split")
+    )

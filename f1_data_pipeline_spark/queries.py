@@ -1228,6 +1228,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
     "x_urls": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_semdedup": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_split": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

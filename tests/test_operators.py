@@ -1026,3 +1026,29 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
     # every unplanted vector survives
     assert set(range(20)) <= kept
     assert len(kept) == 20
+
+
+# --- Deterministic split --------------------------------------------------
+
+
+def test_split_assign_deterministic_and_salted(spark):
+    from f1_data_pipeline_spark.operators.text import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert a == b  # same salt -> identical assignment on re-run
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 0.05 < n_val / 400 < 0.25  # ~12.5% band
+
+    c = {r["doc_id"]: r["split"] for r in split_assign(df, salt="v2").collect()}
+    assert c != a  # new salt re-rolls the split
+    assert set(c.values()) == {"train", "val"}
+
+
+def test_split_assign_is_scan_local(spark):
+    from f1_data_pipeline_spark.operators.text import split_assign
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    plan = split_assign(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
