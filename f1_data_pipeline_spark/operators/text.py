@@ -1150,3 +1150,52 @@ def x_split(t: Tables) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("source", "split")
     )
+
+
+# --- Inverted index -------------------------------------------------------
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Posting lists: one row per term with its sorted distinct document
+    list and document frequency — the retrieval-index build pass (BM25's
+    serving-side counterpart). One keyed aggregate over the scan-local
+    token explode; postings are sorted in-row (``array_sort`` after
+    ``collect_set``) so output is deterministic under partitioning. At
+    100 TB the skew knob is ``min_df``'s complement: ultra-common terms
+    produce giant postings — production builds cap or tier them (the
+    winnowing banding's stop-fingerprint df-cap is the same idea); the
+    df column makes that cap a plain filter."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.array_sort(F.collect_set(id_col)).alias("postings"),
+            F.count_distinct(id_col).cast("long").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+@query(
+    "x_invindex",
+    """WITH tok AS (SELECT DISTINCT doc_id,
+                           unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents)
+       SELECT term,
+              array_to_string(list_sort(list(doc_id)), ',') AS postings_csv,
+              CAST(count(*) AS BIGINT) AS df
+       FROM tok GROUP BY term HAVING count(*) >= 5
+       ORDER BY term""",
+)
+def x_invindex(t: Tables) -> DataFrame:
+    """Inverted index over documents (terms with df ≥ 5), postings
+    serialized as CSV so both engines hash the same bytes."""
+    idx = inverted_index(t.documents, min_df=5)
+    return idx.select(
+        "term", F.array_join("postings", ",").alias("postings_csv"), "df"
+    ).orderBy("term")

@@ -1229,6 +1229,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_urls": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_semdedup": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_split": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_invindex": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

@@ -1052,3 +1052,23 @@ def test_split_assign_is_scan_local(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     plan = split_assign(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# --- Inverted index -------------------------------------------------------
+
+
+def test_inverted_index_postings(spark):
+    from f1_data_pipeline_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "b a"), (1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    idx = {r["term"]: (r["postings"], r["df"]) for r in inverted_index(df).collect()}
+    # postings sorted, distinct (doc 1 repeats 'a' but appears once)
+    assert idx["a"] == ([1, 2, 3], 3)
+    assert idx["b"] == ([1, 3], 2)
+    assert idx["c"] == ([2], 1)
+    # min_df filters
+    from f1_data_pipeline_spark.operators.text import inverted_index as ii
+
+    assert {r["term"] for r in ii(df, min_df=2).collect()} == {"a", "b"}
