@@ -1199,3 +1199,62 @@ def x_invindex(t: Tables) -> DataFrame:
     return idx.select(
         "term", F.array_join("postings", ",").alias("postings_csv"), "df"
     ).orderBy("term")
+
+
+# --- Sequence-packing placement -------------------------------------------
+
+
+def pack_assign(
+    df: DataFrame,
+    seq_len: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dataloader-facing twin of ``pack_stats``: per document, WHERE it
+    lands after concat-and-chunk packing — group-local token offset, first
+    and last training-sequence index, and whether it straddles a sequence
+    boundary. A reader can reconstruct every packed sequence from this
+    index without re-scanning text.
+
+    Same execution shape as ``pack_stats`` (one keyed cumsum window,
+    integer ``div`` arithmetic end-to-end); emitting the placement instead
+    of aggregating it costs nothing extra."""
+    w = Window.partitionBy(by).orderBy(order)
+    n = token_count(text_col).cast("long")
+    c = df.select(
+        F.col(by),
+        F.col(order),
+        n.alias("n_tokens"),
+        F.sum(n).over(w).alias("__cum"),
+    )
+    return c.select(
+        by,
+        order,
+        "n_tokens",
+        (F.col("__cum") - F.col("n_tokens")).alias("tok_start"),
+        F.expr(f"(__cum - n_tokens) div {seq_len}").alias("seq_first"),
+        F.expr(f"(__cum - 1) div {seq_len}").alias("seq_last"),
+    ).withColumn("straddles", F.col("seq_first") != F.col("seq_last"))
+
+
+@query(
+    "x_pack_assign",
+    """WITH c AS (
+         SELECT source, doc_id,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM documents)
+       SELECT source, doc_id, n_tokens,
+              cum - n_tokens AS tok_start,
+              (cum - n_tokens) // 512 AS seq_first,
+              (cum - 1) // 512 AS seq_last,
+              (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
+       FROM c ORDER BY source, doc_id""",
+)
+def x_pack_assign(t: Tables) -> DataFrame:
+    """Every document's packed placement under 512-token concat-and-chunk,
+    via ``pack_assign``."""
+    return pack_assign(t.documents, seq_len=512).orderBy("source", "doc_id")

@@ -1072,3 +1072,26 @@ def test_inverted_index_postings(spark):
     from f1_data_pipeline_spark.operators.text import inverted_index as ii
 
     assert {r["term"] for r in ii(df, min_df=2).collect()} == {"a", "b"}
+
+
+# --- Sequence-packing placement -------------------------------------------
+
+
+def test_pack_assign_matches_simulation(spark):
+    from f1_data_pipeline_spark.operators.text import pack_assign
+
+    rows = [
+        (1, "a", " ".join(["w"] * 3)),   # tokens 0-2   -> seq 0
+        (2, "a", " ".join(["w"] * 4)),   # tokens 3-6   -> seq 0..1 straddles
+        (3, "a", " ".join(["w"] * 2)),   # tokens 7-8   -> seq 1
+        (4, "b", " ".join(["w"] * 5)),   # group b restarts at 0 -> seq 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {
+        r["doc_id"]: (r["tok_start"], r["seq_first"], r["seq_last"], r["straddles"])
+        for r in pack_assign(df, seq_len=5).collect()
+    }
+    assert out[1] == (0, 0, 0, False)
+    assert out[2] == (3, 0, 1, True)
+    assert out[3] == (7, 1, 1, False)
+    assert out[4] == (0, 0, 0, False)
