@@ -1258,3 +1258,69 @@ def x_pack_assign(t: Tables) -> DataFrame:
     """Every document's packed placement under 512-token concat-and-chunk,
     via ``pack_assign``."""
     return pack_assign(t.documents, seq_len=512).orderBy("source", "doc_id")
+
+
+# --- Unigram language-model scoring ----------------------------------------
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model (add-one smoothed) — the classic CCNet/KenLM-style
+    perplexity-proxy quality signal, computed with the corpus as its own
+    reference model so no external artifact is needed. Lower = more
+    typical of the corpus; the tails are what curation inspects.
+
+    Shape (reference has no LM scoring; extension operator): one
+    vocabulary pass — (doc, term) tf then per-term totals, the same
+    two-keyed-shuffle geometry as ``tfidf_term_stats`` — then the tf table
+    re-joins the term-probability table on ``term`` and one keyed sum per
+    doc produces the score. The (V+1)-denominator constants arrive as a
+    broadcast 1-row aggregate; at 100 TB only (term, count) and
+    (doc, term, tf) rows ever move, never text."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = lm.agg(
+        F.sum("c").alias("__t"), F.count("*").alias("__v")
+    )  # total tokens, vocab size
+    logp = lm.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.log((F.col("c") + 1.0) / (F.col("__t") + F.col("__v"))).alias("__logp"),
+    )
+    return (
+        tf.join(logp, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(-F.sum(F.col("tf") * F.col("__logp")) / F.sum("tf"), 4).alias(
+                "xent"
+            ),
+        )
+    )
+
+
+@query(
+    "x_ppl",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+                    FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       lm AS (SELECT term, sum(tf) AS c FROM tf GROUP BY term),
+       tot AS (SELECT sum(c) AS t, count(*) AS v FROM lm),
+       logp AS (SELECT term, ln((c + 1.0) / (t + v)) AS logp FROM lm, tot),
+       score AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                        ROUND(-sum(tf * logp) / sum(tf), 4) AS xent
+                 FROM tf JOIN logp USING (term) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, xent FROM score
+       ORDER BY xent DESC, doc_id LIMIT 25""",
+)
+def x_ppl(t: Tables) -> DataFrame:
+    """The 25 most atypical documents (highest unigram cross-entropy vs
+    the corpus's own LM), via ``unigram_lm_score`` — the perplexity-filter
+    tail a curation pass would review or drop."""
+    return (
+        unigram_lm_score(t.documents)
+        .orderBy(F.col("xent").desc(), "doc_id")
+        .limit(25)
+    )

@@ -1231,6 +1231,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_split": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_invindex": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_pack_assign": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_ppl": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

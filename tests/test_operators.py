@@ -1095,3 +1095,20 @@ def test_pack_assign_matches_simulation(spark):
     assert out[2] == (3, 0, 1, True)
     assert out[3] == (7, 1, 1, False)
     assert out[4] == (0, 0, 0, False)
+
+
+# --- Unigram LM scoring -----------------------------------------------------
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    import math
+
+    from f1_data_pipeline_spark.operators.text import unigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: (r["n_tokens"], r["xent"]) for r in unigram_lm_score(df).collect()}
+    # counts: a=2 b=2 c=1 -> T=5 V=3; add-one: p(a)=p(b)=3/8, p(c)=2/8
+    assert out[1] == (3, round(-math.log(3 / 8), 4))
+    assert out[2] == (2, round(-(math.log(3 / 8) + math.log(2 / 8)) / 2, 4))
