@@ -1324,3 +1324,103 @@ def x_ppl(t: Tables) -> DataFrame:
         .orderBy(F.col("xent").desc(), "doc_id")
         .limit(25)
     )
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    hex_digits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    per-document log importance weight  Σ_b tf_b · ln(p_target(b)/p_raw(b))
+    over hashed token buckets, add-one smoothed — rank raw-corpus documents
+    by how target-like they are, then sample by weight.
+
+    ``target`` is a boolean Column marking the rows that define the target
+    distribution (e.g. ``F.col("source") == "src0"``); both bucket models
+    come from ONE pass over the exploded tokens (conditional sum + count in
+    the same keyed aggregate). Buckets are the leading ``hex_digits`` hex
+    digits of md5(term) — the same engine-portable hash trick as
+    ``split_assign``, so the SQL oracle computes bit-identical buckets.
+    The bucket-weight table is B = 16^hex_digits rows, broadcast; per-doc
+    scoring is one (doc, bucket) aggregate plus a broadcast join — at
+    100 TB nothing but (id, bucket, tf) rows ever shuffle. A production run
+    raises ``hex_digits`` to 4-5 (the paper uses 10k buckets); the plan
+    shape is unchanged."""
+    B = 16**hex_digits
+    digit = (
+        "(" + " + ".join(
+            f"(instr('{_HEX_ALPHABET}', substring(md5(term), {i + 1}, 1)) - 1)"
+            f" * {16 ** (hex_digits - 1 - i)}"
+            for i in range(hex_digits)
+        ) + ")"
+    )
+    toks = df.select(
+        F.col(id_col),
+        target.alias("__is_t"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).withColumn("bucket", F.expr(digit).cast("long"))
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.col("__is_t").cast("long")).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = counts.agg(F.sum("ct").alias("__tt"), F.sum("cr").alias("__tr"))
+    lw = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1.0) / (F.col("__tt") + F.lit(float(B))))
+            / ((F.col("cr") + 1.0) / (F.col("__tr") + F.lit(float(B))))
+        ).alias("__lw"),
+    )
+    per_doc = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.join(F.broadcast(lw), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("__lw")), 4).alias("log_weight"),
+        )
+    )
+
+
+@query(
+    "x_dsir",
+    """WITH tok AS (
+         SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+                strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1 AS bucket
+         FROM (SELECT doc_id, source,
+                      unnest(string_split(trim(text), ' ')) AS term
+               FROM documents)),
+       counts AS (SELECT bucket, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                         count(*) AS cr
+                  FROM tok GROUP BY bucket),
+       tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+       lw AS (SELECT bucket,
+                     ln(((ct + 1.0) / (tt + 16.0)) / ((cr + 1.0) / (tr + 16.0))) AS lw
+              FROM counts, tot),
+       per_doc AS (SELECT doc_id, bucket, count(*) AS tf
+                   FROM tok GROUP BY doc_id, bucket),
+       score AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                        ROUND(sum(tf * lw), 4) AS log_weight
+                 FROM per_doc JOIN lw USING (bucket) GROUP BY doc_id)
+       SELECT s.doc_id, d.source, s.n_tokens, s.log_weight
+       FROM score s JOIN documents d USING (doc_id)
+       ORDER BY s.log_weight DESC, s.doc_id LIMIT 25""",
+)
+def x_dsir(t: Tables) -> DataFrame:
+    """Top-25 most target-like documents under DSIR hashed-unigram
+    importance weights with sources src0/src1 as the target distribution,
+    via ``dsir_weights`` — the selection pass that builds a
+    target-resembling pretraining subset from a raw crawl."""
+    w = dsir_weights(t.documents, F.col("source").isin("src0", "src1"))
+    return (
+        w.join(t.documents.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "log_weight")
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(25)
+    )

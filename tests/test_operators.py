@@ -1112,3 +1112,38 @@ def test_unigram_lm_score_hand_computed(spark):
     # counts: a=2 b=2 c=1 -> T=5 V=3; add-one: p(a)=p(b)=3/8, p(c)=2/8
     assert out[1] == (3, round(-math.log(3 / 8), 4))
     assert out[2] == (2, round(-(math.log(3 / 8) + math.log(2 / 8)) / 2, 4))
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.text import dsir_weights
+
+    rows = [
+        (1, "tgt", "alpha beta gamma alpha"),
+        (2, "raw", "alpha beta gamma"),        # target-like
+        (3, "raw", "zebra quux mumble xyzzy"),  # disjoint from target
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(df, F.col("source") == "tgt").collect()
+    }
+    assert out[2] > out[3]
+
+
+def test_dsir_bucket_range_two_hex_digits(spark):
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(i, "s", f"w{i} w{i*7} common") for i in range(30)],
+        "doc_id int, source string, text string",
+    )
+    # runs end-to-end with 256 buckets and every doc scored exactly once
+    out = dsir_weights(df, F.col("source") == "s", hex_digits=2).collect()
+    assert len(out) == 30 and all(r["n_tokens"] == 3 for r in out)
