@@ -890,3 +890,148 @@ def x_semdedup(t: Tables) -> DataFrame:
     return semantic_dedup(t.embeddings, threshold=0.4).select("vec_id").orderBy(
         "vec_id"
     )
+
+
+# --- Distributed spherical k-means -----------------------------------------
+
+
+def _normalized_double(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """L2-normalize the vector column as array<double>, pure Catalyst."""
+    sq = F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        vectors.select(id_col, vec_col)
+        .withColumn("__norm", F.sqrt(sq))
+        .select(
+            id_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
+            ).alias(vec_col),
+        )
+    )
+
+
+def _partial_cell_sums(normed: DataFrame, C, vec_col: str) -> DataFrame:
+    """Per-Arrow-batch partial (cell, count, sum-vector) aggregates for one
+    Lloyd assignment pass — the map-side combine that keeps the driver's
+    reduce bounded at k × n_batches small rows."""
+    import numpy as np
+    import pandas as pd
+
+    bc = normed.sparkSession.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
+
+    def kernel(batches):
+        Cv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            cells = np.argmax(A @ Cv.T, axis=1)
+            rows = [
+                (int(j), int((cells == j).sum()), A[cells == j].sum(axis=0).tolist())
+                for j in np.unique(cells)
+            ]
+            yield pd.DataFrame(rows, columns=["cell", "n", "s"])
+
+    return normed.select(vec_col).mapInPandas(kernel, "cell int, n long, s array<double>")
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 10,
+    tol: float = 1e-6,
+    seed: int = 42,
+    sample: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full-corpus spherical k-means (Lloyd): distributed assignment via a
+    broadcast-codebook GEMM kernel, distributed mean-recompute via
+    per-batch partial cell sums; the driver only ever reduces
+    k × n_batches partial rows and holds the (k, dim) codebook — the same
+    legitimately-bounded driver-side class as the IVF codebook.
+
+    Unlike ``ivf_centroids`` (bounded-SAMPLE training, good enough for a
+    coarse quantizer), every iteration here scans the FULL corpus — the
+    clustering itself is the product (topic bucketing, SemDeDup cluster
+    stage, diversity sampling). Init is seeded from a deterministic
+    ``orderBy(id)`` sample, so the fit is a pure function of (data, k,
+    iters, seed) — stable under partitioning and retries. Converges early
+    when the max centroid shift drops below ``tol``. At 100 TB: one scan +
+    one tiny partial-collect per iteration, no shuffle at all."""
+    import numpy as np
+
+    normed = _normalized_double(vectors, id_col, vec_col)
+    pdf = normed.orderBy(id_col).limit(sample).toPandas()
+    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        partials = _partial_cell_sums(normed, C, vec_col).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C), dtype=np.int64)
+        for r in partials:
+            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+            counts[r["cell"]] += r["n"]
+        newC = C.copy()
+        for j in range(len(C)):
+            if counts[j]:
+                m = sums[j] / counts[j]
+                newC[j] = m / (np.linalg.norm(m) or 1.0)
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
+def kmeans_scores(
+    vectors: DataFrame,
+    C,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final k-means assignment with per-row cosine to the winning
+    centroid: (id, cell, cos). Broadcast-codebook GEMM, scan-local."""
+    import numpy as np
+    import pandas as pd
+
+    normed = _normalized_double(vectors, id_col, vec_col)
+    bc = normed.sparkSession.sparkContext.broadcast(np.asarray(C, dtype=np.float64))
+
+    def kernel(batches):
+        Cv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            S = A @ Cv.T
+            cells = np.argmax(S, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "cos": S[np.arange(len(A)), cells],
+                }
+            )
+
+    return normed.mapInPandas(kernel, f"{id_col} long, cell int, cos double")
+
+
+@query("x_kmeans", None)  # iterative Lloyd fit → rows-only check
+def x_kmeans(t: Tables) -> DataFrame:
+    """Per-cluster size and mean within-cluster cosine for a k=8 spherical
+    k-means over the embedding corpus (seeded, deterministic) — the topic
+    bucketing / SemDeDup-cluster-stage primitive. Convergence, blob
+    recovery, and partition-invariance pinned in tests."""
+    C = kmeans_fit(t.embeddings, k=8, iters=10, seed=42)
+    return (
+        kmeans_scores(t.embeddings, C)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("avg_cos"))
+        .orderBy("cell")
+    )

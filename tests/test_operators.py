@@ -1147,3 +1147,50 @@ def test_dsir_bucket_range_two_hex_digits(spark):
     # runs end-to-end with 256 buckets and every doc scored exactly once
     out = dsir_weights(df, F.col("source") == "s", hex_digits=2).collect()
     assert len(out) == 30 and all(r["n_tokens"] == 3 for r in out)
+
+
+# --- Distributed spherical k-means ------------------------------------------
+
+
+def _blob_rows(rng=None):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dirs = np.eye(3)  # three orthogonal blob centers in R^3
+    rows = []
+    for i in range(60):
+        b = i % 3
+        v = dirs[b] + rng.normal(0, 0.05, 3)
+        rows.append((i, [float(x) for x in v], b))
+    return rows
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    from f1_data_pipeline_spark.operators.similarity import kmeans_fit, kmeans_scores
+
+    df = spark.createDataFrame(
+        _blob_rows(), "vec_id long, embedding array<float>, label int"
+    )
+    C = kmeans_fit(df, k=3, iters=10, seed=1)
+    got = kmeans_scores(df, C).collect()
+    # each planted blob maps to exactly one cell, three distinct cells total
+    by_label = {}
+    truth = {r[0]: r[2] for r in _blob_rows()}
+    for r in got:
+        by_label.setdefault(truth[r["vec_id"]], set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_label.values())
+    assert len({c for s in by_label.values() for c in s}) == 3
+    assert all(r["cos"] > 0.9 for r in got)
+
+
+def test_kmeans_partition_invariant(spark):
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    df = spark.createDataFrame(
+        _blob_rows(), "vec_id long, embedding array<float>, label int"
+    )
+    C1 = kmeans_fit(df, k=3, iters=5, seed=1)
+    C2 = kmeans_fit(df.repartition(7), k=3, iters=5, seed=1)
+    assert np.allclose(C1, C2)
