@@ -685,3 +685,81 @@ def x_dedup_lines(t: Tables) -> DataFrame:
         )
     )
     return line_dedup(corpus, line_tokens=_LINE_TOKENS).orderBy("doc_id")
+
+
+# --- Repeated n-gram span index ---------------------------------------------
+
+
+def ngram_span_index(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication index (the signal behind Lee et al.
+    2022's suffix-array dedup, reshaped to sliding token n-grams): every
+    n-gram that recurs across ≥ ``min_docs`` documents, with its corpus
+    frequency and first-occurrence locator. Downstream removal keeps the
+    first occurrence and cuts later spans — ``line_dedup`` implements that
+    removal at line granularity; this index is the span-level detector.
+
+    Scale shape: the sliding window is scan-local (sequence + slice per
+    row, same as ``line_dedup``); the shuffle carries ONLY (md5, id, pos)
+    — 16-byte gram fingerprints, never gram text; one keyed aggregate with
+    map-side combine. Nothing quadratic, nothing driver-side."""
+    grams = (
+        df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
+        .where(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__w) - {n} + 1),"
+                    f" s -> md5(concat_ws(' ', slice(__w, s, {n}))))"
+                )
+            ).alias("pos", "gram_fp"),
+        )
+    )
+    return (
+        grams.groupBy("gram_fp")
+        .agg(
+            F.count_distinct(id_col).cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "gram_fp",
+            "n_docs",
+            "n_occ",
+            F.col(f"__first.{id_col}").alias("first_doc"),
+            F.col("__first.pos").alias("first_pos"),
+        )
+    )
+
+
+@query(
+    "x_ngram_spans",
+    """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                  FROM documents),
+       g AS (SELECT doc_id, s - 1 AS pos,
+                    md5(array_to_string(list_slice(w, s, s + 7), ' ')) AS gram_fp
+             FROM w, unnest(generate_series(1, len(w) - 7)) AS t(s)
+             WHERE len(w) >= 8),
+       idx AS (SELECT gram_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(count(*) AS BIGINT) AS n_occ,
+                      min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+               FROM g GROUP BY gram_fp HAVING count(DISTINCT doc_id) >= 2)
+       SELECT gram_fp, n_docs, n_occ,
+              f.doc_id AS first_doc, CAST(f.pos AS INTEGER) AS first_pos
+       FROM idx ORDER BY n_docs DESC, n_occ DESC, gram_fp LIMIT 50""",
+)
+def x_ngram_spans(t: Tables) -> DataFrame:
+    """The 50 most-duplicated cross-document 8-gram spans in the corpus
+    (the exact-substring-dedup detector), via ``ngram_span_index``."""
+    return (
+        ngram_span_index(t.documents, n=8, min_docs=2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram_fp")
+        .limit(50)
+    )

@@ -1233,6 +1233,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_pack_assign": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_ppl": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_dsir": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_ngram_spans": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

@@ -1194,3 +1194,35 @@ def test_kmeans_partition_invariant(spark):
     C1 = kmeans_fit(df, k=3, iters=5, seed=1)
     C2 = kmeans_fit(df.repartition(7), k=3, iters=5, seed=1)
     assert np.allclose(C1, C2)
+
+
+# --- Repeated n-gram span index ---------------------------------------------
+
+
+def test_ngram_span_index_finds_planted_span(spark):
+    from f1_data_pipeline_spark.operators.text import tokens  # noqa: F401
+    from f1_data_pipeline_spark.operators.dedup import ngram_span_index
+
+    shared = "one two three four"  # 4-gram planted in docs 1 and 3
+    rows = [
+        (1, f"{shared} tail words here"),
+        (2, "totally different content entirely unique"),
+        (3, f"prefix {shared} suffix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = ngram_span_index(df, n=4, min_docs=2).collect()
+    # exactly the planted gram recurs across two docs; first occurrence is
+    # doc 1 at position 0 (doc 3 has it at position 1)
+    planted = [r for r in out if r["n_docs"] == 2]
+    assert len(planted) == 1
+    assert (planted[0]["first_doc"], planted[0]["first_pos"]) == (1, 0)
+    assert planted[0]["n_occ"] == 2
+
+
+def test_ngram_span_index_skips_short_docs(spark):
+    from f1_data_pipeline_spark.operators.dedup import ngram_span_index
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id int, text string"
+    )
+    assert ngram_span_index(df, n=4, min_docs=1).count() == 0
