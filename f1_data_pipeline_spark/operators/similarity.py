@@ -1035,3 +1035,82 @@ def x_kmeans(t: Tables) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("avg_cos"))
         .orderBy("cell")
     )
+
+
+# --- Int8 scalar quantization ----------------------------------------------
+
+
+def quantize_int8(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column — the
+    standard 4x storage/bandwidth reduction applied before ANN serving.
+    q_i = clamp(floor((x_i - min_i) * 255 / (max_i - min_i)), 0, 255) - 128
+    with corpus-global per-dimension ranges.
+
+    Scale shape: ONE stats pass (posexplode → per-pos min/max, map-side
+    combined) collapses into a single broadcast row carrying the (dim)-
+    sized min/max arrays; the quantization itself is a scan-local
+    ``transform`` with index lookups into those broadcast arrays — no
+    per-element shuffle, no UDF, whole-stage codegen end to end. ``floor``
+    (not round) so every engine computes identical codes — round's
+    half-tie rules differ across engines."""
+    stats = (
+        vectors.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min("v").cast("double").alias("mn"),
+            F.max("v").cast("double").alias("mx"),
+        )
+    )
+    arrs = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__mx"),
+    )
+    q = F.expr(
+        f"""transform({vec_col}, (x, i) -> CASE
+              WHEN element_at(__mx, i + 1) = element_at(__mn, i + 1) THEN -128
+              ELSE CAST(least(255.0, greatest(0.0,
+                     floor((CAST(x AS DOUBLE) - element_at(__mn, i + 1)) * 255.0
+                           / (element_at(__mx, i + 1) - element_at(__mn, i + 1)))))
+                   AS INT) - 128 END)"""
+    )
+    return (
+        vectors.crossJoin(F.broadcast(arrs))
+        .select(F.col(id_col), q.alias("q"))
+    )
+
+
+@query(
+    "x_quantize",
+    """WITH pe AS (SELECT vec_id, u.i AS pos,
+                          CAST(embedding[u.i] AS DOUBLE) AS v
+                   FROM embeddings, unnest(generate_series(1, len(embedding))) u(i)),
+       stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM pe GROUP BY pos),
+       q AS (SELECT vec_id, pos,
+                    CASE WHEN mx = mn THEN -128
+                         ELSE CAST(least(255.0, greatest(0.0,
+                                floor((v - mn) * 255.0 / (mx - mn)))) AS INT) - 128
+                    END AS q
+             FROM pe JOIN stats USING (pos))
+       SELECT vec_id, string_agg(CAST(q AS VARCHAR), ',' ORDER BY pos) AS q_csv
+       FROM q GROUP BY vec_id ORDER BY vec_id LIMIT 100""",
+)
+def x_quantize(t: Tables) -> DataFrame:
+    """Int8-quantized codes for the first 100 embeddings (CSV-serialized
+    for engine-portable comparison), via ``quantize_int8``."""
+    return (
+        quantize_int8(t.embeddings)
+        .select(
+            "vec_id",
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+                "q_csv"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )

@@ -1226,3 +1226,33 @@ def test_ngram_span_index_skips_short_docs(spark):
         [(1, "a b"), (2, "a b")], "doc_id int, text string"
     )
     assert ngram_span_index(df, n=4, min_docs=1).count() == 0
+
+
+# --- Int8 scalar quantization -----------------------------------------------
+
+
+def test_quantize_int8_known_values(spark):
+    from f1_data_pipeline_spark.operators.similarity import quantize_int8
+
+    rows = [
+        (1, [0.0, 10.0]),
+        (2, [1.0, 5.0]),
+        (3, [2.0, 0.0]),   # dim0 range [0,2], dim1 range [0,10]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["q"] for r in quantize_int8(df).collect()}
+    # dim0: 0->-128, 1->floor(127.5)-128=-1, 2->clamped 255-128=127
+    # dim1: 10->127, 5->floor(127.5)-128=-1, 0->-128
+    assert out[1] == [-128, 127]
+    assert out[2] == [-1, -1]
+    assert out[3] == [127, -128]
+
+
+def test_quantize_int8_constant_dim_is_min_code(spark):
+    from f1_data_pipeline_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0]), (2, [3.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: r["q"] for r in quantize_int8(df).collect()}
+    assert out[1][0] == -128 and out[2][0] == -128  # zero-range dim
