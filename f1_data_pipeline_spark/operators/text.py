@@ -1424,3 +1424,78 @@ def x_dsir(t: Tables) -> DataFrame:
         .orderBy(F.col("log_weight").desc(), "doc_id")
         .limit(25)
     )
+
+
+# --- Per-domain quality rollup ---------------------------------------------
+
+
+def domain_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Domain-level curation signal: per linked domain, how many documents
+    mention it and what fraction of those pass the Gopher gate — the
+    keep-rate table behind domain blocklists and per-domain crawl caps
+    (a chronically low-keep-rate domain is a boilerplate/spam farm).
+
+    Pure composition of two scan-local operators: the URL explode
+    (``extract_urls``) and the Gopher keep predicate (``gopher_keep``)
+    evaluate in the SAME scan; only (domain, id, keep) rows shuffle into
+    one keyed aggregate."""
+    u = extract_urls(df, text_col, id_col).select(id_col, "domain").distinct()
+    k = df.select(F.col(id_col), gopher_keep(text_col).alias("__keep"))
+    return (
+        u.join(k, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("__keep").cast("long")).alias("n_keep"),
+            F.round(
+                F.sum(F.col("__keep").cast("long")) / F.count("*"), 4
+            ).alias("keep_rate"),
+        )
+    )
+
+
+@query(
+    "x_domain_quality",
+    f"""WITH planted AS (
+         SELECT doc_id, {_URL_PLANT_SQL} AS text FROM documents),
+       u AS (SELECT DISTINCT doc_id,
+                    regexp_extract(url, '{URL_HOST_PATTERN}', 1) AS domain
+             FROM (SELECT doc_id,
+                          unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+                   FROM planted)),
+       s AS (SELECT doc_id,
+                    len(w) AS n_words,
+                    CAST(length(replace(trim(text), ' ', '')) AS DOUBLE)
+                      / len(w) AS mwl,
+                    ROUND(CAST(len(list_filter(w,
+                          x -> NOT regexp_matches(x, '[A-Za-z0-9]')))
+                        AS DOUBLE) / len(w), 4) AS symbol_ratio,
+                    ROUND(CAST(len(list_filter(w,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                        AS DOUBLE) / len(w), 4) AS alpha_frac,
+                    len(list_filter(w, x -> x IN ({_STOPWORDS_SQL}))) AS n_stop
+             FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+                   FROM planted) t),
+       k AS (SELECT doc_id,
+                    (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                     AND ROUND(mwl, 4) BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+                     AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                     AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                     AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+             FROM s)
+       SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              ROUND(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                AS keep_rate
+       FROM u JOIN k USING (doc_id)
+       GROUP BY domain ORDER BY domain""",
+)
+def x_domain_quality(t: Tables) -> DataFrame:
+    """Per-domain Gopher keep-rates over the deterministically planted URL
+    corpus, via ``domain_quality``."""
+    planted = t.documents.select(
+        "doc_id", F.expr(_URL_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    return domain_quality(planted).orderBy("domain")

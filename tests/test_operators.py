@@ -1256,3 +1256,23 @@ def test_quantize_int8_constant_dim_is_min_code(spark):
     )
     out = {r["vec_id"]: r["q"] for r in quantize_int8(df).collect()}
     assert out[1][0] == -128 and out[2][0] == -128  # zero-range dim
+
+
+# --- Per-domain quality rollup ----------------------------------------------
+
+
+def test_domain_quality_keep_rate(spark):
+    from f1_data_pipeline_spark.operators.text import domain_quality
+
+    good = ("the quick brown fox jumps over a lazy dog and then runs far "
+            "away into the green hills where the sun sets slowly over water "
+            "while the birds sing songs of summer evenings")  # passes gopher
+    rows = [
+        (1, good + " via https://a.example.com/x"),
+        (2, "!!! ??? " + " ".join(["@@"] * 40) + " https://a.example.com/y"),  # fails
+        (3, good + " via https://b.example.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["domain"]: (r["n_docs"], r["n_keep"], r["keep_rate"]) for r in domain_quality(df).collect()}
+    assert out["a.example.com"] == (2, 1, 0.5)
+    assert out["b.example.com"] == (1, 1, 1.0)
