@@ -1499,3 +1499,99 @@ def x_domain_quality(t: Tables) -> DataFrame:
         "doc_id", F.expr(_URL_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
     )
     return domain_quality(planted).orderBy("domain")
+
+
+# --- Packed-sequence materialization ---------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the concat-and-chunk training sequences themselves:
+    per ``by`` group, documents concatenate in ``order`` and split into
+    ``seq_len``-token sequences; returns (group, seq_id, n_tokens, text)
+    — the actual dataloader output, completing the packing family
+    (``pack_stats`` = metrics, ``pack_assign`` = index, this = data).
+
+    Shape: the same ONE keyed cumsum window as its siblings, then each
+    document explodes into only the sequences it overlaps (≤ ⌈n/L⌉ + 1
+    segments — output bytes ≈ input bytes, no amplification) and one
+    keyed ordered-concat aggregate per (group, seq) assembles the text.
+    Slice arithmetic is all integer; at 100 TB the group key is the
+    storage partition key, making both shuffles co-partitioned."""
+    w = Window.partitionBy(by).orderBy(order)
+    n = token_count(text_col).cast("long")
+    c = df.select(
+        F.col(by),
+        tokens(text_col).alias("__toks"),
+        n.alias("__n"),
+        (F.sum(n).over(w) - n).alias("__start"),
+    )
+    seg = c.select(
+        by,
+        "__toks",
+        "__n",
+        "__start",
+        F.explode(
+            F.expr(f"sequence(__start div {seq_len}, (__start + __n - 1) div {seq_len})")
+        ).alias("seq_id"),
+    )
+    piece = seg.select(
+        by,
+        "seq_id",
+        F.col("__start").alias("__ord"),
+        F.expr(
+            f"""concat_ws(' ', slice(__toks,
+                 CAST(greatest(seq_id * {seq_len}, __start) - __start + 1 AS INT),
+                 CAST(least((seq_id + 1) * {seq_len}, __start + __n)
+                      - greatest(seq_id * {seq_len}, __start) AS INT)))"""
+        ).alias("__piece"),
+        F.expr(
+            f"""least((seq_id + 1) * {seq_len}, __start + __n)
+                - greatest(seq_id * {seq_len}, __start)"""
+        ).alias("__len"),
+    )
+    return piece.groupBy(by, "seq_id").agg(
+        F.sum("__len").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ord", "__piece"))),
+                lambda x: x["__piece"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+@query(
+    "x_pack_sequences",
+    """WITH c AS (
+         SELECT source, doc_id, string_split(trim(text), ' ') AS toks,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+                SUM(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS s
+         FROM documents),
+       seg AS (SELECT source, toks, n, s, u.q AS seq_id
+               FROM c, unnest(generate_series(CAST(s // 512 AS BIGINT),
+                                              CAST((s + n - 1) // 512 AS BIGINT))) u(q)),
+       piece AS (SELECT source, seq_id, s AS ord,
+                        array_to_string(list_slice(toks,
+                          greatest(seq_id * 512, s) - s + 1,
+                          least((seq_id + 1) * 512, s + n) - s), ' ') AS piece,
+                        least((seq_id + 1) * 512, s + n)
+                          - greatest(seq_id * 512, s) AS plen
+                 FROM seg)
+       SELECT source, seq_id, CAST(sum(plen) AS BIGINT) AS n_tokens,
+              string_agg(piece, ' ' ORDER BY ord) AS text
+       FROM piece GROUP BY source, seq_id ORDER BY source, seq_id""",
+)
+def x_pack_sequences(t: Tables) -> DataFrame:
+    """Every materialized 512-token packed training sequence, via
+    ``pack_sequences`` — full text hash-compared against the oracle."""
+    return pack_sequences(t.documents, seq_len=512).orderBy("source", "seq_id")

@@ -1236,6 +1236,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_ngram_spans": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_quantize": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
     "x_domain_quality": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
+    "x_pack_sequences": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
 }
 
 

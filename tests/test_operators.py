@@ -1276,3 +1276,23 @@ def test_domain_quality_keep_rate(spark):
     out = {r["domain"]: (r["n_docs"], r["n_keep"], r["keep_rate"]) for r in domain_quality(df).collect()}
     assert out["a.example.com"] == (2, 1, 0.5)
     assert out["b.example.com"] == (1, 1, 1.0)
+
+
+def test_pack_sequences_materializes_exact_chunks(spark):
+    from f1_data_pipeline_spark.operators.text import pack_sequences
+
+    rows = [
+        (1, "a", "w1 w2 w3"),
+        (2, "a", "w4 w5 w6 w7"),   # straddles the 5-token boundary
+        (3, "a", "w8 w9"),
+        (4, "b", "v1 v2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {
+        (r["source"], r["seq_id"]): (r["n_tokens"], r["text"])
+        for r in pack_sequences(df, seq_len=5).collect()
+    }
+    assert out[("a", 0)] == (5, "w1 w2 w3 w4 w5")
+    assert out[("a", 1)] == (4, "w6 w7 w8 w9")
+    assert out[("b", 0)] == (2, "v1 v2")
+    assert len(out) == 3
