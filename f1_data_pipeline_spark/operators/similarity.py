@@ -1114,3 +1114,77 @@ def x_quantize(t: Tables) -> DataFrame:
         .orderBy("vec_id")
         .limit(100)
     )
+
+
+def quantize_stats(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The corpus-global per-dimension min/max arrays as ONE broadcastable
+    row — the quantization codebook ``quantize_int8`` trains and every
+    code consumer (dequantization, asymmetric search) reuses."""
+    stats = (
+        vectors.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min("v").cast("double").alias("mn"),
+            F.max("v").cast("double").alias("mx"),
+        )
+    )
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("__mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("__mx"),
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over int8 codes: scan the 4x-smaller quantized
+    corpus for an approximate shortlist (k · ``shortlist_mult``), then
+    exact-rerank only the shortlist against the full-precision vectors —
+    the standard memory-bandwidth-bound serving layout (codes in RAM,
+    exact vectors cold).
+
+    Scale shape: stage 1 is a scan-local dequantize-and-score transform
+    over codes + TakeOrderedAndProject (no global sort); stage 2 is a
+    broadcast semi-join of the tiny shortlist onto the exact table and an
+    exact ``cosine_topk``. Recall vs exact pinned in tests."""
+    arrs = quantize_stats(vectors, vec_col)
+    deq = F.expr(
+        f"""transform(q, (c, i) ->
+              element_at(__mn, i + 1)
+              + (CAST(c AS DOUBLE) + 128.5) * (element_at(__mx, i + 1)
+                 - element_at(__mn, i + 1)) / 255.0)"""
+    )
+    codes = (
+        quantize_int8(vectors, id_col, vec_col)
+        .crossJoin(F.broadcast(arrs))
+        .select(id_col, deq.alias("__deq"))
+    )
+    q = query_df.select(as_double_vec(vec_col).alias("__qv"))
+    shortlist = (
+        codes.crossJoin(F.broadcast(q))
+        .select(id_col, cosine(F.col("__deq"), F.col("__qv")).alias("__asim"))
+        .orderBy(F.col("__asim").desc(), id_col)
+        .limit(k * shortlist_mult)
+        .select(id_col)
+    )
+    exact = vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+    return cosine_topk(exact, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+@query("x_sim_quantized", None)  # approximate shortlist by design → rows-only
+def x_sim_quantized(t: Tables) -> DataFrame:
+    """Int8-code two-stage ANN top-10 for vec_id 0; recall vs exact
+    asserted in tests."""
+    e = t.embeddings
+    return quantized_topk(
+        e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10
+    )

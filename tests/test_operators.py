@@ -1296,3 +1296,19 @@ def test_pack_sequences_materializes_exact_chunks(spark):
     assert out[("a", 1)] == (4, "w6 w7 w8 w9")
     assert out[("b", 0)] == (2, "v1 v2")
     assert len(out) == 3
+
+
+# --- Quantized two-stage ANN ------------------------------------------------
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from f1_data_pipeline_spark.operators.similarity import cosine_topk, quantized_topk
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base, q = e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in cosine_topk(base, q, k=10).collect()}
+    approx = {r["vec_id"] for r in quantized_topk(base, q, k=10).collect()}
+    assert len(approx) == 10
+    assert len(exact & approx) >= 8  # int8 reconstruction keeps recall high
