@@ -126,3 +126,50 @@ def test_decontam_broadcasts_benchmark_set(spark):
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p or "partial" in p
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """DSIR's B-row bucket-weight table must reach the per-doc side as a
+    broadcast — shuffling the corpus against a 16-row model table would be
+    the classic mistake — and the bucket aggregates must partial-aggregate
+    map-side."""
+    p = plan_of(spark, "x_dsir")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial" in p
+
+
+def test_ppl_totals_broadcast_and_two_phase(spark):
+    """The unigram-LM totals row must broadcast onto the term table and
+    every aggregate must be two-phase."""
+    p = plan_of(spark, "x_ppl")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "partial" in p
+
+
+def test_quantize_stats_broadcast_no_per_element_shuffle(spark):
+    """Int8 quantization: the per-dim stats collapse to ONE broadcast row;
+    the quantization itself is a scan-local transform — the plan may
+    contain only the stats-pass exchanges (posexplode groupBy + singleton
+    agg), never a per-element shuffle of the vectors."""
+    p = plan_of(spark, "x_quantize")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
+    assert "CartesianProduct" not in final
+
+
+def test_pack_sequences_keyed_windows_only(spark):
+    """Packed-sequence materialization must never collapse to a single
+    partition: the cumsum window and the assembly aggregate are both keyed
+    by the group column."""
+    p = plan_of(spark, "x_pack_sequences")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "Exchange SinglePartition" not in final.split("TakeOrderedAndProject")[0]
+
+
+def test_ngram_spans_shuffles_fingerprints_only(spark):
+    """The repeated-n-gram index shuffles (md5, id, pos) rows with map-side
+    partial aggregation — gram text never moves."""
+    p = plan_of(spark, "x_ngram_spans")
+    assert "partial" in p
+    assert "CartesianProduct" not in p
