@@ -1312,3 +1312,43 @@ def test_quantized_topk_recall_vs_exact(spark):
     approx = {r["vec_id"] for r in quantized_topk(base, q, k=10).collect()}
     assert len(approx) == 10
     assert len(exact & approx) >= 8  # int8 reconstruction keeps recall high
+
+
+# --- BPE tokenizer training -------------------------------------------------
+
+
+def _py_bpe(word_counts, n_merges):
+    """Independent pure-Python BPE reference (Sennrich alg. 1)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + c
+        if not pairs:
+            break
+        (a, b), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, f))
+        newv = {}
+        for syms, c in vocab.items():
+            s, res, i = list(syms), [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            newv[tuple(res)] = newv.get(tuple(res), 0) + c
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    from f1_data_pipeline_spark.operators.text import bpe_train
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in counts.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    assert bpe_train(df, n_merges=6) == _py_bpe(counts, 6)
