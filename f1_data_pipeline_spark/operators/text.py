@@ -1690,3 +1690,76 @@ def x_bpe_train(t: Tables) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq long"
     ).orderBy("rank")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge table (the serving twin
+    of ``bpe_train``): per document, the exact token count and sequence
+    under the merges, applied in rank order within each word.
+
+    The merge table rides to executors as a broadcast list (vocab-class,
+    tiny); encoding is a scan-local Arrow kernel — 100 TB encodes at scan
+    speed with zero shuffle. Per-word results are memoized per batch (the
+    Zipf skew of natural text makes the word cache hit constantly)."""
+    import pandas as pd
+
+    ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    bc = df.sparkSession.sparkContext.broadcast(ordered)
+
+    def encode_word(word, table, cache):
+        got = cache.get(word)
+        if got is not None:
+            return got
+        s = list(word) + ["</w>"]
+        for a, b in table:
+            res, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            s = res
+        cache[word] = s
+        return s
+
+    def kernel(batches):
+        table = bc.value
+        cache = {}
+        for pdf in batches:
+            ids, counts, toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                out = []
+                for w in str(text).strip().split(" "):
+                    out.extend(encode_word(w, table, cache))
+                ids.append(did)
+                counts.append(len(out))
+                toks.append(out)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bpe_tokens": counts, "bpe_tokens": toks}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, n_bpe_tokens int, bpe_tokens array<string>"
+    )
+
+
+@query("x_bpe_encode", None)  # depends on the iteratively learned table → rows-only
+def x_bpe_encode(t: Tables) -> DataFrame:
+    """Corpus token counts under the corpus's own 8-merge BPE: per doc,
+    whitespace vs BPE token counts (the compression the tokenizer buys),
+    via ``bpe_train`` + ``bpe_encode``. Encode parity pinned in tests."""
+    merges = bpe_train(t.documents, n_merges=8)
+    enc = bpe_encode(t.documents, merges)
+    return (
+        enc.join(t.documents.select("doc_id", token_count("text").alias("n_ws")), "doc_id")
+        .select("doc_id", "n_ws", "n_bpe_tokens")
+        .orderBy("doc_id")
+        .limit(100)
+    )

@@ -1352,3 +1352,14 @@ def test_bpe_train_matches_reference_implementation(spark):
     text = " ".join(w for w, c in counts.items() for _ in range(c))
     df = spark.createDataFrame([(1, text)], "doc_id int, text string")
     assert bpe_train(df, n_merges=6) == _py_bpe(counts, 6)
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from f1_data_pipeline_spark.operators.text import bpe_encode
+
+    # merges: e+s -> es, es+t -> est, l+o -> lo
+    merges = [(0, "e", "s", "es", 9), (1, "es", "t", "est", 9), (2, "l", "o", "lo", 7)]
+    df = spark.createDataFrame([(1, "lowest")], "doc_id int, text string")
+    row = bpe_encode(df, merges).collect()[0]
+    assert row["bpe_tokens"] == ["lo", "w", "est", "</w>"]
+    assert row["n_bpe_tokens"] == 4
