@@ -457,18 +457,20 @@ def connected_components(
     Execution shape: labels/edges carry only (id, id) longs — document
     bytes never enter. The symmetrized edge set (+ self-loops) is
     MATERIALIZED once to ``scratch_dir`` parquet (a temp dir by default;
-    object storage at cluster scale) — the standard checkpoint every
-    iterative graph algorithm needs: it costs O(E) once and truncates
-    lineage, so round ``k``'s plan is ``k`` shallow join+agg levels over a
-    parquet scan instead of ``k`` embedded copies of the candidate-
-    generation pipeline (which grows plan handling past driver memory).
-    Each round shuffles O(E), rounds ≈ cluster diameter (near-dup clusters
-    are star/clique-like: single digits even at corpus scale). The
-    convergence probe runs on persisted label iterates to find the needed
-    depth ``k``, then everything is unpersisted and the RETURNED frame is
-    a fresh persist-free static ``k``-round plan — no cache residue,
-    deterministic output. Like the IVF codebook build, the probe is a
-    legitimate driver-side action during query construction."""
+    object storage at cluster scale), and so is every label round — the
+    standard checkpoint discipline of iterative graph algorithms: each
+    round's plan is a constant-depth join+agg over two parquet scans, so
+    lineage never grows no matter how many rounds run. Each round does a
+    min-label propagation (one O(E) keyed shuffle) followed by a POINTER
+    JUMP (rep := rep's rep, one O(V) self-join) — the jump squares the
+    distance labels travel per round, so convergence takes O(log diameter)
+    rounds instead of O(diameter). Plain propagation was measured failing
+    here: the sf0.1 embedding corpus at threshold 0.4 produces a sprawling
+    75-node component of diameter 17 (> the old 15-round cap); with
+    jumping it converges in 5. ``max_iter`` rounds now cover components of
+    diameter ~2^max_iter, which no real corpus exceeds. The returned frame
+    is a plain scan of the final checkpoint — persist-free, deterministic,
+    no cache residue."""
     import os
     import tempfile
 
@@ -507,39 +509,34 @@ def connected_components(
             .agg(F.min("__lrep").alias("rep"))
         )
 
-    labels0 = nodes.select("n", F.col("n").alias("rep"))
-    pinned_edges = edges.persist()
-    cur = labels0.persist()
-    pinned = [cur]
-    iters = 0
-    try:
-        for _ in range(max_iter):
-            nxt = propagate(cur).persist()
-            pinned.append(nxt)
-            changed = (
-                nxt.select(F.col("n"), F.col("rep").alias("__new"))
-                .join(cur.select(F.col("n"), F.col("rep").alias("__old")), "n")
-                .where(F.col("__new") != F.col("__old"))
-                .count()
-            )
-            cur = nxt
-            iters += 1
-            if changed == 0:
-                break
-        else:
-            raise ValueError(
-                f"connected_components did not converge in {max_iter} rounds "
-                f"(cluster diameter too large — raise max_iter)"
-            )
-    finally:
-        pinned_edges.unpersist()
-        for df in pinned:
-            df.unpersist()
+    def jump(labels: DataFrame) -> DataFrame:
+        # pointer jump: rep := labels[rep]. Every label IS a node id and
+        # every node has a row, so the inner join is total.
+        l2 = labels.select(F.col("n").alias("__jn"), F.col("rep").alias("__jrep"))
+        return labels.join(l2, labels["rep"] == F.col("__jn")).select(
+            labels["n"], F.col("__jrep").alias("rep")
+        )
 
-    out = labels0
-    for _ in range(iters):
-        out = propagate(out)
-    return out
+    spark = pairs.sparkSession
+    cur = nodes.select("n", F.col("n").alias("rep"))
+    for k in range(max_iter):
+        nxt = jump(propagate(cur))
+        lpath = scratch_dir.rstrip("/") + f"/labels_{k + 1}.parquet"
+        nxt.write.mode("overwrite").parquet(lpath)
+        nxt = spark.read.parquet(lpath)
+        changed = (
+            nxt.select(F.col("n"), F.col("rep").alias("__new"))
+            .join(cur.select(F.col("n"), F.col("rep").alias("__old")), "n")
+            .where(F.col("__new") != F.col("__old"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            return cur
+    raise ValueError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(cluster diameter too large — raise max_iter)"
+    )
 
 
 def dedup_by_clusters(
