@@ -962,31 +962,41 @@ def kmeans_fit(
     ``orderBy(id)`` sample, so the fit is a pure function of (data, k,
     iters, seed) — stable under partitioning and retries. Converges early
     when the max centroid shift drops below ``tol``. At 100 TB: one scan +
-    one tiny partial-collect per iteration, no shuffle at all."""
+    one tiny partial-collect per iteration, no shuffle at all. The
+    normalized vectors are cached (MEMORY_AND_DISK, MLlib's iterative-fit
+    discipline) strictly for the loop's lifetime and unpersisted before
+    returning — without it every iteration re-reads and re-normalizes the
+    corpus."""
     import numpy as np
 
+    from pyspark import StorageLevel
+
     normed = _normalized_double(vectors, id_col, vec_col)
-    pdf = normed.orderBy(id_col).limit(sample).toPandas()
-    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
-    for _ in range(iters):
-        partials = _partial_cell_sums(normed, C, vec_col).collect()
-        sums = np.zeros_like(C)
-        counts = np.zeros(len(C), dtype=np.int64)
-        for r in partials:
-            sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
-            counts[r["cell"]] += r["n"]
-        newC = C.copy()
-        for j in range(len(C)):
-            if counts[j]:
-                m = sums[j] / counts[j]
-                newC[j] = m / (np.linalg.norm(m) or 1.0)
-        shift = float(np.abs(newC - C).max())
-        C = newC
-        if shift < tol:
-            break
-    return C
+    normed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pdf = normed.orderBy(id_col).limit(sample).toPandas()
+        X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+        for _ in range(iters):
+            partials = _partial_cell_sums(normed, C, vec_col).collect()
+            sums = np.zeros_like(C)
+            counts = np.zeros(len(C), dtype=np.int64)
+            for r in partials:
+                sums[r["cell"]] += np.asarray(r["s"], dtype=np.float64)
+                counts[r["cell"]] += r["n"]
+            newC = C.copy()
+            for j in range(len(C)):
+                if counts[j]:
+                    m = sums[j] / counts[j]
+                    newC[j] = m / (np.linalg.norm(m) or 1.0)
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            if shift < tol:
+                break
+        return C
+    finally:
+        normed.unpersist()
 
 
 def kmeans_scores(

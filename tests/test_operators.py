@@ -1363,3 +1363,14 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     row = bpe_encode(df, merges).collect()[0]
     assert row["bpe_tokens"] == ["lo", "w", "est", "</w>"]
     assert row["n_bpe_tokens"] == 4
+
+
+def test_kmeans_fit_leaves_no_cache_residue(spark):
+    from f1_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        _blob_rows(), "vec_id long, embedding array<float>, label int"
+    )
+    kmeans_fit(df, k=3, iters=3, seed=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
