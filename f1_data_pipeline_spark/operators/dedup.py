@@ -760,3 +760,72 @@ def x_ngram_spans(t: Tables) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram_fp")
         .limit(50)
     )
+
+
+# --- Incremental-ingest exact dedup -----------------------------------------
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus's fingerprint
+    set — the production shape of exact dedup once ingestion is
+    continuous: the corpus is never rescanned, only its (16-byte md5)
+    fingerprint table joins in. Also drops intra-batch repeats (keeps the
+    first occurrence per fingerprint, same deterministic ordinal rule as
+    ``exact_dedup``).
+
+    Scale shape: one anti-join of the batch against the fingerprint table
+    on md5 (at 100 TB the fingerprint table is bucketed on fp, making
+    this a co-located join that never shuffles the store), then the
+    batch-local first-wins. Document bytes never move — only fingerprints
+    shuffle. The surviving rows' fingerprints are the delta to append to
+    the store."""
+    batch = new_df.withColumn("__fp", F.md5(F.col(text_col)))
+    fresh = batch.join(
+        seen_fps.select(F.col(fp_col).alias("__fp")), "__fp", "left_anti"
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col("doc_id"))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+@query(
+    "x_dedup_incr",
+    """WITH seen AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                     WHERE doc_id < 100),
+       batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100
+                 UNION ALL
+                 SELECT doc_id + 100000, text FROM documents
+                 WHERE doc_id < 50),
+       fresh AS (SELECT b.doc_id, b.text, md5(b.text) AS fp FROM batch b
+                 WHERE md5(b.text) NOT IN (SELECT fp FROM seen)),
+       first_wins AS (SELECT doc_id, text,
+                             row_number() OVER (PARTITION BY fp
+                                                ORDER BY doc_id) AS rn
+                      FROM fresh)
+       SELECT doc_id FROM first_wins WHERE rn = 1 ORDER BY doc_id""",
+)
+def x_dedup_incr(t: Tables) -> DataFrame:
+    """Incremental dedup of a simulated ingest batch (new docs plus 50
+    re-crawled copies of already-seen docs under shifted ids) against the
+    existing corpus's fingerprint store: every re-crawl vanishes, every
+    genuinely new doc survives, via ``incremental_dedup``."""
+    d = t.documents
+    seen = (
+        d.where(F.col("doc_id") < 100)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= 100).select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_dedup(batch, seen).select("doc_id").orderBy("doc_id")

@@ -1038,7 +1038,7 @@ def x_kmeans(t: Tables) -> DataFrame:
     k-means over the embedding corpus (seeded, deterministic) — the topic
     bucketing / SemDeDup-cluster-stage primitive. Convergence, blob
     recovery, and partition-invariance pinned in tests."""
-    C = kmeans_fit(t.embeddings, k=8, iters=10, seed=42)
+    C = kmeans_fit(t.embeddings, k=8, iters=5, seed=42)
     return (
         kmeans_scores(t.embeddings, C)
         .groupBy("cell")

@@ -1374,3 +1374,20 @@ def test_kmeans_fit_leaves_no_cache_residue(spark):
     )
     kmeans_fit(df, k=3, iters=3, seed=1)
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# --- Incremental-ingest dedup -----------------------------------------------
+
+
+def test_incremental_dedup_drops_seen_and_intra_batch(spark):
+    from f1_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame([("abc",)], "t string").select(
+        __import__("pyspark.sql.functions", fromlist=["md5"]).md5("t").alias("fp")
+    )
+    batch = spark.createDataFrame(
+        [(1, "abc"), (2, "new one"), (3, "new one"), (4, "other")],
+        "doc_id int, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, seen).collect())
+    assert kept == [2, 4]  # 1 already seen; 3 loses intra-batch first-wins
