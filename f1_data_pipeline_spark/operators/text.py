@@ -1763,3 +1763,71 @@ def x_bpe_encode(t: Tables) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# --- Domain PageRank --------------------------------------------------------
+
+
+def domain_pagerank(
+    df: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PageRank over the domain co-occurrence graph (domains linked by the
+    same document are mutually endorsing) — the crawl-curation authority
+    signal that decides which domains deserve crawl budget. Returns
+    (domain, rank), Σrank = 1; isolated domains keep the teleport mass.
+
+    Shape: the edge set and degrees are tiny relative to the corpus (they
+    aggregate out of the scan-local URL explode), so the iteration runs
+    on a domain-sized table: each round is ONE keyed join+agg referencing
+    the rank frame once — plan growth linear in ``iters``, same
+    discipline as ``connected_components``' propagate. The graph size N
+    joins in as a broadcast 1-row aggregate, never a driver scalar."""
+    u = extract_urls(df, text_col, id_col).select(id_col, "domain").distinct()
+    ub = u.select(F.col(id_col).alias("__id2"), F.col("domain").alias("dst"))
+    edges = (
+        u.join(ub, (F.col(id_col) == F.col("__id2")) & (F.col("domain") != F.col("dst")))
+        .select(F.col("domain").alias("src"), "dst")
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    nodes = u.select("domain").distinct()
+    n1 = nodes.agg(F.count("*").cast("double").alias("__N"))
+    r = nodes.crossJoin(F.broadcast(n1)).select(
+        "domain", (F.lit(1.0) / F.col("__N")).alias("rank")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.select(F.col("domain").alias("src"), "rank"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("domain"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        r = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "domain",
+                (
+                    (1.0 - damping) / F.col("__N")
+                    + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r
+
+
+@query("x_domain_rank", None)  # iterative float power-method → rows-only check
+def x_domain_rank(t: Tables) -> DataFrame:
+    """Domain authority ranks over the deterministically planted URL
+    corpus, via ``domain_pagerank``; power-iteration parity vs an
+    independent numpy implementation pinned in tests."""
+    planted = t.documents.select(
+        "doc_id", F.expr(_URL_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    return domain_pagerank(planted).select(
+        "domain", F.round("rank", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "domain")

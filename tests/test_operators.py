@@ -1391,3 +1391,37 @@ def test_incremental_dedup_drops_seen_and_intra_batch(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(batch, seen).collect())
     assert kept == [2, 4]  # 1 already seen; 3 loses intra-batch first-wins
+
+
+# --- Domain PageRank --------------------------------------------------------
+
+
+def test_domain_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.text import domain_pagerank
+
+    # docs link domains: (a,b,c) form a triangle via co-mentions; d isolated
+    rows = [
+        (1, "see https://a.com/x and https://b.com/y"),
+        (2, "see https://b.com/x and https://c.com/y"),
+        (3, "see https://a.com/z and https://c.com/w"),
+        (4, "only https://d.com/solo here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["domain"]: r["rank"] for r in domain_pagerank(df, iters=10).collect()}
+
+    doms = ["a.com", "b.com", "c.com", "d.com"]
+    A = np.zeros((4, 4))
+    for s, d_ in [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)]:
+        A[s, d_] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(4, 0.25)
+    for _ in range(10):
+        contrib = np.zeros(4)
+        for s in range(4):
+            if deg[s]:
+                contrib += A[s] * (r[s] / deg[s])
+        r = 0.15 / 4 + 0.85 * contrib
+    for i, d_ in enumerate(doms):
+        assert abs(got[d_] - r[i]) < 1e-9, (d_, got[d_], r[i])
