@@ -463,3 +463,71 @@ def stream_document_curation(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    out_path: str,
+    store_path: str,
+    schema=None,
+    trigger: dict | None = None,
+):
+    """Continuous-ingest exact dedup against a PERSISTENT fingerprint
+    store: tail a directory of document drops; per micro-batch, anti-join
+    the batch against the md5 store (`operators.dedup.incremental_dedup`),
+    append survivors to the silver table AND their fingerprints to the
+    store. The store, not stream state, carries cross-batch memory — so
+    dedup state is unbounded-corpus-sized without ever living in the
+    state store, survives checkpoint resets, and is shared by concurrent
+    backfills. foreachBatch makes the two writes per batch; re-delivered
+    batches are idempotent because re-seen fingerprints anti-join away.
+
+    100 TB shape: the store is a fingerprint-only table (16-byte md5s) —
+    bucketed on fp at scale so the per-batch anti-join co-locates; batch
+    text never shuffles."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from f1_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    schema = schema or StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def sink(batch_df, batch_id):
+        b = batch_df.sparkSession
+        if os.path.exists(store_path):
+            seen = b.read.parquet(store_path)
+        else:
+            seen = b.createDataFrame([], "fp string")
+        kept = incremental_dedup(batch_df, seen)
+        kept.persist()
+        try:
+            kept.write.mode("append").parquet(out_path)
+            kept.select(F.md5("text").alias("fp")).distinct().write.mode(
+                "append"
+            ).parquet(store_path)
+        finally:
+            kept.unpersist()
+
+    docs = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -499,3 +499,40 @@ def test_gopher_keep_predicate_matches_signal_frame(spark):
     }
     via_pred = {r["doc_id"] for r in df.where(gopher_keep("text")).collect()}
     assert via_frame == via_pred == {1}
+
+
+def test_stream_incremental_dedup_store_carries_cross_batch(spark, tmp_path):
+    """Continuous-ingest dedup: the fingerprint STORE (not stream state)
+    must drop re-crawls across micro-batches and checkpoint restarts —
+    drop 1 seeds the store; drop 2's exact re-crawl of doc 1 (new id)
+    vanishes while its new doc survives; the store holds each fp once."""
+    src = tmp_path / "ing_src"
+    out = tmp_path / "ing_out"
+    ckpt = tmp_path / "ing_ckpt"
+    store = tmp_path / "ing_store"
+    src.mkdir()
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 1), (2, "delta epsilon", "en", "s", 1)],
+        schema,
+    ).write.mode("append").parquet(str(src))
+
+    q = strm.stream_incremental_dedup(
+        spark, str(src), str(ckpt), str(out), str(store)
+    )
+    assert q.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2}
+
+    spark.createDataFrame(
+        [(100001, "alpha beta gamma", "en", "s", 1),  # re-crawl of doc 1
+         (3, "zeta eta theta", "en", "s", 1)],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    q2 = strm.stream_incremental_dedup(
+        spark, str(src), str(ckpt), str(out), str(store)
+    )
+    assert q2.awaitTermination(120)
+    assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2, 3}
+    fps = [r["fp"] for r in spark.read.parquet(str(store)).collect()]
+    assert len(fps) == len(set(fps)) == 3
