@@ -1198,3 +1198,21 @@ def x_sim_quantized(t: Tables) -> DataFrame:
     return quantized_topk(
         e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10
     )
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign ONLY the new vectors
+    against the frozen codebook and append them into their cell
+    directories — the build-once/append-many lifecycle of a serving ANN
+    index (a codebook retrain is a separate, rare, full rebuild; FAISS'
+    add() has the same contract). Appends are per-cell parquet files, so
+    concurrent searches keep pruning correctly and never see partial
+    rows. Cost is O(|new|): the existing index is untouched."""
+    assigned = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    assigned.write.partitionBy("cell").mode("append").parquet(path)

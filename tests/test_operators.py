@@ -1425,3 +1425,32 @@ def test_domain_pagerank_matches_numpy_power_iteration(spark):
         r = 0.15 / 4 + 0.85 * contrib
     for i, d_ in enumerate(doms):
         assert abs(got[d_] - r[i]) < 1e-9, (d_, got[d_], r[i])
+
+
+def test_ivf_index_append_is_searchable_and_pruned(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index_append,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.where(F.col("vec_id") < 80)
+    newer = e.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+    C = ivf_centroids(base, k=4, seed=42)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_index(base, C, path)
+    before = spark.read.parquet(path).count()
+
+    ivf_index_append(newer, C, path)
+    after = spark.read.parquet(path)
+    assert after.count() == before + 10
+
+    # an appended vector must be findable as its own exact neighbor
+    probe = e.where(F.col("vec_id") == 85)
+    got = ivf_topk_indexed(spark, path, probe, C, nprobe=4, k=3).collect()
+    assert got and got[0]["vec_id"] == 85 and got[0]["sim"] >= 0.999
