@@ -1831,3 +1831,127 @@ def x_domain_rank(t: Tables) -> DataFrame:
     return domain_pagerank(planted).select(
         "domain", F.round("rank", 6).alias("rank")
     ).orderBy(F.col("rank").desc(), "domain")
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    model_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under a corpus bigram model with STUPID
+    BACKOFF (Brants et al. 2007 — the web-scale LM scheme: seen bigram →
+    ML ratio c(w1 w2)/c(w1); unseen → 0.4 · unigram score; no
+    normalization, which is exactly what makes it shuffle-friendly at
+    terascale). A sharper atypicality signal than ``unigram_lm_score``:
+    word-salad that happens to reuse common words still scores high.
+
+    ``model_df`` is the corpus the counts come from. Default (None): ``df``
+    scores itself — backoff never fires, every bigram is self-seen. Point
+    it at a reference corpus to score NEW data against an existing model,
+    where backoff carries the unseen mass; scored tokens absent from the
+    model's unigram table are dropped from the sum (an OOV floor is a
+    caller-side policy).
+
+    Shape: unigram + bigram count tables are the same two vocabulary-pass
+    aggregates as every LM/TF-IDF operator here; scoring is the doc
+    bigram explode joined (left) to the bigram table and (inner) to the
+    two unigram legs — all keyed equi-joins, text never shuffles, totals
+    broadcast as a 1-row aggregate."""
+    model_df = df if model_df is None else model_df
+
+    def bigrams(d):
+        return (
+            d.withColumn("__w", tokens(text_col))
+            .where(F.size("__w") >= 2)
+            .select(
+                *([F.col(id_col)] if id_col in d.columns else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__w) - 1),"
+                        " i -> struct(__w[i - 1] AS w1, __w[i] AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .select("*", "p.w1", "p.w2")
+            .drop("p")
+        )
+
+    uni = (
+        model_df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("double").alias("__t"))
+    c2 = bigrams(model_df.select(text_col)).groupBy("w1", "w2").agg(
+        F.count("*").alias("c2")
+    )
+    big = bigrams(df.select(id_col, text_col))
+    first = (
+        df.select(F.col(id_col), F.element_at(tokens(text_col), 1).alias("w"))
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), (-F.log(F.col("c1") / F.col("__t"))).alias("__nll"))
+    )
+    rest = (
+        big.join(c2, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("__c1w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("__c1w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            (
+                -F.when(
+                    F.col("c2").isNotNull(),
+                    F.log(F.col("c2") / F.col("__c1w1")),
+                ).otherwise(F.log(0.4 * F.col("__c1w2") / F.col("__t")))
+            ).alias("__nll"),
+        )
+    )
+    return (
+        first.unionAll(rest)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum("__nll") / F.count("*"), 4).alias("xent2"),
+        )
+    )
+
+
+@query(
+    "x_ppl2",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                    FROM documents),
+       uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+       tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+       big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                     FROM documents) t,
+                    unnest(generate_series(1, len(ws) - 1)) AS g(i)
+               WHERE len(ws) >= 2),
+       c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+       first AS (SELECT doc_id, -ln(c1 / t) AS nll
+                 FROM (SELECT doc_id, string_split(trim(text), ' ')[1] AS w
+                       FROM documents) f JOIN uni USING (w), tot),
+       rest AS (SELECT b.doc_id,
+                       -CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2 / u1.c1)
+                             ELSE ln(0.4 * u2.c1 / t) END AS nll
+                FROM big b
+                LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+                JOIN uni u1 ON b.w1 = u1.w
+                JOIN uni u2 ON b.w2 = u2.w, tot),
+       s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                    ROUND(sum(nll) / count(*), 4) AS xent2
+             FROM (SELECT * FROM first UNION ALL SELECT * FROM rest)
+             GROUP BY doc_id)
+       SELECT doc_id, n_tokens, xent2 FROM s
+       ORDER BY xent2 DESC, doc_id LIMIT 25""",
+)
+def x_ppl2(t: Tables) -> DataFrame:
+    """The 25 most atypical documents under the bigram stupid-backoff LM,
+    via ``bigram_lm_score``."""
+    return (
+        bigram_lm_score(t.documents)
+        .orderBy(F.col("xent2").desc(), "doc_id")
+        .limit(25)
+    )

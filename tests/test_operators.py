@@ -1454,3 +1454,33 @@ def test_ivf_index_append_is_searchable_and_pruned(spark, tmp_path):
     probe = e.where(F.col("vec_id") == 85)
     got = ivf_topk_indexed(spark, path, probe, C, nprobe=4, k=3).collect()
     assert got and got[0]["vec_id"] == 85 and got[0]["sim"] >= 0.999
+
+
+def test_bigram_lm_backoff_hand_computed(spark):
+    import math
+
+    from f1_data_pipeline_spark.operators.text import bigram_lm_score
+
+    # corpus: doc1 "a b", doc2 "a c". c1: a=2 b=1 c=1, T=4.
+    # doc1: first 'a' -> -ln(2/4); bigram (a,b) seen once -> -ln(1/2)
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")], "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["xent2"]) for r in bigram_lm_score(df).collect()}
+    want = round((-math.log(2 / 4) - math.log(1 / 2)) / 2, 4)
+    assert out[1] == (2, want) and out[2] == (2, want)
+
+
+def test_bigram_lm_unseen_bigram_backs_off(spark):
+    import math
+
+    from f1_data_pipeline_spark.operators.text import bigram_lm_score
+
+    # model corpus never contains the bigram (b, a): scoring "b a" against
+    # it must back off to 0.4 * uni(a)
+    model = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id int, text string"
+    )
+    new = spark.createDataFrame([(3, "b a")], "doc_id int, text string")
+    # model c1: a=2 b=2, T=4. doc3: first 'b' -> -ln(2/4);
+    # (b,a) unseen -> -ln(0.4 * 2/4)
+    out = {r["doc_id"]: r["xent2"] for r in bigram_lm_score(new, model).collect()}
+    assert out[3] == round((-math.log(2 / 4) - math.log(0.4 * 2 / 4)) / 2, 4)
