@@ -1955,3 +1955,78 @@ def x_ppl2(t: Tables) -> DataFrame:
         .orderBy(F.col("xent2").desc(), "doc_id")
         .limit(25)
     )
+
+
+# --- Mixture sampling (materialized) ---------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    salt: str = "mix-v1",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a mixture: keep each row with its group's target rate,
+    decided by salted-md5 hashing — the step that turns mixture WEIGHTS
+    (``mixture_weights``) into an actual sampled corpus. ``rates`` is a
+    (key, rate∈[0,1]) table.
+
+    Deterministic and drift-free by construction: the decision compares
+    the first 4 hex digits of md5(id‖salt) — an exact INTEGER in
+    [0, 65536) — against floor(rate·65536); no floats, no rand(), so
+    membership is a pure function of (id, salt, rate): stable under
+    retries, partitioning, and engine, and a salt change re-rolls the
+    sample. Scan-local expression + a broadcast join of the tiny rate
+    table; zero shuffle of the corpus."""
+    v = F.expr(
+        "("
+        + " + ".join(
+            f"(instr('{_HEX_ALPHABET}', substring(md5(concat(cast({id_col} AS STRING),"
+            f" '{salt}')), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+    thr = F.floor(F.col("rate") * 65536).cast("long")
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .where(v < thr)
+        .drop("rate")
+    )
+
+
+@query(
+    "x_mixture_sample",
+    """WITH rates AS (
+         SELECT source,
+                1.0 / (1 + (CAST(substring(source, 4) AS INTEGER) % 4)) AS rate
+         FROM (SELECT DISTINCT source FROM documents)),
+       v AS (SELECT d.doc_id, d.source, r.rate,
+                    (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 1, 1)) - 1) * 4096
+                  + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 2, 1)) - 1) * 256
+                  + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 3, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR) || 'mix-v1'), 4, 1)) - 1) AS h
+             FROM documents d JOIN rates r USING (source))
+       SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+       FROM v WHERE h < CAST(floor(rate * 65536) AS BIGINT)
+       GROUP BY source ORDER BY source""",
+)
+def x_mixture_sample(t: Tables) -> DataFrame:
+    """Per-source kept counts under a deterministic 4-tier mixture
+    (rates 1, 1/2, 1/3, 1/4 by source index mod 4), via
+    ``mixture_sample``."""
+    rates = (
+        t.documents.select("source")
+        .distinct()
+        .select(
+            "source",
+            (1.0 / (1 + F.substring("source", 4, 10).cast("int") % 4)).alias("rate"),
+        )
+    )
+    return (
+        mixture_sample(t.documents, rates)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+        .orderBy("source")
+    )

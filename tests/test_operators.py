@@ -1484,3 +1484,27 @@ def test_bigram_lm_unseen_bigram_backs_off(spark):
     # (b,a) unseen -> -ln(0.4 * 2/4)
     out = {r["doc_id"]: r["xent2"] for r in bigram_lm_score(new, model).collect()}
     assert out[3] == round((-math.log(2 / 4) - math.log(0.4 * 2 / 4)) / 2, 4)
+
+
+# --- Mixture sampling -------------------------------------------------------
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from f1_data_pipeline_spark.operators.text import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    rates = spark.createDataFrame([("a", 1.0), ("b", 0.25)], "source string, rate double")
+    kept = mixture_sample(df, rates).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    assert got["a"] == 1000                      # rate 1.0 keeps everything
+    assert 150 <= got["b"] <= 350                # ~250 expected
+    # determinism: identical run keeps the identical id set
+    ids1 = {r["doc_id"] for r in mixture_sample(df, rates).collect()}
+    ids2 = {r["doc_id"] for r in mixture_sample(df.repartition(7), rates).collect()}
+    assert ids1 == ids2
+    # a different salt re-rolls membership
+    ids3 = {r["doc_id"] for r in mixture_sample(df, rates, salt="mix-v2").collect()}
+    assert ids3 != ids1
