@@ -173,3 +173,19 @@ def test_ngram_spans_shuffles_fingerprints_only(spark):
     p = plan_of(spark, "x_ngram_spans")
     assert "partial" in p
     assert "CartesianProduct" not in p
+
+
+def test_bigram_lm_no_cartesian_two_phase(spark):
+    """x_ppl2's scoring joins are keyed equi-joins (plus the broadcast
+    totals row) with two-phase aggregation — never a cartesian."""
+    p = plan_of(spark, "x_ppl2")
+    assert "CartesianProduct" not in p
+    assert "partial" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_mixture_sample_broadcasts_rate_table(spark):
+    """The rate table must broadcast; the corpus must not shuffle."""
+    p = plan_of(spark, "x_mixture_sample")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
