@@ -829,3 +829,125 @@ def x_dedup_incr(t: Tables) -> DataFrame:
         )
     )
     return incremental_dedup(batch, seen).select("doc_id").orderBy("doc_id")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022's cut step, n-gram
+    formulation — ``ngram_span_index`` is the matching detector): every
+    corpus-duplicated n-gram keeps only its first occurrence (smallest
+    (doc, pos)); later occurrences' token spans are cut and each
+    document's surviving text is reconstructed in order. Returns
+    (id, n_tokens_kept, n_tokens_cut, text).
+
+    Scale shape: grams/cover positions shuffle as (md5/id, int) rows —
+    never text; the winner lookup is one keyed min-aggregate + an equi-
+    join back on fingerprint, the cut is an anti-join of token positions
+    against the covered set, and reconstruction is the same keyed
+    ordered-concat as ``line_dedup``. Everything linear; the n× coverage
+    explode applies only to DUPLICATED positions."""
+    toked = df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
+    grams = (
+        toked.where(F.size("__w") >= n)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__w) - {n} + 1),"
+                    f" s -> md5(concat_ws(' ', slice(__w, s, {n}))))"
+                )
+            ).alias("pos", "fp"),
+        )
+    )
+    dup_fps = (
+        grams.groupBy("fp")
+        .agg(
+            F.count("*").alias("__occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+        )
+        .where(F.col("__occ") >= 2)
+        .select("fp", "__first")
+    )
+    losers = grams.join(dup_fps, "fp").where(
+        (F.col(id_col) != F.col(f"__first.{id_col}"))
+        | (F.col("pos") != F.col("__first.pos"))
+    )
+    covered = losers.select(
+        id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("idx")
+    ).distinct()
+    toks = toked.select(
+        id_col, F.posexplode("__w").alias("idx", "w")
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    out = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias(text_col),
+    )
+    totals = toked.select(id_col, F.size("__w").cast("long").alias("__n"))
+    return (
+        totals.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            (F.col("__n") - F.coalesce("n_tokens_kept", F.lit(0))).alias(
+                "n_tokens_cut"
+            ),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )
+
+
+@query(
+    "x_dedup_spans",
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+       w AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
+       grams AS (SELECT doc_id, s - 1 AS pos,
+                        md5(array_to_string(list_slice(w, s, s + 7), ' ')) AS fp
+                 FROM w, unnest(generate_series(1, len(w) - 7)) t(s)
+                 WHERE len(w) >= 8),
+       dup AS (SELECT fp, min(struct_pack(doc_id := doc_id, pos := pos)) AS f
+               FROM grams GROUP BY fp HAVING count(*) >= 2),
+       losers AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (fp)
+                  WHERE g.doc_id <> dup.f.doc_id OR g.pos <> dup.f.pos),
+       covered AS (SELECT DISTINCT doc_id, CAST(pos + u.o AS INTEGER) AS idx
+                   FROM losers, unnest(generate_series(0, 7)) u(o)),
+       toks AS (SELECT doc_id, t.i - 1 AS idx, w[t.i] AS tok
+                FROM w, unnest(generate_series(1, len(w))) t(i)),
+       kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+                LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+                WHERE c.doc_id IS NULL),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+                      string_agg(tok, ' ' ORDER BY idx) AS text
+               FROM kept GROUP BY doc_id),
+       tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM w)
+       SELECT tot.doc_id,
+              COALESCE(agg.n_tokens_kept, 0) AS n_tokens_kept,
+              tot.n - COALESCE(agg.n_tokens_kept, 0) AS n_tokens_cut,
+              COALESCE(agg.text, '') AS text
+       FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""",
+)
+def x_dedup_spans(t: Tables) -> DataFrame:
+    """Span-level exact-substring dedup over a corpus with planted
+    re-crawls (every 7th doc duplicated under a shifted id): the copies'
+    spans are cut to nothing while originals survive untouched, via
+    ``remove_duplicate_spans``; full reconstructed text hash-checked."""
+    d = t.documents
+    corpus = d.select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return remove_duplicate_spans(corpus, n=8).orderBy("doc_id")

@@ -1243,6 +1243,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_dedup_incr": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_ppl2": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_mixture_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_dedup_spans": "built after the late-r5 rotation; sweep-verified, rotate next round",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",

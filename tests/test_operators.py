@@ -1508,3 +1508,19 @@ def test_mixture_sample_rates_and_determinism(spark):
     # a different salt re-rolls membership
     ids3 = {r["doc_id"] for r in mixture_sample(df, rates, salt="mix-v2").collect()}
     assert ids3 != ids1
+
+
+def test_remove_duplicate_spans_cuts_later_occurrence_only(spark):
+    from f1_data_pipeline_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "one two three four"
+    rows = [
+        (1, f"{shared} unique tail here"),
+        (2, f"prefix bit {shared} suffix"),   # later occurrence -> span cut
+        (3, "completely different text"),     # < n tokens: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=4).collect()}
+    assert out[1]["text"] == rows[0][1] and out[1]["n_tokens_cut"] == 0
+    assert out[2]["text"] == "prefix bit suffix" and out[2]["n_tokens_cut"] == 4
+    assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_cut"] == 0
