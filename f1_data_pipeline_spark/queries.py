@@ -1244,6 +1244,8 @@ SWEEP_ONLY: dict[str, str] = {
     "x_ppl2": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_mixture_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_dedup_spans": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_profile": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_zorder": "built after the late-r5 rotation; sweep-verified, rotate next round",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",
@@ -1270,6 +1272,8 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.joins  # noqa: F401
     import f1_data_pipeline_spark.operators.multimodal  # noqa: F401
     import f1_data_pipeline_spark.operators.windows  # noqa: F401
+    import f1_data_pipeline_spark.operators.profile  # noqa: F401
+    import f1_data_pipeline_spark.operators.layout  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     if order == "registration":

@@ -1524,3 +1524,71 @@ def test_remove_duplicate_spans_cuts_later_occurrence_only(spark):
     assert out[1]["text"] == rows[0][1] and out[1]["n_tokens_cut"] == 0
     assert out[2]["text"] == "prefix bit suffix" and out[2]["n_tokens_cut"] == 4
     assert out[3]["text"] == rows[2][1] and out[3]["n_tokens_cut"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def test_interleave_bits_known_values(spark):
+    """Morton key spot-check against hand-interleaved values."""
+    from f1_data_pipeline_spark.operators.layout import interleave_bits
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")]).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_layout_tightens_both_dim_envelopes(spark):
+    """The point of z-ordering: after layout, each write task's (file's)
+    min/max envelope is narrow in BOTH dimensions, whereas sorting by one
+    column alone leaves the other dimension's envelope at full width."""
+    from f1_data_pipeline_spark.operators.layout import (
+        bucketize, interleave_bits, zorder_layout,
+    )
+    from tests.conftest import SF_DIR as _SF
+
+    from f1_data_pipeline_spark.catalog import load_tables
+
+    o = load_tables(spark, _SF).orders.select(
+        bucketize(F.col("o_custkey"), 0.0, 4096.0).alias("bx"),
+        bucketize(F.col("o_totalprice"), 0.0, 60000.0).alias("by"),
+    )
+
+    def mean_span(df, n_parts):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("bx") - F.min("bx")).alias("sx"),
+                (F.max("by") - F.min("by")).alias("sy"),
+            )
+            .agg(F.avg("sx").alias("mx"), F.avg("sy").alias("my"))
+            .first()
+        )
+        return spans.mx, spans.my
+
+    n_files = 16
+    z = zorder_layout(o, interleave_bits([F.col("bx"), F.col("by")]), n_files)
+    zx, zy = mean_span(z, n_files)
+
+    one_col = o.repartitionByRange(n_files, "bx").sortWithinPartitions("bx")
+    ox, oy = mean_span(one_col, n_files)
+
+    # single-column layout: bx tight, by ~full-width (255)
+    assert oy > 200
+    # z-order: both dimensions substantially narrowed vs full width
+    assert zx < 150 and zy < 150
+    # and the second dimension is far tighter than the one-column layout
+    assert zy < oy / 2

@@ -189,3 +189,52 @@ def test_mixture_sample_broadcasts_rate_table(spark):
     p = plan_of(spark, "x_mixture_sample")
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_profile_is_single_scan_no_join(spark):
+    """x_profile computes every per-column metric in ONE aggregate over one
+    scan — no joins, no per-column jobs; multi-distinct planning shows up
+    as a single Expand, and partial aggregation combines map-side."""
+    p = plan_of(spark, "x_profile")
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "Expand" in p
+    assert "partial" in p
+
+
+def test_zorder_is_pure_codegen_arithmetic(spark):
+    """x_zorder's Morton key is shift/mask arithmetic inside whole-stage
+    codegen — no UDFs, no joins; one two-phase aggregate."""
+    p = plan_of(spark, "x_zorder")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p
+    assert "partial" in p
+
+
+def test_zorder_layout_is_one_range_shuffle(spark):
+    """zorder_layout = exactly one Exchange (rangepartitioning on the
+    Morton key) + a partition-local sort (no global Sort node above it)."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.catalog import load_tables
+    from f1_data_pipeline_spark.operators.layout import (
+        bucketize, interleave_bits, zorder_layout,
+    )
+
+    o = load_tables(spark, SF_DIR).orders.select(
+        "o_orderkey",
+        bucketize(F.col("o_custkey"), 0.0, 4096.0).alias("bx"),
+        bucketize(F.col("o_totalprice"), 0.0, 60000.0).alias("by"),
+    )
+    laid = zorder_layout(o, interleave_bits([F.col("bx"), F.col("by")]), 8)
+    buf = _io.StringIO()
+    with _rs(buf):
+        laid.explain(True)
+    p = buf.getvalue()
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" in p
+    # the sort is partition-local: Sort [...], false (global=false)
+    assert "Sort" in p and "true, 0" not in p.split("rangepartitioning")[0]
