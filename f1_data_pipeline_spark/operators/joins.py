@@ -400,3 +400,41 @@ def x_scd2(t: Tables):
         .select("user_id", "value", "valid_from", "valid_to", "is_current")
         .orderBy("user_id", "valid_from", "value")
     )
+
+
+@query(
+    "x_cdc_apply",
+    """WITH log AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                value
+         FROM events),
+       ranked AS (
+         SELECT user_id, op, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+         FROM log)
+       SELECT user_id, ROUND(value, 4) AS last_value
+       FROM ranked WHERE rn = 1 AND op <> 'D'
+       ORDER BY user_id""",
+)
+def x_cdc_apply(t: Tables):
+    """CDC-log replay to current state via ``merge.cdc_apply``: the event
+    stream is read as an I/U/D changelog on user_id ('error' events act as
+    deletes), and the output is the live table — last write wins, deleted
+    keys absent, deletes resurrected by later upserts. One ``max_by`` hash
+    aggregate (map-side partials; one winner row per key crosses the
+    shuffle) — deliberately NOT the window-sort form the oracle uses."""
+    from f1_data_pipeline_spark.operators.merge import cdc_apply
+
+    log = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+    )
+    out = cdc_apply(log, ["user_id"], "ts", "event_id", "op", ["value"])
+    return out.select(
+        "user_id", F.round("value", 4).alias("last_value")
+    ).orderBy("user_id")

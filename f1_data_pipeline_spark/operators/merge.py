@@ -73,3 +73,44 @@ def scd2_history(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def cdc_apply(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak: str,
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log to produce current table state:
+    per key, the highest-(ts, tiebreak) operation wins; if that operation
+    is a delete the key is absent from the output; a delete followed by a
+    later insert re-materializes the key (tombstones carry no special
+    state — they lose to any later op by ordering alone).
+
+    This is the general form of the reference's last-write-wins upsert
+    (loader.py:202-219), extended with deletes — the missing piece for
+    replaying a relational CDC feed (Debezium-style I/U/D records) into a
+    lakehouse table.
+
+    Shape at scale: ONE hash aggregate — ``max_by`` over a packed struct
+    keyed on (ts, tiebreak) — so partials combine map-side and only one
+    winner row per key crosses the shuffle, not the full history. No
+    window sort, no join; skew on hot keys collapses in the partial
+    phase. The struct comparison is lexicographic, so determinism needs
+    only (ts_col, tiebreak) to be a total order per key.
+    """
+    packed = F.struct(
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak).alias("__tb"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    won = df.groupBy(*keys).agg(
+        F.max_by(packed, F.struct(F.col(ts_col), F.col(tiebreak))).alias("__w")
+    )
+    return won.where(F.col("__w.__op") != delete_op).select(
+        *keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols]
+    )

@@ -827,6 +827,18 @@ def x_approx_stats(t: Tables) -> DataFrame:
     )
 
 
+@query("x_sketch_rollup", None)  # DataSketches HLL binaries are engine-specific → rows-only
+def x_sketch_rollup(t: Tables) -> DataFrame:
+    """Mergeable-sketch rollup (``analytics.sketch_rollup``): per-event-type
+    HLL sketches of user_id plus a grand total computed by UNIONING the
+    per-group sketches rather than re-scanning — the persisted-sketch
+    incremental pattern for 100 TB rollups. Estimate accuracy vs exact
+    distincts is asserted in tests/test_analytics.py (≤5%)."""
+    from f1_data_pipeline_spark.analytics import sketch_rollup
+
+    return sketch_rollup(t.events, "event_type", "user_id")
+
+
 @query(
     "q_h1",
     """SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend, count(*) AS n
@@ -1246,6 +1258,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_dedup_spans": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_profile": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_zorder": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_cdc_apply": "built after the late-r5 rotation; sweep-verified, rotate next round",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",

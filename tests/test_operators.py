@@ -1592,3 +1592,82 @@ def test_zorder_layout_tightens_both_dim_envelopes(spark):
     assert zx < 150 and zy < 150
     # and the second dimension is far tighter than the one-column layout
     assert zy < oy / 2
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_delete_and_resurrect(spark):
+    from f1_data_pipeline_spark.operators.merge import cdc_apply
+
+    rows = [
+        # k=1: insert, update → survives with last value
+        (1, 10, 1, "I", 1.0),
+        (1, 20, 2, "U", 2.0),
+        # k=2: insert then delete → absent
+        (2, 10, 3, "I", 9.0),
+        (2, 30, 4, "D", None),
+        # k=3: delete then later insert → resurrected
+        (3, 10, 5, "D", None),
+        (3, 40, 6, "I", 7.0),
+        # k=4: same ts, tiebreak decides (higher event_id wins)
+        (4, 50, 7, "U", 1.0),
+        (4, 50, 8, "U", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, event_id long, op string, value double"
+    )
+    out = {
+        r.k: r.value
+        for r in cdc_apply(df, ["k"], "ts", "event_id", "op", ["value"]).collect()
+    }
+    assert out == {1: 2.0, 3: 7.0, 4: 5.0}
+    assert 2 not in out
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_and_whitens(spark):
+    import numpy as np
+
+    from f1_data_pipeline_spark.catalog import load_tables
+    from f1_data_pipeline_spark.operators.similarity import fit_pca, pca_project
+    from tests.conftest import SF_DIR as _SF
+
+    e = load_tables(spark, _SF).embeddings
+    X = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in e.orderBy("vec_id").collect()]
+    )
+    k = 4
+    model = fit_pca(e, dim=X.shape[1], k=k)
+
+    # numpy reference fit with identical sign convention
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    assert np.allclose(model.mean, mean, atol=1e-8)
+    assert np.allclose(model.components, comps, atol=1e-6)
+    assert np.allclose(model.explained_var, np.sort(w)[::-1][:k], atol=1e-8)
+    # row-orthonormal components
+    assert np.allclose(model.components @ model.components.T, np.eye(k), atol=1e-8)
+
+    proj = pca_project(e, model).orderBy("vec_id").collect()
+    P = np.stack([np.asarray(r.proj) for r in proj])
+    assert np.allclose(P, (X - mean) @ comps.T, atol=1e-6)
+
+    # whitened projection has ~unit variance per axis
+    white = pca_project(e, model, whiten=True).collect()
+    W = np.stack([np.asarray(r.proj) for r in white])
+    assert np.allclose(W.var(axis=0, ddof=1), np.ones(k), atol=1e-3)

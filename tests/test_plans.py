@@ -238,3 +238,12 @@ def test_zorder_layout_is_one_range_shuffle(spark):
     assert "rangepartitioning" in p
     # the sort is partition-local: Sort [...], false (global=false)
     assert "Sort" in p and "true, 0" not in p.split("rangepartitioning")[0]
+
+
+def test_cdc_apply_is_single_hash_agg_no_window(spark):
+    """x_cdc_apply must plan as one two-phase hash aggregate — no window
+    sort, no join; only winner rows cross the single shuffle."""
+    p = plan_of(spark, "x_cdc_apply")
+    assert "partial" in p
+    assert "Window" not in p
+    assert "Join" not in p
