@@ -53,3 +53,41 @@ def verify_tables(spark: SparkSession, expected: dict[str, list[str]]) -> dict[s
             entry["extra"] = sorted(set(actual) - set(cols))
         report[name] = entry
     return report
+
+
+def sketch_rollup(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable-cardinality rollup: per-group Apache DataSketches HLL
+    sketches (``hll_sketch_agg``) plus a grand-total row computed by
+    UNIONING the group sketches — not by re-scanning the data. Output:
+    (group, distinct_est) with group='__TOTAL__' for the union row.
+
+    This is the 100 TB incremental-rollup pattern the exact
+    ``count(distinct)`` can't give you: persist the binary ``sketch``
+    column per day/partition, then answer "distinct users this quarter"
+    by merging kilobyte sketches instead of re-shuffling a quarter of raw
+    keys. Sketches combine map-side; accuracy ~1.6%/sqrt(2^lg_k)
+    (lg_k=12 → ~2.5% rel err, asserted ≤5% in tests vs exact counts).
+
+    ``sketches`` (the intermediate with the binary column) is returned by
+    ``sketch_table`` below for persistence; this function returns the
+    human-readable estimates.
+    """
+    sk = sketch_table(df, group_col, value_col, lg_k)
+    per = sk.select(group_col, F.hll_sketch_estimate("sketch").alias("distinct_est"))
+    total = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est")
+    ).select(F.lit("__TOTAL__").alias(group_col), "distinct_est")
+    return per.unionByName(total).orderBy(group_col)
+
+
+def sketch_table(
+    df: DataFrame, group_col: str, value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """The persistable form: (group, sketch binary). Write this to parquet
+    per ingest increment; later rollups ``hll_union_agg`` across
+    increments without touching raw data."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )

@@ -99,3 +99,46 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["acd"] - row["cd"]) / row["cd"] < 0.05
     assert abs(row["ap"] - row["m"]) / row["m"] < 0.05
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark, tmp_path):
+    """HLL sketch rollup: per-group and union-total estimates within 5% of
+    exact; and sketches persisted to parquet then UNIONED across two
+    disjoint increments reproduce the whole-corpus estimate exactly —
+    the incremental-rollup contract."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.analytics import sketch_rollup, sketch_table
+    from f1_data_pipeline_spark.catalog import load_tables
+
+    t = load_tables(spark, SF_DIR)
+    est = {r[0]: r[1] for r in sketch_rollup(t.events, "event_type", "user_id").collect()}
+    exact = {
+        r[0]: r[1]
+        for r in t.events.groupBy("event_type")
+        .agg(F.count_distinct("user_id"))
+        .collect()
+    }
+    exact["__TOTAL__"] = t.events.select("user_id").distinct().count()
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v < 0.05, (k, est[k], v)
+
+    # persistence + merge: two disjoint halves, sketched separately,
+    # written to parquet, unioned — same estimate as sketching everything
+    lo = t.events.where(F.col("event_id") % 2 == 0)
+    hi = t.events.where(F.col("event_id") % 2 == 1)
+    for name, part in (("lo", lo), ("hi", hi)):
+        sketch_table(part, "event_type", "user_id").write.mode("overwrite").parquet(
+            str(tmp_path / name)
+        )
+    merged = (
+        spark.read.parquet(str(tmp_path / "lo"), str(tmp_path / "hi"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )
+    whole = (
+        sketch_table(t.events, "event_type", "user_id")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert merged == whole
