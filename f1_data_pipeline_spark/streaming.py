@@ -531,3 +531,73 @@ def stream_incremental_dedup(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_telemetry_position_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    tolerance: str = "5 seconds",
+    watermark: str = "30 seconds",
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger: dict | None = None,
+    query_name: str = "tel_pos_join",
+):
+    """Stream-stream interval join (the one join topology T1–T11 lacked):
+    live telemetry enriched with the car's most recent track position —
+    each telemetry sample inner-joins position samples for the SAME driver
+    within ``(ts - tolerance, ts]``.
+
+    Both sides are watermarked and the join condition bounds event time in
+    BOTH directions, so Spark can expire join state on each side — without
+    that, a stream-stream join buffers forever (the documented
+    requirement for state cleanup in the Structured Streaming guide). At
+    100 TB/day the state held is only ``tolerance + watermark`` worth of
+    rows per driver, co-partitioned by the equi-key.
+
+    The two decode legs read the SAME bronze directory through separate
+    source instances (each keeps its own offsets in the shared
+    checkpoint), so this composes with the fan-out topology unchanged.
+    """
+    tel = (
+        decode.decode_car_telemetry(read_bronze_stream(spark, source_dir))
+        .select(
+            F.col("driver_number").alias("t_driver"),
+            F.col("timestamp").alias("t_ts"),
+            "speed",
+            "rpm",
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    pos = (
+        decode.decode_car_positions(read_bronze_stream(spark, source_dir))
+        .select(
+            F.col("driver_number").alias("p_driver"),
+            F.col("timestamp").alias("p_ts"),
+            "x_coord",
+            "y_coord",
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = tel.join(
+        pos,
+        (F.col("t_driver") == F.col("p_driver"))
+        & (F.col("p_ts") > F.col("t_ts") - F.expr(f"INTERVAL {tolerance}"))
+        & (F.col("p_ts") <= F.col("t_ts")),
+    ).select(
+        F.col("t_driver").alias("driver_number"),
+        F.col("t_ts").alias("timestamp"),
+        "speed",
+        "rpm",
+        F.col("p_ts").alias("position_ts"),
+        "x_coord",
+        "y_coord",
+    )
+    writer = joined.writeStream.outputMode("append").option(
+        "checkpointLocation", checkpoint
+    )
+    if sink is not None:
+        writer = writer.foreachBatch(sink)
+    else:
+        writer = writer.format("memory").queryName(query_name)
+    return writer.trigger(**(trigger or {"availableNow": True})).start()

@@ -536,3 +536,49 @@ def test_stream_incremental_dedup_store_carries_cross_batch(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(str(out)).collect()} == {1, 2, 3}
     fps = [r["fp"] for r in spark.read.parquet(str(store)).collect()]
     assert len(fps) == len(set(fps)) == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, wire_dir, tmp_path):
+    """Stream-stream interval join replays to exactly the batch join over
+    the same decode + interval predicate (T-family completeness: the
+    two-stream topology)."""
+    q = strm.stream_telemetry_position_join(
+        spark, wire_dir, str(tmp_path / "ckpt"), query_name="tpj"
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    got = spark.sql("SELECT * FROM tpj")
+
+    from f1_data_pipeline_spark.ingest import decode as dec
+
+    bronze = read_bronze(spark, f"{wire_dir}/wire.txt")
+    tel = dec.decode_car_telemetry(bronze).select(
+        F.col("driver_number").alias("t_driver"),
+        F.col("timestamp").alias("t_ts"),
+        "speed",
+        "rpm",
+    )
+    pos = dec.decode_car_positions(bronze).select(
+        F.col("driver_number").alias("p_driver"),
+        F.col("timestamp").alias("p_ts"),
+        "x_coord",
+        "y_coord",
+    )
+    want = tel.join(
+        pos,
+        (F.col("t_driver") == F.col("p_driver"))
+        & (F.col("p_ts") > F.col("t_ts") - F.expr("INTERVAL 5 seconds"))
+        & (F.col("p_ts") <= F.col("t_ts")),
+    )
+    assert got.count() == want.count()
+    assert got.count() > 0, "fixture produced no overlapping tel/pos samples"
+    # exact row-set equality on the joined projection
+    key = ["driver_number", "timestamp", "position_ts", "speed", "x_coord"]
+    g = sorted(
+        (str(r.driver_number), str(r.timestamp), str(r.position_ts), r.speed, r.x_coord)
+        for r in got.select(*key).collect()
+    )
+    w = sorted(
+        (str(r.t_driver), str(r.t_ts), str(r.p_ts), r.speed, r.x_coord)
+        for r in want.select("t_driver", "t_ts", "p_ts", "speed", "x_coord").collect()
+    )
+    assert g == w
