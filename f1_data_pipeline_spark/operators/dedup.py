@@ -951,3 +951,111 @@ def x_dedup_spans(t: Tables) -> DataFrame:
         )
     )
     return remove_duplicate_spans(corpus, n=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_join(
+    tokens: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    token_col: str = "shingle",
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join WITHOUT the all-pairs token
+    explosion: the prefix-filtering algorithm (Bayardo/Ma/Srikant
+    "Scaling Up All Pairs Similarity Search", WWW'07; PPJoin, Xiao et al.
+    ICDE'08) expressed as four Catalyst shuffles.
+
+    Why it scales where the exhaustive verifier (``x_dedup_ngram``)
+    cannot: two sets with Jaccard ≥ t MUST share a token among the first
+    ``|x| - ceil(t·|x|) + 1`` tokens when every set is ordered by a
+    single global token order. Ordering rarest-first makes those prefix
+    tokens the LEAST frequent ones, so the candidate join on prefix
+    tokens has tiny per-token fan-out — the quadratic blow-up on stop-
+    word-like tokens never happens, and yet NO qualifying pair can be
+    missed (the oracle for the registered query is literally the
+    exhaustive join: identical output, different asymptotics).
+
+    Stages (each one keyed shuffle): token frequencies → per-set rarity
+    rank + size (one window) → prefix-token equi-join with the
+    length-ratio pruning bound (t·|x| ≤ |y| both ways) → exact
+    verification joining the candidates' full token rows. Verification
+    volume is candidates × tokens-of-left-set, bounded by the prefix
+    join's output, not by n².
+    """
+    freq = tokens.groupBy(token_col).agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", token_col)
+    ws = Window.partitionBy(id_col)
+    ranked = (
+        tokens.join(freq, token_col)
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__s", F.count("*").over(ws))
+    )
+    prefix = ranked.where(
+        F.col("__r")
+        <= F.col("__s") - F.ceil(F.lit(threshold) * F.col("__s")) + 1
+    ).select(
+        F.col(id_col).alias("__id"), F.col(token_col).alias("__tok"), F.col("__s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # length-ratio bound: Jaccard ≥ t needs t·|x| ≤ |y| both ways
+            & (F.lit(threshold) * F.col("a.__s") <= F.col("b.__s"))
+            & (F.lit(threshold) * F.col("b.__s") <= F.col("a.__s")),
+        )
+        .select(
+            F.col("a.__id").alias("d1"),
+            F.col("b.__id").alias("d2"),
+            F.col("a.__s").alias("s1"),
+            F.col("b.__s").alias("s2"),
+        )
+        .distinct()
+    )
+    ta = tokens.select(F.col(id_col).alias("d1"), F.col(token_col).alias("__tok"))
+    tb = tokens.select(F.col(id_col).alias("d2"), F.col(token_col).alias("__tok"))
+    inter = (
+        cand.join(ta, "d1")
+        .join(tb, ["d2", "__tok"])
+        .groupBy("d1", "d2", "s1", "s2")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("s1") + F.col("s2") - F.col("i"))
+    return inter.where(jac >= threshold).select(
+        "d1", "d2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+_SSJOIN_T = 0.5
+
+_SSJOIN_ORACLE = f"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, len(w) - 2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+              FROM tok WHERE len(w) >= 3),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT d1, d2,
+              ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+       FROM inter JOIN cnt ca ON ca.doc_id = d1 JOIN cnt cb ON cb.doc_id = d2
+       WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {_SSJOIN_T}
+       ORDER BY d1, d2"""
+
+
+@query("x_ssjoin", _SSJOIN_ORACLE)
+def x_ssjoin(t: Tables) -> DataFrame:
+    """All document pairs with 3-shingle Jaccard ≥ 0.5 — computed by the
+    sub-quadratic prefix-filtering join, value-checked against the
+    EXHAUSTIVE all-pairs oracle (different algorithm, provably identical
+    output). This is the production-exact path that replaces the
+    documented-exempt quadratic verifier when LSH recall isn't enough."""
+    sh = word_shingles(t.documents)
+    return set_similarity_join(sh, _SSJOIN_T).orderBy("d1", "d2")

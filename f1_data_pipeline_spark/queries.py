@@ -1259,6 +1259,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_profile": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_zorder": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_cdc_apply": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_ssjoin": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_taxonomy": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_triangles": "built after the late-r5 rotation; sweep-verified, rotate next round",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",

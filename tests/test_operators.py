@@ -1671,3 +1671,63 @@ def test_pca_matches_numpy_and_whitens(spark):
     white = pca_project(e, model, whiten=True).collect()
     W = np.stack([np.asarray(r.proj) for r in white])
     assert np.allclose(W.var(axis=0, ddof=1), np.ones(k), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ssjoin_prunes_candidate_space(spark):
+    """The prefix filter must examine far fewer candidate pairs than the
+    n(n-1)/2 all-pairs space while (per the oracle test) missing nothing."""
+    from f1_data_pipeline_spark.catalog import load_tables
+    from f1_data_pipeline_spark.operators.dedup import word_shingles
+    from tests.conftest import SF_DIR as _SF
+
+    docs = load_tables(spark, _SF).documents
+    sh = word_shingles(docs)
+    n = docs.count()
+
+    # reproduce the candidate stage only (same logic as set_similarity_join)
+    from pyspark.sql import Window
+
+    t = 0.5
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    ws = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("__r", F.row_number().over(w))
+        .withColumn("__s", F.count("*").over(ws))
+    )
+    prefix = ranked.where(
+        F.col("__r") <= F.col("__s") - F.ceil(F.lit(t) * F.col("__s")) + 1
+    ).select(F.col("doc_id").alias("__id"), F.col("shingle").alias("__tok"), "__s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.lit(t) * F.col("a.__s") <= F.col("b.__s"))
+            & (F.lit(t) * F.col("b.__s") <= F.col("a.__s")),
+        )
+        .select("a.__id", "b.__id")
+        .distinct()
+        .count()
+    )
+    assert cand < n * (n - 1) / 2 * 0.2, (cand, n)
+
+
+def test_count_triangles_known_graph(spark):
+    """Degree-oriented triangle count on a hand-checked graph: K4 (4
+    triangles) plus a pendant vertex and a disconnected edge (0 more)."""
+    from f1_data_pipeline_spark.operators.text import count_triangles
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (6, 7)]
+    pairs = spark.createDataFrame(k4 + extra, "a int, b int")
+    row = count_triangles(pairs).collect()[0]
+    assert row.n_edges == 8
+    assert row.n_triangles == 4

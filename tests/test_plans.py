@@ -247,3 +247,27 @@ def test_cdc_apply_is_single_hash_agg_no_window(spark):
     assert "partial" in p
     assert "Window" not in p
     assert "Join" not in p
+
+
+def test_ssjoin_no_cartesian_keyed_joins_only(spark):
+    """x_ssjoin: every join is a keyed equi-join (prefix-token candidates +
+    verification) — no cartesian, no broadcast-nested-loop."""
+    p = plan_of(spark, "x_ssjoin")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_taxonomy_broadcasts_keyword_dim(spark):
+    """x_taxonomy: the keyword dim must broadcast (never shuffle the token
+    stream against it sort-merge) and aggregates must be two-phase."""
+    p = plan_of(spark, "x_taxonomy")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "partial" in p
+
+
+def test_triangles_no_cartesian(spark):
+    """x_triangles: wedge enumeration and closure are keyed equi-joins —
+    no cartesian product anywhere in the plan."""
+    p = plan_of(spark, "x_triangles")
+    assert "CartesianProduct" not in p
