@@ -2030,3 +2030,184 @@ def x_mixture_sample(t: Tables) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_kept"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-taxonomy document classification
+# ---------------------------------------------------------------------------
+
+# Single source of truth for the demo taxonomy: the SQL VALUES oracle and
+# the broadcast dimension are both generated from this dict.
+TAXONOMY: dict[str, tuple[str, ...]] = {
+    "storage": ("table", "row", "column", "part", "hash", "sort"),
+    "compute": ("scan", "filter", "agg", "join", "group", "merge", "window"),
+    "streaming": ("stream", "batch", "line", "order"),
+    "perf": ("fast", "slow", "small", "big"),
+}
+
+
+def keyword_tag(
+    docs: DataFrame,
+    taxonomy: dict[str, tuple[str, ...]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-based document classification: tokenize, broadcast-join
+    the keyword→category dimension, count hits per (doc, category), keep
+    the argmax category (deterministic tie-break: most hits, then
+    lexicographically-first category).
+
+    The 100 TB shape of every "tag by wordlist" curation rule (domain
+    labeling, topical routing, blocklist scoring): the taxonomy is a
+    broadcast dim (keyword lists are KBs), the token explode is
+    scan-local, and the only shuffles are the keyed hit-count and the
+    per-doc argmax — both combine map-side. No per-row Python, no regex
+    alternation blow-up (an Aho-Corasick UDF only wins when the dictionary
+    outgrows broadcast size, ~100 MB)."""
+    spark = docs.sparkSession
+    tax = spark.createDataFrame(
+        [(w, c) for c, ws in sorted(taxonomy.items()) for w in ws],
+        "keyword string, category string",
+    )
+    tokens = docs.select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("keyword")
+    )
+    hits = (
+        tokens.join(F.broadcast(tax), "keyword")
+        .groupBy(id_col, "category")
+        .agg(F.count("*").alias("hits"))
+    )
+    top = hits.groupBy(id_col).agg(
+        F.min_by(
+            F.struct("category", "hits"), F.struct(-F.col("hits"), F.col("category"))
+        ).alias("__t")
+    )
+    return top.select(id_col, F.col("__t.category").alias("category"),
+                      F.col("__t.hits").alias("hits"))
+
+
+def _taxonomy_values_sql(taxonomy: dict[str, tuple[str, ...]]) -> str:
+    rows = ", ".join(
+        f"('{w}', '{c}')" for c, ws in sorted(taxonomy.items()) for w in ws
+    )
+    return f"(VALUES {rows}) AS tax(keyword, category)"
+
+
+_X_TAXONOMY_ORACLE = f"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents),
+       hits AS (SELECT doc_id, category, count(*) AS c
+                FROM tok JOIN {_taxonomy_values_sql(TAXONOMY)} ON w = keyword
+                GROUP BY doc_id, category),
+       r AS (SELECT doc_id, category, c,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY c DESC, category) AS rn
+             FROM hits)
+       SELECT doc_id, category, CAST(c AS BIGINT) AS hits
+       FROM r WHERE rn = 1 ORDER BY doc_id"""
+
+
+@query("x_taxonomy", _X_TAXONOMY_ORACLE)
+def x_taxonomy(t: Tables) -> DataFrame:
+    """Keyword-taxonomy classification: each document's argmax category by
+    dictionary hits (broadcast keyword dim + two map-combining keyed
+    aggregates; the oracle uses the window-sort formulation — different
+    plan, same answer)."""
+    return keyword_tag(t.documents, TAXONOMY).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the domain co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def count_triangles(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact triangle count over an undirected edge set (one canonical row
+    per edge, ``a < b``), using DEGREE ORIENTATION (the node-iterator++ /
+    Schank-Wagner 2005 trick, also the shape of Suri & Vassilvitskii's
+    MapReduce formulation): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges only at each edge's
+    smaller endpoint, and close them against the oriented edge list.
+
+    Why that matters at scale: naive wedge enumeration explodes at hub
+    vertices (Σ deg(v)² — quadratic in the max degree, fatal on web
+    graphs); orientation bounds each vertex's out-degree by O(√|E|), so
+    wedge volume drops to O(|E|^{3/2}) worst-case. All keyed equi-joins +
+    one count — no cartesian, no driver state; the (degree, id) key makes
+    the orientation a deterministic total order."""
+    sym = pairs.selectExpr(f"{a_col} AS v", f"{b_col} AS u").unionAll(
+        pairs.selectExpr(f"{b_col} AS v", f"{a_col} AS u")
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("d"))
+    keyed = (
+        pairs.join(deg.selectExpr("v AS __a", "d AS da"), F.col(a_col) == F.col("__a"))
+        .join(deg.selectExpr("v AS __b", "d AS db"), F.col(b_col) == F.col("__b"))
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col(a_col).alias("v"))
+    kb = F.struct(F.col("db").alias("d"), F.col(b_col).alias("v"))
+    lo_first = ka < kb
+    oriented = keyed.select(
+        F.when(lo_first, F.col(a_col)).otherwise(F.col(b_col)).alias("src"),
+        F.when(lo_first, F.col(b_col)).otherwise(F.col(a_col)).alias("dst"),
+        F.when(lo_first, kb).otherwise(ka).alias("dk"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.dk") < F.col("e2.dk")),
+    ).select(F.col("e1.dst").alias("w1"), F.col("e2.dst").alias("w2"))
+    # the closing edge may be oriented either way relative to (w1, w2)
+    closing = oriented.select("src", "dst").unionAll(
+        oriented.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    tri = wedges.join(
+        closing, (F.col("w1") == F.col("src")) & (F.col("w2") == F.col("dst"))
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(F.broadcast(pairs.agg(F.count("*").alias("n_edges"))))
+        .select("n_edges", "n_triangles")
+    )
+
+
+# Triangle-specific plant: three domains per document (site/m/hub classes),
+# so the co-occurrence graph is tripartite with every per-doc triple forming
+# a real triangle — unlike _URL_PLANT_SQL's bipartite graph, which would
+# make n_triangles trivially zero.
+_TRI_PLANT_SQL = """text || ' https://site' || CAST(doc_id % 5 AS VARCHAR)
+    || '.example.com/a http://m' || CAST(doc_id % 3 AS VARCHAR)
+    || '.test.org/b https://hub' || CAST(doc_id % 2 AS VARCHAR) || '.net/c'"""
+
+_X_TRIANGLES_ORACLE = f"""WITH planted AS (
+         SELECT doc_id, {_TRI_PLANT_SQL} AS text FROM documents),
+       u AS (SELECT DISTINCT doc_id,
+                    regexp_extract(url, '{URL_HOST_PATTERN}', 1) AS domain
+             FROM (SELECT doc_id,
+                          unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+                   FROM planted)),
+       e AS (SELECT DISTINCT x.domain AS a, y.domain AS b
+             FROM u x JOIN u y ON x.doc_id = y.doc_id AND x.domain < y.domain)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM e ab JOIN e bc ON ab.b = bc.a
+                         JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles"""
+
+
+@query("x_triangles", _X_TRIANGLES_ORACLE)
+def x_triangles(t: Tables) -> DataFrame:
+    """Triangle count of the domain co-occurrence graph (domains linked by
+    appearing in the same document) — the clustering-structure signal next
+    to PageRank's authority signal. Spark side runs the degree-oriented
+    O(|E|^{3/2}) algorithm; the oracle is the naive a<b<c three-way join —
+    different algorithm, identical count."""
+    planted = t.documents.select(
+        "doc_id", F.expr(_TRI_PLANT_SQL.replace("VARCHAR", "STRING")).alias("text")
+    )
+    u = extract_urls(planted).select("doc_id", "domain").distinct()
+    ux = u.selectExpr("doc_id", "domain AS a")
+    uy = u.selectExpr("doc_id AS __d2", "domain AS b")
+    pairs = (
+        ux.join(uy, (F.col("doc_id") == F.col("__d2")) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    return count_triangles(pairs)
