@@ -810,6 +810,166 @@ def q_sub2(t: Tables) -> DataFrame:
     )
 
 
+# -- deterministic PPS (probability-proportional-to-size) sampling ---------
+#
+# Systematic PPS over a pseudo-random (md5) order: rows are laid out on an
+# integer weight line in hash order, and every row whose interval contains a
+# multiple of W/k is selected. INTEGER arithmetic end-to-end, so Spark and
+# DuckDB agree bit-for-bit — no pow/log key (Efraimidis-Spirakis A-ES) whose
+# libm rounding could flip a near-tie across engines, and no rand() (retry
+# unsafe). One keyed window cumsum per group — the same single-shuffle
+# geometry as token_budget_sample.
+
+_PPS_K = 5
+_PPS_SALT = "pps-v1"
+
+
+@query(
+    "x_pps_sample",
+    f"""WITH w AS (
+         SELECT o_orderpriority, o_orderkey,
+                CAST(o_totalprice AS BIGINT) AS wt,
+                md5(CAST(o_orderkey AS VARCHAR) || '{_PPS_SALT}') AS h
+         FROM orders),
+       c AS (SELECT o_orderpriority, o_orderkey, wt,
+                    sum(wt) OVER (PARTITION BY o_orderpriority ORDER BY h
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(wt) OVER (PARTITION BY o_orderpriority) AS tot
+             FROM w),
+       s AS (SELECT o_orderpriority, o_orderkey
+             FROM c
+             WHERE wt > 0
+               AND ((cum * {_PPS_K} - 1) // tot) * tot >= (cum - wt) * {_PPS_K})
+       SELECT o_orderpriority, o_orderkey FROM s
+       ORDER BY o_orderpriority, o_orderkey""",
+)
+def x_pps_sample(t: Tables) -> DataFrame:
+    """Exactly {k} orders per priority group, sampled with probability
+    proportional to o_totalprice — deterministically. Selection is pure
+    integer arithmetic over a hash-ordered cumulative weight line, so the
+    sample is a function of (data, salt, k) alone: stable under retries,
+    partitioning, and engine (the oracle reproduces it bit-for-bit).
+    One window shuffle keyed by the group column."""
+    k = _PPS_K
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    wt_all = Window.partitionBy("o_orderpriority")
+    c = (
+        t.orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("long").alias("wt"),
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_PPS_SALT))).alias("h"),
+        )
+        .withColumn("cum", F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", F.sum("wt").over(wt_all))
+    )
+    sel = c.where(
+        (F.col("wt") > 0)
+        & (
+            F.expr(f"((cum * {k} - 1) div tot) * tot") >= (F.col("cum") - F.col("wt")) * k
+        )
+    )
+    return sel.select("o_orderpriority", "o_orderkey").orderBy(
+        "o_orderpriority", "o_orderkey"
+    )
+
+
+@query(
+    "x_outliers",
+    """WITH q AS (
+         SELECT event_type,
+                ROUND(quantile_cont(value, 0.25), 6) AS q1,
+                ROUND(quantile_cont(value, 0.75), 6) AS q3
+         FROM events GROUP BY event_type),
+       f AS (SELECT event_type, q1, q3,
+                    ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+                    ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi
+             FROM q)
+       SELECT f.event_type, lo, hi,
+              CAST(sum(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events e JOIN f ON e.event_type = f.event_type
+       GROUP BY f.event_type, lo, hi ORDER BY f.event_type""",
+)
+def x_outliers(t: Tables) -> DataFrame:
+    """Tukey-fence outlier counts per event type: exact interpolated
+    quartiles (both engines use linear interpolation between closest
+    ranks; fences rounded to 6 dp on BOTH sides so classification is
+    engine-identical), then a broadcast fence join back over the scan.
+    Two passes over events — the exact-quantile price; the one-pass scale
+    substitute is approx_percentile (x_approx_stats)."""
+    q = t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    return (
+        t.events.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY e.user_id)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+              (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+              (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase""",
+)
+def x_funnel(t: Tables) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): users completing each
+    step IN ORDER (each step's timestamp at or after the previous step's
+    first completion). Three keyed aggregate+join stages, all equi-joins
+    on user_id — the event table shuffles by the same key each stage, so
+    at scale the exchanges reuse one partitioning; no window sort over
+    full history, no collect_list of events."""
+    e = t.events
+    s1 = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_click"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_purchase"))))
+    )
+
+
 @query("x_approx_stats", None)  # HLL/KLL sketches are engine-specific → rows-only
 def x_approx_stats(t: Tables) -> DataFrame:
     """The 100 TB cardinality/quantile path: approx_count_distinct (HLL++)
@@ -1262,6 +1422,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_ssjoin": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_taxonomy": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_triangles": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_pps_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_outliers": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    "x_funnel": "built after the late-r5 rotation; sweep-verified, rotate next round",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",

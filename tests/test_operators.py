@@ -1731,3 +1731,64 @@ def test_count_triangles_known_graph(spark):
     row = count_triangles(pairs).collect()[0]
     assert row.n_edges == 8
     assert row.n_triangles == 4
+
+
+# ---------------------------------------------------------------------------
+# Deterministic PPS sampling / funnel semantics (queries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pps_sample_exact_k_and_partition_invariant(spark):
+    """Systematic PPS: exactly k rows per group, and the selected set is
+    invariant under input partitioning (integer arithmetic + hash order,
+    no rand())."""
+    from f1_data_pipeline_spark.queries import all_queries
+    from tests.conftest import SF_DIR as _SF
+
+    q = all_queries()["x_pps_sample"]
+    base = q.builder(spark, _SF)
+    per_group = {r[0]: r[1] for r in base.groupBy("o_orderpriority").count().collect()}
+    assert all(v == 5 for v in per_group.values()), per_group
+
+    a = sorted(map(tuple, base.collect()))
+    # re-run on a repartitioned catalog view of the same table
+    import f1_data_pipeline_spark.queries as Q
+    from f1_data_pipeline_spark.catalog import load_tables
+
+    t = load_tables(spark, _SF)
+    orig = t.table("orders")
+    t._cache["orders"] = orig.repartition(13)
+    try:
+        b = sorted(map(tuple, Q.REGISTRY["x_pps_sample"].builder(spark, _SF).collect()))
+    finally:
+        t._cache["orders"] = orig
+    assert a == b
+
+
+def test_funnel_requires_step_order(spark):
+    """A purchase BEFORE the first click must not count; one after must."""
+    from f1_data_pipeline_spark.catalog import load_tables
+    from f1_data_pipeline_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR as _SF
+
+    rows = [
+        # u1: signup t=10, click t=20, purchase t=30 → completes all
+        (1, 10, "signup"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase happens before the click → counts signup+click only
+        (2, 10, "signup"), (2, 25, "click"), (2, 20, "purchase"),
+        # u3: click before signup → signup only
+        (3, 15, "signup"), (3, 10, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(ts), et, i) for i, (u, ts, et) in enumerate(rows)],
+        "user_id long, tsd double, event_type string, event_id long",
+    ).select("user_id", F.timestamp_seconds("tsd").alias("ts"), "event_type", "event_id")
+
+    t = load_tables(spark, _SF)
+    orig = t.table("events")
+    t._cache["events"] = df
+    try:
+        got = REGISTRY["x_funnel"].builder(spark, _SF).collect()[0]
+    finally:
+        t._cache["events"] = orig
+    assert (got.n_signup, got.n_click, got.n_purchase) == (3, 2, 1)

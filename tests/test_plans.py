@@ -271,3 +271,19 @@ def test_triangles_no_cartesian(spark):
     no cartesian product anywhere in the plan."""
     p = plan_of(spark, "x_triangles")
     assert "CartesianProduct" not in p
+
+
+def test_pps_sample_single_keyed_window_no_join(spark):
+    """x_pps_sample: one keyed window (cumsum + total) — no joins, no
+    global sort before the selection filter."""
+    p = plan_of(spark, "x_pps_sample")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_keyed_equi_joins_only(spark):
+    """x_funnel: step joins are keyed equi-joins on user_id; the final
+    three 1-row counts combine via broadcast."""
+    p = plan_of(spark, "x_funnel")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
