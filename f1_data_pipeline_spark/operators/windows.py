@@ -243,3 +243,58 @@ def x_rolling_scaled(t: Tables) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(200)
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the recurrence
+    s_i = α·x_i + (1-α)·s_{i-1} that NO built-in window frame can
+    express (every Spark frame aggregates raw values; EWMA needs the
+    previous *output*). This is the canonical (b)-tier custom operator
+    from the design rules: a keyed ``applyInPandas`` where each key's
+    history is processed sequentially but keys are processed in
+    parallel — the batch twin of ``applyInPandasWithState``.
+
+    State per task is one key-group at a time (Spark streams co-grouped
+    rows); within the group the numpy recurrence is vectorized via
+    pandas ``ewm(adjust=False)``. Ordering inside a key is pinned by
+    (ts, tiebreak) so the fold is deterministic under any partitioning.
+    At 100 TB the shuffle is the unavoidable one — each key's rows must
+    meet — and nothing else.
+    """
+    import pandas as pd
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_schema = f"{key_col} long, {ts_col} timestamp, {val_col} double, ewma double"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        s = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                val_col: pdf[val_col].to_numpy(),
+                "ewma": s.to_numpy(),
+            }
+        )
+
+    cols = [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])
+    return df.select(*cols).groupBy(key_col).applyInPandas(fold, out_schema)
+
+
+@query("x_ewma", None)  # recursive fold has no ANSI-SQL form → rows-only check
+def x_ewma(t: Tables) -> DataFrame:
+    """Per-user EWMA (α=0.3) of event values in time order via the keyed
+    applyInPandas fold; recurrence parity vs a pure-Python replay is
+    asserted in tests/test_windows.py."""
+    out = ewma(t.events, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id")
+    return out.select(
+        "user_id", "ts", F.round("value", 4).alias("value"), F.round("ewma", 6).alias("ewma")
+    ).orderBy("user_id", "ts")

@@ -115,3 +115,42 @@ def test_x_rolling_scaled_matches_q_w4_semantics(spark):
     for k in w4:
         assert math.isclose(twin[k], w4[k], abs_tol=0.011), (k, twin[k], w4[k])
     assert exact >= len(w4) - 2  # at most the documented ulp-flip rows differ
+
+
+def test_ewma_matches_pure_python_replay(spark):
+    """applyInPandas EWMA equals the scalar recurrence replayed in pure
+    Python per key, and is invariant under input partitioning."""
+    from f1_data_pipeline_spark.catalog import load_tables
+    from f1_data_pipeline_spark.operators.windows import ewma
+    from tests.conftest import SF_DIR as _SF
+
+    ev = load_tables(spark, _SF).events
+    got = {
+        (r.user_id, str(r.ts)): r.ewma
+        for r in ewma(ev, "user_id", "ts", "value", 0.3, "event_id").collect()
+    }
+
+    import collections
+
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    state: dict = {}
+    want = {}
+    for r in rows:
+        s = state.get(r.user_id)
+        s = r.value if s is None else 0.3 * r.value + 0.7 * s
+        state[r.user_id] = s
+        want[(r.user_id, str(r.ts))] = s
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+    got2 = {
+        (r.user_id, str(r.ts)): r.ewma
+        for r in ewma(
+            ev.repartition(17), "user_id", "ts", "value", 0.3, "event_id"
+        ).collect()
+    }
+    assert got == got2
