@@ -287,3 +287,69 @@ def test_funnel_keyed_equi_joins_only(spark):
     p = plan_of(spark, "x_funnel")
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_dynamic_partition_pruning_injected(spark, tmp_path):
+    """100 TB table-layout evidence: a join on a Hive-partition column with
+    a selective broadcast dim injects a dynamicpruning subquery, so the
+    fact scan reads ONLY the partitions the dim filter selects."""
+    d = str(tmp_path / "ev_part")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("click", "a"), ("error", "b"), ("purchase", "c")],
+        "event_type string, tag string",
+    )
+    j = (
+        fact.join(dim.where(F.col("tag") == "a"), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        j.explain(True)
+    p = buf.getvalue()
+    assert "dynamicpruning" in p
+    assert "PartitionFilters" in p
+
+
+def test_runtime_bloom_filter_injected_for_shuffle_join(spark):
+    """When the selective side can't broadcast, Spark's runtime bloom
+    filter must inject (might_contain on the fact side) so the shuffle
+    moves only probably-matching rows — the AQE-era semi-join pushdown."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100000000",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ord_ = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = li.join(
+            ord_.where(F.col("o_totalprice") > 59000),
+            li.l_orderkey == ord_.o_orderkey,
+        ).select("l_orderkey", "o_totalprice")
+        import io as _io
+        from contextlib import redirect_stdout as _rs
+
+        buf = _io.StringIO()
+        with _rs(buf):
+            j.explain(True)
+        assert "might_contain" in buf.getvalue().lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
