@@ -1294,17 +1294,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # long-stable single-shuffle aggregates/set-ops whose semantics are
     # also exercised by q_a1/q_t2/q_j4 in-window and re-verified every run
     # by the in-repo oracle sweep.
-    "q_s1", "q_p1",
-    "q_c1", "q_c4",
-    "q_a1", "q_a3", "q_a4",
-    "q_j1", "q_j3", "q_j4", "q_j6", "q_j9",
+    # Second-wave round-5 rotation (same session they were built, so the
+    # driver hashes them this round): x_ssjoin, x_profile, x_zorder,
+    # x_cdc_apply, x_pps_sample, x_triangles — displacing q_p1 (filter
+    # surface exercised by every windowed entry's predicates + q_s1),
+    # q_c4 (C-family in-window via q_c1), q_j4 (join family dense:
+    # q_j1/q_j3/q_j6/q_j9), q_t3 (latest-per-key geometry now covered
+    # in-window by x_cdc_apply's max_by changelog replay), q_a4
+    # (merge-agg semantics in-window via x_scd2/x_cdc_apply), and
+    # x_sim_neardup (similarity family in-window via x_sim_pairs).
+    "q_s1",
+    "q_c1",
+    "q_a1", "q_a3",
+    "q_j1", "q_j3", "q_j6", "q_j9",
     # the wire-path hash check (round-5 judge ask #4): a literal VALUES
     # oracle over the deterministic fixture value-verifies bronze→silver
     # decode (U2/C3/F-family), which the rows-only f1_* checks never did
     "f1_weather_10min",
     "q_w1", "q_w4",
     "q_u1",
-    "q_t1", "q_t3",
+    "q_t1",
     # oracle-bearing operator-module queries (the extension flagships):
     # every operator family lands its strongest oracle-checked entry —
     # x_curation (the composed curation pipeline), x_dedup_winnow
@@ -1317,7 +1326,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stay verified by the in-repo oracle sweep (SWEEP_ONLY below).
     "x_text_quality",
     "x_dedup_winnow", "x_dedup_clusters",
-    "x_sim_pairs", "x_sim_neardup",
+    "x_sim_pairs",
     "x_asof_join", "x_sessionize",
     "x_token_budget", "x_curation",
     "x_tfidf", "x_scd2", "x_gapfill", "x_seq_pack", "x_stratified",
@@ -1357,6 +1366,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # covered in-window and re-verified each run by the oracle sweep)
     "x_ppl", "x_dsir", "x_ngram_spans",
     "x_pack_sequences", "x_quantize", "x_domain_quality",
+    "x_ssjoin", "x_profile", "x_zorder",
+    "x_cdc_apply", "x_pps_sample", "x_triangles",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -1416,15 +1427,16 @@ SWEEP_ONLY: dict[str, str] = {
     "x_ppl2": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_mixture_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_dedup_spans": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_profile": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_zorder": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_cdc_apply": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_ssjoin": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_taxonomy": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_triangles": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_pps_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_outliers": "built after the late-r5 rotation; sweep-verified, rotate next round",
     "x_funnel": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    # displaced in the second-wave round-5 rotation
+    "q_p1": "filter pushdown surface; predicates exercised by every windowed entry, scan family via q_s1",
+    "q_c4": "conditional-expression surface; C-family in-window via q_c1",
+    "q_j4": "anti/semi variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_t3": "latest-per-key; changelog-replay geometry in-window via x_cdc_apply",
+    "q_a4": "COALESCE merge agg; merge family in-window via x_scd2/x_cdc_apply",
+    "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_sim_pairs",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",
