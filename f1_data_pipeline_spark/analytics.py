@@ -91,3 +91,47 @@ def sketch_table(
     return df.groupBy(group_col).agg(
         F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
     )
+
+
+def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """The persistable partial-aggregate state for incremental rollup
+    maintenance: per key → (n, sum, min, max). Every measure here is
+    ALGEBRAIC — mergeable by pairwise combination — which is exactly what
+    makes the increment pattern sound; averages are derived at read time
+    (``finalize_aggregate``), never stored."""
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("s"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def merge_partial_aggregates(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Fold a new increment's partials into the persisted state: union +
+    one keyed re-aggregate (sum of n/s, min of mn, max of mx). The
+    100 TB daily-rollup loop: each day aggregates ONLY its own data, and
+    quarter-to-date state updates by merging day-sized partials — history
+    is never re-scanned (same contract as ``sketch_rollup`` for distinct
+    counts). The merge shuffles |state keys| + |delta keys| rows, not
+    facts."""
+    both = state.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def finalize_aggregate(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Read-time view over the partial state: derived avg joins the
+    algebraic measures; no information lives only here."""
+    return state.select(
+        *keys,
+        F.col("n"),
+        F.col("s").alias("total"),
+        (F.col("s") / F.col("n")).alias("avg"),
+        F.col("mn").alias("min"),
+        F.col("mx").alias("max"),
+    )

@@ -142,3 +142,45 @@ def test_sketch_rollup_accuracy_and_mergeability(spark, tmp_path):
         .collect()[0]["e"]
     )
     assert merged == whole
+
+
+def test_incremental_aggregate_merge_equals_full_recompute(spark, tmp_path):
+    """Materialized-rollup maintenance: state built from increments (with
+    a parquet persistence hop, as in production) must equal the
+    from-scratch aggregate over all data — including derived avg."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.analytics import (
+        finalize_aggregate, merge_partial_aggregates, partial_aggregate,
+    )
+    from f1_data_pipeline_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF_DIR).events
+    days = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+
+    state = partial_aggregate(days[0], ["event_type"], "value")
+    for i, d in enumerate(days[1:]):
+        p = str(tmp_path / f"state_{i}")
+        state.write.mode("overwrite").parquet(p)
+        state = merge_partial_aggregates(
+            spark.read.parquet(p), partial_aggregate(d, ["event_type"], "value"),
+            ["event_type"],
+        )
+
+    got = {
+        r.event_type: (r.n, round(r.total, 6), round(r.avg, 6), r.min, r.max)
+        for r in finalize_aggregate(state, ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.total, 6), round(r.avg, 6), r.min, r.max)
+        for r in finalize_aggregate(
+            partial_aggregate(ev, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        # float sums may differ in the last ulp across grouping orders
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+        assert abs(got[k][2] - want[k][2]) < 1e-9
+        assert got[k][3:] == want[k][3:]
