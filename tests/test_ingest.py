@@ -285,3 +285,47 @@ def test_weather_10min_values_oracle_rederived():
             len(rows),
         ))
     assert tuple(derived) == F1_WEATHER_10MIN_EXPECTED
+
+
+def test_f1wire_datasource_matches_bronze_and_survives_splits(spark, tmp_path):
+    """The `f1wire` Python Data Source: same parsed rows as read_bronze at
+    EVERY partitioning (byte-range split alignment can't drop or double a
+    line), byte-offset ordinals unique and ordered, corrupt lines
+    surfaced, and the silver decode runs on its output unchanged."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.ingest import read_bronze
+    from f1_data_pipeline_spark.ingest.decode import decode_weather
+    from f1_data_pipeline_spark.ingest.fixture import generate
+    from f1_data_pipeline_spark.ingest.wiresource import register
+
+    p = str(tmp_path / "wire.txt")
+    generate(p, n_lines=200, seed=7)
+    with open(p, "a") as f:
+        f.write("not a python literal at all\n")
+    register(spark)
+
+    want = sorted(
+        (r.topic, r.payload, r.ts)
+        for r in read_bronze(spark, p).where(F.col("topic").isNotNull()).collect()
+    )
+    base = None
+    for n in (1, 3, 8, 64):
+        df = spark.read.format("f1wire").option("numPartitions", str(n)).load(p)
+        got_rows = df.collect()
+        got = sorted(
+            (r.topic, r.payload, r.ts) for r in got_rows if r.topic is not None
+        )
+        assert got == want, f"numPartitions={n}"
+        ords = sorted(r.ordinal for r in got_rows)
+        assert len(set(ords)) == len(ords)
+        if base is None:
+            base = got_rows
+    corrupt = [r for r in base if r.corrupt_line is not None]
+    assert any("not a python literal" in r.corrupt_line for r in corrupt)
+
+    # silver decode accepts the source's bronze rows directly
+    src = spark.read.format("f1wire").load(p)
+    w_src = decode_weather(src).count()
+    w_ref = decode_weather(read_bronze(spark, p)).count()
+    assert w_src == w_ref and w_src > 0
