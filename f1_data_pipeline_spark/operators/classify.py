@@ -1,0 +1,244 @@
+"""Trainable quality classifier: distributed logistic regression over
+hashed-token features — the FineWeb-Edu / CCNet / fastText-style curation
+pattern, where a small labeled seed set (e.g. "wiki-like" pages) trains a
+linear model that then scores the whole corpus.
+
+This is an extension beyond the reference pipeline (which has no trainable
+scorer); it completes the data-selection family next to the fixed-rule
+gates (``text.gopher_quality``) and the generative-model weighting
+(``text.dsir_weights``).
+
+Scale shape (the part that must survive 100 TB):
+
+* **Feature build** (`hashed_features`) — one token explode + two keyed
+  aggregates, exactly the ``dsir_weights`` geometry; only
+  ``(id, bucket, tf)`` rows ever shuffle, never text. The dense per-doc
+  vector (B = 16^hex_digits buckets, L1-normalized tf) is assembled
+  in-plan by a Catalyst ``transform`` over a ``map_from_entries`` — no
+  Python in the feature path.
+* **Fit** (`fit_logreg`) — full-batch gradient descent where each
+  iteration is ONE scan: every Arrow batch reduces to its gradient
+  partials (∇w, ∇b, log-loss, n — exactly B+3 doubles) inside a
+  ``mapInPandas`` GEMM, and a ``(pos, val)`` shuffle element-sums one
+  short row per task, the same bounded-reduce shape as
+  ``similarity.fit_pca``. The driver touches only the B+3-double model
+  update — never data. The feature frame is cached for the loop
+  (MLlib-style, released in ``finally``).
+* **Score** (`score_logreg`) — scan-local Catalyst fold
+  (``aggregate(zip_with(x, w, *), …)``) against the literal weight
+  vector: scoring 100 TB costs the scan, with zero shuffle and zero
+  Python.
+
+Determinism: given a fixed partitioning the fit is exactly reproducible;
+across partitionings it is stable to float-summation order (partials are
+summed associatively), pinned to ~1e-6 in tests.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from f1_data_pipeline_spark.catalog import Tables
+from f1_data_pipeline_spark.operators.text import _HEX_ALPHABET, tokens
+from f1_data_pipeline_spark.queries import query
+
+
+def _bucket_expr(hex_digits: int) -> str:
+    """SQL expr mapping ``term`` → bucket in [0, 16^hex_digits): leading
+    hex digits of md5(term) — engine-portable (same trick as
+    ``text.dsir_weights`` / ``text.split_assign``)."""
+    return (
+        "("
+        + " + ".join(
+            f"(instr('{_HEX_ALPHABET}', substring(md5(term), {i + 1}, 1)) - 1)"
+            f" * {16 ** (hex_digits - 1 - i)}"
+            for i in range(hex_digits)
+        )
+        + ")"
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    label: F.Column | None = None,
+    hex_digits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, [label,] features) with ``features`` a dense
+    ``array<double>`` of B = 16^hex_digits L1-normalized hashed-token
+    term frequencies. Pure Catalyst: explode → (id, bucket) tf aggregate →
+    per-doc map → dense array via ``transform(sequence(...))``."""
+    B = 16**hex_digits
+    cols = [F.col(id_col)]
+    if label is not None:
+        cols.append(label.cast("int").alias("label"))
+    toks = df.select(
+        *cols, F.explode(tokens(text_col)).alias("term")
+    ).withColumn("bucket", F.expr(_bucket_expr(hex_digits)).cast("int"))
+    keep = [id_col] + (["label"] if label is not None else [])
+    tf = toks.groupBy(*keep, "bucket").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy(*keep).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("__m"),
+        F.sum("tf").alias("__n"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("__m"), b), F.lit(0)).cast("double")
+        / F.col("__n"),
+    )
+    return per_doc.select(*keep, dense.alias("features"))
+
+
+@dataclass(frozen=True)
+class LogRegModel:
+    weights: tuple[float, ...]  # length B
+    bias: float
+    losses: tuple[float, ...]  # per-iteration mean log-loss (training curve)
+
+
+def fit_logreg(
+    feats: DataFrame,
+    dim: int,
+    iters: int = 40,
+    lr: float = 20.0,
+    l2: float = 1e-4,
+    feat_col: str = "features",
+    label_col: str = "label",
+) -> LogRegModel:
+    """Full-batch gradient-descent logistic regression. One scan per
+    iteration; per-batch gradient partials (B+3 doubles) reduce through a
+    ``(pos, val)`` element-sum — the ``fit_pca`` bounded-reduce shape. The
+    driver only ever sees the reduced B+3 vector.
+
+    ``lr`` is tuned for L1-normalized features (every |x|₁ = 1, so the
+    per-example gradient is bounded by 1 and a large constant step is
+    stable); with raw counts use a much smaller rate."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    cached = feats.select(feat_col, label_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        w = np.zeros(dim)
+        b = 0.0
+        losses = []
+        for _ in range(iters):
+            w_c, b_c = w.copy(), b
+
+            def kernel(batches, w_c=w_c, b_c=b_c):
+                gw = np.zeros(dim)
+                gb = 0.0
+                loss = 0.0
+                n = 0
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.stack(
+                        pdf[feat_col].map(
+                            lambda v: np.asarray(v, dtype=np.float64)
+                        )
+                    )
+                    y = pdf[label_col].to_numpy(dtype=np.float64)
+                    z = X @ w_c + b_c
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    r = p - y
+                    gw += X.T @ r
+                    gb += float(r.sum())
+                    eps = 1e-12
+                    loss += float(
+                        -(
+                            y * np.log(p + eps)
+                            + (1.0 - y) * np.log(1.0 - p + eps)
+                        ).sum()
+                    )
+                    n += len(X)
+                if n:
+                    yield pd.DataFrame(
+                        {
+                            "vals": [
+                                np.concatenate(
+                                    (gw, [gb, loss, float(n)])
+                                ).tolist()
+                            ]
+                        }
+                    )
+
+            reduced = (
+                cached.mapInPandas(kernel, "vals array<double>")
+                .select(F.posexplode("vals").alias("pos", "val"))
+                .groupBy("pos")
+                .agg(F.sum("val").alias("val"))
+                .orderBy("pos")
+                .collect()  # B+3 doubles: bounded model-fit metadata
+            )
+            flat = np.array([r.val for r in reduced])
+            gw, gb, loss, n = flat[:dim], flat[dim], flat[dim + 1], flat[dim + 2]
+            w -= lr * (gw / n + l2 * w)
+            b -= lr * (gb / n)
+            losses.append(loss / n)
+        return LogRegModel(tuple(float(x) for x in w), float(b), tuple(losses))
+    finally:
+        cached.unpersist()
+
+
+def score_logreg(
+    feats: DataFrame, model: LogRegModel, feat_col: str = "features"
+) -> DataFrame:
+    """Append ``prob`` = σ(w·x + b) — a scan-local Catalyst fold over the
+    literal weight vector; no shuffle, no Python."""
+    w_lit = F.array(*[F.lit(float(x)) for x in model.weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(feat_col), w_lit, lambda x, wi: x * wi),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    z = dot + F.lit(float(model.bias))
+    return feats.withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def quality_classifier_scores(
+    docs: DataFrame,
+    target: F.Column,
+    hex_digits: int = 2,
+    iters: int = 40,
+    lr: float = 20.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit on ``target`` as the positive label, score EVERY document:
+    (id, label, prob). The composed FineWeb-Edu curation step."""
+    B = 16**hex_digits
+    feats = hashed_features(
+        docs, label=target, hex_digits=hex_digits, text_col=text_col, id_col=id_col
+    )
+    model = fit_logreg(feats, dim=B, iters=iters, lr=lr)
+    return score_logreg(feats, model).select(id_col, "label", "prob")
+
+
+@query("x_quality_clf", None)  # iterative GD fit → rows-only check
+def x_quality_clf(t: Tables) -> DataFrame:
+    """Train a hashed-feature logistic-regression quality classifier with
+    src0/src1 documents as the positive seed set (the same target family
+    as x_dsir), then score the full corpus: per-source mean predicted
+    probability + count. Separability, numpy-replay parity, and
+    partition-invariance are pinned in tests/test_classify.py."""
+    scored = quality_classifier_scores(
+        t.documents, F.col("source").isin("src0", "src1"), iters=12
+    )
+    return (
+        scored.join(t.documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("prob"), 3).alias("avg_prob"),
+            F.round(F.avg("label"), 3).alias("label_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1465,6 +1465,7 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.windows  # noqa: F401
     import f1_data_pipeline_spark.operators.profile  # noqa: F401
     import f1_data_pipeline_spark.operators.layout  # noqa: F401
+    import f1_data_pipeline_spark.operators.classify  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     if order == "registration":
