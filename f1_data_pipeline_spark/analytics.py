@@ -93,6 +93,69 @@ def sketch_table(
     )
 
 
+def misra_gries_candidates(
+    df: DataFrame, col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra–Gries frequency summaries: each task folds its
+    stream of values into a counter bounded at ``capacity`` entries
+    (standard decrement-merge, so executor memory is O(capacity) no
+    matter how many distincts the partition holds — the property a plain
+    per-partition ``value_counts`` lacks). Output is the union of summary
+    rows ``(value, lower_bound)``.
+
+    Guarantee (Misra–Gries 1982): any value with global frequency
+    > N/(capacity+1) appears in at least one partition summary — so the
+    union is a complete candidate set for heavy hitters above that
+    threshold, sized ≤ capacity × num_tasks rows (kilobytes even with
+    100k tasks at 100 TB)."""
+    import pandas as pd
+
+    def kernel(batches):
+        counter: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counter[v] = counter.get(v, 0) + int(c)
+                if len(counter) > capacity:
+                    d = min(counter.values())
+                    counter = {
+                        k: n - d for k, n in counter.items() if n - d > 0
+                    }
+        if counter:
+            yield pd.DataFrame(
+                {col: list(counter), "lower_bound": list(counter.values())}
+            )
+
+    return df.select(col).mapInPandas(
+        kernel, f"{col} string, lower_bound long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """EXACT global top-k most frequent values in two passes:
+    bounded-memory Misra–Gries candidate summaries per partition
+    (``misra_gries_candidates``), then one exact recount restricted to the
+    broadcast candidate set. No full GROUP BY over all distincts ever
+    happens — the only wide shuffle carries candidate rows.
+
+    Exact as long as the true k-th frequency exceeds N/(capacity+1)
+    (the MG completeness threshold); ``capacity`` defaults to 8·k, far
+    past that bound on any skewed (Zipfian) distribution. Ties broken by
+    value so the result is deterministic."""
+    capacity = capacity or 8 * k
+    cands = (
+        misra_gries_candidates(df, col, capacity).select(col).distinct()
+    )
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), col)
+        .limit(k)
+    )
+
+
 def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """The persistable partial-aggregate state for incremental rollup
     maintenance: per key → (n, sum, min, max). Every measure here is

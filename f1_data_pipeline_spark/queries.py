@@ -1000,6 +1000,29 @@ def x_sketch_rollup(t: Tables) -> DataFrame:
 
 
 @query(
+    "x_heavy_hitters",
+    """SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(string_split(trim(text), ' ')) AS term
+             FROM documents)
+       GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
+)
+def x_heavy_hitters(t: Tables) -> DataFrame:
+    """Exact top-20 most frequent corpus tokens via the two-pass
+    heavy-hitter operator (``analytics.heavy_hitters``): bounded-memory
+    Misra–Gries candidate summaries per partition, then ONE exact
+    recount semi-joined to the broadcast candidate set — no global
+    GROUP BY over the full token vocabulary. The oracle is the naive
+    full aggregation: different algorithm, identical output (the MG
+    completeness guarantee, pinned adversarially in
+    tests/test_analytics.py)."""
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+    from f1_data_pipeline_spark.operators.text import tokens
+
+    toks = t.documents.select(F.explode(tokens("text")).alias("term"))
+    return heavy_hitters(toks, "term", k=20)
+
+
+@query(
     "q_h1",
     """SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend, count(*) AS n
        FROM orders GROUP BY o_custkey HAVING count(*) >= 10
@@ -1365,7 +1388,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_text_langid, q_j2, q_c3, q_o1, q_w3, q_t2 (every one family-
     # covered in-window and re-verified each run by the oracle sweep)
     "x_ppl", "x_dsir", "x_ngram_spans",
-    "x_pack_sequences", "x_quantize", "x_domain_quality",
+    # x_heavy_hitters built round 5 (same-session rotation): the two-pass
+    # Misra–Gries top-k — displaces x_domain_quality (plain groupBy rollup;
+    # agg family densely in-window via q_a1/x_tfidf/x_mixture)
+    "x_pack_sequences", "x_quantize", "x_heavy_hitters",
     "x_ssjoin", "x_profile", "x_zorder",
     "x_cdc_apply", "x_pps_sample", "x_triangles",
 )
@@ -1380,6 +1406,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 SWEEP_ONLY: dict[str, str] = {
     # displaced in rotations; semantics covered in-window by stronger kin
     "q_a5": "filtered count; agg semantics in-window via q_a1",
+    "x_domain_quality": "groupBy rollup; agg family in-window via q_a1/x_tfidf/x_mixture — displaced r5 for x_heavy_hitters",
     "q_a6": "grouped max; agg semantics in-window via q_a1",
     "q_a7": "distinct cardinality; displaced r5 for the wire-path VALUES oracle",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",

@@ -184,3 +184,63 @@ def test_incremental_aggregate_merge_equals_full_recompute(spark, tmp_path):
         assert abs(got[k][1] - want[k][1]) < 1e-6
         assert abs(got[k][2] - want[k][2]) < 1e-9
         assert got[k][3:] == want[k][3:]
+
+
+# --- heavy hitters (Misra-Gries candidates + exact recount) ----------------
+
+
+def test_heavy_hitters_exact_on_zipfian(spark):
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+
+    # Zipf-ish: value i appears ~1000/i times
+    rows = [(f"v{i:03d}",) for i in range(1, 80) for _ in range(1000 // i)]
+    df = spark.createDataFrame(rows, "term string").repartition(7)
+    got = [(r.term, r.cnt) for r in heavy_hitters(df, "term", k=10).collect()]
+    want = [
+        (r.term, r.cnt)
+        for r in df.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_survives_singleton_flood(spark):
+    """Adversarial: 5 heavy values drowned in 20k distinct singletons —
+    a per-partition value_counts would hold 20k entries; MG holds ≤cap."""
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+
+    heavies = [(f"hh{i}",) for i in range(5) for _ in range(500)]
+    noise = [(f"n{i}",) for i in range(20000)]
+    df = spark.createDataFrame(heavies + noise, "term string").repartition(9)
+    # heavies are 500/22500 ≈ 2.2% of the stream → need capacity+1 > 45
+    # for the MG completeness guarantee; 64 clears it with margin
+    got = [
+        (r.term, r.cnt)
+        for r in heavy_hitters(df, "term", k=5, capacity=64).collect()
+    ]
+    assert got == [(f"hh{i}", 500) for i in range(5)]
+
+
+def test_misra_gries_summary_bounded(spark):
+    from f1_data_pipeline_spark.analytics import misra_gries_candidates
+
+    noise = [(f"n{i}",) for i in range(5000)]
+    df = spark.createDataFrame(noise, "term string").repartition(1)
+    out = misra_gries_candidates(df, "term", capacity=40).collect()
+    assert len(out) <= 40  # one partition -> one summary, capped
+
+
+def test_misra_gries_guarantee_at_threshold(spark):
+    """An item with freq > N/(capacity+1) must appear in the candidate
+    union even at a deliberately tiny capacity."""
+    from f1_data_pipeline_spark.analytics import misra_gries_candidates
+
+    n_noise = 900
+    heavy = [("HH",)] * 150  # 150 > 1050/(8+1) ≈ 117
+    noise = [(f"n{i}",) for i in range(n_noise)]
+    df = spark.createDataFrame(heavy + noise, "term string").repartition(3)
+    cands = {r.term for r in misra_gries_candidates(df, "term", 8).collect()}
+    assert "HH" in cands
