@@ -1059,3 +1059,122 @@ def x_ssjoin(t: Tables) -> DataFrame:
     documented-exempt quadratic verifier when LSH recall isn't enough."""
     sh = word_shingles(t.documents)
     return set_similarity_join(sh, _SSJOIN_T).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Composed fuzzy-dedup pipeline (LSH -> exact verify on candidates -> cluster)
+# ---------------------------------------------------------------------------
+
+
+def exact_jaccard_on_pairs(
+    df: DataFrame, pairs: DataFrame, shingle_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard for a GIVEN pair list — the verifier stage of
+    the production near-dup pipeline, where ``pairs`` is the (tiny) LSH
+    candidate set rather than the quadratic cross product the standalone
+    ``x_dedup_ngram`` verifier enumerates.
+
+    Cost is |pairs| x avg-shingles: candidates join the shingle table
+    twice on (doc_id, shingle) equi-keys; intersections aggregate with
+    map-side partials. Nothing quadratic, nothing driver-side."""
+    sh = word_shingles(df, text_col, shingle_n)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    p = pairs.select("d1", "d2")
+    inter = (
+        p.join(sh.alias("a"), p.d1 == F.col("a.doc_id"))
+        .join(
+            sh.alias("b"),
+            (p.d2 == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    return (
+        # left join: candidate pairs with zero shared shingles still get a
+        # (0.0) verdict instead of vanishing
+        p.join(inter, ["d1", "d2"], "left")
+        .withColumn("i", F.coalesce("i", F.lit(0)))
+        .join(ca, F.col("d1") == F.col("ca.doc_id"))
+        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("i").cast("double")
+                / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    text_col: str = "text",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """The complete production near-dup pipeline, composed end-to-end:
+
+      1. MinHash + LSH banding emits candidate pairs from hash-bucket
+         collisions (never an all-pairs stage),
+      2. the EXACT n-gram Jaccard verifier runs on candidates only
+         (``exact_jaccard_on_pairs``), keeping pairs >= ``threshold`` —
+         LSH false positives die here,
+      3. verified pairs cluster via min-label connected components and
+         every cluster keeps its smallest doc_id (``dedup_by_clusters``).
+
+    Returns the surviving corpus. Recall is LSH-bounded (a pair missed by
+    every band is never verified — the standard fuzzy-dedup trade, tuned
+    by bands x rows); precision is exact. Only fingerprints, signature
+    rows, and (id, id) edges ever shuffle; document bytes move zero
+    times until the final anti-join projection."""
+    # banding pairs straight into the exact verifier: the signature-based
+    # Jaccard ESTIMATE stage of the standalone candidate op is redundant
+    # here (the exact verdict is computed anyway), so skip its two
+    # 32-column signature re-joins entirely
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        word_shingles(df, text_col, shingle_n), num_hashes
+    )
+    bb = lsh_bands(sigs, bands, rows_per_band)
+    cand = (
+        bb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = exact_jaccard_on_pairs(
+        df, cand, shingle_n=shingle_n, text_col=text_col
+    ).where(F.col("jaccard") >= threshold)
+    return dedup_by_clusters(df, verified.select(
+        F.col("d1").alias("id_a"), F.col("d2").alias("id_b")
+    ), scratch_dir=scratch_dir)
+
+
+@query("x_fuzzy_dedup", None)  # xxhash64 minhash stage has no DuckDB twin → rows-only
+def x_fuzzy_dedup(t: Tables) -> DataFrame:
+    """End-to-end fuzzy dedup at Jaccard >= 0.7 (LSH candidates → exact
+    verify on candidates only → connected-component clusters → smallest-id
+    canonical): surviving document count and total bytes per source.
+    Deterministic (fixed hash salts), so the rows-only check is stable;
+    pipeline precision/recall is pinned on planted near-dups in
+    tests/test_operators.py."""
+    kept = fuzzy_dedup(t.documents, threshold=0.7)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -1792,3 +1792,53 @@ def test_funnel_requires_step_order(spark):
     finally:
         t._cache["events"] = orig
     assert (got.n_signup, got.n_click, got.n_purchase) == (3, 2, 1)
+
+
+# --- composed fuzzy-dedup pipeline -----------------------------------------
+
+
+def test_exact_jaccard_on_pairs_matches_exhaustive(spark, planted_docs):
+    """The candidate-restricted verifier must agree with the exhaustive
+    shingle self-join on any pair it is handed — including zero-overlap
+    pairs, which it must return as 0.0 rather than drop."""
+    from f1_data_pipeline_spark.operators.dedup import exact_jaccard_on_pairs
+
+    pairs = spark.createDataFrame(
+        [(0, 100), (1, 102), (2, 3)], "d1 long, d2 long"
+    )
+    got = {
+        (r.d1, r.d2): round(r.jaccard, 4)
+        for r in exact_jaccard_on_pairs(planted_docs, pairs).collect()
+    }
+    assert len(got) == 3
+    assert got[(1, 102)] == 1.0  # exact duplicate
+    assert got[(0, 100)] > 0.8  # one-token-changed near dup
+    assert got[(2, 3)] < 0.3  # unrelated random docs
+
+
+def test_fuzzy_dedup_end_to_end(spark, planted_docs):
+    """LSH -> verify -> cluster -> canonical: planted near/exact dups are
+    removed, keeping the smallest id per cluster; distinct docs survive."""
+    from f1_data_pipeline_spark.operators.dedup import fuzzy_dedup
+
+    kept = {r.doc_id for r in fuzzy_dedup(planted_docs, threshold=0.7).collect()}
+    assert 0 in kept and 100 not in kept and 101 not in kept  # cluster {0,100,101}
+    assert 1 in kept and 102 not in kept  # cluster {1,102}
+    # every undisturbed doc survives
+    assert all(i in kept for i in range(2, 40))
+
+
+def test_fuzzy_dedup_verify_stage_kills_false_positives(spark):
+    """A pair surfaced by banding but below the exact-Jaccard threshold
+    must NOT merge clusters: two docs sharing half their tokens survive a
+    0.9-threshold pipeline."""
+    from f1_data_pipeline_spark.operators.dedup import fuzzy_dedup
+
+    half = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (1, half + " " + " ".join(f"a{i}" for i in range(30))),
+        (2, half + " " + " ".join(f"b{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in fuzzy_dedup(df, threshold=0.9).collect()}
+    assert kept == {1, 2}
