@@ -2211,3 +2211,75 @@ def x_triangles(t: Tables) -> DataFrame:
         .distinct()
     )
     return count_triangles(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + text cleanup
+# ---------------------------------------------------------------------------
+
+# Java regex and DuckDB RE2 both accept these verbatim (the PII-pattern
+# common-subset discipline): C0/C1 controls minus tab/newline, then
+# whitespace runs.
+_CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+_WS_RE = r"[ \t\n\r]+"
+
+
+def nfc_normalize_col(text: Column | str):
+    """Unicode NFC canonical composition. The ONE text-cleanup step with no
+    Catalyst builtin (Spark exposes no normalizer), so it is an
+    Arrow-vectorized pandas UDF by necessity — str-accelerated, one
+    batch-level call, no per-row Python loop."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(F.col(text) if isinstance(text, str) else text)
+
+
+def clean_text(text: Column | str, nfc: bool = True) -> Column:
+    """Standard corpus text cleanup: NFC composition (optional), strip
+    C0/C1 control characters (keeping tab/newline, which the whitespace
+    collapse then folds), collapse whitespace runs to single spaces, trim.
+    Everything except the NFC step is scan-local Catalyst regex — cleaning
+    100 TB costs the scan."""
+    c = F.col(text) if isinstance(text, str) else text
+    if nfc:
+        c = nfc_normalize_col(c)
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, _WS_RE, " ")
+    return F.trim(c)
+
+
+@query(
+    "x_normalize",
+    f"""SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '{_CTRL_RE}', '', 'g'), '{_WS_RE}', ' ', 'g'))) AS fp,
+              CAST(length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '{_CTRL_RE}', '', 'g'), '{_WS_RE}', ' ', 'g'))) AS BIGINT)
+                AS n_chars
+       FROM documents ORDER BY doc_id""",
+)
+def x_normalize(t: Tables) -> DataFrame:
+    """NFC + control-strip + whitespace-collapse cleanup for every
+    document, fingerprinted so the oracle hash-checks the exact cleaned
+    bytes (DuckDB runs its native nfc_normalize against the UDF). Unicode
+    behavior (decomposed accents, CRLF, C0 controls) is pinned on planted
+    strings in tests/test_text_normalize.py; on the ASCII corpus the NFC
+    step is an identity and the regex plumbing carries the check."""
+    return (
+        t.documents.select("doc_id", clean_text("text").alias("__c"))
+        .select(
+            "doc_id",
+            F.md5("__c").alias("fp"),
+            F.length("__c").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1347,7 +1347,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_stratified, q_j9 — displacing x_text_tokens, x_text_fingerprint,
     # x_dedup_exact (plus the four declared entries above), all of which
     # stay verified by the in-repo oracle sweep (SWEEP_ONLY below).
-    "x_text_quality",
     "x_dedup_winnow", "x_dedup_clusters",
     "x_sim_pairs",
     "x_asof_join", "x_sessionize",
@@ -1359,6 +1358,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (C-family in-window via q_c1/q_c3/q_c4), q_w2 (ordered projection;
     # ORDER BY is exercised by every windowed entry), and x_sim_topk
     # (similarity family in-window via x_sim_pairs/x_sim_neardup)
+    # x_normalize built round 5 (same-session rotation): NFC + cleanup
+    # hash-check — displaces x_text_quality (text family densely
+    # in-window: x_text_repetition, x_text_winnow, x_pii, x_gopher, …)
+    "x_normalize",
     "x_decontam", "x_text_repetition", "x_mixture",
     # PII detection/redaction (built round 5) — displaces q_t4 (single-row
     # count; T-family in-window via q_t1/q_t2/q_t3)
@@ -1411,7 +1414,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a7": "distinct cardinality; displaced r5 for the wire-path VALUES oracle",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
     "q_u3": "EXCEPT/anti; anti-join also in-window via q_j4 semi/anti kin",
-    "x_text_tokens": "whitespace tokens; text family in-window via x_text_quality",
+    "x_text_tokens": "whitespace tokens; text family in-window via x_text_repetition/x_gopher",
+    "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
     "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_ngram",
     # long-stable SQL-surface entries displaced in earlier rotations

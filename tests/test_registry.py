@@ -51,7 +51,8 @@ def test_every_operator_module_inside_window():
     """Each extension operator family lands at least one query in the window."""
     window = set(DRIVER_PRIORITY)
     families = {
-        "text": {"x_text_quality", "x_text_langid"},
+        "text": {"x_text_quality", "x_text_langid", "x_normalize",
+                 "x_text_repetition", "x_gopher"},
         "text-sampling": {"x_token_budget"},
         "text-winnow": {"x_text_winnow"},
         "text-stats": {"x_tfidf", "x_seq_pack", "x_stratified"},
