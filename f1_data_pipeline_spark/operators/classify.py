@@ -106,6 +106,8 @@ def fit_logreg(
     iters: int = 40,
     lr: float = 20.0,
     l2: float = 1e-4,
+    tol: float = 0.0,
+    reduce: str = "collect",
     feat_col: str = "features",
     label_col: str = "label",
 ) -> LogRegModel:
@@ -116,7 +118,19 @@ def fit_logreg(
 
     ``lr`` is tuned for L1-normalized features (every |x|₁ = 1, so the
     per-example gradient is bounded by 1 and a large constant step is
-    stable); with raw counts use a much smaller rate."""
+    stable); with raw counts use a much smaller rate. ``tol`` > 0 stops
+    early once the mean log-loss improves by less than ``tol`` between
+    iterations (each iteration already collects the loss for free inside
+    the same reduced vector, so the early stop costs nothing).
+
+    ``reduce`` picks the partial-sum topology: ``"collect"`` (default)
+    pulls ONE (B+3)-double row per task straight to the driver and sums
+    in numpy — a single-stage job per iteration, bounded by
+    tasks × (B+3) doubles (10k tasks × B=256 ≈ 20 MB: fine), the
+    ``treeAggregate(depth=1)`` shape MLlib's own optimizers use.
+    ``"tree"`` element-sums through a (pos, val) shuffle first so the
+    driver row count stays B+3 regardless of task count — for
+    100k+-task fleets."""
     import numpy as np
     import pandas as pd
 
@@ -170,19 +184,25 @@ def fit_logreg(
                         }
                     )
 
-            reduced = (
-                cached.mapInPandas(kernel, "vals array<double>")
-                .select(F.posexplode("vals").alias("pos", "val"))
-                .groupBy("pos")
-                .agg(F.sum("val").alias("val"))
-                .orderBy("pos")
-                .collect()  # B+3 doubles: bounded model-fit metadata
-            )
-            flat = np.array([r.val for r in reduced])
+            partials = cached.mapInPandas(kernel, "vals array<double>")
+            if reduce == "tree":
+                reduced = (
+                    partials.select(F.posexplode("vals").alias("pos", "val"))
+                    .groupBy("pos")
+                    .agg(F.sum("val").alias("val"))
+                    .orderBy("pos")
+                    .collect()  # B+3 doubles: bounded model-fit metadata
+                )
+                flat = np.array([r.val for r in reduced])
+            else:
+                rows = partials.collect()  # one (B+3)-array per task
+                flat = np.sum([np.array(r.vals) for r in rows], axis=0)
             gw, gb, loss, n = flat[:dim], flat[dim], flat[dim + 1], flat[dim + 2]
             w -= lr * (gw / n + l2 * w)
             b -= lr * (gb / n)
             losses.append(loss / n)
+            if tol > 0 and len(losses) >= 2 and losses[-2] - losses[-1] < tol:
+                break
         return LogRegModel(tuple(float(x) for x in w), float(b), tuple(losses))
     finally:
         cached.unpersist()
@@ -209,16 +229,35 @@ def quality_classifier_scores(
     hex_digits: int = 2,
     iters: int = 40,
     lr: float = 20.0,
+    tol: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Fit on ``target`` as the positive label, score EVERY document:
-    (id, label, prob). The composed FineWeb-Edu curation step."""
+    (id, label, prob). The composed FineWeb-Edu curation step.
+
+    The feature frame is CHECKPOINTED to parquet once (same scratch
+    discipline as ``dedup.connected_components`` — driver-local temp by
+    default, an object-store URI at cluster scale) so the explode + two
+    keyed shuffles of the feature build run exactly once; every fit
+    iteration and the final scoring pass scan the materialized (id,
+    label, B-array) table instead of replaying the build."""
+    import os
+    import tempfile
+
     B = 16**hex_digits
     feats = hashed_features(
         docs, label=target, hex_digits=hex_digits, text_col=text_col, id_col=id_col
     )
-    model = fit_logreg(feats, dim=B, iters=iters, lr=lr)
+    if scratch_dir is None:
+        scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
+            prefix="f1dp_clf_"
+        )
+    fpath = scratch_dir.rstrip("/") + "/clf_features.parquet"
+    feats.write.mode("overwrite").parquet(fpath)
+    feats = docs.sparkSession.read.parquet(fpath)
+    model = fit_logreg(feats, dim=B, iters=iters, lr=lr, tol=tol)
     return score_logreg(feats, model).select(id_col, "label", "prob")
 
 
@@ -230,7 +269,8 @@ def x_quality_clf(t: Tables) -> DataFrame:
     probability + count. Separability, numpy-replay parity, and
     partition-invariance are pinned in tests/test_classify.py."""
     scored = quality_classifier_scores(
-        t.documents, F.col("source").isin("src0", "src1"), iters=12
+        t.documents, F.col("source").isin("src0", "src1"),
+        iters=8, lr=5.0, tol=1e-4,
     )
     return (
         scored.join(t.documents.select("doc_id", "source"), "doc_id")

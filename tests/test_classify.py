@@ -99,3 +99,20 @@ def test_composed_scores_on_documents(spark):
     rows = out.collect()
     assert len(rows) == docs.count()
     assert all(0.0 <= r.prob <= 1.0 for r in rows)
+
+
+def test_reduce_modes_agree(fitted):
+    """collect-mode (one partial row per task, numpy-summed) and
+    tree-mode ((pos,val) shuffle) must produce the same model up to
+    float-summation order."""
+    _, feats, model = fitted
+    mt = fit_logreg(feats, dim=256, iters=60, reduce="tree")
+    assert np.allclose(np.array(model.weights), np.array(mt.weights), atol=1e-6)
+    assert abs(model.bias - mt.bias) < 1e-6
+
+
+def test_early_stop_on_plateau(fitted):
+    _, feats, _ = fitted
+    m = fit_logreg(feats, dim=256, iters=200, tol=1e-3)
+    assert len(m.losses) < 200  # stopped before the cap
+    assert m.losses[-1] < m.losses[0]

@@ -353,3 +353,20 @@ def test_runtime_bloom_filter_injected_for_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
+    """The exact-recount stage must semi-join the BROADCAST candidate set
+    (candidates are bounded at capacity x tasks) — a shuffled semi join
+    here would reintroduce the vocabulary-wide exchange the operator
+    exists to avoid."""
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(500)], "term string"
+    ).repartition(4)
+    plan = (
+        heavy_hitters(df, "term", k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
