@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -175,3 +175,88 @@ def repartition_for(df: DataFrame, keys: list[str], partitions: int | None = Non
     'reuse a partitioning across stages' rule: groupBy/join on the same keys
     afterwards reuse this exchange instead of re-shuffling."""
     return df.repartition(partitions, *[F.col(k) for k in keys]) if partitions else df.repartition(*[F.col(k) for k in keys])
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tables: versioned parquet + atomic manifest pointer (time travel)
+# ---------------------------------------------------------------------------
+#
+# The minimal lakehouse commit protocol (the shape Delta/Iceberg formalize):
+# every write lands in an immutable ``v=N`` directory, and readers follow a
+# one-line manifest that is REPLACED atomically — so a crashed writer can
+# never expose a half-written table, concurrent readers always see a
+# complete snapshot, and old versions stay readable until vacuumed. At
+# cluster scale the same layout works on any Hadoop filesystem; the rename
+# on object stores without atomic rename should go through a commit service
+# (as Delta does) — documented, not hidden.
+
+SNAPSHOT_MANIFEST = "_MANIFEST.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, SNAPSHOT_MANIFEST)
+
+
+def snapshot_version(table_dir: str) -> int:
+    """Current committed version (0 = no commit yet)."""
+    import json
+
+    try:
+        with open(_manifest_path(table_dir)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return 0
+
+
+def snapshot_write(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next table version and return it.
+
+    Write order is the whole protocol: (1) parquet lands in ``v=N`` and is
+    verified complete via ``_SUCCESS``; (2) the manifest is written beside
+    it to a temp name and renamed over the old one (atomic on POSIX/HDFS).
+    A crash before (2) leaves an orphan ``v=N`` dir that the next write
+    simply overwrites — readers never saw it."""
+    import json
+
+    os.makedirs(table_dir, exist_ok=True)
+    version = snapshot_version(table_dir) + 1
+    vdir = os.path.join(table_dir, f"v={version}")
+    df.write.mode("overwrite").parquet(vdir)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "dir": f"v={version}"}, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest committed snapshot, or time-travel to ``version``."""
+    v = version if version is not None else snapshot_version(table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    vdir = os.path.join(table_dir, f"v={v}")
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise FileNotFoundError(f"snapshot version {v} not found in {table_dir}")
+    return spark.read.parquet(vdir)
+
+
+def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshot versions older than the newest ``keep_last``;
+    returns the versions removed. Never touches the committed version."""
+    import re
+
+    current = snapshot_version(table_dir)
+    removed = []
+    for name in sorted(os.listdir(table_dir)):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v <= current - keep_last:
+            shutil.rmtree(os.path.join(table_dir, name))
+            removed.append(v)
+    return removed

@@ -200,3 +200,66 @@ def test_salted_join_spreads_pathological_hot_key(spark):
         f"largest salted shuffle group {max_group} exceeds 2x the ideal "
         f"{hot}/{num_salts} split"
     )
+
+
+# --- snapshot tables (versioned parquet + atomic manifest) -----------------
+
+
+def test_snapshot_write_read_time_travel(spark, tmp_path):
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark.range(5).withColumnRenamed("id", "k"), tdir)
+    v2 = snapshot_write(spark.range(8).withColumnRenamed("id", "k"), tdir)
+    assert (v1, v2) == (1, 2)
+    assert snapshot_version(tdir) == 2
+    assert snapshot_read(spark, tdir).count() == 8  # latest
+    assert snapshot_read(spark, tdir, version=1).count() == 5  # time travel
+
+
+def test_snapshot_crashed_writer_invisible(spark, tmp_path):
+    """A v=N directory without a committed manifest must never be read:
+    simulate a writer that died after staging but before the manifest
+    rename — readers still see the previous version."""
+    import os
+    import json
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).withColumnRenamed("id", "k"), tdir)
+    # orphan stage: data + _SUCCESS present, manifest never updated
+    orphan = os.path.join(tdir, "v=2")
+    spark.range(99).withColumnRenamed("id", "k").write.parquet(orphan)
+    assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
+    assert snapshot_read(spark, tdir).count() == 3
+    with open(os.path.join(tdir, "_MANIFEST.json")) as f:
+        assert json.load(f)["version"] == 1
+    # the next commit overwrites the orphan and becomes version 2
+    v = snapshot_write(spark.range(4).withColumnRenamed("id", "k"), tdir)
+    assert v == 2
+    assert snapshot_read(spark, tdir).count() == 4
+
+
+def test_snapshot_vacuum_keeps_recent(spark, tmp_path):
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    for n in (2, 4, 6, 8):
+        snapshot_write(spark.range(n).withColumnRenamed("id", "k"), tdir)
+    removed = snapshot_vacuum(tdir, keep_last=2)
+    assert removed == [1, 2]
+    assert snapshot_read(spark, tdir).count() == 8
+    assert snapshot_read(spark, tdir, version=3).count() == 6
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, tdir, version=1)
