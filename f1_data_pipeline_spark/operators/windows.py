@@ -291,10 +291,83 @@ def ewma(
 
 @query("x_ewma", None)  # recursive fold has no ANSI-SQL form → rows-only check
 def x_ewma(t: Tables) -> DataFrame:
-    """Per-user EWMA (α=0.3) of event values in time order via the keyed
-    applyInPandas fold; recurrence parity vs a pure-Python replay is
-    asserted in tests/test_windows.py."""
-    out = ewma(t.events, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id")
+    """Per-user EWMA (α=0.3) of event values in time order via the
+    partition-fold fast path (``ewma_partitioned`` — one mapInPandas
+    kernel per partition instead of one task per key, exact carry across
+    Arrow batch splits); row-identical to the keyed ``ewma`` reference
+    and to a pure-Python replay, both asserted in tests/test_windows.py."""
+    out = ewma_partitioned(
+        t.events, "user_id", "ts", "value", alpha=0.3, tiebreak="event_id"
+    )
     return out.select(
         "user_id", "ts", F.round("value", 4).alias("value"), F.round("ewma", 6).alias("ewma")
     ).orderBy("user_id", "ts")
+
+
+def ewma_partitioned(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """``ewma`` with the per-group task overhead removed: instead of one
+    applyInPandas invocation per key (slow when keys are many and small),
+    repartition by key + sortWithinPartitions(key, ts) and run ONE
+    ``mapInPandas`` kernel per partition, folding every key group inside
+    it with pandas' grouped cython ``ewm``. Row-identical to ``ewma``
+    (parity test-pinned); same single unavoidable shuffle.
+
+    Arrow slices a partition into multiple batches, so a key's history
+    can span a batch boundary mid-recurrence. The kernel carries the last
+    (key, ewma) out of each batch and, when the next batch OPENS with the
+    same key, seeds the continuation exactly by prepending one synthetic
+    row holding the carried state — ``ewm(adjust=False)`` over
+    [s_prev, x_0, …] produces precisely s_i = α·x_i + (1-α)·s_{i-1} —
+    then drops it. No approximation, no per-key state dict: state is one
+    scalar pair regardless of key count."""
+    import pandas as pd
+
+    order = [key_col] + [ts_col] + ([tiebreak] if tiebreak else [])
+    out_schema = f"{key_col} long, {ts_col} timestamp, {val_col} double, ewma double"
+    cols = [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])
+
+    def kernel(batches):
+        carry_key = None
+        carry_val = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            first_key = pdf[key_col].iloc[0]
+            seeded = carry_key is not None and first_key == carry_key
+            if seeded:
+                seed = pdf.iloc[:1].copy()
+                seed[val_col] = carry_val
+                pdf = pd.concat([seed, pdf], ignore_index=True)
+            s = (
+                pdf.groupby(key_col, sort=False)[val_col]
+                .ewm(alpha=alpha, adjust=False)
+                .mean()
+                .reset_index(drop=True)
+            )
+            if seeded:
+                pdf = pdf.iloc[1:]
+                s = s.iloc[1:]
+            carry_key = pdf[key_col].iloc[-1]
+            carry_val = s.iloc[-1]
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    ts_col: pdf[ts_col].to_numpy(),
+                    val_col: pdf[val_col].to_numpy(),
+                    "ewma": s.to_numpy(),
+                }
+            )
+
+    return (
+        df.select(*cols)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(*order)
+        .mapInPandas(kernel, out_schema)
+    )

@@ -154,3 +154,44 @@ def test_ewma_matches_pure_python_replay(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_ewma_partitioned_matches_keyed(spark):
+    """The partition-fold fast path must be row-identical to the
+    per-key applyInPandas reference, including across Arrow batch
+    boundaries mid-key (forced tiny batches)."""
+    import random
+
+    from f1_data_pipeline_spark.operators.windows import ewma, ewma_partitioned
+
+    rng = random.Random(7)
+    rows = [
+        (k, 1_700_000_000 + i, rng.uniform(-5, 5), k * 10_000 + i)
+        for k in range(23)
+        for i in range(rng.randint(1, 80))
+    ]
+    df = spark.createDataFrame(
+        rows, "user long, ts_s long, value double, eid long"
+    ).select(
+        "user",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "value",
+        "eid",
+    )
+    want = {
+        (r.user, r.ts): r.ewma
+        for r in ewma(df, "user", "ts", "value", 0.3, tiebreak="eid").collect()
+    }
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = {
+            (r.user, r.ts): r.ewma
+            for r in ewma_partitioned(
+                df, "user", "ts", "value", 0.3, tiebreak="eid"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
