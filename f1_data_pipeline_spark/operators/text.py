@@ -469,8 +469,9 @@ def pack_stats(
                   OVER (PARTITION BY source ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM documents)
-       SELECT source, CAST(count(*) AS BIGINT) AS n_docs, MAX(cum) AS total_tokens,
-              (MAX(cum) + 511) // 512 AS n_sequences,
+       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(MAX(cum) AS BIGINT) AS total_tokens,
+              CAST((MAX(cum) + 511) // 512 AS BIGINT) AS n_sequences,
               CAST(SUM(CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
        FROM c GROUP BY source ORDER BY source""",
@@ -1248,9 +1249,9 @@ def pack_assign(
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM documents)
        SELECT source, doc_id, n_tokens,
-              cum - n_tokens AS tok_start,
-              (cum - n_tokens) // 512 AS seq_first,
-              (cum - 1) // 512 AS seq_last,
+              CAST(cum - n_tokens AS BIGINT) AS tok_start,
+              CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+              CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
               (cum - n_tokens) // 512 <> (cum - 1) // 512 AS straddles
        FROM c ORDER BY source, doc_id""",
 )
