@@ -1312,91 +1312,54 @@ def x_arrayagg(t: Tables) -> DataFrame:
 # verified by the in-repo oracle sweep (tests/test_queries_oracle.py),
 # which runs the identical rows+schema+values contract over the FULL corpus.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # declared queries (SURVEY §2.12). Rotated OUT for round 5 (judge ask:
-    # driver-hash the round-4 flagships): q_a5, q_a6, q_u2, q_u3 — four
-    # long-stable single-shuffle aggregates/set-ops whose semantics are
-    # also exercised by q_a1/q_t2/q_j4 in-window and re-verified every run
-    # by the in-repo oracle sweep.
-    # Second-wave round-5 rotation (same session they were built, so the
-    # driver hashes them this round): x_ssjoin, x_profile, x_zorder,
-    # x_cdc_apply, x_pps_sample, x_triangles — displacing q_p1 (filter
-    # surface exercised by every windowed entry's predicates + q_s1),
-    # q_c4 (C-family in-window via q_c1), q_j4 (join family dense:
-    # q_j1/q_j3/q_j6/q_j9), q_t3 (latest-per-key geometry now covered
-    # in-window by x_cdc_apply's max_by changelog replay), q_a4
-    # (merge-agg semantics in-window via x_scd2/x_cdc_apply), and
-    # x_sim_neardup (similarity family in-window via x_sim_pairs).
+    # Declared queries (SURVEY §2.12): one strong representative per
+    # family stays pinned; displaced kin carry their reason in SWEEP_ONLY.
+    # (Rotation history lives in git — see the r4/r5 revisions of this
+    # block for which entries each round displaced and why.)
     "q_s1",
     "q_c1",
     "q_a1", "q_a3",
     "q_j1", "q_j3", "q_j6", "q_j9",
-    # the wire-path hash check (round-5 judge ask #4): a literal VALUES
-    # oracle over the deterministic fixture value-verifies bronze→silver
-    # decode (U2/C3/F-family), which the rows-only f1_* checks never did
+    # the wire-path hash check: a literal VALUES oracle over the
+    # deterministic fixture value-verifies bronze→silver decode
+    # (U2/C3/F-family), which the rows-only f1_* checks never did
     "f1_weather_10min",
     "q_w1", "q_w4",
     "q_u1",
     "q_t1",
-    # oracle-bearing operator-module queries (the extension flagships):
-    # every operator family lands its strongest oracle-checked entry —
-    # x_curation (the composed curation pipeline), x_dedup_winnow
-    # (deterministic banding), x_sim_neardup (exact blocked near-dup),
-    # x_rolling_scaled (q_w4's scale-safe two-pass twin). Rotated in for
-    # round 5: the seven round-4 operators the driver had never hashed —
-    # x_dedup_clusters, x_tfidf, x_scd2, x_gapfill, x_seq_pack,
-    # x_stratified, q_j9 — displacing x_text_tokens, x_text_fingerprint,
-    # x_dedup_exact (plus the four declared entries above), all of which
-    # stay verified by the in-repo oracle sweep (SWEEP_ONLY below).
-    "x_dedup_winnow", "x_dedup_clusters",
-    "x_sim_pairs",
+    # oracle-bearing operator-module queries: each operator family lands
+    # its strongest oracle-checked entry in-window
+    "x_dedup_clusters",
     "x_asof_join", "x_sessionize",
     "x_token_budget", "x_curation",
-    "x_tfidf", "x_scd2", "x_gapfill", "x_seq_pack", "x_stratified",
-    # rotated in mid-round-5 (same session they were built, so the driver
-    # hashes them this round rather than next): decontamination,
-    # repetition-ratio gating, and mixture reweighting — displacing q_c2
-    # (C-family in-window via q_c1/q_c3/q_c4), q_w2 (ordered projection;
-    # ORDER BY is exercised by every windowed entry), and x_sim_topk
-    # (similarity family in-window via x_sim_pairs/x_sim_neardup)
-    # x_normalize built round 5 (same-session rotation): NFC + cleanup
-    # hash-check — displaces x_text_quality (text family densely
-    # in-window: x_text_repetition, x_text_winnow, x_pii, x_gopher, …)
-    "x_normalize",
-    "x_decontam", "x_text_repetition", "x_mixture",
-    # PII detection/redaction (built round 5) — displaces q_t4 (single-row
-    # count; T-family in-window via q_t1/q_t2/q_t3)
-    "x_pii",
-    # sliding-window token chunking (built round 5) — displaces q_p2
-    # (1-row existence check; P-family in-window via q_s1/q_p1)
+    # x_seq_pack stays a second consecutive round: its r5 driver row was
+    # red on a HUGEINT oracle-stringification artifact (values verified
+    # identical); the oracle is CAST-fixed this round and must be seen
+    # green by the external harness before it can rotate out.
+    "x_seq_pack",
     "x_chunk",
-    # Gopher/MassiveText quality gate (built round 5) — displaces q_j5
-    # (join family still densely in-window: q_j1..q_j4, q_j6, q_j9)
-    "x_gopher",
-    # BM25 retrieval scoring (built round 5) — displaces q_a2 (1-row
-    # distinct cardinality; A-family in-window via q_a1/q_a3/q_a4)
-    "x_bm25",
-    # C4-style global line dedup (built round 5) — displaces x_dedup_ngram
-    # (the documented-exempt exhaustive verifier; dedup family stays dense
-    # in-window via x_dedup_winnow/x_dedup_clusters/x_dedup_lines)
     "x_dedup_lines",
     # multimodal: both the fake-plumbing aggregate and the real-codec
     # pipeline are pinned by literal VALUES oracles
     "x_multimodal_features", "x_multimodal_real",
     "x_text_winnow", "x_rolling_scaled",
-    # rotated in late round-5 (same session they were built — the driver
-    # hashes them this round, closing the build→verify gap the round-4
-    # verdict flagged): unigram-LM scoring, DSIR importance weights, the
-    # repeated-n-gram span index, packed-sequence materialization, int8
-    # quantization, and the domain-quality rollup — displacing
-    # x_text_langid, q_j2, q_c3, q_o1, q_w3, q_t2 (every one family-
-    # covered in-window and re-verified each run by the oracle sweep)
     "x_ppl", "x_dsir", "x_ngram_spans",
-    # x_heavy_hitters built round 5 (same-session rotation): the two-pass
-    # Misra–Gries top-k — displaces x_domain_quality (plain groupBy rollup;
-    # agg family densely in-window via q_a1/x_tfidf/x_mixture)
     "x_pack_sequences", "x_quantize", "x_heavy_hitters",
     "x_ssjoin", "x_profile", "x_zorder",
     "x_cdc_apply", "x_pps_sample", "x_triangles",
+    # ---- round-6 rotation ----
+    # The 12 operators left sweep-only at the end of round 5 (every one was
+    # marked "rotate next round" in SWEEP_ONLY), plus the telemetry wire
+    # query, which gained a literal VALUES oracle this round (the inflate/
+    # U1 + double-explode/F2 path — the reference's hottest — was rows-only
+    # before). Displaced: 13 r5-hash-green entries whose families stay
+    # densely in-window — x_dedup_winnow, x_sim_pairs, x_tfidf, x_scd2,
+    # x_gapfill, x_stratified, x_normalize, x_decontam, x_text_repetition,
+    # x_mixture, x_pii, x_gopher, x_bm25 (reasons per entry in SWEEP_ONLY).
+    "f1_telemetry_by_driver",
+    "x_urls", "x_semdedup", "x_split", "x_invindex", "x_pack_assign",
+    "x_dedup_incr", "x_ppl2", "x_mixture_sample", "x_dedup_spans",
+    "x_taxonomy", "x_outliers", "x_funnel",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -1408,16 +1371,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # rows+schema+values contract the driver does.
 SWEEP_ONLY: dict[str, str] = {
     # displaced in rotations; semantics covered in-window by stronger kin
-    "q_a5": "filtered count; agg semantics in-window via q_a1",
-    "x_domain_quality": "groupBy rollup; agg family in-window via q_a1/x_tfidf/x_mixture — displaced r5 for x_heavy_hitters",
-    "q_a6": "grouped max; agg semantics in-window via q_a1",
-    "q_a7": "distinct cardinality; displaced r5 for the wire-path VALUES oracle",
+    "q_a5": "ROLLUP hierarchy totals; grouping-agg semantics in-window via q_a1",
+    "x_domain_quality": "groupBy rollup; agg family in-window via q_a1/x_mixture_sample — displaced r5 for x_heavy_hitters",
+    "q_a6": "CUBE cross-tab totals; grouping-agg semantics in-window via q_a1",
+    "q_a7": "explicit GROUPING SETS; grouping-agg semantics in-window via q_a1",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
     "q_u3": "EXCEPT/anti; anti-join also in-window via q_j4 semi/anti kin",
     "x_text_tokens": "whitespace tokens; text family in-window via x_text_repetition/x_gopher",
     "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
-    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_ngram",
+    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans",
     # long-stable SQL-surface entries displaced in earlier rotations
     "x_percentiles": "percentile_approx surface; displaced round 4",
     "q_sub1": "correlated EXISTS subquery; displaced round 4",
@@ -1434,8 +1397,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_u4": "set-op surface; family represented in-window by q_u1",
     "q_u5": "set-op surface; family represented in-window by q_u1",
     "q_sub2": "scalar subquery surface; sweep-stable",
-    "q_p3": "pivot surface; sweep-stable",
-    "q_v1": "VALUES/inline-table surface; sweep-stable",
+    "q_p3": "multi-predicate pushdown scan (BETWEEN/IN/LIKE); predicate surface exercised by every windowed entry",
+    "q_v1": "CASE-sum conditional pivot; agg family in-window via q_a1",
     "q_l1": "LATERAL surface; sweep-stable",
     "x_text_bpe": "BPE pre-tokenizer; token family in-window via x_token_budget",
     "x_salted_join": "skew-salted join; join semantics in-window via x_asof_join",
@@ -1444,23 +1407,26 @@ SWEEP_ONLY: dict[str, str] = {
     "q_c2": "coercion surface; C-family in-window via q_c1/q_c4",
     "q_w2": "ordered projection; ORDER BY exercised by every windowed entry",
     "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
-    "q_t4": "single-row time filter count; T-family in-window via q_t1/q_t2/q_t3",
+    "q_t4": "distinct-pair count (stateful-dedup analog); distinct/agg semantics in-window via q_a1/q_t1",
     "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
     "q_j5": "composite-key join variant; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
     "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
-    "x_urls": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
-    "x_semdedup": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
-    "x_split": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
-    "x_invindex": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
-    "x_pack_assign": "new in r5; window already carries 8 r5 rotations — sweep-verified, rotate next round",
-    "x_dedup_incr": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_ppl2": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_mixture_sample": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_dedup_spans": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_taxonomy": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_outliers": "built after the late-r5 rotation; sweep-verified, rotate next round",
-    "x_funnel": "built after the late-r5 rotation; sweep-verified, rotate next round",
+    # displaced in the round-6 rotation (all r5-driver-hash-green) to make
+    # room for the 12 sweep-only r5 operators + the telemetry wire oracle
+    "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans/x_dedup_incr, winnow fingerprints via x_text_winnow",
+    "x_sim_pairs": "blocked all-pairs cosine; similarity family in-window via x_semdedup (same blocked-GEMM stage + CC tail)",
+    "x_tfidf": "corpus TF-IDF term stats; tf/df geometry in-window via x_invindex posting lists",
+    "x_scd2": "SCD2 history build; merge family in-window via x_cdc_apply",
+    "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_funnel/x_asof_join",
+    "x_stratified": "per-group stratified sample; sampling family in-window via x_pps_sample/x_mixture_sample",
+    "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_urls/x_taxonomy/x_text_winnow)",
+    "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_spans/x_dedup_incr",
+    "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_urls/x_taxonomy/x_chunk)",
+    "x_mixture": "mixture weight computation; in-window via its materialization kin x_mixture_sample",
+    "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_urls/x_taxonomy)",
+    "x_gopher": "Gopher quality gate; quality-gate family in-window via x_outliers/x_curation",
+    "x_bm25": "BM25 scoring; retrieval-stats geometry in-window via x_invindex",
     # displaced in the second-wave round-5 rotation
     "q_p1": "filter pushdown surface; predicates exercised by every windowed entry, scan family via q_s1",
     "q_c4": "conditional-expression surface; C-family in-window via q_c1",
@@ -1474,7 +1440,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_j2": "left outer join; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
     "q_c3": "coercion surface; C-family in-window via q_c1/q_c4",
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
-    "q_w3": "grouped max-date; agg/window semantics in-window via q_a1/q_w1/q_w4",
+    "q_w3": "lag() offset window; window family in-window via q_w1/q_w4/x_rolling_scaled",
     "q_t2": "time-filtered count; T-family in-window via q_t1/q_t3",
 }
 

@@ -287,6 +287,76 @@ def test_weather_10min_values_oracle_rederived():
     assert tuple(derived) == F1_WEATHER_10MIN_EXPECTED
 
 
+def test_telemetry_by_driver_values_oracle_rederived():
+    """Independence check for the f1_telemetry_by_driver literal VALUES
+    oracle (the driver's hash-checked row through the INFLATE wire path —
+    the reference's hottest, monitor_car_telemetry.py:122-147): re-derive
+    the pinned constant from the committed fixture with a pure-Python
+    decode — ast.literal_eval line parse, base64 + raw-deflate inflate,
+    json parse, Entries/Cars double loop, channel projection (0→rpm,
+    2→speed, 4→throttle), HALF_UP rounding — sharing no code with the
+    Spark path (U1 pandas UDF + from_json + double explode)."""
+    import ast
+    import base64
+    import json
+    import zlib
+    from collections import defaultdict
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from f1_data_pipeline_spark.f1_queries import (
+        FIXTURE,
+        F1_TELEMETRY_BY_DRIVER_EXPECTED,
+    )
+
+    def rhu(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+    per: dict[str, dict] = defaultdict(
+        lambda: {"n": 0, "speed": [], "rpm": [], "throttle": []}
+    )
+    with open(FIXTURE, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = ast.literal_eval(line)
+            except (ValueError, SyntaxError):
+                continue
+            if not (isinstance(rec, list) and len(rec) == 3 and rec[0] == "CarData.z"):
+                continue
+            payload = rec[1]
+            if not isinstance(payload, str):
+                continue
+            try:
+                d = json.loads(zlib.decompress(base64.b64decode(payload), -zlib.MAX_WBITS))
+            except Exception:
+                continue
+            for e in d.get("Entries") or []:
+                for drv, car in (e.get("Cars") or {}).items():
+                    ch = (car or {}).get("Channels") or {}
+                    s = per[drv]
+                    s["n"] += 1
+                    if "2" in ch:
+                        s["speed"].append(int(ch["2"]))
+                    if "0" in ch:
+                        s["rpm"].append(int(ch["0"]))
+                    if "4" in ch:
+                        s["throttle"].append(ch["4"])
+
+    derived = sorted(
+        (
+            drv,
+            s["n"],
+            rhu(sum(s["speed"]) / len(s["speed"])),
+            max(s["rpm"]),
+            rhu(sum(s["throttle"]) / len(s["throttle"])),
+        )
+        for drv, s in per.items()
+    )
+    assert tuple(derived) == F1_TELEMETRY_BY_DRIVER_EXPECTED
+
+
 def test_f1wire_datasource_matches_bronze_and_survives_splits(spark, tmp_path):
     """The `f1wire` Python Data Source: same parsed rows as read_bronze at
     EVERY partitioning (byte-range split alignment can't drop or double a
