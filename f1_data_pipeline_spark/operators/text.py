@@ -1605,79 +1605,81 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    min_count: int = 1,
+    driver_vocab_cap: int = 10_000_000,
 ):
     """Train a byte-pair-encoding merge table on the corpus (Sennrich et
     al. 2016) — the "induce the tokenizer from the data" step of a
     training pipeline. Returns the ordered merge list as
     ``[(rank, left, right, merged, freq)]``.
 
-    The Spark-first trick is the representation: BPE statistics depend
-    only on the WORD-FREQUENCY table, so one corpus-wide (word, count)
-    aggregate — the same vocabulary-pass shuffle as ``tfidf_term_stats``
-    — reduces 100 TB of text to a vocab-sized distributed table, and all
-    merge rounds iterate on THAT. Each round is: adjacent-pair counts
-    (scan-local explode + one keyed sum), a 1-row argmax collect (the
-    merge decision — legitimately driver-side, like the IVF codebook),
-    and a scan-local Arrow kernel applying the merge left-to-right.
+    The Spark-first design is the published scalable-BPE architecture
+    (HuggingFace tokenizers / SentencePiece train from word counts): BPE
+    statistics depend only on the WORD-FREQUENCY table, so ONE corpus-wide
+    (word, count) aggregate — the same vocabulary-pass shuffle as
+    ``tfidf_term_stats`` — reduces 100 TB of text to a vocab-sized table,
+    which is collected and the inherently-sequential merge loop runs
+    driver-local on it (the kmeans-codebook precedent: the model artifact
+    is driver-sized, the data pass is distributed). An earlier revision
+    ran each merge round as a distributed pair-aggregate + Arrow kernel;
+    per-round fixed costs (a keyed shuffle + mapInPandas round trip over
+    a vocab-sized frame) made every round cost like a corpus scan while
+    moving kilobytes — the loop belongs on the driver.
+
+    ``min_count`` drops hapax-class words before collecting (the standard
+    BPE frequency threshold; at web scale the long tail of typos/URLs is
+    most of the distinct-word count and contributes ~nothing to merge
+    statistics). ``driver_vocab_cap`` guards the collect: if the filtered
+    vocabulary exceeds it, raise with the remedy (raise ``min_count``)
+    instead of silently OOMing the driver.
+
     Deterministic: ties break on (freq desc, pair lexicographic), so the
     merge table is a pure function of the corpus."""
-    import pandas as pd
-
-    words = (
+    rows = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "syms",
-            F.concat(
-                F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-                F.array(F.lit("</w>")),
-            ),
-        )
-        .select("syms", "cnt")
+        .where(F.col("cnt") >= min_count)
+        .limit(driver_vocab_cap + 1)
+        .collect()
     )
+    if len(rows) > driver_vocab_cap:
+        raise ValueError(
+            f"bpe_train: filtered vocabulary exceeds driver_vocab_cap="
+            f"{driver_vocab_cap}; raise min_count (currently {min_count}) "
+            f"to threshold the long tail before collecting"
+        )
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        syms = tuple(list(r["word"]) + ["</w>"])
+        vocab[syms] = vocab.get(syms, 0) + int(r["cnt"])
+
     merges = []
     for rank in range(n_merges):
-        pairs = (
-            words.where(F.size("syms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("freq"))
-            .orderBy(F.col("freq").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
+        pairs: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
         if not pairs:
             break
-        a, b, freq = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["freq"])
+        (a, b), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((rank, a, b, a + b, freq))
-
-        def kernel(batches, a=a, b=b):
-            for pdf in batches:
-                out = []
-                for syms in pdf["syms"]:
-                    s, res, i = list(syms), [], 0
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                            res.append(a + b)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    out.append(res)
-                yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
-
-        # re-materialize through a localCheckpoint-free narrow map; the plan
-        # grows by one mapInPandas per round, bounded by n_merges
-        words = words.mapInPandas(kernel, "syms array<string>, cnt long")
+        if rank == n_merges - 1:
+            break  # no rewrite pass needed after the last merge decision
+        newv: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            t = tuple(res)
+            newv[t] = newv.get(t, 0) + c
+        vocab = newv
     return merges
 
 
@@ -1712,24 +1714,6 @@ def bpe_encode(
     ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
     bc = df.sparkSession.sparkContext.broadcast(ordered)
 
-    def encode_word(word, table, cache):
-        got = cache.get(word)
-        if got is not None:
-            return got
-        s = list(word) + ["</w>"]
-        for a, b in table:
-            res, i = [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
-                    res.append(a + b)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            s = res
-        cache[word] = s
-        return s
-
     def kernel(batches):
         table = bc.value
         cache = {}
@@ -1738,7 +1722,7 @@ def bpe_encode(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 out = []
                 for w in str(text).strip().split(" "):
-                    out.extend(encode_word(w, table, cache))
+                    out.extend(_bpe_encode_word(w, table, cache))
                 ids.append(did)
                 counts.append(len(out))
                 toks.append(out)
@@ -1751,13 +1735,115 @@ def bpe_encode(
     )
 
 
+def bpe_encode_vocab(
+    df: DataFrame, merges: list, text_col: str = "text"
+) -> DataFrame:
+    """Encode each DISTINCT corpus word once: the vocabulary table
+    (``word → n_pieces, pieces``) under a learned merge table. One
+    vocab-pass shuffle (the same word-frequency aggregate ``bpe_train``
+    starts from), then the merge loop runs as a scan-local Arrow kernel
+    over n_vocab rows — not n_tokens. Zipf makes this the whole trick:
+    re-encoding every word *occurrence* (what ``bpe_encode`` does) walks
+    the same few thousand hot words billions of times at 100 TB; encoding
+    the vocabulary walks each exactly once."""
+    import pandas as pd
+
+    ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
+    bc = df.sparkSession.sparkContext.broadcast(ordered)
+
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    )
+
+    def kernel(batches):
+        table = bc.value
+        for pdf in batches:
+            pieces = [_bpe_encode_word(w, table, {}) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n_pieces": [len(p) for p in pieces],
+                    "pieces": pieces,
+                }
+            )
+
+    return vocab.mapInPandas(kernel, "word string, n_pieces int, pieces array<string>")
+
+
+def bpe_encode_fast(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_tokens: bool = False,
+) -> DataFrame:
+    """Vocabulary-memoized BPE encode — the scale twin of ``bpe_encode``
+    (same outputs, pinned equal by tests, the ``ewma``/``ewma_partitioned``
+    pairing): encode each distinct word once via ``bpe_encode_vocab``,
+    broadcast-join ``word → n_pieces`` onto a scan-local token explode,
+    and re-aggregate per document. The Python merge loop runs n_vocab
+    times total instead of once per token occurrence; everything else is
+    JVM-side (explode, broadcast hash join, sum).
+
+    ``with_tokens=False`` (default) returns per-doc counts only — the
+    doc-keyed shuffle moves one int per token. ``with_tokens=True`` also
+    rebuilds the full piece sequence (posexplode order preserved), moving
+    piece arrays through the shuffle — text-volume, only pay it when the
+    encoded sequences are the product."""
+    pieces = bpe_encode_vocab(df, merges, text_col)
+    if not with_tokens:
+        pieces = pieces.drop("pieces")
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "word")
+    )
+    joined = tok.join(F.broadcast(pieces), "word")
+    if with_tokens:
+        return (
+            joined.groupBy(id_col)
+            .agg(
+                F.sum("n_pieces").cast("int").alias("n_bpe_tokens"),
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "pieces"))),
+                        lambda s: s["pieces"],
+                    )
+                ).alias("bpe_tokens"),
+            )
+        )
+    return joined.groupBy(id_col).agg(
+        F.sum("n_pieces").cast("int").alias("n_bpe_tokens")
+    )
+
+
+def _bpe_encode_word(word, table, cache):
+    """Apply a merge table to one word, left-to-right per rank (shared by
+    the per-occurrence and vocabulary kernels so parity is structural)."""
+    got = cache.get(word)
+    if got is not None:
+        return got
+    s = list(word) + ["</w>"]
+    for a, b in table:
+        res, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                res.append(a + b)
+                i += 2
+            else:
+                res.append(s[i])
+                i += 1
+        s = res
+    cache[word] = s
+    return s
+
+
 @query("x_bpe_encode", None)  # depends on the iteratively learned table → rows-only
 def x_bpe_encode(t: Tables) -> DataFrame:
     """Corpus token counts under the corpus's own 8-merge BPE: per doc,
     whitespace vs BPE token counts (the compression the tokenizer buys),
-    via ``bpe_train`` + ``bpe_encode``. Encode parity pinned in tests."""
+    via ``bpe_train`` + the vocabulary-memoized ``bpe_encode_fast``
+    (parity with the per-occurrence ``bpe_encode`` pinned in tests)."""
     merges = bpe_train(t.documents, n_merges=8)
-    enc = bpe_encode(t.documents, merges)
+    enc = bpe_encode_fast(t.documents, merges)
     return (
         enc.join(t.documents.select("doc_id", token_count("text").alias("n_ws")), "doc_id")
         .select("doc_id", "n_ws", "n_bpe_tokens")

@@ -1365,6 +1365,55 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert row["n_bpe_tokens"] == 4
 
 
+def test_bpe_encode_fast_matches_per_occurrence_encode(spark):
+    """The vocabulary-memoized scale path must reproduce the
+    per-occurrence reference encode exactly — counts AND ordered piece
+    sequences — on a corpus with repeated words, multi-word docs, and a
+    word that is a prefix of another (the ewma/ewma_partitioned pairing
+    discipline: slow exact twin pins the fast path)."""
+    from f1_data_pipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_encode_fast,
+        bpe_train,
+    )
+
+    docs = [
+        (1, "low lower low lowest"),
+        (2, "newest widest new wide"),
+        (3, "low"),
+        (4, "the the the newest low lower"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=6)
+
+    ref = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    fast = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+        for r in bpe_encode_fast(df, merges, with_tokens=True).collect()
+    }
+    assert fast == ref
+
+    counts_only = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_fast(df, merges).collect()
+    }
+    assert counts_only == {k: v[0] for k, v in ref.items()}
+
+
+def test_bpe_encode_fast_broadcasts_vocab_join(spark):
+    """The word→pieces join must be a broadcast hash join (the vocabulary
+    is tokenizer-sized): a shuffle join here would re-partition the full
+    token explode by word — the skew-heaviest key in the corpus."""
+    from f1_data_pipeline_spark.operators.text import bpe_encode_fast
+
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = bpe_encode_fast(df, [(0, "a", "</w>", "a</w>", 2)])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan and "Broadcast" in plan
+
+
 def test_kmeans_fit_leaves_no_cache_residue(spark):
     from f1_data_pipeline_spark.operators.similarity import kmeans_fit
 
