@@ -1861,32 +1861,69 @@ def domain_pagerank(
     iters: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """PageRank over the domain co-occurrence graph (domains linked by the
     same document are mutually endorsing) — the crawl-curation authority
     signal that decides which domains deserve crawl budget. Returns
-    (domain, rank), Σrank = 1; isolated domains keep the teleport mass.
+    (domain, rank). Isolated (dangling) domains keep teleport-only rank
+    and their outflow is NOT redistributed — so Σrank = 1 only in graphs
+    with no isolated domains (the convention of the numpy reference the
+    tests pin; standard dangling-mass redistribution would be one extra
+    broadcast 1-row aggregate per round if ever needed).
 
     Shape: the edge set and degrees are tiny relative to the corpus (they
-    aggregate out of the scan-local URL explode), so the iteration runs
-    on a domain-sized table: each round is ONE keyed join+agg referencing
-    the rank frame once — plan growth linear in ``iters``, same
-    discipline as ``connected_components``' propagate. The graph size N
-    joins in as a broadcast 1-row aggregate, never a driver scalar."""
+    aggregate out of the scan-local URL explode), so the iteration runs on
+    a domain-sized table: each round is ONE keyed join+agg referencing the
+    rank frame once. The graph size N joins in as a broadcast 1-row
+    aggregate, never a driver scalar.
+
+    Checkpoint discipline (``connected_components``, dedup.py:497-524):
+    the graph frames (edges/degrees — and nodes as the degree rows, every
+    node has one because of self-endorsement-free co-occurrence symmetry)
+    are MATERIALIZED to scratch parquet once, so no round re-derives the
+    corpus-wide URL explode; the rank frame is re-materialized every
+    ``checkpoint_every`` rounds, so plan depth is bounded by a constant in
+    ``iters`` — a convergence-grade run (50-100 iterations) analyzes the
+    same plan shape as a 10-round one. Scratch resolution: explicit arg >
+    ``F1DP_CC_SCRATCH_DIR`` env > driver-local temp (single-node only;
+    clusters point the env at shared storage)."""
+    import os
+    import tempfile
+    import uuid
+
     u = extract_urls(df, text_col, id_col).select(id_col, "domain").distinct()
     ub = u.select(F.col(id_col).alias("__id2"), F.col("domain").alias("dst"))
-    edges = (
+    edges_plan = (
         u.join(ub, (F.col(id_col) == F.col("__id2")) & (F.col("domain") != F.col("dst")))
         .select(F.col("domain").alias("src"), "dst")
         .distinct()
     )
+    if scratch_dir is None:
+        scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
+            prefix="f1dp_pr_"
+        )
+    # per-invocation subdir: concurrent runs sharing a scratch root must
+    # not overwrite each other's checkpoints (string-concat, not
+    # os.path.join — scratch_dir may be an s3a:// URI)
+    base = scratch_dir.rstrip("/") + f"/pr_{uuid.uuid4().hex}"
+    spark = df.sparkSession
+
+    epath = base + "/edges.parquet"
+    edges_plan.write.mode("overwrite").parquet(epath)
+    edges = spark.read.parquet(epath)
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-    nodes = u.select("domain").distinct()
+
+    npath = base + "/nodes.parquet"
+    u.select("domain").distinct().write.mode("overwrite").parquet(npath)
+    nodes = spark.read.parquet(npath)
     n1 = nodes.agg(F.count("*").cast("double").alias("__N"))
+
     r = nodes.crossJoin(F.broadcast(n1)).select(
         "domain", (F.lit(1.0) / F.col("__N")).alias("rank")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(r.select(F.col("domain").alias("src"), "rank"), "src")
             .join(deg, "src")
@@ -1904,6 +1941,10 @@ def domain_pagerank(
                 ).alias("rank"),
             )
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            rpath = base + f"/rank_{i + 1}.parquet"
+            r.write.mode("overwrite").parquet(rpath)
+            r = spark.read.parquet(rpath)
     return r
 
 
