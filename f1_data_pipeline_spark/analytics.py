@@ -142,17 +142,55 @@ def heavy_hitters(
     Exact as long as the true k-th frequency exceeds N/(capacity+1)
     (the MG completeness threshold); ``capacity`` defaults to 8·k, far
     past that bound on any skewed (Zipfian) distribution. Ties broken by
-    value so the result is deterministic."""
+    value so the result is deterministic.
+
+    The guarantee is RUNTIME-CHECKED, not assumed (a flat distribution
+    can put the true k-th below the threshold, silently dropping top-k
+    members): the plan carries two broadcast 1-row aggregates — N (total
+    non-null values) and the candidate coverage (Σ candidate counts,
+    candidate cardinality) — and an ``assert_true`` filter raises at
+    execution time unless either (a) the candidates cover every
+    occurrence (Σ == N, i.e. nothing was ever decremented away — then the
+    recount is trivially exact), or (b) there are ≥ k candidates and
+    every returned count exceeds N/(capacity+1) (then no absent value can
+    outrank any returned row). On failure the error says to raise
+    ``capacity``. The check is lazy — it rides the same job the caller
+    triggers, costing two scalar aggregates, not an extra pass."""
     capacity = capacity or 8 * k
     cands = (
         misra_gries_candidates(df, col, capacity).select(col).distinct()
     )
-    return (
+    recount = (
         df.join(F.broadcast(cands), col, "left_semi")
         .groupBy(col)
         .agg(F.count("*").alias("cnt"))
+    )
+    top = recount.orderBy(F.desc("cnt"), col).limit(k)
+    total = df.agg(F.count(col).alias("__N"))
+    coverage = recount.agg(
+        F.sum("cnt").alias("__covered"), F.count("*").alias("__ncand")
+    )
+    exact = (F.col("__covered") == F.col("__N")) | (
+        (F.col("__ncand") >= F.lit(k))
+        & (F.col("cnt") > F.col("__N") / F.lit(capacity + 1))
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(coverage))
+        .where(
+            F.assert_true(
+                exact,
+                F.concat(
+                    F.lit(
+                        "heavy_hitters: Misra-Gries completeness guarantee does "
+                        f"not hold for k={k}, capacity={capacity} (true k-th "
+                        "frequency <= N/(capacity+1)); raise capacity"
+                    )
+                ),
+            ).isNull()
+        )
+        .select(col, "cnt")
         .orderBy(F.desc("cnt"), col)
-        .limit(k)
     )
 
 

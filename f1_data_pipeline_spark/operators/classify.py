@@ -242,9 +242,17 @@ def quality_classifier_scores(
     default, an object-store URI at cluster scale) so the explode + two
     keyed shuffles of the feature build run exactly once; every fit
     iteration and the final scoring pass scan the materialized (id,
-    label, B-array) table instead of replaying the build."""
+    label, B-array) table instead of replaying the build. The checkpoint
+    lands in a per-invocation uuid subdirectory of the scratch root, so
+    concurrent classifier runs (or a run racing connected_components in
+    the same shared scratch) cannot overwrite each other's state.
+    Checkpoints under a shared scratch root are the operator's working
+    state and must outlive nothing: callers own cleanup of the root (the
+    returned frame lazily re-reads the files, so they cannot be deleted
+    until it is materialized — documented lifecycle, not a leak)."""
     import os
     import tempfile
+    import uuid
 
     B = 16**hex_digits
     feats = hashed_features(
@@ -254,7 +262,7 @@ def quality_classifier_scores(
         scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
             prefix="f1dp_clf_"
         )
-    fpath = scratch_dir.rstrip("/") + "/clf_features.parquet"
+    fpath = scratch_dir.rstrip("/") + f"/clf_{uuid.uuid4().hex}/features.parquet"
     feats.write.mode("overwrite").parquet(fpath)
     feats = docs.sparkSession.read.parquet(fpath)
     model = fit_logreg(feats, dim=B, iters=iters, lr=lr, tol=tol)

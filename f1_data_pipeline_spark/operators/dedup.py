@@ -1076,7 +1076,16 @@ def exact_jaccard_on_pairs(
 
     Cost is |pairs| x avg-shingles: candidates join the shingle table
     twice on (doc_id, shingle) equi-keys; intersections aggregate with
-    map-side partials. Nothing quadratic, nothing driver-side."""
+    map-side partials. Nothing quadratic, nothing driver-side.
+
+    EVERY handed-in pair gets a verdict: zero-intersection pairs AND
+    pairs involving a document with fewer than ``shingle_n`` words (no
+    shingles at all) come back with jaccard 0.0 rather than vanishing —
+    all three per-doc joins are left joins with counts coalesced to 0.
+    The 0.0-for-empty convention is deliberate: a verifier must not merge
+    documents it cannot compare (two sub-shingle-length docs may be
+    entirely unrelated); callers wanting empty==empty semantics can test
+    length upstream."""
     sh = word_shingles(df, text_col, shingle_n)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     p = pairs.select("d1", "d2")
@@ -1091,20 +1100,20 @@ def exact_jaccard_on_pairs(
         .agg(F.count("*").alias("i"))
     )
     ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    denom = F.col("na") + F.col("nb") - F.col("i")
     return (
-        # left join: candidate pairs with zero shared shingles still get a
-        # (0.0) verdict instead of vanishing
         p.join(inter, ["d1", "d2"], "left")
         .withColumn("i", F.coalesce("i", F.lit(0)))
-        .join(ca, F.col("d1") == F.col("ca.doc_id"))
-        .join(cb, F.col("d2") == F.col("cb.doc_id"))
+        .join(ca, F.col("d1") == F.col("ca.doc_id"), "left")
+        .join(cb, F.col("d2") == F.col("cb.doc_id"), "left")
+        .withColumn("na", F.coalesce(F.col("ca.n"), F.lit(0)))
+        .withColumn("nb", F.coalesce(F.col("cb.n"), F.lit(0)))
         .select(
             "d1",
             "d2",
-            (
-                F.col("i").cast("double")
-                / (F.col("ca.n") + F.col("cb.n") - F.col("i"))
-            ).alias("jaccard"),
+            F.when(denom > 0, F.col("i").cast("double") / denom)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
 

@@ -271,7 +271,7 @@ def ewma(
     import pandas as pd
 
     order = [ts_col] + ([tiebreak] if tiebreak else [])
-    out_schema = f"{key_col} long, {ts_col} timestamp, {val_col} double, ewma double"
+    out_schema = _ewma_out_schema(df, key_col, ts_col, val_col)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order)
@@ -287,6 +287,20 @@ def ewma(
 
     cols = [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])
     return df.select(*cols).groupBy(key_col).applyInPandas(fold, out_schema)
+
+
+def _ewma_out_schema(df: DataFrame, key_col: str, ts_col: str, val_col: str) -> str:
+    """Output schema for the EWMA kernels, derived from the INPUT types
+    (r5 advisor finding: a hardcoded ``long/timestamp/double`` triple
+    breaks string keys, integer ordering columns, …). Key and ordering
+    columns pass through untouched; the value column is emitted as double
+    (the recurrence is float arithmetic), matching what the kernels
+    actually yield."""
+    t = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return (
+        f"`{key_col}` {t[key_col]}, `{ts_col}` {t[ts_col]}, "
+        f"`{val_col}` double, ewma double"
+    )
 
 
 @query("x_ewma", None)  # recursive fold has no ANSI-SQL form → rows-only check
@@ -330,7 +344,7 @@ def ewma_partitioned(
     import pandas as pd
 
     order = [key_col] + [ts_col] + ([tiebreak] if tiebreak else [])
-    out_schema = f"{key_col} long, {ts_col} timestamp, {val_col} double, ewma double"
+    out_schema = _ewma_out_schema(df, key_col, ts_col, val_col)
     cols = [key_col, ts_col, val_col] + ([tiebreak] if tiebreak else [])
 
     def kernel(batches):

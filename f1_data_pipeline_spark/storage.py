@@ -214,13 +214,31 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
     Write order is the whole protocol: (1) parquet lands in ``v=N`` and is
     verified complete via ``_SUCCESS``; (2) the manifest is written beside
     it to a temp name and renamed over the old one (atomic on POSIX/HDFS).
-    A crash before (2) leaves an orphan ``v=N`` dir that the next write
-    simply overwrites — readers never saw it."""
+    A crash before (2) leaves an orphan ``v=N`` dir readers never saw.
+
+    Single-writer protocol, cheaply ENFORCED (optimistic concurrency):
+    staging refuses to start if ``v=N+1`` already exists — two writers
+    that both read version N cannot both stage into the same directory
+    (one fails fast instead of them overwriting each other mid-write with
+    last-manifest-wins over possibly mixed files). A leftover dir from a
+    CRASHED writer also trips this; the remedy is stated in the error
+    (delete the orphan — the manifest proves it was never committed).
+    True multi-writer commit needs a coordination service (what Delta's
+    commit coordinator provides); this protocol is explicitly
+    single-writer, like a plain Hive table."""
     import json
 
     os.makedirs(table_dir, exist_ok=True)
     version = snapshot_version(table_dir) + 1
     vdir = os.path.join(table_dir, f"v={version}")
+    if os.path.exists(vdir):
+        raise RuntimeError(
+            f"snapshot_write: staging dir {vdir} already exists — either a "
+            f"concurrent writer is staging version {version} (snapshot "
+            f"tables are single-writer) or a crashed writer left an orphan; "
+            f"if the manifest still points at v={version - 1}, the orphan "
+            f"was never committed and is safe to delete"
+        )
     df.write.mode("overwrite").parquet(vdir)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
         raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
@@ -246,9 +264,12 @@ def snapshot_read(
 
 def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     """Delete snapshot versions older than the newest ``keep_last``;
-    returns the versions removed. Never touches the committed version."""
+    returns the versions removed. Never touches the committed version:
+    ``keep_last`` is clamped to >= 1, so even ``keep_last=0`` cannot
+    delete what the manifest points at."""
     import re
 
+    keep_last = max(1, keep_last)
     current = snapshot_version(table_dir)
     removed = []
     for name in sorted(os.listdir(table_dir)):

@@ -224,6 +224,30 @@ def test_heavy_hitters_survives_singleton_flood(spark):
     assert got == [(f"hh{i}", 500) for i in range(5)]
 
 
+def test_heavy_hitters_raises_when_guarantee_fails(spark):
+    """A flat distribution with an undersized capacity must RAISE, not
+    silently return a wrong top-k (r5 advisor finding): 200 distinct
+    values x 20, capacity 4 -> every count is far below N/(capacity+1)
+    and the candidate set can't cover the stream, so neither exactness
+    condition holds. Raising capacity past the distinct count makes the
+    same call succeed via full coverage."""
+    import pytest
+
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+
+    rows = [(f"v{i:03d}",) for i in range(200) for _ in range(20)]
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+
+    with pytest.raises(Exception, match="heavy_hitters.*raise capacity"):
+        heavy_hitters(df, "term", k=5, capacity=4).collect()
+
+    got = [
+        (r.term, r.cnt)
+        for r in heavy_hitters(df, "term", k=5, capacity=256).collect()
+    ]
+    assert got == [(f"v{i:03d}", 20) for i in range(5)]
+
+
 def test_misra_gries_summary_bounded(spark):
     from f1_data_pipeline_spark.analytics import misra_gries_candidates
 

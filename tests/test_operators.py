@@ -1927,6 +1927,28 @@ def test_exact_jaccard_on_pairs_matches_exhaustive(spark, planted_docs):
     assert got[(2, 3)] < 0.3  # unrelated random docs
 
 
+def test_exact_jaccard_on_pairs_verdicts_sub_shingle_docs(spark):
+    """Pairs involving a document shorter than shingle_n words must get a
+    0.0 verdict, not silently vanish (r5 advisor finding: word_shingles
+    drops such docs, and inner count-joins then erased the whole pair)."""
+    from f1_data_pipeline_spark.operators.dedup import exact_jaccard_on_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two"),  # < 3 words: no shingles
+            (2, "alpha beta gamma delta"),
+            (3, "so"),  # < 3 words
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "d1 long, d2 long")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in exact_jaccard_on_pairs(docs, pairs).collect()
+    }
+    assert got == {(1, 2): 0.0, (1, 3): 0.0, (2, 3): 0.0}
+
+
 def test_fuzzy_dedup_end_to_end(spark, planted_docs):
     """LSH -> verify -> cluster -> canonical: planted near/exact dups are
     removed, keeping the smallest id per cluster; distinct docs survive."""

@@ -239,10 +239,37 @@ def test_snapshot_crashed_writer_invisible(spark, tmp_path):
     assert snapshot_read(spark, tdir).count() == 3
     with open(os.path.join(tdir, "_MANIFEST.json")) as f:
         assert json.load(f)["version"] == 1
-    # the next commit overwrites the orphan and becomes version 2
+    # the next commit FAILS FAST on the orphan (it is indistinguishable
+    # from a concurrent writer's staging dir — the optimistic-concurrency
+    # guard); the error names the remedy, and after deleting the orphan
+    # the commit proceeds as version 2
+    import shutil
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="v=2 already exists"):
+        snapshot_write(spark.range(4).withColumnRenamed("id", "k"), tdir)
+    shutil.rmtree(orphan)
     v = snapshot_write(spark.range(4).withColumnRenamed("id", "k"), tdir)
     assert v == 2
     assert snapshot_read(spark, tdir).count() == 4
+
+
+def test_snapshot_write_refuses_concurrent_stage(spark, tmp_path):
+    """Two writers that both read version N must not both stage v=N+1:
+    the second to arrive fails fast instead of overwriting the first
+    mid-write (r5 advisor finding)."""
+    import os
+
+    import pytest
+
+    from f1_data_pipeline_spark.storage import snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(spark.range(3).withColumnRenamed("id", "k"), tdir)
+    os.makedirs(os.path.join(tdir, "v=2"))  # writer A is staging
+    with pytest.raises(RuntimeError, match="single-writer"):
+        snapshot_write(spark.range(5).withColumnRenamed("id", "k"), tdir)
 
 
 def test_snapshot_vacuum_keeps_recent(spark, tmp_path):
@@ -263,3 +290,6 @@ def test_snapshot_vacuum_keeps_recent(spark, tmp_path):
     assert snapshot_read(spark, tdir, version=3).count() == 6
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, tdir, version=1)
+    # keep_last=0 is clamped to 1: the committed version always survives
+    assert snapshot_vacuum(tdir, keep_last=0) == [3]
+    assert snapshot_read(spark, tdir).count() == 8

@@ -195,3 +195,26 @@ def test_ewma_partitioned_matches_keyed(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     assert got.keys() == want.keys()
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_ewma_preserves_input_key_and_order_types(spark):
+    """String keys and integer ordering columns must survive both EWMA
+    paths (r5 advisor finding: the output schema was hardcoded to
+    long/timestamp/double, so non-long keys cast-errored or silently
+    mangled)."""
+    from f1_data_pipeline_spark.operators.windows import ewma, ewma_partitioned
+
+    rows = [
+        ("alice", 1, 10.0), ("alice", 2, 20.0), ("alice", 3, 30.0),
+        ("bob", 1, 5.0), ("bob", 2, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "who string, seq int, value double")
+    for fn in (ewma, ewma_partitioned):
+        out = fn(df, "who", "seq", "value", alpha=0.5)
+        types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+        assert types == {
+            "who": "string", "seq": "int", "value": "double", "ewma": "double"
+        }, fn.__name__
+        got = {(r.who, r.seq): r.ewma for r in out.collect()}
+        assert abs(got[("alice", 3)] - (0.5 * 30 + 0.5 * (0.5 * 20 + 0.5 * 10))) < 1e-9
+        assert abs(got[("bob", 2)] - (0.5 * 15 + 0.5 * 5.0)) < 1e-9
