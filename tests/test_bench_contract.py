@@ -56,6 +56,7 @@ def test_headline_renders_under_byte_cap():
         upsert_executor_speedup=3.35,
         scaling=scaling,
         failed=failed,
+        canary_spark_sum_sec=12.3456,
     )
     line = json.dumps(headline)
     assert len(line) <= bench.HEADLINE_BYTE_CAP + 200, (
