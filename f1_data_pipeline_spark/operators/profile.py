@@ -104,3 +104,62 @@ def x_profile(t: Tables) -> DataFrame:
     rendered width). Single scan + single Expand-planned aggregate; the
     per-column unpivot happens inside the plan, not on the driver."""
     return profile_table(t.documents, _DOC_COLS)
+
+
+# --- Winsorized group statistics --------------------------------------------
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized statistics: exact interpolated percentiles at
+    ``lo``/``hi``, the raw mean, and the mean after clamping values into
+    [p_lo, p_hi] — the robust-mean treatment outlier-heavy quality
+    metrics need before they feed threshold decisions (one wild value
+    otherwise drags a domain's average score).
+
+    Two keyed shuffles on ``group_col`` (percentile aggregate, then the
+    clamped re-aggregate) + one keyed join of the group-sized bounds
+    table back onto the rows. The percentile aggregate is Spark's exact
+    ``percentile`` (linear interpolation, same definition as DuckDB's
+    ``quantile_cont``), so engines agree bit-for-bit on clean doubles."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    clamped = df.join(bounds, group_col).withColumn(
+        "__w",
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
+    return clamped.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.round(F.max("p_lo"), 4).alias("p_lo"),
+        F.round(F.max("p_hi"), 4).alias("p_hi"),
+        F.round(F.avg(value_col), 4).alias("mean_raw"),
+        F.round(F.avg("__w"), 4).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "x_winsorize",
+    """WITH b AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS p_lo,
+                         quantile_cont(value, 0.95) AS p_hi
+                  FROM events GROUP BY event_type)
+       SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+              ROUND(max(b.p_lo), 4) AS p_lo,
+              ROUND(max(b.p_hi), 4) AS p_hi,
+              ROUND(avg(e.value), 4) AS mean_raw,
+              ROUND(avg(least(greatest(e.value, b.p_lo), b.p_hi)), 4)
+                AS mean_winsorized
+       FROM events e JOIN b USING (event_type)
+       GROUP BY e.event_type ORDER BY e.event_type""",
+)
+def x_winsorize(t: Tables) -> DataFrame:
+    """Winsorized per-event-type value statistics (5th/95th percentile
+    clamp) via ``winsorize_stats``."""
+    return winsorize_stats(t.events, "event_type", "value").orderBy("event_type")

@@ -2411,3 +2411,154 @@ def x_normalize(t: Tables) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- PMI bigram association (phrase mining) ---------------------------------
+
+
+def pmi_bigrams(
+    df: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    word2vec-phrases / collocation-mining pass that turns "new" + "york"
+    into a vocabulary unit before tokenizer training. Returns
+    (a, b, n_ab, pmi) with pmi = ln(P(a,b) / (P(a)·P(b))) under corpus
+    unigram/bigram frequencies.
+
+    Scale shape: the bigram explode is scan-local (same Catalyst
+    ``transform(sequence(...))`` as shingling); two keyed aggregates build
+    the bigram and unigram tables (vocab-sized, map-side combined); the
+    two totals ride in as ONE broadcast 1-row aggregate; the pair table
+    equi-joins the unigram table twice on its key. ``min_count`` prunes
+    the pair table BEFORE the joins — at web scale the hapax-bigram tail
+    is most of the rows and all of the noise."""
+    w = df.select(F.split(F.trim(F.col(text_col)), " ").alias("w"))
+    pairs = (
+        w.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(w[i - 1] AS a, w[i] AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        w.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.agg(F.count("*").cast("double").alias("__B")).crossJoin(
+        w.agg(F.sum(F.size("w")).cast("double").alias("__T"))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("__na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("__nb"))
+    return (
+        cab.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("__T")
+                    * F.col("__T")
+                    / (F.col("__B") * F.col("__na") * F.col("__nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "x_pmi",
+    """WITH w AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+       big AS (SELECT w[s] AS a, w[s + 1] AS b
+               FROM w, unnest(generate_series(1, len(w) - 1)) t(s)
+               WHERE len(w) >= 2),
+       cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM big GROUP BY a, b HAVING count(*) >= 5),
+       uni AS (SELECT tok, count(*) AS n
+               FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok),
+       tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM uni) AS n_tok,
+                      (SELECT CAST(count(*) AS DOUBLE) FROM big) AS n_big)
+       SELECT a, b, n_ab,
+              ROUND(ln(n_ab * n_tok * n_tok / (n_big * ua.n * ub.n)), 4) AS pmi
+       FROM cab
+       JOIN uni ua ON cab.a = ua.tok
+       JOIN uni ub ON cab.b = ub.tok, tot
+       ORDER BY pmi DESC, a, b LIMIT 25""",
+)
+def x_pmi(t: Tables) -> DataFrame:
+    """Top-25 corpus collocations by PMI (min pair count 5) via
+    ``pmi_bigrams`` — deterministic tie-break on the pair so LIMIT
+    matches across engines."""
+    return (
+        pmi_bigrams(t.documents, min_count=5)
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(25)
+    )
+
+
+# --- Length-bucketed batching stats -----------------------------------------
+
+
+def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two length-bucket histogram — the batching-efficiency
+    signal for padded training: each document pads to the next power of
+    two (``padded_to``), and per bucket this reports document count,
+    real-token sum, padding waste, and utilization (tokens / padded
+    slots). The decision table behind length-grouped batching: buckets
+    with low utilization justify finer bucketing or packing instead.
+
+    Pure scan-local Catalyst arithmetic (log2/ceil/pow are exact on
+    powers of two up to 2^53) + ONE keyed aggregate over ~60 buckets —
+    at 100 TB the shuffle moves a few dozen rows per task."""
+    n = token_count(text_col).cast("long")
+    c = df.select(n.alias("__n")).where(F.col("__n") >= 1)
+    c = c.withColumn(
+        "padded_to",
+        F.expr("CAST(pow(2, ceiling(log2(CAST(__n AS DOUBLE)))) AS BIGINT)"),
+    )
+    return (
+        c.groupBy("padded_to")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("n_tokens"),
+            F.sum(F.col("padded_to") - F.col("__n")).alias("n_padding"),
+            F.round(
+                F.sum("__n") / F.sum("padded_to").cast("double"), 4
+            ).alias("utilization"),
+        )
+        .orderBy("padded_to")
+    )
+
+
+@query(
+    "x_length_buckets",
+    """WITH c AS (SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+                  FROM documents
+                  WHERE len(string_split(trim(text), ' ')) >= 1),
+       b AS (SELECT n, CAST(pow(2, ceil(log2(CAST(n AS DOUBLE)))) AS BIGINT)
+                      AS padded_to FROM c)
+       SELECT padded_to, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS n_tokens,
+              CAST(sum(padded_to - n) AS BIGINT) AS n_padding,
+              ROUND(sum(n) / CAST(sum(padded_to) AS DOUBLE), 4) AS utilization
+       FROM b GROUP BY padded_to ORDER BY padded_to""",
+)
+def x_length_buckets(t: Tables) -> DataFrame:
+    """Padded-batching efficiency histogram over the corpus via
+    ``length_buckets``."""
+    return length_buckets(t.documents)

@@ -1412,6 +1412,11 @@ SWEEP_ONLY: dict[str, str] = {
     "q_j5": "composite-key join variant; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
     "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
+    # built in round 6 after the rotation was fixed; sweep-verified now,
+    # rotate into the driver window next round
+    "x_pmi": "new in r6 (PMI collocation mining); sweep-verified, rotate next round",
+    "x_length_buckets": "new in r6 (padded-batching histogram); sweep-verified, rotate next round",
+    "x_winsorize": "new in r6 (winsorized group stats); sweep-verified, rotate next round",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
     "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans/x_dedup_incr, winnow fingerprints via x_text_winnow",
