@@ -1353,3 +1353,210 @@ def x_pca(t: Tables) -> DataFrame:
         "vec_id",
         *[F.round(F.col("proj")[i], 3).alias(f"pc{i + 1}") for i in range(4)],
     ).orderBy("vec_id")
+
+# --- Product quantization (PQ) ----------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 8,
+    sample: int = 2000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split the
+    d-dim space into ``m`` subspaces and k-means each with L2 assignment —
+    the compression stage of the PQ/IVF-PQ serving stack (m·log2(k) bits
+    per vector instead of 4·d bytes; m=4,k=16 → 2 bytes per vector).
+
+    Same distributed shape as ``kmeans_fit`` (its per-subspace
+    generalization): per iteration ONE ``mapInPandas`` pass assigns every
+    row in every subspace and emits per-(subspace, code) partial sums;
+    the driver reduces m·k·n_batches partial rows and holds the
+    (m, k, d/m) codebook — the legitimately-bounded model-artifact class.
+    No shuffle at any point; the corpus is scanned once per iteration
+    from the persisted normalized cache. Deterministic: seeded init from
+    an ``orderBy(id)`` sample."""
+    import numpy as np
+
+    from pyspark import StorageLevel
+
+    normed = _normalized_double(vectors, id_col, vec_col)
+    normed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        pdf = normed.orderBy(id_col).limit(sample).toPandas()
+        X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        d = X.shape[1]
+        if d % m:
+            raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+        dsub = d // m
+        rng = np.random.default_rng(seed)
+        kk = min(k, len(X))
+        C = np.stack(
+            [
+                X[rng.choice(len(X), size=kk, replace=False),
+                  j * dsub:(j + 1) * dsub].copy()
+                for j in range(m)
+            ]
+        )
+        for _ in range(iters):
+            partials = _pq_partial_sums(normed, C, vec_col).collect()
+            sums = np.zeros_like(C)
+            counts = np.zeros((m, kk), dtype=np.int64)
+            for r in partials:
+                sums[r["sub"], r["code"]] += np.asarray(r["s"], dtype=np.float64)
+                counts[r["sub"], r["code"]] += r["n"]
+            newC = C.copy()
+            for j in range(m):
+                for c in range(kk):
+                    if counts[j, c]:
+                        newC[j, c] = sums[j, c] / counts[j, c]
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            if shift < 1e-9:
+                break
+        return C
+    finally:
+        normed.unpersist()
+
+
+def _pq_partial_sums(normed: DataFrame, C, vec_col: str) -> DataFrame:
+    """One Lloyd pass over every subspace at once: per Arrow batch, per
+    subspace, L2-assign rows to codes and emit (sub, code, n, partial
+    sum) — the PQ twin of ``_partial_cell_sums``."""
+    import numpy as np
+    import pandas as pd
+
+    bc = normed.sparkSession.sparkContext.broadcast(
+        np.asarray(C, dtype=np.float64)
+    )
+
+    def kernel(batches):
+        Cv = bc.value
+        m, _, dsub = Cv.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            subs, codes_out, ns, ss = [], [], [], []
+            for j in range(m):
+                Aj = A[:, j * dsub:(j + 1) * dsub]
+                d2 = (Cv[j] ** 2).sum(1)[None, :] - 2.0 * (Aj @ Cv[j].T)
+                codes = np.argmin(d2, axis=1)
+                for c in np.unique(codes):
+                    mask = codes == c
+                    subs.append(j)
+                    codes_out.append(int(c))
+                    ns.append(int(mask.sum()))
+                    ss.append(Aj[mask].sum(axis=0).tolist())
+            yield pd.DataFrame({"sub": subs, "code": codes_out, "n": ns, "s": ss})
+
+    return normed.mapInPandas(kernel, "sub int, code int, n long, s array<double>")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    C,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its per-subspace nearest-code ids:
+    (id, codes array<int>) — m small ints replacing d floats. Scan-local
+    broadcast-codebook kernel, no shuffle; this is the persistable
+    column an ANN index stores."""
+    import numpy as np
+    import pandas as pd
+
+    normed = _normalized_double(vectors, id_col, vec_col)
+    bc = normed.sparkSession.sparkContext.broadcast(
+        np.asarray(C, dtype=np.float64)
+    )
+
+    def kernel(batches):
+        Cv = bc.value
+        m, _, dsub = Cv.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            codes = np.empty((len(A), m), dtype=np.int32)
+            for j in range(m):
+                Aj = A[:, j * dsub:(j + 1) * dsub]
+                d2 = (Cv[j] ** 2).sum(1)[None, :] - 2.0 * (Aj @ Cv[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return normed.mapInPandas(kernel, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    codebooks=None,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 32,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ ANN with asymmetric distance computation (ADC): the
+    query builds an (m × k) inner-product lookup table against the
+    codebooks ONCE driver-side (it is the only per-query work that
+    touches floats); the corpus scan scores each encoded row as the sum
+    of m table lookups — no multiplies per row — producing a shortlist of
+    ``k · shortlist_mult`` that is exact-reranked against full-precision
+    vectors (the ``quantized_topk`` serving layout, at m·log2(k) bits per
+    vector instead of 8 per dimension).
+
+    Scale shape: codes scan + TakeOrderedAndProject for the shortlist,
+    broadcast semi-join + exact ``cosine_topk`` for the rerank. Recall vs
+    exact is test-pinned; ADC parity vs a numpy replay too."""
+    import numpy as np
+    import pandas as pd
+
+    C = codebooks if codebooks is not None else pq_train(
+        vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    C = np.asarray(C, dtype=np.float64)
+    mm, _, dsub = C.shape
+    qrow = _normalized_double(query_df, id_col, vec_col).limit(1).toPandas()
+    q = np.asarray(qrow[vec_col].iloc[0], dtype=np.float64)
+    T = np.stack([C[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)])
+
+    enc = pq_encode(vectors, C, id_col, vec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast(T)
+
+    def score(batches):
+        Tv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray))
+            s = Tv[np.arange(Tv.shape[0])[:, None], codes.T].sum(axis=0)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc": s})
+
+    shortlist = (
+        enc.mapInPandas(score, f"{id_col} long, adc double")
+        .orderBy(F.col("adc").desc(), id_col)
+        .limit(k * shortlist_mult)
+        .select(id_col)
+    )
+    exact = vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+    return cosine_topk(exact, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+@query("x_sim_pq", None)  # trained quantizer + approximate shortlist → rows-only
+def x_sim_pq(t: Tables) -> DataFrame:
+    """PQ-ADC two-stage ANN top-10 for vec_id 0 (m=8 subspaces, 32 codes
+    → 5 bytes/vector vs 256 for the raw float64s); codebook/encode/ADC
+    numpy parity and recall vs exact asserted in tests."""
+    e = t.embeddings
+    return pq_topk(
+        e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10
+    )

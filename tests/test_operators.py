@@ -1314,6 +1314,96 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(exact & approx) >= 8  # int8 reconstruction keeps recall high
 
 
+# --- Product quantization ---------------------------------------------------
+
+
+def _np_pq_train(X, m, k, iters, seed):
+    """Independent numpy PQ trainer mirroring pq_train's contract (same
+    seeded init + L2 Lloyd per subspace, full-batch updates)."""
+    import numpy as np
+
+    d = X.shape[1]
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    kk = min(k, len(X))
+    C = np.stack(
+        [
+            X[rng.choice(len(X), size=kk, replace=False), j * dsub:(j + 1) * dsub].copy()
+            for j in range(m)
+        ]
+    )
+    for _ in range(iters):
+        newC = C.copy()
+        moved = 0.0
+        for j in range(m):
+            Xj = X[:, j * dsub:(j + 1) * dsub]
+            d2 = (C[j] ** 2).sum(1)[None, :] - 2.0 * (Xj @ C[j].T)
+            codes = np.argmin(d2, axis=1)
+            for c in range(kk):
+                mask = codes == c
+                if mask.any():
+                    newC[j, c] = Xj[mask].mean(axis=0)
+        moved = float(np.abs(newC - C).max())
+        C = newC
+        if moved < 1e-9:
+            break
+    return C
+
+
+def test_pq_train_encode_adc_match_numpy(spark):
+    """pq_train codebooks, pq_encode codes, and the ADC scores inside
+    pq_topk must match an independent numpy replay on a corpus small
+    enough that the training sample IS the corpus (so both sides see
+    identical data)."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+        pq_topk,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 8))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    C = pq_train(df, m=2, k=4, iters=6, sample=100, seed=11)
+    C_np = _np_pq_train(X, m=2, k=4, iters=6, seed=11)
+    assert np.allclose(C, C_np, atol=1e-9), np.abs(C - C_np).max()
+
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, C).collect()}
+    dsub = 4
+    for i in range(60):
+        for j in range(2):
+            d2 = ((C_np[j] - X[i, j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+            assert codes[i][j] == int(np.argmin(d2)), (i, j)
+
+    # end-to-end: with the shortlist covering the whole corpus the rerank
+    # makes pq_topk exactly cosine_topk
+    base, q = df.where(F.col("vec_id") != 0), df.where(F.col("vec_id") == 0)
+    full = pq_topk(base, q, codebooks=C, k=10, shortlist_mult=6).collect()
+    exact = cosine_topk(base, q, k=10).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    from f1_data_pipeline_spark.operators.similarity import cosine_topk, pq_topk
+
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base, q = e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0)
+    exact = {r["vec_id"] for r in cosine_topk(base, q, k=10).collect()}
+    approx = {r["vec_id"] for r in pq_topk(base, q, k=10).collect()}
+    assert len(approx) == 10
+    # 5-byte codes (m=8, k=32) + the 8x shortlist + exact rerank: measured
+    # 10/10 on this corpus; pin >= 8 to leave float-noise margin
+    assert len(exact & approx) >= 8
+
+
 # --- BPE tokenizer training -------------------------------------------------
 
 
