@@ -493,8 +493,15 @@ def connected_components(
             prefix="f1dp_cc_"
         )
     # string-concat, not os.path.join: scratch_dir may be a URI
-    # (s3a://bucket/prefix) and the separator is always "/" for Hadoop FS
-    epath = scratch_dir.rstrip("/") + "/edges.parquet"
+    # (s3a://bucket/prefix) and the separator is always "/" for Hadoop FS.
+    # Per-invocation uuid subdir: two CC runs (or a run racing another
+    # operator) sharing F1DP_CC_SCRATCH_DIR must not overwrite each
+    # other's edges/labels checkpoints mid-read (the classifier-scratch
+    # advisor finding applied to this path).
+    import uuid
+
+    scratch_dir = scratch_dir.rstrip("/") + f"/cc_{uuid.uuid4().hex}"
+    epath = scratch_dir + "/edges.parquet"
     edges_plan.write.mode("overwrite").parquet(epath)
     edges = pairs.sparkSession.read.parquet(epath)
     nodes = edges.where(F.col("a") == F.col("b")).select(F.col("a").alias("n"))  # self-loops
@@ -521,7 +528,7 @@ def connected_components(
     cur = nodes.select("n", F.col("n").alias("rep"))
     for k in range(max_iter):
         nxt = jump(propagate(cur))
-        lpath = scratch_dir.rstrip("/") + f"/labels_{k + 1}.parquet"
+        lpath = scratch_dir + f"/labels_{k + 1}.parquet"
         nxt.write.mode("overwrite").parquet(lpath)
         nxt = spark.read.parquet(lpath)
         changed = (

@@ -522,28 +522,38 @@ def test_connected_components_scratch_dir_passthrough(spark, tmp_path, monkeypat
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
 
+    def edges_under(root: str) -> bool:
+        # checkpoints land in a per-invocation cc_<uuid> subdir (concurrent
+        # runs sharing one scratch root must not clobber each other)
+        subs = [d for d in os.listdir(root) if d.startswith("cc_")]
+        return any(
+            os.path.isdir(os.path.join(root, d, "edges.parquet")) for d in subs
+        )
+
     # explicit dir (relative-style string under tmp_path)
     explicit = str(tmp_path / "cc_scratch")
     comp = {r["n"]: r["rep"]
             for r in connected_components(pairs, scratch_dir=explicit).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-    assert os.path.isdir(os.path.join(explicit, "edges.parquet")), (
-        "checkpoint did not land in the explicit scratch_dir"
-    )
+    assert edges_under(explicit), "checkpoint did not land in the explicit scratch_dir"
 
     # URI-style dir: the separator logic must not os.path-mangle a scheme
     uri = "file://" + str(tmp_path / "cc_uri")
     comp2 = {r["n"]: r["rep"]
              for r in connected_components(pairs, scratch_dir=uri).collect()}
     assert comp2 == comp
-    assert os.path.isdir(str(tmp_path / "cc_uri" / "edges.parquet"))
+    assert edges_under(str(tmp_path / "cc_uri"))
 
     # env-var override, no argument passed
     env_dir = str(tmp_path / "cc_env")
     monkeypatch.setenv("F1DP_CC_SCRATCH_DIR", env_dir)
     comp3 = {r["n"]: r["rep"] for r in connected_components(pairs).collect()}
     assert comp3 == comp
-    assert os.path.isdir(os.path.join(env_dir, "edges.parquet"))
+    assert edges_under(env_dir)
+
+    # two runs sharing one scratch root keep distinct checkpoint dirs
+    connected_components(pairs, scratch_dir=explicit).collect()
+    assert len([d for d in os.listdir(explicit) if d.startswith("cc_")]) == 2
 
 
 def test_ivf_batch_recall_vs_per_query_exact(spark):
