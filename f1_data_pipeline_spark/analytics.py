@@ -101,13 +101,12 @@ def misra_gries_candidates(
     (standard decrement-merge, so executor memory is O(capacity) no
     matter how many distincts the partition holds — the property a plain
     per-partition ``value_counts`` lacks). Output is the union of summary
-    rows ``(value, lower_bound)``.
+    rows ``(value, lower_bound)``, sized ≤ capacity × num_tasks.
 
     Guarantee (Misra–Gries 1982): any value with global frequency
     > N/(capacity+1) appears in at least one partition summary — so the
     union is a complete candidate set for heavy hitters above that
-    threshold, sized ≤ capacity × num_tasks rows (kilobytes even with
-    100k tasks at 100 TB)."""
+    threshold."""
     import pandas as pd
 
     def kernel(batches):
@@ -155,7 +154,12 @@ def heavy_hitters(
     every returned count exceeds N/(capacity+1) (then no absent value can
     outrank any returned row). On failure the error says to raise
     ``capacity``. The check is lazy — it rides the same job the caller
-    triggers, costing two scalar aggregates, not an extra pass."""
+    triggers. Honest cost accounting: N adds ONE column-pruned
+    ``count(col)`` scan on top of the summary and recount passes — cheap
+    relative to either Python pass, and the alternatives are worse
+    (deriving N from the summary pass would evaluate that mapInPandas
+    subplan twice, since its two consumers share no exchange Spark could
+    reuse)."""
     capacity = capacity or 8 * k
     cands = (
         misra_gries_candidates(df, col, capacity).select(col).distinct()

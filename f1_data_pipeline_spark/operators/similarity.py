@@ -914,6 +914,12 @@ def _normalized_double(vectors: DataFrame, id_col: str, vec_col: str) -> DataFra
     )
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """DDL type of the id column, for mapInPandas output schemas — a
+    hardcoded ``long`` breaks string/int ids (the EWMA schema lesson)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+
+
 def _partial_cell_sums(normed: DataFrame, C, vec_col: str) -> DataFrame:
     """Per-Arrow-batch partial (cell, count, sum-vector) aggregates for one
     Lloyd assignment pass — the map-side combine that keeps the driver's
@@ -1029,7 +1035,9 @@ def kmeans_scores(
                 }
             )
 
-    return normed.mapInPandas(kernel, f"{id_col} long, cell int, cos double")
+    return normed.mapInPandas(
+        kernel, f"`{id_col}` {_id_type(vectors, id_col)}, cell int, cos double"
+    )
 
 
 @query("x_kmeans", None)  # iterative Lloyd fit → rows-only check
@@ -1491,7 +1499,9 @@ def pq_encode(
                 {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
-    return normed.mapInPandas(kernel, f"{id_col} long, codes array<int>")
+    return normed.mapInPandas(
+        kernel, f"`{id_col}` {_id_type(vectors, id_col)}, codes array<int>"
+    )
 
 
 def pq_topk(
@@ -1542,7 +1552,7 @@ def pq_topk(
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc": s})
 
     shortlist = (
-        enc.mapInPandas(score, f"{id_col} long, adc double")
+        enc.mapInPandas(score, f"`{id_col}` {_id_type(vectors, id_col)}, adc double")
         .orderBy(F.col("adc").desc(), id_col)
         .limit(k * shortlist_mult)
         .select(id_col)

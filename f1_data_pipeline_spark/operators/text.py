@@ -1708,7 +1708,10 @@ def bpe_encode(
     The merge table rides to executors as a broadcast list (vocab-class,
     tiny); encoding is a scan-local Arrow kernel — 100 TB encodes at scan
     speed with zero shuffle. Per-word results are memoized per batch (the
-    Zipf skew of natural text makes the word cache hit constantly)."""
+    Zipf skew of natural text makes the word cache hit constantly).
+    Tokenization is exactly ``split(trim(text), ' ')`` (space-only strip/
+    split) and null-text documents emit no row — pinned identical to
+    ``bpe_encode_fast``'s declarative path by tests."""
     import pandas as pd
 
     ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
@@ -1720,15 +1723,23 @@ def bpe_encode(
         for pdf in batches:
             ids, counts, toks = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    # tokens(NULL) is NULL → the fast path's explode emits
+                    # no row; the reference must agree, not encode "None"
+                    continue
                 out = []
-                for w in str(text).strip().split(" "):
+                # strip/split on SPACE only, mirroring Catalyst
+                # split(trim(text), ' ') exactly — Python's bare strip()
+                # also removes \n/\t, which Spark's trim does not
+                for w in str(text).strip(" ").split(" "):
                     out.extend(_bpe_encode_word(w, table, cache))
                 ids.append(did)
                 counts.append(len(out))
                 toks.append(out)
-            yield pd.DataFrame(
-                {id_col: ids, "n_bpe_tokens": counts, "bpe_tokens": toks}
-            )
+            if ids:  # a batch of only null-text docs yields nothing
+                yield pd.DataFrame(
+                    {id_col: ids, "n_bpe_tokens": counts, "bpe_tokens": toks}
+                )
 
     return df.select(id_col, text_col).mapInPandas(
         kernel, f"{id_col} long, n_bpe_tokens int, bpe_tokens array<string>"
@@ -2522,14 +2533,22 @@ def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     slots). The decision table behind length-grouped batching: buckets
     with low utilization justify finer bucketing or packing instead.
 
-    Pure scan-local Catalyst arithmetic (log2/ceil/pow are exact on
-    powers of two up to 2^53) + ONE keyed aggregate over ~60 buckets —
-    at 100 TB the shuffle moves a few dozen rows per task."""
+    Pure scan-local Catalyst INTEGER arithmetic + ONE keyed aggregate
+    over ~60 buckets — at 100 TB the shuffle moves a few dozen rows per
+    task. The next-power-of-two is computed as 2^len(bin(n-1)) — bit
+    arithmetic, not float log2: Spark's LOG2 is ln(x)/ln(2), which lands
+    above the exact value on some powers of two (ceiling(log2(2^29)) =
+    30), so the float form misbuckets exact-power documents and drifts
+    from engines with a native exact log2."""
     n = token_count(text_col).cast("long")
     c = df.select(n.alias("__n")).where(F.col("__n") >= 1)
     c = c.withColumn(
         "padded_to",
-        F.expr("CAST(pow(2, ceiling(log2(CAST(__n AS DOUBLE)))) AS BIGINT)"),
+        F.expr(
+            "CASE WHEN __n = 1 THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(shiftleft(CAST(1 AS BIGINT), length(bin(__n - 1)))"
+            " AS BIGINT) END"
+        ),
     )
     return (
         c.groupBy("padded_to")
@@ -2550,7 +2569,8 @@ def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
     """WITH c AS (SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
                   FROM documents
                   WHERE len(string_split(trim(text), ' ')) >= 1),
-       b AS (SELECT n, CAST(pow(2, ceil(log2(CAST(n AS DOUBLE)))) AS BIGINT)
+       b AS (SELECT n, CASE WHEN n = 1 THEN CAST(1 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << len(bin(n - 1))) END
                       AS padded_to FROM c)
        SELECT padded_to, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n) AS BIGINT) AS n_tokens,

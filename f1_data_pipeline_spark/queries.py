@@ -1376,8 +1376,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a6": "CUBE cross-tab totals; grouping-agg semantics in-window via q_a1",
     "q_a7": "explicit GROUPING SETS; grouping-agg semantics in-window via q_a1",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
-    "q_u3": "EXCEPT/anti; anti-join also in-window via q_j4 semi/anti kin",
-    "x_text_tokens": "whitespace tokens; text family in-window via x_text_repetition/x_gopher",
+    "q_u3": "EXCEPT/anti; semi/anti join kin in-window via q_j3",
+    "x_text_tokens": "whitespace tokens; text family in-window via x_urls/x_taxonomy/x_chunk",
     "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
     "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans",
@@ -1390,10 +1390,10 @@ SWEEP_ONLY: dict[str, str] = {
     "q_h1": "rollup/cube/grouping-sets surface; sweep-stable",
     "q_w5": "ranking-window surface; sweep-stable",
     "q_w6": "window-frame variant; frame semantics in-window via q_w4",
-    "q_c5": "coercion surface; C-family in-window via q_c1/q_c4",
-    "q_c6": "coercion surface; C-family in-window via q_c1/q_c4",
-    "q_j7": "join variant; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
-    "q_j8": "join variant; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
+    "q_c5": "coercion surface; C-family in-window via q_c1",
+    "q_c6": "coercion surface; C-family in-window via q_c1",
+    "q_j7": "join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_j8": "join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
     "q_u4": "set-op surface; family represented in-window by q_u1",
     "q_u5": "set-op surface; family represented in-window by q_u1",
     "q_sub2": "scalar subquery surface; sweep-stable",
@@ -1404,14 +1404,14 @@ SWEEP_ONLY: dict[str, str] = {
     "x_salted_join": "skew-salted join; join semantics in-window via x_asof_join",
     "x_range_join": "range join; interval semantics in-window via x_asof_join",
     "x_multimodal_frames": "frame-sample plumbing; family in-window via x_multimodal_real",
-    "q_c2": "coercion surface; C-family in-window via q_c1/q_c4",
+    "q_c2": "coercion surface; C-family in-window via q_c1",
     "q_w2": "ordered projection; ORDER BY exercised by every windowed entry",
-    "x_sim_topk": "brute-force top-k; sim family in-window via x_sim_pairs/x_sim_neardup",
+    "x_sim_topk": "brute-force top-k; sim family in-window via x_semdedup",
     "q_t4": "distinct-pair count (stateful-dedup analog); distinct/agg semantics in-window via q_a1/q_t1",
-    "q_p2": "1-row existence check; P-family in-window via q_s1/q_p1",
-    "q_j5": "composite-key join variant; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
-    "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3/q_a4",
-    "x_dedup_ngram": "exhaustive Jaccard verifier; family in-window via winnow/clusters/lines",
+    "q_p2": "1-row existence check; P-family in-window via q_s1",
+    "q_j5": "composite-key join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3",
+    "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans",
     # built in round 6 after the rotation was fixed; sweep-verified now,
     # rotate into the driver window next round
     "x_pmi": "new in r6 (PMI collocation mining); sweep-verified, rotate next round",
@@ -1437,16 +1437,16 @@ SWEEP_ONLY: dict[str, str] = {
     "q_c4": "conditional-expression surface; C-family in-window via q_c1",
     "q_j4": "anti/semi variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
     "q_t3": "latest-per-key; changelog-replay geometry in-window via x_cdc_apply",
-    "q_a4": "COALESCE merge agg; merge family in-window via x_scd2/x_cdc_apply",
-    "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_sim_pairs",
+    "q_a4": "COALESCE merge agg; merge family in-window via x_cdc_apply",
+    "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_semdedup",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
-    "x_text_langid": "scan-local text family densely in-window (x_text_quality/x_text_winnow/x_curation/x_gopher)",
-    "q_j2": "left outer join; join family densely in-window (q_j1/q_j3/q_j4/q_j6/q_j9)",
-    "q_c3": "coercion surface; C-family in-window via q_c1/q_c4",
+    "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation/x_urls/x_taxonomy)",
+    "q_j2": "left outer join; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_c3": "coercion surface; C-family in-window via q_c1",
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
     "q_w3": "lag() offset window; window family in-window via q_w1/q_w4/x_rolling_scaled",
-    "q_t2": "time-filtered count; T-family in-window via q_t1/q_t3",
+    "q_t2": "time-filtered count; T-family in-window via q_t1",
 }
 
 

@@ -231,14 +231,18 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
     os.makedirs(table_dir, exist_ok=True)
     version = snapshot_version(table_dir) + 1
     vdir = os.path.join(table_dir, f"v={version}")
-    if os.path.exists(vdir):
+    try:
+        # atomic claim: exists-check-then-write would let two writers that
+        # both read version N pass the check before either created the dir
+        os.makedirs(vdir)
+    except FileExistsError:
         raise RuntimeError(
             f"snapshot_write: staging dir {vdir} already exists — either a "
             f"concurrent writer is staging version {version} (snapshot "
             f"tables are single-writer) or a crashed writer left an orphan; "
             f"if the manifest still points at v={version - 1}, the orphan "
             f"was never committed and is safe to delete"
-        )
+        ) from None
     df.write.mode("overwrite").parquet(vdir)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
         raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")

@@ -1324,6 +1324,30 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert len(exact & approx) >= 8  # int8 reconstruction keeps recall high
 
 
+def test_length_buckets_exact_on_powers_of_two(spark):
+    """Exact-power token counts must land in their OWN bucket: Spark's
+    float LOG2 is ln/ln2 and ceiling(log2(2^29)) = 30, which the review
+    caught misbucketing exact powers — the operator must use integer bit
+    arithmetic instead."""
+    from f1_data_pipeline_spark.operators.text import length_buckets
+
+    def doc(n):
+        return " ".join("w" for _ in range(n))
+
+    rows = [(1, doc(1)), (2, doc(2)), (3, doc(3)), (4, doc(4)),
+            (5, doc(5)), (6, doc(8)), (7, doc(9)), (8, doc(16))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["padded_to"]: (r["n_docs"], r["n_padding"])
+           for r in length_buckets(df).collect()}
+    assert got == {
+        1: (1, 0),       # n=1 → bucket 1, no padding
+        2: (1, 0),       # n=2 exact power stays in 2
+        4: (2, 1),       # n=3 (+1 pad), n=4 exact
+        8: (2, 3),       # n=5 (+3), n=8 exact
+        16: (2, 7),      # n=9 (+7), n=16 exact
+    }
+
+
 # --- Product quantization ---------------------------------------------------
 
 
@@ -1397,6 +1421,34 @@ def test_pq_train_encode_adc_match_numpy(spark):
     full = pq_topk(base, q, codebooks=C, k=10, shortlist_mult=6).collect()
     exact = cosine_topk(base, q, k=10).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_pq_encode_preserves_id_type(spark):
+    """String ids must survive pq_encode/kmeans_scores (output schemas are
+    derived from the input id type, not hardcoded long — the EWMA schema
+    lesson applied to the vector kernels)."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        kmeans_scores,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(f"doc-{i}", [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    C = pq_train(df, m=2, k=4, iters=3, sample=50)
+    enc = pq_encode(df, C)
+    assert dict((f.name, f.dataType.simpleString()) for f in enc.schema.fields)[
+        "vec_id"
+    ] == "string"
+    got = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert set(got) == {f"doc-{i}" for i in range(30)}
+    full_dim = np.stack([r for _, r in rows[:4]])
+    full_dim = full_dim / np.linalg.norm(full_dim, axis=1, keepdims=True)
+    km = kmeans_scores(df, full_dim)
+    assert {r["vec_id"] for r in km.collect()} == set(got)
 
 
 def test_pq_topk_recall_vs_exact(spark):
@@ -1482,6 +1534,8 @@ def test_bpe_encode_fast_matches_per_occurrence_encode(spark):
         (2, "newest widest new wide"),
         (3, "low"),
         (4, "the the the newest low lower"),
+        (5, "low\nlower"),  # non-space whitespace: ONE token either path
+        (6, None),  # null text: NO row from either path
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     merges = bpe_train(df, n_merges=6)
@@ -1495,6 +1549,7 @@ def test_bpe_encode_fast_matches_per_occurrence_encode(spark):
         for r in bpe_encode_fast(df, merges, with_tokens=True).collect()
     }
     assert fast == ref
+    assert 6 not in ref  # null-text doc emits no row from either path
 
     counts_only = {
         r["doc_id"]: r["n_bpe_tokens"]
@@ -1511,7 +1566,8 @@ def test_bpe_encode_fast_broadcasts_vocab_join(spark):
 
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     plan = bpe_encode_fast(df, [(0, "a", "</w>", "a</w>", 2)])._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan and "Broadcast" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_kmeans_fit_leaves_no_cache_residue(spark):

@@ -105,3 +105,24 @@ def test_every_oracle_query_windowed_or_sweep_only():
         assert name in QUERIES, f"SWEEP_ONLY names unregistered query {name}"
         assert QUERIES[name].oracle is not None, f"SWEEP_ONLY {name} has no oracle"
         assert reason.strip(), f"SWEEP_ONLY {name} lacks a reason"
+
+
+def test_sweep_only_reasons_cite_in_window_kin():
+    """Rotation-audit integrity (r5 verdict #4, extended r6): when a
+    SWEEP_ONLY reason claims family coverage 'in-window via X' (or lists
+    in-window kin in parens), every cited query must actually BE in
+    DRIVER_PRIORITY — a displaced query citing another displaced query as
+    its coverage defeats the audit trail."""
+    import re
+
+    window = set(DRIVER_PRIORITY)
+    for name, reason in SWEEP_ONLY.items():
+        m = re.search(r"in-window (?:via|by)?\s*\(?([^;—]*)", reason)
+        if not m:
+            continue
+        cited = re.findall(r"\b(?:[qx]_[a-z0-9_]+|f1_[a-z0-9_]+)\b", m.group(1))
+        for c in cited:
+            assert c in window, (
+                f"SWEEP_ONLY[{name!r}] cites {c!r} as in-window kin, but "
+                f"{c!r} is not in DRIVER_PRIORITY"
+            )
