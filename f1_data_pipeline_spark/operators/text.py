@@ -2582,3 +2582,177 @@ def x_length_buckets(t: Tables) -> DataFrame:
     """Padded-batching efficiency histogram over the corpus via
     ``length_buckets``."""
     return length_buckets(t.documents)
+
+
+# --- Corpus-health statistics -----------------------------------------------
+
+
+def type_token_stats(df: DataFrame, by: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-group vocabulary-health statistics: token count, distinct-type
+    count, type-token ratio, and hapax ratio (share of types occurring
+    once) — the Heaps/Zipf-style corpus diagnostics that flag template
+    spam (TTR collapses) and OCR noise (hapax explodes) per source.
+
+    One scan-local explode + two keyed aggregates — (group, word) counts,
+    then the per-group rollup; only (group, word, count) rows shuffle."""
+    wc = (
+        df.select(F.col(by), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(by, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wc.groupBy(by)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.round(F.count("*") / F.sum("c").cast("double"), 4).alias("ttr"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+@query(
+    "x_ttr",
+    """WITH wc AS (SELECT source, tok, count(*) AS c
+                   FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+                         FROM documents)
+                   GROUP BY source, tok)
+       SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(count(*) AS BIGINT) AS n_types,
+              ROUND(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+              ROUND(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                    / CAST(count(*) AS DOUBLE), 4) AS hapax_ratio
+       FROM wc GROUP BY source ORDER BY source""",
+)
+def x_ttr(t: Tables) -> DataFrame:
+    """Per-source type-token and hapax ratios via ``type_token_stats``."""
+    return type_token_stats(t.documents).orderBy("source")
+
+
+def source_kl_divergence(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """KL(source ‖ corpus) over unigram distributions with add-one
+    smoothing — the domain-shift signal mixture tuning reads: a source
+    whose token distribution diverges hard from the corpus average gets
+    flagged for re-weighting or inspection.
+
+    Smoothing puts every CORPUS type in every source's support, so the
+    divergence is finite by construction. Shapes: one (group, word)
+    aggregate, one corpus-word aggregate derived from it, one vocab-sized
+    equi-join (corpus table re-keyed by word), totals as broadcast 1-row
+    aggregates. Σ over the join is exact — both engines sum the same
+    rounded-at-the-end doubles over identical rows."""
+    wc = (
+        df.select(F.col(by), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(by, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = wc.groupBy("w").agg(F.sum("c").alias("cc"))
+    vsize = corpus.agg(F.count("*").cast("double").alias("__V"))
+    ctot = corpus.agg(F.sum("cc").cast("double").alias("__CT"))
+    stot = wc.groupBy(by).agg(F.sum("c").cast("double").alias("__ST"))
+    # every (source, corpus-word) pair via the smoothing join: words the
+    # source lacks contribute with count 0 (left join from corpus side)
+    pairs = (
+        corpus.crossJoin(stot.select(by, "__ST"))
+        .join(wc, [by, "w"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    p = (F.col("c") + 1.0) / (F.col("__ST") + F.col("__V"))
+    q = (F.col("cc") + 1.0) / (F.col("__CT") + F.col("__V"))
+    return (
+        pairs.crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(by)
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+    )
+
+
+@query(
+    "x_source_kl",
+    """WITH wc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+                         FROM documents)
+                   GROUP BY source, tok),
+       corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM wc GROUP BY tok),
+       v AS (SELECT CAST(count(*) AS DOUBLE) AS vv,
+                    CAST(sum(cc) AS DOUBLE) AS ct FROM corpus),
+       st AS (SELECT source, CAST(sum(c) AS DOUBLE) AS stt FROM wc GROUP BY source),
+       pairs AS (SELECT st.source, corpus.tok, corpus.cc, st.stt,
+                        COALESCE(wc.c, 0) AS c
+                 FROM corpus CROSS JOIN st
+                 LEFT JOIN wc ON wc.source = st.source AND wc.tok = corpus.tok)
+       SELECT source,
+              ROUND(sum(((c + 1.0) / (stt + vv))
+                        * ln(((c + 1.0) / (stt + vv))
+                             / ((cc + 1.0) / (ct + vv)))), 6) AS kl
+       FROM pairs, v GROUP BY source ORDER BY source""",
+)
+def x_source_kl(t: Tables) -> DataFrame:
+    """Add-one-smoothed KL(source ‖ corpus) per source via
+    ``source_kl_divergence``."""
+    return source_kl_divergence(t.documents).orderBy("source")
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (a < b), how many distinct ``n``-gram fingerprints appear in BOTH —
+    the train/eval-leakage scan generalized to all source pairs.
+
+    Scale shape: the shingle explode is scan-local and reduces to a
+    per-(fingerprint, source) DISTINCT table (md5 only — text never
+    shuffles); the pair counts come from a self-equi-join on the
+    fingerprint restricted to a < b. Fingerprints shared by s sources
+    produce s·(s-1)/2 pair rows — source counts are small, so the join
+    output is bounded by pairs × shared-fp counts, never quadratic in
+    documents."""
+    from f1_data_pipeline_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(
+        df.select(F.col(id_col), F.col(by), F.col(text_col)), text_col, n
+    )
+    # word_shingles keeps only doc_id + shingle; re-attach the group key
+    fp = (
+        df.select(F.col(id_col), F.col(by))
+        .join(sh, id_col)
+        .select(F.col(by), F.md5("shingle").alias("fp"))
+        .distinct()
+    )
+    a = fp.select(F.col(by).alias("source_a"), "fp")
+    b = fp.select(F.col(by).alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+@query(
+    "x_source_overlap",
+    """WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+                  FROM documents),
+       fp AS (SELECT DISTINCT source,
+                     md5(array_to_string(list_slice(w, s, s + 7), ' ')) AS fp
+              FROM w, unnest(generate_series(1, len(w) - 7)) t(s)
+              WHERE len(w) >= 8)
+       SELECT a.source AS source_a, b.source AS source_b,
+              CAST(count(*) AS BIGINT) AS shared_ngrams
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+       GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+)
+def x_source_overlap(t: Tables) -> DataFrame:
+    """Pairwise shared-8-gram counts between sources via
+    ``source_overlap_matrix``."""
+    return source_overlap_matrix(t.documents).orderBy("source_a", "source_b")

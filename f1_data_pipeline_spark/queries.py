@@ -1417,6 +1417,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_pmi": "new in r6 (PMI collocation mining); sweep-verified, rotate next round",
     "x_length_buckets": "new in r6 (padded-batching histogram); sweep-verified, rotate next round",
     "x_winsorize": "new in r6 (winsorized group stats); sweep-verified, rotate next round",
+    "x_ttr": "new in r6 (type-token/hapax corpus health); sweep-verified, rotate next round",
+    "x_source_kl": "new in r6 (per-source KL domain-shift signal); sweep-verified, rotate next round",
+    "x_source_overlap": "new in r6 (cross-source shingle contamination matrix); sweep-verified, rotate next round",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
     "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans/x_dedup_incr, winnow fingerprints via x_text_winnow",
