@@ -601,3 +601,67 @@ def stream_telemetry_position_join(
     else:
         writer = writer.format("memory").queryName(query_name)
     return writer.trigger(**(trigger or {"availableNow": True})).start()
+
+
+def stream_heavy_hitter_candidates(
+    values: DataFrame,
+    col: str,
+    capacity: int,
+    buckets: int = 8,
+) -> DataFrame:
+    """Streaming Misra–Gries: maintain bounded heavy-hitter candidate
+    summaries over an UNBOUNDED value stream — the streaming twin of
+    ``analytics.misra_gries_candidates`` (same decrement-merge, same
+    completeness guarantee), as an ``applyInPandasWithState`` custom
+    stateful operator.
+
+    Parallelism without breaking the guarantee: values hash into
+    ``buckets`` substreams (a value lives in exactly ONE bucket), each
+    bucket folds its substream into an O(capacity) counter carried across
+    micro-batches. Since a value's full frequency is confined to its
+    bucket and the bucket stream is a subset of the whole, any value with
+    global frequency > N/(capacity+1) survives in its bucket's summary —
+    the MG bound transfers substream-by-substream. State is
+    buckets × capacity entries TOTAL, regardless of stream length or
+    distinct-value count (the property the reference's unbounded seen-set
+    caches lack). Each micro-batch emits the refreshed summaries of the
+    buckets it touched (output mode "update"); the consumer recounts
+    candidates exactly over storage when it wants true top-k, as in
+    ``analytics.heavy_hitters``."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = values.select(
+        F.col(col).cast("string").alias("v"),
+        (F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(buckets))).alias("b"),
+    ).where(F.col("v").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ks, ns = state.get
+            counter = dict(zip(ks, ns))
+        else:
+            counter = {}
+        for pdf in pdfs:
+            for v, c in pdf["v"].value_counts().items():
+                counter[v] = counter.get(v, 0) + int(c)
+                if len(counter) > capacity:
+                    d = min(counter.values())
+                    counter = {k2: n - d for k2, n in counter.items() if n - d > 0}
+        state.update((list(counter), [int(x) for x in counter.values()]))
+        yield pd.DataFrame(
+            {
+                "bucket": [int(key[0])] * len(counter),
+                "value": list(counter),
+                "lower_bound": [int(x) for x in counter.values()],
+            }
+        )
+
+    return keyed.groupBy("b").applyInPandasWithState(
+        update,
+        outputStructType="bucket long, value string, lower_bound long",
+        stateStructType="ks array<string>, ns array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
