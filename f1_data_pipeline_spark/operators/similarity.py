@@ -1374,6 +1374,7 @@ def pq_train(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ):
     """Train product-quantization codebooks (Jégou et al. 2011): split the
     d-dim space into ``m`` subspaces and k-means each with L2 assignment —
@@ -1387,12 +1388,20 @@ def pq_train(
     (m, k, d/m) codebook — the legitimately-bounded model-artifact class.
     No shuffle at any point; the corpus is scanned once per iteration
     from the persisted normalized cache. Deterministic: seeded init from
-    an ``orderBy(id)`` sample."""
+    an ``orderBy(id)`` sample. ``normalize=False`` trains on the raw
+    (already-double) vectors — the IVF-PQ residual path, where
+    re-normalizing residuals would destroy the geometry."""
     import numpy as np
 
     from pyspark import StorageLevel
 
-    normed = _normalized_double(vectors, id_col, vec_col)
+    normed = (
+        _normalized_double(vectors, id_col, vec_col)
+        if normalize
+        else vectors.select(
+            id_col, F.transform(vec_col, lambda x: x.cast("double")).alias(vec_col)
+        )
+    )
     normed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         pdf = normed.orderBy(id_col).limit(sample).toPandas()
@@ -1470,6 +1479,7 @@ def pq_encode(
     C,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode every vector to its per-subspace nearest-code ids:
     (id, codes array<int>) — m small ints replacing d floats. Scan-local
@@ -1569,4 +1579,209 @@ def x_sim_pq(t: Tables) -> DataFrame:
     e = t.embeddings
     return pq_topk(
         e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10
+    )
+
+
+# --- IVF-PQ: coarse cells + residual product codes --------------------------
+
+
+def ivfpq_write_index(
+    vectors: DataFrame,
+    path: str,
+    k_cells: int = 8,
+    m: int = 8,
+    k_codes: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build and persist an IVF-PQ index (the FAISS IVFPQ serving layout,
+    Jégou et al. 2011): a coarse quantizer splits the corpus into
+    ``k_cells`` partitions, and each vector stores only the PQ codes of
+    its RESIDUAL against its cell centroid — residual energy is a
+    fraction of vector energy, so the same code budget quantizes far
+    more precisely than PQ over raw vectors.
+
+    Pipeline: coarse codebook (bounded-sample k-means, driver-sized) →
+    residual frame (ONE scan-local kernel computes cell + residual — no
+    join) → residual PQ codebooks (``pq_train(normalize=False)``) →
+    encode + write Hive-partitioned by cell. Codes are m ints per vector;
+    the parquet layout gives every search partition pruning. Model
+    metadata (centroids + codebooks) lands beside the data as JSON —
+    kilobytes, the legitimate driver-artifact class. Returns
+    (centroids, codebooks)."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from f1_data_pipeline_spark.storage import write_partitioned
+
+    C = ivf_centroids(vectors, k=k_cells, seed=seed, vec_col=vec_col)
+    bc = vectors.sparkSession.sparkContext.broadcast(np.asarray(C))
+
+    def resid_kernel(batches):
+        Cv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            cells = np.argmax(An @ Cv.T, axis=1)
+            R = An - Cv[cells]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "resid": list(R),
+                }
+            )
+
+    resid = vectors.select(id_col, vec_col).mapInPandas(
+        resid_kernel,
+        f"`{id_col}` {_id_type(vectors, id_col)}, cell int, resid array<double>",
+    )
+    Cpq = pq_train(
+        resid, m=m, k=k_codes, seed=seed, id_col=id_col, vec_col="resid",
+        normalize=False,
+    )
+    # one more scan-local pass: codes + cell together (pq_encode drops
+    # non-vec columns, and a join to re-attach cell would shuffle)
+    bq = vectors.sparkSession.sparkContext.broadcast(
+        (np.asarray(C), np.asarray(Cpq))
+    )
+
+    def code_kernel(batches):
+        Cv, Cp = bq.value
+        mm, _, dsub = Cp.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            cells = np.argmax(An @ Cv.T, axis=1)
+            R = An - Cv[cells]
+            codes = np.empty((len(A), mm), dtype=np.int32)
+            for j in range(mm):
+                Rj = R[:, j * dsub:(j + 1) * dsub]
+                d2 = (Cp[j] ** 2).sum(1)[None, :] - 2.0 * (Rj @ Cp[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    coded = vectors.select(id_col, vec_col).mapInPandas(
+        code_kernel,
+        f"`{id_col}` {_id_type(vectors, id_col)}, cell int, codes array<int>",
+    )
+    write_partitioned(coded, path, ["cell"])
+    with open(os.path.join(path, "_IVFPQ_META.json"), "w") as f:
+        json.dump(
+            {"centroids": np.asarray(C).tolist(), "codebooks": np.asarray(Cpq).tolist()},
+            f,
+        )
+    return C, Cpq
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index: probe the ``nprobe`` cells nearest
+    the query (partition-pruned scan), score codes by asymmetric distance
+    — q·x = q·centroid_cell + q·residual, where the second term is m
+    table lookups into ONE query-side LUT (q-subvector · residual
+    codebook, built driver-side once) and the first is a per-cell bias —
+    then exact-rerank the ``k·shortlist_mult`` shortlist against the
+    full-precision vectors.
+
+    Per query the driver does O(k_cells·d + m·k_codes·d/m) float work;
+    the cluster scans only nprobe/k_cells of the codes (pruned), reading
+    m ints per row."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    with open(os.path.join(index_path, "_IVFPQ_META.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cpq = np.asarray(meta["codebooks"], dtype=np.float64)
+    mm, _, dsub = Cpq.shape
+
+    q = np.asarray(
+        query_df.select(vec_col).toPandas()[vec_col].iloc[0], dtype=np.float64
+    )
+    q = q / np.linalg.norm(q)
+    cell_sims = C @ q
+    probe = [int(c) for c in np.argsort(-cell_sims)[:nprobe]]
+    bias = {c: float(cell_sims[c]) for c in probe}
+    LUT = np.stack([Cpq[j] @ q[j * dsub:(j + 1) * dsub] for j in range(mm)])
+
+    bc = spark.sparkContext.broadcast((LUT, bias))
+    coded = spark.read.parquet(index_path).where(F.col("cell").isin(probe))
+
+    def score(batches):
+        Tv, bv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].map(np.asarray))
+            adc = Tv[np.arange(Tv.shape[0])[:, None], codes.T].sum(axis=0)
+            adc += pdf["cell"].map(bv).to_numpy(dtype=np.float64)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc": adc})
+
+    shortlist = (
+        coded.mapInPandas(score, f"`{id_col}` {_id_type(vectors, id_col)}, adc double")
+        .orderBy(F.col("adc").desc(), id_col)
+        .limit(k * shortlist_mult)
+        .select(id_col)
+    )
+    exact = vectors.join(F.broadcast(shortlist), id_col, "left_semi")
+    return cosine_topk(exact, query_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+_IVFPQ_INDEXES: dict[str, str] = {}
+
+
+def _ensure_ivfpq_index(t: Tables, seed: int = 42) -> str:
+    import os
+    import tempfile
+
+    key = t.sf_dir
+    if key not in _IVFPQ_INDEXES:
+        base = t.embeddings.where(F.col("vec_id") != 0)
+        name = os.path.basename(key.rstrip("/")) or "default"
+        path = os.path.join(tempfile.gettempdir(), f"f1dp_ivfpq_index_{name}")
+        if not os.path.exists(os.path.join(path, "_IVFPQ_META.json")):
+            ivfpq_write_index(base, path, seed=seed)
+        _IVFPQ_INDEXES[key] = path
+    return _IVFPQ_INDEXES[key]
+
+
+@query("x_sim_ivfpq", None)  # trained quantizers + approximate shortlist → rows-only
+def x_sim_ivfpq(t: Tables) -> DataFrame:
+    """IVF-PQ ANN top-10 for vec_id 0 against the persisted cell-partitioned
+    residual-code index (built once per sf_dir; 8 cells x 8x32 residual
+    codes = m ints/vector in pruned parquet). Recall vs exact and
+    full-probe==exact equivalence asserted in tests."""
+    spark = t.embeddings.sparkSession
+    path = _ensure_ivfpq_index(t)
+    e = t.embeddings
+    return ivfpq_topk(
+        spark, path, e.where(F.col("vec_id") == 0), e.where(F.col("vec_id") != 0),
+        k=10, nprobe=4,
     )
