@@ -370,3 +370,43 @@ def test_heavy_hitters_recount_is_broadcast_semi_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_pmi_totals_broadcast_no_cartesian(spark):
+    """PMI: the two corpus totals must ride as ONE broadcast 1-row
+    aggregate (BroadcastNestedLoopJoin over a singleton is the legal
+    broadcast form of a crossJoin) — never a CartesianProduct — and the
+    unigram joins must be equi-joins."""
+    p = plan_of(spark, "x_pmi")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in final
+    assert "BroadcastExchange" in final
+
+
+def test_source_overlap_no_cartesian_md5_only_shuffle(spark):
+    """The cross-source overlap matrix self-joins on the md5 fingerprint
+    (equi-join) — a cartesian across sources would be quadratic in
+    documents; text must not cross the exchange (only md5 + source)."""
+    p = plan_of(spark, "x_source_overlap")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in final
+    exchanges = [l for l in final.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, "expected keyed exchanges"
+    assert not any("text" in l for l in exchanges), "text crossed a shuffle"
+
+
+def test_winsorize_keyed_windows_only(spark):
+    """Winsorized stats: both aggregates and the bounds join are keyed by
+    the group column — no single-partition exchange anywhere."""
+    p = plan_of(spark, "x_winsorize")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "Exchange SinglePartition" not in final.split("TakeOrderedAndProject")[0]
+
+
+def test_length_buckets_single_keyed_aggregate(spark):
+    """Length buckets: scan-local arithmetic + one keyed aggregate — the
+    only wide exchange is on the bucket key."""
+    p = plan_of(spark, "x_length_buckets")
+    final = p.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in final
+    assert "partial" in final  # map-side combine before the exchange
