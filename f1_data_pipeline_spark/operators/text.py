@@ -1812,15 +1812,28 @@ def bpe_encode_fast(
     ``autoBroadcastJoinThreshold`` (every tokenizer-sized vocab) and
     degrades to a shuffle join when it doesn't, never an OOM. With
     ``hot_k`` set, a hybrid for known-huge-vocab corpora: only the
-    ``hot_k`` most frequent words are broadcast (a bounded table by
+    ``hot_k`` most frequent words are broadcast (a driver-bounded list by
     construction, mirroring ``bpe_train``'s ``driver_vocab_cap``
     discipline — Zipf means that head covers ~all occurrences); the miss
     traffic shrinks to its DISTINCT tail words, the merge loop encodes
     only those, and a plain equi-join carries tail pieces back — head
     traffic never shuffles, tail traffic (Zipf-small) does. The hybrid
-    trades one extra corpus scan (the probed stream is branched) for
-    keeping the dominant head traffic out of the word-keyed shuffle, so
-    it wins exactly when the corpus is too big to re-shuffle.
+    costs extra corpus scans (four total: head frequency count, tail
+    vocabulary, head probe, tail probe — each scan-local, never a
+    token-explode shuffle) to keep the dominant head traffic out of the
+    word-keyed shuffle, so it wins exactly when the corpus is too big to
+    re-shuffle or persist. Routing between head and tail is membership in
+    the collected (literal) head list, so recomputed lineage cannot
+    duplicate or drop token rows — no stream is consumed twice, no
+    persist needed.
+
+    AQE dependency: the default path is only *fast* because AQE
+    (``spark.sql.adaptive.enabled``, set by ``get_spark`` and Spark's
+    default since 3.2) converts the hint-free join to a broadcast at
+    runtime when the vocab fits. With AQE disabled it degrades to a
+    sort-merge join — still correct and OOM-safe, but it shuffles the
+    full token explode keyed by word (the skew-heaviest key); prefer
+    ``hot_k`` in AQE-off deployments.
 
     ``with_tokens=False`` (default) returns per-doc counts only — the
     doc-keyed shuffle moves one int per token. ``with_tokens=True`` also
@@ -1840,27 +1853,39 @@ def bpe_encode_fast(
     else:
         # deterministic Zipf head: per-partition top-k heaps then a
         # single k×partitions merge — bounded by hot_k regardless of
-        # corpus size
-        hot = (
+        # corpus size. Collected to the driver (hot_k rows, the same
+        # driver-bounded-artifact class as bpe_train's capped vocab) so
+        # every downstream use routes against a LITERAL word list —
+        # head/tail routing stays consistent even when lineage recomputes
+        # over a non-deterministic source.
+        spark = df.sparkSession
+        word_counts = (
             df.select(F.explode(tokens(text_col)).alias("word"))
             .groupBy("word")
             .agg(F.count("*").alias("__cnt"))
-            .orderBy(F.col("__cnt").desc(), "word")
+        )
+        hot_words = [
+            r["word"]
+            for r in word_counts.orderBy(F.col("__cnt").desc(), "word")
             .limit(hot_k)
-            .select("word")
-        )
-        hot_pieces = F.broadcast(_encode_words(hot, merges, with_pieces=with_tokens))
-        probed = tok.join(hot_pieces, "word", "left")
-        covered = probed.where(F.col("n_pieces").isNotNull())
-        missed = probed.where(F.col("n_pieces").isNull()).select(
-            id_col, "__pos", "word"
-        )
-        # tail vocabulary = distinct words actually present in the miss
-        # traffic (tail-only shuffle, never the full explode); the merge
-        # loop runs once per tail word
+            .collect()
+        ]
+        hot = spark.createDataFrame([(w,) for w in hot_words], "word string")
+        hot_encoded = _encode_words(hot, merges, with_pieces=with_tokens)
+        hot_pieces = F.broadcast(hot_encoded)
+        # head traffic: broadcast INNER probe, scan-local
+        covered = tok.join(hot_pieces, "word")
+        # tail vocabulary = distinct corpus words minus the literal head
+        # (derived independently of the probe stream — neither stream is
+        # consumed twice); the merge loop encodes each tail word once
         tail_pieces = _encode_words(
-            missed.select("word").distinct(), merges, with_pieces=with_tokens
+            word_counts.select("word").join(F.broadcast(hot), "word", "left_anti"),
+            merges,
+            with_pieces=with_tokens,
         )
+        # tail traffic: broadcast ANTI routes the misses scan-locally,
+        # then only the Zipf-small tail shuffles through the equi-join
+        missed = tok.join(F.broadcast(hot), "word", "left_anti")
         joined = covered.unionByName(missed.join(tail_pieces, "word"))
     if with_tokens:
         return (

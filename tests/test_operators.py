@@ -1635,11 +1635,16 @@ def test_bpe_encode_fast_broadcasts_hot_head_only(spark):
     hybrid = bpe_encode_fast(df, [(0, "a", "</w>", "a</w>", 2)], hot_k=8)
     hplan = hybrid._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in hplan
-    # grep-able gate: no unconditional broadcast of a corpus-derived
-    # distinct table anywhere in the BPE encode path
-    src = inspect.getsource(text_mod)
-    assert "F.broadcast(pieces" not in src
-    assert "F.broadcast(vocab" not in src
+    # advisory source gate (the plan assertions above are the real one):
+    # every explicit F.broadcast(...) inside bpe_encode_fast must wrap a
+    # hot_k-bounded table — a rename can't smuggle back an unconditional
+    # broadcast of a corpus-derived distinct table
+    import re
+
+    src = inspect.getsource(text_mod.bpe_encode_fast)
+    broadcast_args = re.findall(r"F\.broadcast\(\s*(\w+)", src)
+    assert broadcast_args, "hybrid path should broadcast the bounded head"
+    assert all("hot" in a for a in broadcast_args), broadcast_args
 
 
 def test_bpe_encode_fast_degrades_gracefully_past_hot_k(spark):
