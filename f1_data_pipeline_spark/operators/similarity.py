@@ -1571,6 +1571,157 @@ def pq_topk(
     return cosine_topk(exact, query_df, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def pq_topk_batch(
+    vectors: DataFrame,
+    queries_df: DataFrame,
+    codebooks=None,
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 32,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    q_block: int = 256,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """PQ-ADC ANN for a BATCH of N queries — the production serving shape
+    (``pq_topk`` round-trips one query vector through the driver per call,
+    which never amortizes; this is its ``ivf_topk_batch``-geometry twin).
+
+    Execution shape (nothing per-query on the driver, ONE codes scan):
+
+    1. queries are L2-normalized declaratively (the exact normalization
+       the single-query path uses) and packed into bounded query blocks;
+    2. the encoded corpus is packed into bounded (block) payload rows —
+       the same pack-then-kernel discipline as ``ivf_topk_batch``;
+    3. packed query blocks are BROADCAST and cross-joined: each task holds
+       one corpus block plus one query block, builds the per-query
+       (m × k_codes) inner-product LUT stack once from the broadcast
+       codebooks (one ``einsum``), and scores every (row, query) pair as
+       m table lookups — no float multiplies per row;
+    4. each task emits its per-query local top-(k·shortlist_mult) under
+       the single-query path's exact total order (adc desc, id asc), a
+       keyed window keeps the global shortlist, and a declarative exact
+       cosine rerank (the same JVM expression ``pq_topk`` reranks with)
+       yields ≤k rows per qid.
+
+    Per-query results agree EXACTLY with ``pq_topk`` (test-pinned): local
+    top-s under a total order composes, and both stages reuse the single
+    path's scoring math verbatim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    C = codebooks if codebooks is not None else pq_train(
+        vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
+    )
+    C = np.asarray(C, dtype=np.float64)
+    s = k * shortlist_mult
+
+    qn = _normalized_double(queries_df, id_col, vec_col).select(
+        F.col(id_col).cast("long").alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    q_packed = qn.groupBy(
+        (F.abs(F.hash(F.col("qid"))) % F.lit(max(1, q_block))).alias("__qb")
+    ).agg(F.collect_list(F.struct("qid", "qvec")).alias("queries"))
+
+    n = n_rows if n_rows is not None else vectors.count()
+    num_blocks = max(1, -(-n // block_rows))
+    enc = pq_encode(vectors, C, id_col, vec_col)
+    c_packed = (
+        enc.select(
+            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"), F.col("codes").alias("codes")
+            ).alias("row"),
+        )
+        .groupBy("block")
+        .agg(F.collect_list("row").alias("rows"))
+    )
+    tasks = c_packed.crossJoin(F.broadcast(q_packed.drop("__qb")))
+    bc = vectors.sparkSession.sparkContext.broadcast(C)
+
+    def kernel(batches):
+        Cv = bc.value
+        mm, _, dsub = Cv.shape
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                ids = np.asarray([r["id"] for r in task["rows"]], dtype=np.int64)
+                codes = np.stack(
+                    [np.asarray(r["codes"], dtype=np.int64) for r in task["rows"]]
+                )
+                qids = np.asarray([q["qid"] for q in task["queries"]], dtype=np.int64)
+                Q = np.stack(
+                    [np.asarray(q["qvec"], dtype=np.float64) for q in task["queries"]]
+                )
+                # per-query LUT stack: T[n, j] = C[j] @ q_n[j·dsub:(j+1)·dsub]
+                Qsub = Q.reshape(len(Q), mm, dsub)
+                T = np.einsum("mkd,nmd->nmk", Cv, Qsub)
+                # adc[n, i] = Σ_j T[n, j, codes[i, j]]
+                adc = np.zeros((len(qids), len(ids)), dtype=np.float64)
+                for j in range(mm):
+                    adc += T[:, j, :][:, codes[:, j]]
+                for nq in range(len(qids)):
+                    order = np.lexsort((ids, -adc[nq]))[:s]
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qids[nq]),
+                            id_col: ids[order],
+                            "adc": adc[nq][order],
+                        }
+                    )
+
+    local = tasks.mapInPandas(kernel, f"qid long, {id_col} long, adc double")
+    ws = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col(id_col))
+    shortlist = (
+        local.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= s)
+        .select("qid", id_col)
+    )
+    return _batch_exact_rerank(
+        vectors, queries_df, shortlist, k, id_col, vec_col
+    )
+
+
+def _batch_exact_rerank(
+    vectors: DataFrame,
+    queries_df: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of a (qid, id) shortlist against full-precision
+    vectors — the batch form of the ``cosine_topk`` tail every ADC search
+    ends with, using the IDENTICAL JVM expression (``cosine`` + round-4)
+    and total order, so batch and single-query results agree exactly.
+    Joins are keyed (shortlist is k·mult rows per query; AQE broadcasts
+    the small side at runtime); no per-query driver work."""
+    from pyspark.sql import Window
+
+    qn = queries_df.select(
+        F.col(id_col).cast("long").alias("qid"), as_double_vec(vec_col).alias("__qvec")
+    )
+    pairs = (
+        vectors.select(id_col, vec_col)
+        .join(shortlist, id_col)
+        .join(qn, "qid")
+        .select(
+            "qid",
+            id_col,
+            F.round(cosine(as_double_vec(vec_col), F.col("__qvec")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("qid", id_col, "sim")
+        .orderBy("qid", F.col("sim").desc(), id_col)
+    )
+
+
 @query("x_sim_pq", None)  # trained quantizer + approximate shortlist → rows-only
 def x_sim_pq(t: Tables) -> DataFrame:
     """PQ-ADC two-stage ANN top-10 for vec_id 0 (m=8 subspaces, 32 codes
@@ -1607,16 +1758,16 @@ def ivfpq_write_index(
     join) → residual PQ codebooks (``pq_train(normalize=False)``) →
     encode + write Hive-partitioned by cell. Codes are m ints per vector;
     the parquet layout gives every search partition pruning. Model
-    metadata (centroids + codebooks) lands beside the data as JSON —
-    kilobytes, the legitimate driver-artifact class. Returns
-    (centroids, codebooks)."""
-    import json
-    import os
-
+    metadata (centroids + codebooks) lands INSIDE the index as a 1-row
+    parquet artifact (``_ivfpq_meta`` — underscore-prefixed, so readers
+    of the codes dataset never see it) through Spark's own URI-capable
+    writer: the index round-trips to ``file:``/``hdfs://``/``s3a://``
+    paths, not just the driver's local filesystem. Kilobytes, the
+    legitimate driver-artifact class. Returns (centroids, codebooks)."""
     import numpy as np
     import pandas as pd
 
-    from f1_data_pipeline_spark.storage import write_partitioned
+    from f1_data_pipeline_spark.storage import write_json_artifact, write_partitioned
 
     C = ivf_centroids(vectors, k=k_cells, seed=seed, vec_col=vec_col)
     bc = vectors.sparkSession.sparkContext.broadcast(np.asarray(C))
@@ -1680,12 +1831,18 @@ def ivfpq_write_index(
         f"`{id_col}` {_id_type(vectors, id_col)}, cell int, codes array<int>",
     )
     write_partitioned(coded, path, ["cell"])
-    with open(os.path.join(path, "_IVFPQ_META.json"), "w") as f:
-        json.dump(
-            {"centroids": np.asarray(C).tolist(), "codebooks": np.asarray(Cpq).tolist()},
-            f,
-        )
+    write_json_artifact(
+        vectors.sparkSession,
+        _ivfpq_meta_path(path),
+        {"centroids": np.asarray(C).tolist(), "codebooks": np.asarray(Cpq).tolist()},
+    )
     return C, Cpq
+
+
+def _ivfpq_meta_path(index_path: str) -> str:
+    """The metadata artifact's location inside an IVF-PQ index. Plain
+    string joining (no ``os.path``) so URI schemes survive."""
+    return index_path.rstrip("/") + "/_ivfpq_meta"
 
 
 def ivfpq_topk(
@@ -1710,14 +1867,12 @@ def ivfpq_topk(
     Per query the driver does O(k_cells·d + m·k_codes·d/m) float work;
     the cluster scans only nprobe/k_cells of the codes (pruned), reading
     m ints per row."""
-    import json
-    import os
-
     import numpy as np
     import pandas as pd
 
-    with open(os.path.join(index_path, "_IVFPQ_META.json")) as f:
-        meta = json.load(f)
+    from f1_data_pipeline_spark.storage import read_json_artifact
+
+    meta = read_json_artifact(spark, _ivfpq_meta_path(index_path))
     C = np.asarray(meta["centroids"], dtype=np.float64)
     Cpq = np.asarray(meta["codebooks"], dtype=np.float64)
     mm, _, dsub = Cpq.shape
@@ -1754,6 +1909,124 @@ def ivfpq_topk(
     return cosine_topk(exact, query_df, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivfpq_topk_batch(
+    spark,
+    index_path: str,
+    queries_df: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """IVF-PQ ADC search for a BATCH of N queries against a persisted
+    index — the serving shape (``ivfpq_topk`` drives one query per call
+    through the driver, which never amortizes; this ports the
+    ``ivf_topk_batch`` geometry onto the residual-code ADC math).
+
+    Execution shape:
+
+    1. queries route to their ``nprobe`` nearest cells via the
+       distributed ``_assign_query_cells`` GEMM and are packed per cell;
+    2. the union of all probed cells (bounded by k_cells, the codebook-
+       sized driver class) is pushed as a ``cell IN (...)`` literal —
+       static partition pruning, asserted; the pruned codes read packs
+       into bounded (cell, block) payload rows;
+    3. packed queries are BROADCAST and equi-joined on ``cell``: each
+       task normalizes its queries (numpy, exactly the single-query
+       path), builds the per-query residual LUT stack from the broadcast
+       codebooks (one einsum), adds the per-cell bias q·centroid, and
+       scores every row as m table lookups;
+    4. per-task per-query local top-(k·shortlist_mult) under the single
+       path's total order (adc desc, id asc) → keyed global shortlist →
+       declarative exact cosine rerank (``_batch_exact_rerank``).
+
+    Per-query results agree EXACTLY with ``ivfpq_topk`` (test-pinned)
+    whenever cell-similarity ties don't reorder the probe set."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from f1_data_pipeline_spark.storage import read_json_artifact
+
+    meta = read_json_artifact(spark, _ivfpq_meta_path(index_path))
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cpq = np.asarray(meta["codebooks"], dtype=np.float64)
+    s = k * shortlist_mult
+
+    q_cells = _assign_query_cells(queries_df, C, nprobe, id_col, vec_col)
+    probed = sorted(r["cell"] for r in q_cells.select("cell").distinct().collect())
+    coded = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
+    q_packed = q_cells.groupBy("cell").agg(
+        F.collect_list(F.struct("qid", "qvec")).alias("queries")
+    )
+
+    n = n_rows if n_rows is not None else coded.count()
+    num_blocks = max(1, -(-n // block_rows))
+    c_packed = (
+        coded.select(
+            "cell",
+            (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
+            F.struct(
+                F.col(id_col).cast("long").alias("id"), F.col("codes").alias("codes")
+            ).alias("row"),
+        )
+        .groupBy("cell", "block")
+        .agg(F.collect_list("row").alias("rows"))
+    )
+    tasks = c_packed.join(F.broadcast(q_packed), "cell")
+    bc = spark.sparkContext.broadcast((C, Cpq))
+
+    def kernel(batches):
+        Cv, Cp = bc.value
+        mm, _, dsub = Cp.shape
+        for pdf in batches:
+            for _, task in pdf.iterrows():
+                cell = int(task["cell"])
+                ids = np.asarray([r["id"] for r in task["rows"]], dtype=np.int64)
+                codes = np.stack(
+                    [np.asarray(r["codes"], dtype=np.int64) for r in task["rows"]]
+                )
+                qids = np.asarray([q["qid"] for q in task["queries"]], dtype=np.int64)
+                Q = np.stack(
+                    [np.asarray(q["qvec"], dtype=np.float64) for q in task["queries"]]
+                )
+                Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+                bias = Qn @ Cv[cell]  # (nq,) — q·centroid for THIS cell
+                Qsub = Qn.reshape(len(Qn), mm, dsub)
+                T = np.einsum("mkd,nmd->nmk", Cp, Qsub)
+                adc = np.repeat(bias[:, None], len(ids), axis=1)
+                for j in range(mm):
+                    adc += T[:, j, :][:, codes[:, j]]
+                for nq in range(len(qids)):
+                    order = np.lexsort((ids, -adc[nq]))[:s]
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.full(len(order), qids[nq]),
+                            id_col: ids[order],
+                            "adc": adc[nq][order],
+                        }
+                    )
+
+    local = tasks.mapInPandas(kernel, f"qid long, {id_col} long, adc double")
+    ws = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col(id_col))
+    shortlist = (
+        local.withColumn("__rn", F.row_number().over(ws))
+        .where(F.col("__rn") <= s)
+        .select("qid", id_col)
+    )
+    out = _batch_exact_rerank(vectors, queries_df, shortlist, k, id_col, vec_col)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in plan or "cell" not in plan:
+        raise RuntimeError(
+            "batch IVF-PQ search lost partition pruning (no cell PartitionFilters)"
+        )
+    return out
+
+
 _IVFPQ_INDEXES: dict[str, str] = {}
 
 
@@ -1761,12 +2034,19 @@ def _ensure_ivfpq_index(t: Tables, seed: int = 42) -> str:
     import os
     import tempfile
 
+    from f1_data_pipeline_spark.storage import dataset_exists
+
     key = t.sf_dir
     if key not in _IVFPQ_INDEXES:
         base = t.embeddings.where(F.col("vec_id") != 0)
         name = os.path.basename(key.rstrip("/")) or "default"
         path = os.path.join(tempfile.gettempdir(), f"f1dp_ivfpq_index_{name}")
-        if not os.path.exists(os.path.join(path, "_IVFPQ_META.json")):
+        # URI-capable probe: a committed meta artifact (its _SUCCESS) marks
+        # a complete index — works unchanged if the index dir moves to an
+        # object store
+        if not dataset_exists(
+            base.sparkSession, _ivfpq_meta_path(path) + "/_SUCCESS"
+        ):
             ivfpq_write_index(base, path, seed=seed)
         _IVFPQ_INDEXES[key] = path
     return _IVFPQ_INDEXES[key]

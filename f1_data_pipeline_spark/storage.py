@@ -75,6 +75,43 @@ def salted_join(
     return out.drop("__salt")
 
 
+def dataset_exists(spark: SparkSession, path: str) -> bool:
+    """URI-capable existence probe through the Hadoop FileSystem API:
+    ``os.path.exists`` only sees the local filesystem, so index/existence
+    checks that must also work on ``hdfs://``/``s3a://`` paths go through
+    the path's own FileSystem (resolved from the Hadoop conf, same as
+    every Spark reader/writer)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def write_json_artifact(spark: SparkSession, path: str, obj) -> None:
+    """Persist a small (KB-scale) model artifact — codebooks, centroids,
+    fitted stats — as a ONE-ROW parquet dataset at ``path``.
+
+    Why not ``open(path, "w")``: a bare ``open`` binds the artifact to the
+    driver's local filesystem, so an index written to ``s3a://…`` loses
+    its metadata (deployment-breaking at cluster scale). Spark's own
+    writer speaks every configured filesystem, commits atomically via
+    ``_SUCCESS``, and an underscore-prefixed ``path`` is invisible to
+    readers of the parent dataset directory (FileInputFormat hidden-file
+    convention) — the artifact can live INSIDE the index it describes."""
+    import json
+
+    spark.createDataFrame([(json.dumps(obj),)], "json string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_json_artifact(spark: SparkSession, path: str):
+    """Read back a ``write_json_artifact`` payload from any URI."""
+    import json
+
+    return json.loads(spark.read.parquet(path).head()["json"])
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
