@@ -399,3 +399,280 @@ def test_f1wire_datasource_matches_bronze_and_survives_splits(spark, tmp_path):
     w_src = decode_weather(src).count()
     w_ref = decode_weather(read_bronze(spark, p)).count()
     assert w_src == w_ref and w_src > 0
+
+
+# --- round-8 wire-path oracle rederivations ----------------------------------
+#
+# Independence checks for the four literal VALUES oracles added in round 8
+# (the same rule as the weather/telemetry oracles above): each pinned
+# constant in f1_queries.py is re-derived from the committed fixture file
+# with a PURE-PYTHON decode sharing no code with the Spark path. If either
+# the fixture or the Spark decode drifts, the rederivation and the oracle
+# cannot both stay green.
+
+
+def _fixture_records():
+    """(ordinal, topic, payload, event_time) for every parseable fixture
+    line. Ordinal is the 0-based line index: the single-split batch read
+    assigns monotonically_increasing_id in file order, so only the ORDER
+    matters and the line index reproduces it."""
+    import ast
+    from datetime import datetime, timezone
+
+    from f1_data_pipeline_spark.f1_queries import FIXTURE
+
+    out = []
+    for i, line in enumerate(open(FIXTURE, encoding="utf-8")):
+        s = line.strip()
+        if not s:
+            continue
+        try:
+            rec = ast.literal_eval(s)
+        except (ValueError, SyntaxError):
+            continue
+        if not (isinstance(rec, list) and len(rec) == 3):
+            continue
+        t = (
+            datetime.fromisoformat(rec[2].replace("Z", "+00:00"))
+            .astimezone(timezone.utc)
+            .replace(tzinfo=None)
+        )
+        out.append((i, rec[0], rec[1], t))
+    return out
+
+
+def _lap_secs(v):
+    import re as _re
+
+    if v is None:
+        return None
+    s = str(v)
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    m = _re.match(r"(\d+):(\d+\.\d+)", s)
+    return float(m.group(1)) * 60 + float(m.group(2)) if m else None
+
+
+def _int_or_none(v):
+    if v is None:
+        return None
+    try:
+        return int(str(v))
+    except ValueError:
+        return None
+
+
+def _derive_lap_table():
+    from collections import defaultdict
+
+    rows = []
+    for ordinal, topic, payload, t in _fixture_records():
+        if topic == "TimingData" and isinstance(payload, dict):
+            lines = (
+                payload["Lines"]
+                if isinstance(payload.get("Lines"), dict)
+                else payload
+            )
+            for k, v in lines.items():
+                drv = _int_or_none(k)
+                if drv is None or not isinstance(v, dict):
+                    continue
+                if not isinstance(v.get("LastLapTime"), dict):
+                    continue
+
+                def val(f):
+                    sub = v.get(f)
+                    return sub.get("Value") if isinstance(sub, dict) else None
+
+                rows.append(dict(
+                    ordinal=ordinal, driver=drv,
+                    lap=_int_or_none(v.get("NumberOfLaps")) or 0,
+                    lap_time=_lap_secs(val("LastLapTime")),
+                    s1=_lap_secs(val("Sector1Time")),
+                    s2=_lap_secs(val("Sector2Time")),
+                    s3=_lap_secs(val("Sector3Time")),
+                    speed_trap=_int_or_none(val("BestSpeed")), ts=t,
+                ))
+        elif topic == "TimingAppData" and isinstance(payload, dict):
+            lines = payload.get("Lines")
+            if not isinstance(lines, dict):
+                continue
+            for k, drvent in lines.items():
+                drv = _int_or_none(k)
+                if drv is None or not isinstance(drvent, dict):
+                    continue
+                inner = drvent.get("Lines")
+                if not isinstance(inner, dict):
+                    continue
+                for lap in inner.values():
+                    if not isinstance(lap, dict):
+                        continue
+
+                    def lval(f):
+                        sub = lap.get(f)
+                        return sub.get("Value") if isinstance(sub, dict) else None
+
+                    rows.append(dict(
+                        ordinal=ordinal, driver=drv,
+                        lap=_int_or_none(lap.get("NumberOfLaps")) or 0,
+                        lap_time=None,
+                        s1=_lap_secs(lval("Sector1")),
+                        s2=_lap_secs(lval("Sector2")),
+                        s3=_lap_secs(lval("Sector3")),
+                        speed_trap=_int_or_none(lval("SpeedTrap")), ts=t,
+                    ))
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["driver"], r["lap"])].append(r)
+
+    def last_non_null(grp, col):
+        best = None
+        for r in sorted(grp, key=lambda r: r["ordinal"]):
+            if r[col] is not None:
+                best = r[col]
+        return best
+
+    return tuple(
+        (drv, lap) + tuple(last_non_null(g, c) for c in ("lap_time", "s1", "s2", "s3", "speed_trap"))
+        + (last_non_null(g, "ts").isoformat(sep=" "),)
+        for (drv, lap), g in sorted(groups.items())
+    )
+
+
+def test_lap_table_values_oracle_rederived():
+    """f1_lap_table: the F5 nested-lap explode + A3 last-non-null merge —
+    the one reference wire path (transformer.py:231-257) never externally
+    hash-verified before round 8. Re-derives the pinned constant with an
+    independent decode: both wire shapes of TimingData, TimingAppData's
+    nested Lines, the C7 lap-time parse, C9 int coercion, and the
+    per-COLUMN last-non-null merge ordered by arrival ordinal."""
+    from f1_data_pipeline_spark.f1_queries import F1_LAP_TABLE_EXPECTED
+
+    assert _derive_lap_table() == F1_LAP_TABLE_EXPECTED
+
+
+def test_positions_latest_values_oracle_rederived():
+    """f1_positions_latest: inflate + frames/Entries explode + z-default
+    (monitor_car_positions.py:119-137) + latest-per-key window (utc desc
+    nulls-last, x asc tiebreak), re-derived independently."""
+    import base64
+    import json
+    import zlib
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from f1_data_pipeline_spark.f1_queries import F1_POSITIONS_LATEST_EXPECTED
+
+    bydrv = defaultdict(list)
+    for ordinal, topic, payload, _t in _fixture_records():
+        if topic != "Position.z" or not isinstance(payload, str):
+            continue
+        try:
+            d = json.loads(
+                zlib.decompress(base64.b64decode(payload), -zlib.MAX_WBITS)
+            )
+        except Exception:
+            continue
+        for f in d.get("Position") or []:
+            try:
+                utc = (
+                    datetime.fromisoformat(f["Timestamp"].replace("Z", "+00:00"))
+                    .astimezone(timezone.utc)
+                    .replace(tzinfo=None)
+                    if f.get("Timestamp")
+                    else None
+                )
+            except ValueError:
+                utc = None
+            for drv, e in (f.get("Entries") or {}).items():
+                e = e or {}
+                z = e.get("Z")
+                bydrv[drv].append((
+                    utc,
+                    float(e["X"]) if e.get("X") is not None else None,
+                    float(e["Y"]) if e.get("Y") is not None else None,
+                    float(z) if z is not None else 0.0,
+                ))
+
+    derived = []
+    for drv in sorted(bydrv):  # string sort == Spark orderBy on string col
+        rows = bydrv[drv]
+        rows.sort(key=lambda r: (
+            r[0] is None, -(r[0].timestamp()) if r[0] else 0,
+            r[1] is not None, r[1] if r[1] is not None else 0,
+        ))
+        utc, x, y, z = rows[0]
+        derived.append((drv, utc.isoformat(sep=" ") if utc else None, x, y, z))
+    assert tuple(derived) == F1_POSITIONS_LATEST_EXPECTED
+
+
+def test_session_report_values_oracle_rederived():
+    """f1_session_report: DriverList first-wins decode broadcast-joined to
+    per-driver aggregates of the independently re-derived lap table
+    (count, HALF_UP-rounded best lap), ordered (best_lap, driver)."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from f1_data_pipeline_spark.f1_queries import F1_SESSION_REPORT_EXPECTED
+
+    drivers = {}
+    for _ordinal, topic, payload, _t in _fixture_records():
+        if topic != "DriverList" or not isinstance(payload, dict):
+            continue
+        for k, v in payload.items():
+            drv = _int_or_none(k)
+            if drv is None or drv in drivers or not isinstance(v, dict):
+                continue
+            drivers[drv] = (v.get("Name") or "", v.get("TeamName") or "")
+
+    agg = {}
+    for drv, _lap, lt, *_rest in _derive_lap_table():
+        n, best = agg.get(drv, (0, None))
+        agg[drv] = (n + 1, lt if lt is not None and (best is None or lt < best) else best)
+
+    derived = []
+    for drv, (n, best) in agg.items():
+        if drv not in drivers:
+            continue
+        name, team = drivers[drv]
+        rounded = (
+            float(Decimal(repr(best)).quantize(Decimal("0.001"), rounding=ROUND_HALF_UP))
+            if best is not None
+            else None
+        )
+        derived.append((drv, name, team, n, rounded))
+    derived.sort(key=lambda r: (r[4] is not None, r[4] or 0, r[0]))
+    assert tuple(derived) == F1_SESSION_REPORT_EXPECTED
+
+
+def test_race_control_values_oracle_rederived():
+    """f1_race_control: the two-shape Messages dispatch (list → synthetic
+    ordinal-position msg_id, dict → key msg_id; transformer.py:354 vs
+    monitor_race_control.py:124) + first-wins dedup by msg_id, re-derived
+    independently and compared in msg_id order."""
+    from f1_data_pipeline_spark.f1_queries import F1_RACE_CONTROL_EXPECTED
+
+    first = {}
+    for ordinal, topic, payload, t in _fixture_records():
+        if topic != "RaceControlMessages" or not isinstance(payload, dict):
+            continue
+        msgs = payload.get("Messages")
+        if isinstance(msgs, list):
+            items = [(f"{ordinal}-{pos}", m) for pos, m in enumerate(msgs)]
+        elif isinstance(msgs, dict):
+            items = list(msgs.items())
+        else:
+            continue
+        for msg_id, m in items:
+            m = m or {}
+            first.setdefault(msg_id, (
+                t.isoformat(sep=" "), m.get("Utc"), m.get("Message") or "",
+                m.get("Category") or "", m.get("Flag") or "",
+                m.get("Scope") or "", _int_or_none(m.get("Sector")),
+                _int_or_none(m.get("DriverNumber")), _int_or_none(m.get("Lap")),
+                msg_id,
+            ))
+    derived = tuple(first[mid] for mid in sorted(first))
+    assert derived == F1_RACE_CONTROL_EXPECTED
