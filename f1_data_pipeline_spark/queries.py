@@ -1022,6 +1022,88 @@ def x_heavy_hitters(t: Tables) -> DataFrame:
     return heavy_hitters(toks, "term", k=20)
 
 
+@query("x_stream_heavy_hitters", None)  # custom stateful streaming op → rows-only
+def x_stream_heavy_hitters(t: Tables) -> DataFrame:
+    """Streaming Misra–Gries (the ``applyInPandasWithState`` stateful
+    operator ``streaming.stream_heavy_hitter_candidates``) surfaced as a
+    driver-checkable batch-equivalent row: the ``events.event_type``
+    stream is REPLAYED through the stateful operator (availableNow file
+    stream — the replay==batch identity the e2e test proves across
+    checkpointed drops), the surviving candidate set (bounded at
+    buckets × capacity entries regardless of stream length) is exactly
+    recounted over the batch table, and the builder ASSERTS the result
+    equals the pure-batch two-pass twin (``analytics.heavy_hitters``,
+    same decrement-merge, same MG completeness guarantee) before
+    returning it. Scale shape: the only driver-side data is the candidate
+    summary (≤ buckets × capacity rows); the recount is one semi-joined
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from f1_data_pipeline_spark.analytics import heavy_hitters
+    from f1_data_pipeline_spark.streaming import stream_heavy_hitter_candidates
+
+    spark = t.events.sparkSession
+    k, capacity, buckets = 5, 16, 4
+    # fixed replay slice (the x_semdedup/_SSJOIN_CAP discipline): user_id
+    # is dense from 0, so < 150 is the ENTIRE table at the driver's
+    # correctness sf (sf0.01) and a constant ~10k-value replay at every
+    # larger sf — the row verifies the stateful replay==batch identity,
+    # not throughput (the e2e test covers decrement/carry adversarially)
+    typed = t.events.where(F.col("user_id") < 150).select(
+        F.col("event_type").cast("string").alias("event_type")
+    )
+
+    work = tempfile.mkdtemp(prefix="f1dp_stream_mg_")
+    try:
+        src, ck = f"{work}/src", f"{work}/ck"
+        typed.withColumnRenamed("event_type", "v").write.mode("overwrite").text(src)
+        stream_vals = (
+            spark.readStream.format("text").load(src).withColumnRenamed("value", "v")
+        )
+        out = stream_heavy_hitter_candidates(
+            stream_vals, "v", capacity=capacity, buckets=buckets
+        )
+        latest: dict = {}
+
+        def sink(df: DataFrame, epoch_id: int) -> None:
+            for r in df.collect():
+                latest[(r["bucket"], r["value"])] = r["lower_bound"]
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("x_stream_heavy_hitters: stream replay timed out")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    cands = sorted({v for (_b, v) in latest})
+    streamed = (
+        typed.where(F.col("event_type").isin(cands))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(k)
+    )
+    got = [(r["event_type"], r["cnt"]) for r in streamed.collect()]
+    want = [
+        (r["event_type"], r["cnt"])
+        for r in heavy_hitters(typed, "event_type", k=k, capacity=capacity).collect()
+    ]
+    if got != want:
+        raise RuntimeError(
+            f"x_stream_heavy_hitters: stream-replay result diverged from the "
+            f"batch twin: {got} != {want}"
+        )
+    return streamed
+
+
 @query(
     "q_h1",
     """SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS spend, count(*) AS n
@@ -1319,7 +1401,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_s1",
     "q_c1",
     "q_a1", "q_a3",
-    "q_j1", "q_j3", "q_j6", "q_j9",
+    "q_j3", "q_j6",
     # the wire-path hash check: a literal VALUES oracle over the
     # deterministic fixture value-verifies bronze→silver decode
     # (U2/C3/F-family), which the rows-only f1_* checks never did
@@ -1332,21 +1414,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_clusters",
     "x_asof_join", "x_sessionize",
     "x_token_budget", "x_curation",
-    # x_seq_pack stays a second consecutive round: its r5 driver row was
-    # red on a HUGEINT oracle-stringification artifact (values verified
-    # identical); the oracle is CAST-fixed this round and must be seen
-    # green by the external harness before it can rotate out.
-    "x_seq_pack",
     "x_chunk",
     "x_dedup_lines",
-    # multimodal: both the fake-plumbing aggregate and the real-codec
-    # pipeline are pinned by literal VALUES oracles
-    "x_multimodal_features", "x_multimodal_real",
+    "x_multimodal_real",
     "x_text_winnow", "x_rolling_scaled",
     "x_ppl", "x_dsir", "x_ngram_spans",
     "x_pack_sequences", "x_quantize", "x_heavy_hitters",
     "x_ssjoin", "x_profile", "x_zorder",
-    "x_cdc_apply", "x_pps_sample", "x_triangles",
+    "x_cdc_apply", "x_pps_sample",
     # ---- round-6 rotation ----
     # The 12 operators left sweep-only at the end of round 5 (every one was
     # marked "rotate next round" in SWEEP_ONLY), plus the telemetry wire
@@ -1357,9 +1432,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_gapfill, x_stratified, x_normalize, x_decontam, x_text_repetition,
     # x_mixture, x_pii, x_gopher, x_bm25 (reasons per entry in SWEEP_ONLY).
     "f1_telemetry_by_driver",
-    "x_urls", "x_semdedup", "x_split", "x_invindex", "x_pack_assign",
-    "x_dedup_incr", "x_ppl2", "x_mixture_sample", "x_dedup_spans",
-    "x_taxonomy", "x_outliers", "x_funnel",
+    "x_urls", "x_semdedup", "x_split", "x_invindex",
+    "x_dedup_incr",
+    "x_taxonomy",
+    # ---- round-8 rotation ----
+    # The 6 operators built in round 6 and marked "rotate next round" in
+    # SWEEP_ONLY (two rounds of debt), the 4 f1 wire queries that gained
+    # literal VALUES oracles this round (f1_lap_table is the F5 nested-lap
+    # explode + A3 merge path — the one reference wire path never
+    # externally hash-verified before), and the streaming Misra-Gries
+    # batch-equivalence row. Displaced: 11 hash-green entries whose
+    # families stay densely in-window — q_j1, q_j9, x_seq_pack (r7-green,
+    # the CAST fix it was held for was externally confirmed),
+    # x_multimodal_features, x_triangles, x_outliers, x_funnel,
+    # x_pack_assign, x_ppl2, x_mixture_sample, x_dedup_spans (reasons per
+    # entry in SWEEP_ONLY).
+    "x_pmi", "x_length_buckets", "x_winsorize",
+    "x_ttr", "x_source_kl", "x_source_overlap",
+    "f1_lap_table", "f1_positions_latest",
+    "f1_session_report", "f1_race_control",
+    "x_stream_heavy_hitters",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -1372,7 +1464,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 SWEEP_ONLY: dict[str, str] = {
     # displaced in rotations; semantics covered in-window by stronger kin
     "q_a5": "ROLLUP hierarchy totals; grouping-agg semantics in-window via q_a1",
-    "x_domain_quality": "groupBy rollup; agg family in-window via q_a1/x_mixture_sample — displaced r5 for x_heavy_hitters",
+    "x_domain_quality": "groupBy rollup; agg family in-window via q_a1/x_heavy_hitters — displaced r5",
     "q_a6": "CUBE cross-tab totals; grouping-agg semantics in-window via q_a1",
     "q_a7": "explicit GROUPING SETS; grouping-agg semantics in-window via q_a1",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
@@ -1380,7 +1472,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_text_tokens": "whitespace tokens; text family in-window via x_urls/x_taxonomy/x_chunk",
     "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
-    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans",
+    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
     # long-stable SQL-surface entries displaced in earlier rotations
     "x_percentiles": "percentile_approx surface; displaced round 4",
     "q_sub1": "correlated EXISTS subquery; displaced round 4",
@@ -1392,8 +1484,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_w6": "window-frame variant; frame semantics in-window via q_w4",
     "q_c5": "coercion surface; C-family in-window via q_c1",
     "q_c6": "coercion surface; C-family in-window via q_c1",
-    "q_j7": "join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
-    "q_j8": "join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_j7": "join variant; join family in-window (q_j3/q_j6)",
+    "q_j8": "join variant; join family in-window (q_j3/q_j6)",
     "q_u4": "set-op surface; family represented in-window by q_u1",
     "q_u5": "set-op surface; family represented in-window by q_u1",
     "q_sub2": "scalar subquery surface; sweep-stable",
@@ -1409,43 +1501,49 @@ SWEEP_ONLY: dict[str, str] = {
     "x_sim_topk": "brute-force top-k; sim family in-window via x_semdedup",
     "q_t4": "distinct-pair count (stateful-dedup analog); distinct/agg semantics in-window via q_a1/q_t1",
     "q_p2": "1-row existence check; P-family in-window via q_s1",
-    "q_j5": "composite-key join variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_j5": "composite-key join variant; join family in-window (q_j3/q_j6)",
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3",
-    "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans",
-    # built in round 6 after the rotation was fixed; sweep-verified now,
-    # rotate into the driver window next round
-    "x_pmi": "new in r6 (PMI collocation mining); sweep-verified, rotate next round",
-    "x_length_buckets": "new in r6 (padded-batching histogram); sweep-verified, rotate next round",
-    "x_winsorize": "new in r6 (winsorized group stats); sweep-verified, rotate next round",
-    "x_ttr": "new in r6 (type-token/hapax corpus health); sweep-verified, rotate next round",
-    "x_source_kl": "new in r6 (per-source KL domain-shift signal); sweep-verified, rotate next round",
-    "x_source_overlap": "new in r6 (cross-source shingle contamination matrix); sweep-verified, rotate next round",
+    "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
+    # displaced in the round-8 rotation (all externally hash-green in the
+    # r7-or-earlier driver windows) to make room for the 6 r6 operators,
+    # the 4 f1 wire oracles, and the streaming Misra-Gries row
+    "q_j1": "composite hash join; join family in-window via q_j3/q_j6 and x_asof_join",
+    "q_j9": "FULL OUTER join; join family in-window via q_j3/q_j6, COALESCE-key merge via x_cdc_apply",
+    "x_seq_pack": "held in-window r6-r7 for its HUGEINT CAST fix, externally confirmed green in r7; pack family in-window via x_pack_sequences",
+    "x_multimodal_features": "fake-plumbing multimodal aggregate; real-codec twin x_multimodal_real in-window",
+    "x_triangles": "1-row global triangle count; graph family in-window via x_dedup_clusters (CC), heavy aggs via q_a1/q_t1",
+    "x_outliers": "IQR outlier gate; quality-gate family in-window via x_curation",
+    "x_funnel": "1-row ordered-funnel conversion; event-sequence family in-window via x_sessionize/x_asof_join",
+    "x_pack_assign": "first-fit pack assignment; pack family in-window via x_pack_sequences",
+    "x_ppl2": "bigram perplexity; LM-scoring twin x_ppl in-window",
+    "x_mixture_sample": "mixture materialization; sampling family in-window via x_pps_sample",
+    "x_dedup_spans": "span-level n-gram index; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
-    "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_spans/x_dedup_incr, winnow fingerprints via x_text_winnow",
+    "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr, winnow fingerprints via x_text_winnow",
     "x_sim_pairs": "blocked all-pairs cosine; similarity family in-window via x_semdedup (same blocked-GEMM stage + CC tail)",
     "x_tfidf": "corpus TF-IDF term stats; tf/df geometry in-window via x_invindex posting lists",
     "x_scd2": "SCD2 history build; merge family in-window via x_cdc_apply",
-    "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_funnel/x_asof_join",
-    "x_stratified": "per-group stratified sample; sampling family in-window via x_pps_sample/x_mixture_sample",
+    "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_asof_join",
+    "x_stratified": "per-group stratified sample; sampling family in-window via x_pps_sample",
     "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_urls/x_taxonomy/x_text_winnow)",
-    "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_spans/x_dedup_incr",
+    "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_incr",
     "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_urls/x_taxonomy/x_chunk)",
-    "x_mixture": "mixture weight computation; in-window via its materialization kin x_mixture_sample",
+    "x_mixture": "mixture weight computation; sampling family in-window via x_pps_sample",
     "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_urls/x_taxonomy)",
-    "x_gopher": "Gopher quality gate; quality-gate family in-window via x_outliers/x_curation",
+    "x_gopher": "Gopher quality gate; quality-gate family in-window via x_curation",
     "x_bm25": "BM25 scoring; retrieval-stats geometry in-window via x_invindex",
     # displaced in the second-wave round-5 rotation
     "q_p1": "filter pushdown surface; predicates exercised by every windowed entry, scan family via q_s1",
     "q_c4": "conditional-expression surface; C-family in-window via q_c1",
-    "q_j4": "anti/semi variant; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_j4": "anti/semi variant; join family in-window (q_j3/q_j6)",
     "q_t3": "latest-per-key; changelog-replay geometry in-window via x_cdc_apply",
     "q_a4": "COALESCE merge agg; merge family in-window via x_cdc_apply",
     "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_semdedup",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
     "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation/x_urls/x_taxonomy)",
-    "q_j2": "left outer join; join family densely in-window (q_j1/q_j3/q_j6/q_j9)",
+    "q_j2": "left outer join; join family in-window (q_j3/q_j6)",
     "q_c3": "coercion surface; C-family in-window via q_c1",
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
     "q_w3": "lag() offset window; window family in-window via q_w1/q_w4/x_rolling_scaled",

@@ -647,3 +647,20 @@ def test_stream_heavy_hitter_candidates_guarantee_across_batches(spark, tmp_path
     # to the 80-singleton flood
     for b, vals in per_bucket.items():
         assert len(vals) <= 8 + 16, (b, len(vals))
+
+
+def test_stream_heavy_hitters_query_matches_batch_twin(spark):
+    """The registered x_stream_heavy_hitters query replays the event_type
+    stream through the stateful operator and self-asserts equality with
+    the pure-batch heavy_hitters twin inside the builder (raising on
+    divergence) — here we drive it end-to-end and pin the row contract."""
+    from f1_data_pipeline_spark.queries import REGISTRY
+
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["x_stream_heavy_hitters"].builder(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert [f.name for f in df.schema.fields] == ["event_type", "cnt"]
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True) and all(c > 0 for c in cnts)
