@@ -1962,6 +1962,42 @@ def test_ivf_index_append_is_searchable_and_pruned(spark, tmp_path):
     assert got and got[0]["vec_id"] == 85 and got[0]["sim"] >= 0.999
 
 
+def test_ivfpq_index_append_is_searchable_and_pruned(spark, tmp_path):
+    """ivf_index_append's contract carried to IVF-PQ: append-only encode
+    of new vectors against the FROZEN codebooks read from the index's own
+    metadata artifact — appended rows are immediately searchable, the
+    existing rows are untouched, and partition pruning survives."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_topk,
+        ivfpq_write_index,
+    )
+    from tests.conftest import SF_DIR
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = e.where(F.col("vec_id") < 80)
+    newer = e.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 90))
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_write_index(base, path, k_cells=4, m=4, k_codes=16)
+    before = spark.read.parquet(path).count()
+
+    ivfpq_index_append(spark, newer, path)
+    after = spark.read.parquet(path)
+    assert after.count() == before + 10
+
+    # an appended vector must be findable as its own exact neighbor
+    probe = e.where(F.col("vec_id") == 85)
+    corpus = e.where(F.col("vec_id") < 90)
+    got = ivfpq_topk(spark, path, probe, corpus, k=3, nprobe=4).collect()
+    assert got and got[0]["vec_id"] == 85 and got[0]["sim"] >= 0.999
+    plan = ivfpq_topk(
+        spark, path, probe, corpus, k=3, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
 def test_bigram_lm_backoff_hand_computed(spark):
     import math
 
