@@ -2104,6 +2104,35 @@ def _ensure_ivfpq_index(t: Tables, seed: int = 42) -> str:
     return _IVFPQ_INDEXES[key]
 
 
+@query("x_sim_pq_batch", None)  # trained quantizer + approximate shortlist → rows-only
+def x_sim_pq_batch(t: Tables) -> DataFrame:
+    """Batch PQ-ADC serving shape: top-10 for vec_ids 0-4 in ONE codes
+    scan (per-query LUT stacks built per task from the broadcast
+    codebooks). Exact per-query agreement with the single-query pq_topk
+    is test-pinned; this row gives the batch path bench visibility."""
+    e = t.embeddings
+    return pq_topk_batch(
+        e.where(F.col("vec_id") >= 5), e.where(F.col("vec_id") < 5), k=10
+    )
+
+
+@query("x_sim_ivfpq_batch", None)  # trained quantizers + pruned scan → rows-only
+def x_sim_ivfpq_batch(t: Tables) -> DataFrame:
+    """Batch IVF-PQ ADC serving shape against the persisted index: top-10
+    for vec_ids 1-4 with the probed-cell union pushed as PartitionFilters
+    (the builder raises if pruning regresses). Exact per-query agreement
+    with ivfpq_topk is test-pinned."""
+    spark = t.embeddings.sparkSession
+    path = _ensure_ivfpq_index(t)
+    e = t.embeddings
+    return ivfpq_topk_batch(
+        spark, path,
+        e.where((F.col("vec_id") >= 1) & (F.col("vec_id") < 5)),
+        e.where(F.col("vec_id") != 0),
+        k=10, nprobe=4,
+    )
+
+
 @query("x_sim_ivfpq", None)  # trained quantizers + approximate shortlist → rows-only
 def x_sim_ivfpq(t: Tables) -> DataFrame:
     """IVF-PQ ANN top-10 for vec_id 0 against the persisted cell-partitioned

@@ -1050,9 +1050,12 @@ def x_stream_heavy_hitters(t: Tables) -> DataFrame:
     # correctness sf (sf0.01) and a constant ~10k-value replay at every
     # larger sf — the row verifies the stateful replay==batch identity,
     # not throughput (the e2e test covers decrement/carry adversarially)
-    typed = t.events.where(F.col("user_id") < 150).select(
-        F.col("event_type").cast("string").alias("event_type")
-    )
+    # null filter: write.text rejects null values, and both twins ignore
+    # nulls anyway (the stateful operator filters them, heavy_hitters'
+    # count(col)/candidate set never sees them)
+    typed = t.events.where(
+        (F.col("user_id") < 150) & F.col("event_type").isNotNull()
+    ).select(F.col("event_type").cast("string").alias("event_type"))
 
     work = tempfile.mkdtemp(prefix="f1dp_stream_mg_")
     try:

@@ -410,3 +410,67 @@ def test_length_buckets_single_keyed_aggregate(spark):
     final = p.split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in final
     assert "partial" in final  # map-side combine before the exchange
+
+
+def test_pq_topk_batch_broadcasts_query_blocks_no_plain_cartesian(spark):
+    """The batch ADC corpus×query-block crossJoin must ride a BROADCAST
+    nested-loop (query payloads are the bounded side); a plain cartesian
+    over two shuffled sides would re-shuffle the packed corpus per query
+    block — the exact hazard the packing exists to avoid."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        pq_topk_batch,
+        pq_train,
+    )
+
+    rng = random.Random(3)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(1, 61)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(1001, 1004)],
+        "vec_id long, embedding array<double>",
+    )
+    C = pq_train(base, m=2, k=4, iters=3, sample=100, seed=3)
+    out = pq_topk_batch(base, qdf, codebooks=C, k=3, block_rows=16)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_topk_batch_cell_join_is_broadcast(spark, tmp_path):
+    """Batch IVF-PQ: packed queries join the packed codes on `cell` as a
+    BROADCAST hash join (the query side is N·nprobe bounded rows), and the
+    probed-cell union reaches the scan as PartitionFilters (also re-checked
+    at runtime inside ivfpq_topk_batch, which raises if pruning is lost)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk_batch,
+        ivfpq_write_index,
+    )
+
+    rng = random.Random(5)
+    base = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(1, 121)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2001, 2004)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivfpq_plan")
+    ivfpq_write_index(base, idx, k_cells=4, m=4, k_codes=16)
+    out = ivfpq_topk_batch(spark, idx, qdf, base, k=3, nprobe=2, block_rows=32)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "CartesianProduct" not in plan
