@@ -696,17 +696,33 @@ def ivf_topk_batch_indexed(
     out = ivf_topk_batch(
         assigned, queries_df, centroids, nprobe, k, id_col, vec_col, block_rows
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters" not in plan or "cell" not in plan:
-        raise RuntimeError(
-            "batch IVF indexed search lost partition pruning (no cell PartitionFilters)"
-        )
+    _assert_cell_pruned(
+        out._jdf.queryExecution().executedPlan().toString(),
+        "batch IVF indexed search",
+    )
     return out
 
 
 # ---------------------------------------------------------------------------
 # Registered correctness queries
 # ---------------------------------------------------------------------------
+
+def _assert_cell_pruned(plan: str, what: str) -> None:
+    """Runtime partition-pruning gate for persisted cell-partitioned
+    indexes. The naive check (``"PartitionFilters" in plan and "cell" in
+    plan``) is VACUOUS: an unpruned partitioned scan still prints
+    ``PartitionFilters: []`` and 'cell' appears as a column name in every
+    plan — so it can never fire (verified empirically on Spark 4.1.2).
+    The real invariant is a NON-EMPTY cell predicate inside the scan's
+    PartitionFilters list."""
+    import re
+
+    if not re.search(r"PartitionFilters: \[[^\]]*cell", plan):
+        raise RuntimeError(
+            f"{what} lost partition pruning (scan shows no non-empty cell "
+            f"PartitionFilters)"
+        )
+
 
 _COS = (
     "list_aggregate(list_transform(generate_series(1, len(a.embedding)), "
@@ -804,11 +820,9 @@ def x_sim_ivf_indexed(t: Tables) -> DataFrame:
     out = ivf_topk_indexed(
         t.spark, path, t.embeddings.where(F.col("vec_id") == 0), C, nprobe=3, k=10
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters" not in plan or "cell" not in plan:
-        raise RuntimeError(
-            "IVF indexed search lost partition pruning (no cell PartitionFilters)"
-        )
+    _assert_cell_pruned(
+        out._jdf.queryExecution().executedPlan().toString(), "IVF indexed search"
+    )
     return out
 
 
@@ -1628,7 +1642,6 @@ def pq_topk_batch(
     path's scoring math verbatim."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     C = codebooks if codebooks is not None else pq_train(
         vectors, m=m, k=k_codes, id_col=id_col, vec_col=vec_col
@@ -1690,14 +1703,24 @@ def pq_topk_batch(
                     )
 
     local = tasks.mapInPandas(kernel, f"qid long, {id_col} long, adc double")
+    return _batch_exact_rerank(
+        vectors, queries_df, _adc_shortlist(local, s, id_col), k, id_col, vec_col
+    )
+
+
+def _adc_shortlist(local: DataFrame, s: int, id_col: str) -> DataFrame:
+    """Compose per-task local ADC top-s candidates into the global
+    per-query shortlist under the single-query paths' total order
+    (adc desc, id asc) — local top-s under a total order composes exactly.
+    Shared by both batch ADC paths so the tie order can't drift between
+    them."""
+    from pyspark.sql import Window
+
     ws = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col(id_col))
-    shortlist = (
+    return (
         local.withColumn("__rn", F.row_number().over(ws))
         .where(F.col("__rn") <= s)
         .select("qid", id_col)
-    )
-    return _batch_exact_rerank(
-        vectors, queries_df, shortlist, k, id_col, vec_col
     )
 
 
@@ -2000,7 +2023,6 @@ def ivfpq_topk_batch(
     whenever cell-similarity ties don't reorder the probe set."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
 
     from f1_data_pipeline_spark.storage import read_json_artifact
 
@@ -2064,18 +2086,12 @@ def ivfpq_topk_batch(
                     )
 
     local = tasks.mapInPandas(kernel, f"qid long, {id_col} long, adc double")
-    ws = Window.partitionBy("qid").orderBy(F.col("adc").desc(), F.col(id_col))
-    shortlist = (
-        local.withColumn("__rn", F.row_number().over(ws))
-        .where(F.col("__rn") <= s)
-        .select("qid", id_col)
+    out = _batch_exact_rerank(
+        vectors, queries_df, _adc_shortlist(local, s, id_col), k, id_col, vec_col
     )
-    out = _batch_exact_rerank(vectors, queries_df, shortlist, k, id_col, vec_col)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters" not in plan or "cell" not in plan:
-        raise RuntimeError(
-            "batch IVF-PQ search lost partition pruning (no cell PartitionFilters)"
-        )
+    _assert_cell_pruned(
+        out._jdf.queryExecution().executedPlan().toString(), "batch IVF-PQ search"
+    )
     return out
 
 

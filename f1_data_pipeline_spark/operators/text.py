@@ -1823,9 +1823,15 @@ def bpe_encode_fast(
     token-explode shuffle) to keep the dominant head traffic out of the
     word-keyed shuffle, so it wins exactly when the corpus is too big to
     re-shuffle or persist. Routing between head and tail is membership in
-    the collected (literal) head list, so recomputed lineage cannot
-    duplicate or drop token rows — no stream is consumed twice, no
-    persist needed.
+    the collected (literal) head list — no stream is consumed twice, no
+    persist needed, and recomputed lineage cannot route one token row to
+    BOTH or NEITHER branch (the complementary-filter hazard the previous
+    formulation had). Caveat: the scans are still independent, so over a
+    genuinely NON-deterministic source (a re-sampled or re-read-mutable
+    upstream) the tail vocabulary scan and the tail probe scan can see
+    different words, and a word absent from the vocabulary scan drops its
+    token rows at the tail join — materialize such a source before
+    encoding (true of every multi-pass operator here).
 
     AQE dependency: the default path is only *fast* because AQE
     (``spark.sql.adaptive.enabled``, set by ``get_spark`` and Spark's

@@ -1044,7 +1044,11 @@ def x_stream_heavy_hitters(t: Tables) -> DataFrame:
     from f1_data_pipeline_spark.streaming import stream_heavy_hitter_candidates
 
     spark = t.events.sparkSession
-    k, capacity, buckets = 5, 16, 4
+    # capacity 64 gives the stream side (hard bound buckets×capacity)
+    # headroom over the batch twin's per-partition summaries, so a flat
+    # distribution can't evict a true top-k value on the stream side only
+    # and fake a replay!=batch divergence (state is still 4×64 entries)
+    k, capacity, buckets = 5, 64, 4
     # fixed replay slice (the x_semdedup/_SSJOIN_CAP discipline): user_id
     # is dense from 0, so < 150 is the ENTIRE table at the driver's
     # correctness sf (sf0.01) and a constant ~10k-value replay at every

@@ -109,7 +109,13 @@ def read_json_artifact(spark: SparkSession, path: str):
     """Read back a ``write_json_artifact`` payload from any URI."""
     import json
 
-    return json.loads(spark.read.parquet(path).head()["json"])
+    row = spark.read.parquet(path).head()
+    if row is None:
+        raise ValueError(
+            f"empty model artifact at {path} — the dataset exists but holds "
+            f"no row (interrupted write?); rebuild the artifact"
+        )
+    return json.loads(row["json"])
 
 
 def write_partitioned(

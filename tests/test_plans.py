@@ -5,6 +5,8 @@ plan shape fails CI, not just a benchmark."""
 
 from __future__ import annotations
 
+import re
+
 import io
 from contextlib import redirect_stdout
 
@@ -472,5 +474,5 @@ def test_ivfpq_topk_batch_cell_join_is_broadcast(spark, tmp_path):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "PartitionFilters" in plan and "cell" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
     assert "CartesianProduct" not in plan
