@@ -862,16 +862,38 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     scratch_dir: str | None = None,
+    method: str = "exact",
+    dim: int | None = None,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) shaped semantic dedup: embedding-cosine
     near-duplicate pairs → connected components → keep one canonical
-    (smallest-id) item per semantic cluster. Composes the exact blocked
-    GEMM pair generator with the min-label-propagation clusterer, so every
-    stage is the already-scale-audited one: no cartesian pair space, edge
-    set shuffles only (id, id) longs, vectors move O(blocks) times."""
+    (smallest-id) item per semantic cluster.
+
+    ``method="exact"`` (default, the oracle-checkable form) composes the
+    exact blocked GEMM pair generator with the min-label-propagation
+    clusterer — every stage the already-scale-audited one: no cartesian
+    pair space, edge set shuffles only (id, id) longs, vectors move
+    O(blocks) times. ``method="lsh"`` is the 100 TB production form the
+    exempt-verifier docs reference: OR-ed multi-table hyperplane-LSH
+    candidate generation (equi-join on (table, bucket), never blocked
+    all-pairs) + exact cosine verify per candidate feeding the SAME CC +
+    canonical-keep tail — recall bounded by the LSH tables (test-pinned
+    equal to exact on the planted-duplicate fixture), precision exact.
+    ``dim`` (the embedding width) is required for ``"lsh"``."""
     from f1_data_pipeline_spark.operators.dedup import dedup_by_clusters
 
-    pairs = cosine_near_dup_pairs_blocked(emb_df, threshold=threshold)
+    if method == "exact":
+        pairs = cosine_near_dup_pairs_blocked(emb_df, threshold=threshold)
+    elif method == "lsh":
+        pairs = cosine_near_dup_pairs(
+            emb_df, threshold=threshold, id_col=id_col, dim=dim,
+            n_tables=n_tables, n_planes=n_planes, seed=seed,
+        )
+    else:
+        raise ValueError(f"semantic_dedup: unknown method {method!r}")
     return dedup_by_clusters(
         emb_df, pairs.select("id_a", "id_b"), id_col=id_col, scratch_dir=scratch_dir
     )

@@ -2417,3 +2417,42 @@ def test_fuzzy_dedup_verify_stage_kills_false_positives(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in fuzzy_dedup(df, threshold=0.9).collect()}
     assert kept == {1, 2}
+
+
+def test_semantic_dedup_lsh_production_path_matches_exact(spark, tmp_path):
+    """semantic_dedup(method='lsh') — the 100 TB production form (OR-ed
+    multi-table LSH candidates feeding the same CC + canonical-keep
+    tail) — must keep exactly the survivors the exact blocked form keeps
+    on the planted-near-duplicate fixture, where the LSH tables' recall
+    is complete (the recall bound is pinned separately by
+    test_near_dup_lsh_recall_vs_exhaustive)."""
+    from f1_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(60)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        if i % 3 == 0:
+            rows.append((1000 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, 0.95, scratch_dir=str(tmp_path / "cc_exact")
+        ).select("vec_id").collect()
+    )
+    lsh = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, 0.95, method="lsh", dim=32, scratch_dir=str(tmp_path / "cc_lsh")
+        ).select("vec_id").collect()
+    )
+    assert len(exact) < len(rows)  # planted dups actually collapsed
+    assert lsh == exact
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown method"):
+        semantic_dedup(df, 0.95, method="bogus")
