@@ -1,0 +1,267 @@
+"""Mergeable-sketch analytics: HLL distinct, KLL quantiles, bottom-k
+(KMV) consistent samples.
+
+Why this exists at 100 TB: exact ``COUNT(DISTINCT)`` and exact quantiles
+are the two aggregations that do NOT compose — you cannot add yesterday's
+distinct count to today's, and you cannot average two medians. At cluster
+scale that forces a full rescan of every partition ever written each time
+a rollup is refreshed. Mergeable sketches fix the algebra: a kilobyte-
+sized summary per (partition, key) that unions losslessly, so incremental
+rollups touch only new partitions and re-aggregation up a hierarchy
+(day→month, source×lang→source) is a merge of summaries, not a rescan of
+rows. Spark 4 ships the Apache DataSketches implementations as native
+Catalyst aggregates (``hll_sketch_agg``, ``kll_sketch_agg_bigint``) —
+map-side partial aggregation means only sketch bytes ever cross the
+shuffle (plan-gated in tests/test_sketches.py), and everything here stays
+inside whole-stage-codegen'd JVM execution: no UDFs, no driver
+participation beyond the driver's own collect of final KB-sized rows.
+
+Public literature: Flajolet et al. 2007 (HyperLogLog), Karnin-Lang-
+Liberty 2016 (KLL streaming quantiles), Bar-Yossef et al. 2002 (KMV /
+bottom-k distinct estimation), Cohen & Kaplan 2007 (coordinated bottom-k
+samples). The reference pipeline has no sketch surface (its scale never
+required one); this module is part of the training-data extension layer,
+same tier as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import Tables
+from f1_data_pipeline_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable distinct counts
+# ---------------------------------------------------------------------------
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Per-key HLL sketch + cardinality estimate for ``value_col``.
+
+    Returns ``keys + [sketch (binary), approx_distinct (long)]``. The
+    sketch column is the point: persist it beside the estimate and any
+    coarser rollup (or tomorrow's refresh) is ``hll_rollup`` over the
+    stored sketches — never a rescan of the rows that produced them.
+    lg_k=14 → 16 KiB registers, ~0.8% standard error; both bounds hold
+    regardless of how many billions of rows fed the sketch.
+
+    One shuffle keyed by ``keys``; ObjectHashAggregate with map-side
+    ``partial_hll_sketch_agg`` means the shuffle moves one 16 KiB buffer
+    per (task, key), not rows.
+    """
+    sk = df.groupBy(*keys).agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"))
+    return sk.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+
+
+def hll_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge finer-grained HLL sketches up to ``keys`` (possibly ``[]``
+    for a global total) without touching the base rows.
+
+    HLL union is register-wise max, so a union of partial sketches is
+    BIT-IDENTICAL to the sketch built directly over the union of their
+    inputs (same lg_k) — the estimate after any rollup path is exactly
+    the estimate of a from-scratch build. tests/test_sketches.py pins
+    that identity; ``x_hll_rollup`` exposes it to the driver as a
+    value-hashed row. Input is KB/group, so this is shuffle-light by
+    construction.
+    """
+    grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
+    merged = grouped.agg(F.hll_union_agg("sketch").alias("sketch"))
+    return merged.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+
+
+# ---------------------------------------------------------------------------
+# KLL: mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def kll_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    probs: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Per-key KLL quantile sketch + quantile estimates for a BIGINT
+    ``value_col``. Returns ``keys + [sketch, quantiles (array<long>)]``
+    with one entry per requested probability.
+
+    KLL guarantees rank error ≤ ~1.7%/k·... (for k=200, ε≈0.4% of rank)
+    with a fixed-size summary, and sketches merge associatively — the
+    same persist-partials / rollup-later algebra as ``hll_distinct``.
+    tests pin the rank-error envelope against the exact sorted order.
+    """
+    pvec = F.array(*[F.lit(float(p)) for p in probs])
+    sk = df.groupBy(*keys).agg(
+        F.kll_sketch_agg_bigint(F.col(value_col).cast("long"), F.lit(k)).alias("sketch")
+    )
+    return sk.withColumn("quantiles", F.kll_sketch_get_quantile_bigint("sketch", pvec))
+
+
+def kll_rollup(
+    sketches: DataFrame, keys: list[str], probs: list[float]
+) -> DataFrame:
+    """Merge finer KLL sketches up to ``keys`` and re-read quantiles.
+
+    Spark exposes KLL merge as a pairwise scalar (``kll_sketch_merge_
+    bigint``), not an aggregate, so the fold is expressed declaratively:
+    ``collect_list`` the subgroup sketches per output key (bounded —
+    #subgroups × a fixed-size sketch, KBs) and ``F.aggregate`` them with
+    the pairwise merge, entirely executor-side. Unlike HLL, KLL merge is
+    compaction-order-dependent, so the rolled-up sketch is not
+    bit-identical to a direct build — but it carries the same rank-error
+    guarantee, which is what the tests pin.
+    """
+    pvec = F.array(*[F.lit(float(p)) for p in probs])
+    grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
+    lst = grouped.agg(F.collect_list("sketch").alias("sks"))
+    merged = lst.select(
+        *keys,
+        F.aggregate(
+            F.slice("sks", 2, F.greatest(F.size("sks") - 1, F.lit(0))),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_bigint(acc, x),
+        ).alias("sketch"),
+    )
+    return merged.withColumn("quantiles", F.kll_sketch_get_quantile_bigint("sketch", pvec))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) consistent sample
+# ---------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` rows per key group: the k
+    smallest md5(id‖salt) values — the KMV / bottom-k sketch's member
+    set (Bar-Yossef et al. 2002) used as a sample.
+
+    Properties exact row-level sampling can't give you:
+    - **Consistent**: selection is a pure function of (id, salt, k) — the
+      same ids are chosen under any partitioning, retry, arrival order,
+      or engine (the oracle reproduces the sample bit-for-bit in DuckDB).
+    - **Coordinated**: two tables sampled with the same salt select the
+      SAME ids (Cohen & Kaplan 2007), so samples stay join-compatible —
+      sample the docs table and the embeddings table coherently.
+    - **Mergeable**: the union of two groups' bottom-k sets, re-truncated
+      to k, is the bottom-k of the union — incremental refresh keeps the
+      stored sample valid without resampling history; and (k−1)/h_(k)
+      over the normalized k-th hash is a distinct-count estimator.
+
+    Plan shape: one window shuffle keyed by the group columns, and the
+    rank predicate compiles to WindowGroupLimit — each task keeps a
+    k-row heap per group, so no group is ever materialized in full
+    (the same plan-gated shape as the W1 top-N family).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(*keys).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correctness-corpus rows
+# ---------------------------------------------------------------------------
+
+_BK_K = 20
+_BK_SALT = "bk-v1"
+
+
+@query(
+    "x_bottomk_sample",
+    f"""WITH h AS (
+         SELECT source, doc_id,
+                md5(CAST(doc_id AS VARCHAR) || '{_BK_SALT}') AS hh
+         FROM documents),
+       r AS (SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY hh, doc_id) AS rn
+             FROM h)
+       SELECT source, doc_id FROM r WHERE rn <= {_BK_K}
+       ORDER BY source, doc_id""",
+)
+def x_bottomk_sample(t: Tables) -> DataFrame:
+    """Bottom-k consistent sample: {k} documents per source, selected by
+    smallest md5(doc_id‖salt) — deterministic under any partitioning and
+    reproduced bit-for-bit by the oracle. WindowGroupLimit plan-gated."""
+    s = bottomk_sample(t.documents, ["source"], "doc_id", _BK_K, _BK_SALT)
+    return s.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+@query("x_hll_rollup", None)  # approx estimator; identity asserted in values
+def x_hll_rollup(t: Tables) -> DataFrame:
+    """Mergeable-distinct rollup over documents: per-(source,lang) HLL
+    partials → per-source union — the incremental path — side by side
+    with a direct per-source sketch build and the exact count. The HLL
+    union identity makes merged == direct EXACTLY (register-wise max),
+    so the value hash pins that the incremental rollup loses nothing;
+    ``err_pct`` pins the estimator's accuracy against the exact count.
+    Rows-only because no SQL engine shares Spark's sketch registers."""
+    partials = hll_distinct(t.documents, ["source", "lang"], "doc_id")
+    merged = hll_rollup(partials.select("source", "sketch"), ["source"]).select(
+        "source", F.col("approx_distinct").alias("merged_distinct")
+    )
+    direct = hll_distinct(t.documents, ["source"], "doc_id").select(
+        "source", F.col("approx_distinct").alias("direct_distinct")
+    )
+    exact = t.documents.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(direct, "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            "merged_distinct",
+            "direct_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("merged_distinct") - F.col("exact_distinct"))
+                * 100.0
+                / F.col("exact_distinct"),
+                2,
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_KLL_PROBS = [0.5, 0.9, 0.99]
+
+
+@query("x_kll_quantiles", None)  # approx estimator; rank error pinned in tests
+def x_kll_quantiles(t: Tables) -> DataFrame:
+    """Mergeable-quantile rollup over document lengths: per-(source,lang)
+    KLL partials folded up to per-source p50/p90/p99 of n_chars. The
+    deterministic sketch makes the row value-hash-stable; the rank-error
+    envelope vs the exact sorted order is pinned in
+    tests/test_sketches.py. Rows-only: KLL's compaction decisions are
+    implementation-specific, so no external engine reproduces them."""
+    partials = t.documents.groupBy("source", "lang").agg(
+        F.kll_sketch_agg_bigint(F.col("n_chars").cast("long"), F.lit(200)).alias(
+            "sketch"
+        )
+    )
+    rolled = kll_rollup(partials, ["source"], _KLL_PROBS)
+    return rolled.select(
+        "source",
+        F.element_at("quantiles", 1).alias("p50"),
+        F.element_at("quantiles", 2).alias("p90"),
+        F.element_at("quantiles", 3).alias("p99"),
+    ).orderBy("source")

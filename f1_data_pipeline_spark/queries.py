@@ -1555,6 +1555,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
     "q_w3": "lag() offset window; window family in-window via q_w1/q_w4/x_rolling_scaled",
     "q_t2": "time-filtered count; T-family in-window via q_t1",
+    # built round 8 after the r8 rotation was already full — rotate next round
+    "x_bottomk_sample": "bottom-k consistent sample (new r8); rotate next round; sampling family in-window via x_pps_sample",
 }
 
 
@@ -1576,6 +1578,7 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.profile  # noqa: F401
     import f1_data_pipeline_spark.operators.layout  # noqa: F401
     import f1_data_pipeline_spark.operators.classify  # noqa: F401
+    import f1_data_pipeline_spark.operators.sketches  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     if order == "registration":

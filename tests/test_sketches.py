@@ -1,0 +1,235 @@
+"""Mergeable-sketch operators (operators/sketches.py): HLL distinct,
+KLL quantiles, bottom-k consistent samples.
+
+What the tests pin:
+- HLL: estimate accuracy vs exact; the union IDENTITY (rollup of
+  partials == direct build, bit-for-bit on the estimate) that makes
+  incremental distinct rollups lossless; the partial-aggregation plan
+  shape (sketch bytes cross the shuffle, not rows).
+- KLL: returned quantiles respect the sketch's rank-error envelope
+  against the exact sorted order, both per-group and after a
+  collect_list+aggregate pairwise-merge rollup.
+- bottom-k: exact agreement with an independent pandas re-derivation,
+  invariance under repartitioning (consistency), coordination across
+  two tables sharing a salt, and the WindowGroupLimit plan gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.catalog import load_tables
+from f1_data_pipeline_spark.operators.sketches import (
+    bottomk_sample,
+    hll_distinct,
+    hll_rollup,
+    kll_quantiles,
+    kll_rollup,
+)
+
+_SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy(spark):
+    # 3 groups with known distinct counts 1000 / 500 / 2000.
+    df = spark.range(20000).select(
+        (F.col("id") % 3).alias("g"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 1000)
+        .when(F.col("id") % 3 == 1, F.col("id") % 500)
+        .otherwise(F.col("id") % 2000)
+        .alias("v"),
+    )
+    got = {r["g"]: r["approx_distinct"] for r in hll_distinct(df, ["g"], "v").collect()}
+    # lg_k=14 → ~0.8% standard error; allow 3 sigma.
+    for g, exact in {0: 1000, 1: 500, 2: 2000}.items():
+        assert abs(got[g] - exact) <= max(3, 0.025 * exact), (g, got[g], exact)
+
+
+def test_hll_rollup_identity_with_direct_build(spark):
+    """Union of per-(source,lang) sketches == direct per-source sketch:
+    the lossless-incremental-rollup property the module exists for."""
+    docs = load_tables(spark, _SF).documents
+    partials = hll_distinct(docs, ["source", "lang"], "doc_id")
+    merged = {
+        r["source"]: r["approx_distinct"]
+        for r in hll_rollup(partials.select("source", "sketch"), ["source"]).collect()
+    }
+    direct = {
+        r["source"]: r["approx_distinct"]
+        for r in hll_distinct(docs, ["source"], "doc_id").collect()
+    }
+    assert merged == direct
+    # and a global rollup (keys=[]) merges everything to one row
+    glob = hll_rollup(partials.select("sketch"), []).collect()
+    assert len(glob) == 1
+    exact = docs.select(F.countDistinct("doc_id")).first()[0]
+    assert abs(glob[0]["approx_distinct"] - exact) <= max(3, 0.025 * exact)
+
+
+def test_hll_partial_aggregation_plan(spark):
+    """The sketch agg must show map-side partial_hll_sketch_agg before the
+    exchange — at 100 TB that is the difference between shuffling KB-sized
+    register buffers and shuffling every row."""
+    docs = load_tables(spark, _SF).documents
+    p = hll_distinct(docs, ["source"], "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in p, p
+    assert "ObjectHashAggregate" in p, p
+
+
+# ---------------------------------------------------------------------------
+# KLL
+# ---------------------------------------------------------------------------
+
+
+def _rank_of(sorted_vals: list[int], v: int) -> float:
+    """Fraction of values <= v (max-rank convention, matching KLL)."""
+    import bisect
+
+    return bisect.bisect_right(sorted_vals, v) / len(sorted_vals)
+
+
+@pytest.mark.parametrize("probs", [[0.5, 0.9, 0.99]])
+def test_kll_quantiles_rank_error(spark, probs):
+    docs = load_tables(spark, _SF).documents
+    got = kll_quantiles(docs, ["source"], "n_chars", probs, k=200).collect()
+    exact = {
+        r["source"]: sorted(x["n_chars"] for x in r["vals"])
+        for r in docs.groupBy("source")
+        .agg(F.collect_list(F.struct("n_chars")).alias("vals"))
+        .collect()
+    }
+    # k=200 → normalized rank error ~0.4%; allow 2% plus small-n slack.
+    for row in got:
+        vals = exact[row["source"]]
+        slack = 0.02 + 1.5 / len(vals)
+        for p, q in zip(probs, row["quantiles"]):
+            assert abs(_rank_of(vals, q) - p) <= slack, (row["source"], p, q)
+
+
+def test_kll_rollup_rank_error_after_merge(spark):
+    """Pairwise-merged partials keep the rank-error guarantee (merge is
+    order-dependent, so equality with a direct build is NOT asserted —
+    the envelope is the contract)."""
+    docs = load_tables(spark, _SF).documents
+    partials = docs.groupBy("source", "lang").agg(
+        F.kll_sketch_agg_bigint(F.col("n_chars").cast("long"), F.lit(200)).alias("sketch")
+    )
+    rolled = kll_rollup(partials, ["source"], [0.5, 0.9]).collect()
+    exact = {
+        r["source"]: sorted(x["n_chars"] for x in r["vals"])
+        for r in docs.groupBy("source")
+        .agg(F.collect_list(F.struct("n_chars")).alias("vals"))
+        .collect()
+    }
+    for row in rolled:
+        vals = exact[row["source"]]
+        slack = 0.02 + 1.5 / len(vals)
+        for p, q in zip([0.5, 0.9], row["quantiles"]):
+            assert abs(_rank_of(vals, q) - p) <= slack, (row["source"], p, q)
+
+
+def test_kll_rollup_single_subgroup_is_identity(spark):
+    """A rollup over exactly one partial must return that sketch's own
+    quantiles (the F.aggregate fold's empty-tail edge)."""
+    df = spark.range(1000).select(F.lit("only").alias("g"), F.col("id").alias("v"))
+    partials = df.groupBy("g").agg(
+        F.kll_sketch_agg_bigint(F.col("v").cast("long"), F.lit(200)).alias("sketch")
+    )
+    direct = kll_quantiles(df, ["g"], "v", [0.5], k=200).collect()[0]["quantiles"]
+    rolled = kll_rollup(partials, ["g"], [0.5]).collect()[0]["quantiles"]
+    assert rolled == direct
+
+
+# ---------------------------------------------------------------------------
+# bottom-k consistent sample
+# ---------------------------------------------------------------------------
+
+
+def _expected_bottomk(rows, k, salt):
+    """Independent pure-Python re-derivation of the bottom-k member set."""
+    by_key: dict[str, list[tuple[str, int]]] = {}
+    for source, doc_id in rows:
+        h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()
+        by_key.setdefault(source, []).append((h, doc_id))
+    out = set()
+    for source, hs in by_key.items():
+        for _, doc_id in sorted(hs)[:k]:
+            out.add((source, doc_id))
+    return out
+
+
+def test_bottomk_matches_independent_rederivation(spark):
+    docs = load_tables(spark, _SF).documents
+    got = {
+        (r["source"], r["doc_id"])
+        for r in bottomk_sample(docs, ["source"], "doc_id", 7, "t-v1")
+        .select("source", "doc_id")
+        .collect()
+    }
+    raw = [(r["source"], r["doc_id"]) for r in docs.select("source", "doc_id").collect()]
+    assert got == _expected_bottomk(raw, 7, "t-v1")
+
+
+def test_bottomk_invariant_under_repartitioning(spark):
+    """Consistency: the same member set under any physical layout."""
+    docs = load_tables(spark, _SF).documents
+    a = {
+        (r["source"], r["doc_id"])
+        for r in bottomk_sample(docs, ["source"], "doc_id", 5, "t-v2").collect()
+    }
+    b = {
+        (r["source"], r["doc_id"])
+        for r in bottomk_sample(
+            docs.repartition(7, "lang"), ["source"], "doc_id", 5, "t-v2"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bottomk_coordinated_across_tables(spark):
+    """Two tables sampled with the same salt select the same ids — the
+    coordinated-sampling property that keeps samples join-compatible."""
+    t = load_tables(spark, _SF)
+    ids_docs = {
+        r["doc_id"]
+        for r in bottomk_sample(
+            t.documents.withColumn("g", F.lit(1)), ["g"], "doc_id", 25, "co-v1"
+        ).collect()
+    }
+    emb = t.embeddings.withColumnRenamed("vec_id", "doc_id").withColumn("g", F.lit(1))
+    common_ids = {r["doc_id"] for r in emb.join(t.documents, "doc_id", "semi").collect()}
+    emb_common = emb.where(F.col("doc_id").isin(list(common_ids)))
+    docs_common = t.documents.withColumn("g", F.lit(1)).where(
+        F.col("doc_id").isin(list(common_ids))
+    )
+    s1 = {
+        r["doc_id"]
+        for r in bottomk_sample(emb_common, ["g"], "doc_id", 10, "co-v1").collect()
+    }
+    s2 = {
+        r["doc_id"]
+        for r in bottomk_sample(docs_common, ["g"], "doc_id", 10, "co-v1").collect()
+    }
+    assert s1 == s2
+    assert ids_docs  # sanity: the unrestricted sample is non-empty
+
+
+def test_bottomk_window_group_limit_plan(spark):
+    """rank<=k must compile to WindowGroupLimit: each task keeps a k-row
+    heap per group instead of materializing whole groups."""
+    docs = load_tables(spark, _SF).documents
+    p = (
+        bottomk_sample(docs, ["source"], "doc_id", 20, "bk-v1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in p, p
