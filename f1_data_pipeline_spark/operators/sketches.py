@@ -64,13 +64,14 @@ def hll_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
     """Merge finer-grained HLL sketches up to ``keys`` (possibly ``[]``
     for a global total) without touching the base rows.
 
-    HLL union is register-wise max, so a union of partial sketches is
-    BIT-IDENTICAL to the sketch built directly over the union of their
-    inputs (same lg_k) — the estimate after any rollup path is exactly
-    the estimate of a from-scratch build. tests/test_sketches.py pins
-    that identity; ``x_hll_rollup`` exposes it to the driver as a
-    value-hashed row. Input is KB/group, so this is shuffle-light by
-    construction.
+    While sketches are in DataSketches' exact sparse mode (distincts ≲
+    2^lg_k/4 per sketch) the union is lossless — merged partials give
+    EXACTLY the estimate of a from-scratch direct build, which
+    tests/test_sketches.py pins and ``x_hll_rollup`` exposes to the
+    driver as a value-hashed row. Past sparse promotion, merge order can
+    shift the estimate WITHIN the sketch's error envelope (~0.8% at
+    lg_k=14) — rollups never lose the guarantee, just bit equality.
+    Input is KB/group, so this is shuffle-light by construction.
     """
     grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
     merged = grouped.agg(F.hll_union_agg("sketch").alias("sketch"))
@@ -208,11 +209,12 @@ def x_bottomk_sample(t: Tables) -> DataFrame:
 def x_hll_rollup(t: Tables) -> DataFrame:
     """Mergeable-distinct rollup over documents: per-(source,lang) HLL
     partials → per-source union — the incremental path — side by side
-    with a direct per-source sketch build and the exact count. The HLL
-    union identity makes merged == direct EXACTLY (register-wise max),
-    so the value hash pins that the incremental rollup loses nothing;
-    ``err_pct`` pins the estimator's accuracy against the exact count.
-    Rows-only because no SQL engine shares Spark's sketch registers."""
+    with a direct per-source sketch build and the exact count. At this
+    corpus's per-source cardinalities the sketches stay in exact sparse
+    mode, so merged == direct exactly and the value hash pins that the
+    incremental rollup loses nothing; ``err_pct`` pins the estimator's
+    accuracy against the exact count. Rows-only because no SQL engine
+    shares Spark's sketch registers."""
     partials = hll_distinct(t.documents, ["source", "lang"], "doc_id")
     merged = hll_rollup(partials.select("source", "sketch"), ["source"]).select(
         "source", F.col("approx_distinct").alias("merged_distinct")
@@ -249,8 +251,7 @@ _KLL_PROBS = [0.5, 0.9, 0.99]
 def x_kll_quantiles(t: Tables) -> DataFrame:
     """Mergeable-quantile rollup over document lengths: per-(source,lang)
     KLL partials folded up to per-source p50/p90/p99 of n_chars. The
-    deterministic sketch makes the row value-hash-stable; the rank-error
-    envelope vs the exact sorted order is pinned in
+    rank-error envelope vs the exact sorted order is pinned in
     tests/test_sketches.py. Rows-only: KLL's compaction decisions are
     implementation-specific, so no external engine reproduces them."""
     partials = t.documents.groupBy("source", "lang").agg(
@@ -259,6 +260,11 @@ def x_kll_quantiles(t: Tables) -> DataFrame:
         )
     )
     rolled = kll_rollup(partials, ["source"], _KLL_PROBS)
+    # NOTE: KLL's final merge folds per-task partial buffers in
+    # completion order, so unlike HLL this row is only empirically
+    # stable (verified across processes at driver sf) — its correctness
+    # contract is the rank-error envelope, which is what the driver's
+    # rows-only check plus the pytest bounds actually pin.
     return rolled.select(
         "source",
         F.element_at("quantiles", 1).alias("p50"),

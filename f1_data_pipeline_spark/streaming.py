@@ -665,3 +665,32 @@ def stream_heavy_hitter_candidates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hll_distinct(
+    values: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Streaming distinct-count with BOUNDED state: HLL sketch
+    aggregation over an unbounded stream (the streaming face of
+    ``operators/sketches.hll_distinct``).
+
+    Exact streaming distinct requires one state entry per distinct value
+    ever seen (``dropDuplicates`` — the unbounded-seen-set shape the
+    reference's caches have, T6's hazard). Here the per-key state IS the
+    HLL register buffer: 2^lg_k bytes, fixed, regardless of how many
+    billions of distinct values flow through. The cross-micro-batch fold
+    in the state store carries the sketch's full error guarantee; note
+    it is NOT bit-identical to a batch build over the same history —
+    DataSketches HLL promotes sparse→dense at fold-dependent points, so
+    merge order shifts estimates within the envelope (tolerance pinned
+    in tests). Output carries both the estimate and the sketch itself,
+    so downstream consumers can keep merging (day→month rollups) without
+    re-reading the stream.
+    """
+    agg = values.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+    return agg.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))

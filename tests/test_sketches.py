@@ -2,9 +2,10 @@
 KLL quantiles, bottom-k consistent samples.
 
 What the tests pin:
-- HLL: estimate accuracy vs exact; the union IDENTITY (rollup of
-  partials == direct build, bit-for-bit on the estimate) that makes
-  incremental distinct rollups lossless; the partial-aggregation plan
+- HLL: estimate accuracy vs exact; the sparse-mode union identity
+  (rollup of partials == direct build on these corpus sizes — past
+  sparse promotion the guarantee is the error envelope, not bit
+  equality, see the streaming test); the partial-aggregation plan
   shape (sketch bytes cross the shuffle, not rows).
 - KLL: returned quantiles respect the sketch's rank-error envelope
   against the exact sorted order, both per-group and after a
@@ -137,14 +138,22 @@ def test_kll_rollup_rank_error_after_merge(spark):
 
 
 def test_kll_rollup_single_subgroup_is_identity(spark):
-    """A rollup over exactly one partial must return that sketch's own
-    quantiles (the F.aggregate fold's empty-tail edge)."""
+    """A rollup over exactly one partial must return that same sketch's
+    own quantiles (the F.aggregate fold's empty-tail edge). The partial
+    is materialized ONCE and both paths read it — two separate
+    aggregations of the same rows can legitimately differ, because the
+    final KLL merge of per-task partial buffers is task-completion-order
+    dependent (the same order-dependence kll_rollup documents)."""
     df = spark.range(1000).select(F.lit("only").alias("g"), F.col("id").alias("v"))
     partials = df.groupBy("g").agg(
         F.kll_sketch_agg_bigint(F.col("v").cast("long"), F.lit(200)).alias("sketch")
     )
-    direct = kll_quantiles(df, ["g"], "v", [0.5], k=200).collect()[0]["quantiles"]
-    rolled = kll_rollup(partials, ["g"], [0.5]).collect()[0]["quantiles"]
+    pdf = partials.collect()
+    one = spark.createDataFrame(pdf, partials.schema)
+    direct = one.select(
+        F.kll_sketch_get_quantile_bigint("sketch", F.array(F.lit(0.5))).alias("q")
+    ).collect()[0]["q"]
+    rolled = kll_rollup(one, ["g"], [0.5]).collect()[0]["quantiles"]
     assert rolled == direct
 
 
@@ -233,3 +242,30 @@ def test_bottomk_window_group_limit_plan(spark):
         .toString()
     )
     assert "WindowGroupLimit" in p, p
+
+
+def test_hll_incremental_refresh_from_persisted_partials(spark, tmp_path):
+    """The actual 100 TB workflow: day-1 partials persisted to parquet;
+    day 2 arrives; ONLY day 2's rows are sketched and appended; the
+    rollup over STORED sketches (no rescan of day 1) must equal a direct
+    build over both days — the sparse-mode union identity (these
+    cardinalities stay under the 2^14/4 sparse threshold), through a
+    parquet round-trip of the binary sketch column."""
+    store = str(tmp_path / "sketch_store")
+    day1 = spark.range(3000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 700).alias("v")
+    )
+    day2 = spark.range(3000, 5000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 1100).alias("v")
+    )
+    hll_distinct(day1, ["g"], "v").select("g", "sketch").write.parquet(store)
+    hll_distinct(day2, ["g"], "v").select("g", "sketch").write.mode("append").parquet(store)
+    rolled = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_rollup(spark.read.parquet(store), ["g"]).collect()
+    }
+    direct = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct(day1.unionAll(day2), ["g"], "v").collect()
+    }
+    assert rolled == direct

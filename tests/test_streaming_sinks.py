@@ -664,3 +664,73 @@ def test_stream_heavy_hitters_query_matches_batch_twin(spark):
     assert [f.name for f in df.schema.fields] == ["event_type", "cnt"]
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True) and all(c > 0 for c in cnts)
+
+
+def test_stream_hll_distinct_across_drops_matches_batch_identity(spark, tmp_path):
+    """Streaming HLL distinct over TWO availableNow drops on one
+    checkpoint: the state-store fold across the drop boundary must carry
+    the sketch's accuracy guarantee — estimates agree with a batch build
+    over the union of both drops and with the exact count within the
+    lg_k=12 error envelope. (Bit equality with the batch build is NOT
+    asserted: DataSketches HLL promotes sparse→dense at fold-dependent
+    points, so differently-ordered merges give slightly different — but
+    equally-guaranteed — estimates.) Per-key state is one register
+    buffer, not one entry per distinct value."""
+    import os
+
+    src = tmp_path / "vals"
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def write_drop(name, pairs):
+        with open(src / name, "w") as f:
+            f.write("\n".join(f"{g},{v}" for g, v in pairs) + "\n")
+
+    # drop 1: group a sees 0..599, group b sees 0..199
+    write_drop("d1.txt", [("a", i) for i in range(600)] + [("b", i) for i in range(200)])
+
+    final: dict[str, int] = {}
+
+    def run_drop():
+        raw = spark.readStream.format("text").load(str(src))
+        values = raw.select(
+            F.split("value", ",")[0].alias("g"),
+            F.split("value", ",")[1].cast("long").alias("v"),
+        )
+        out = strm.stream_hll_distinct(values, ["g"], "v", lg_k=12)
+
+        def sink(df, epoch_id):
+            for r in df.select("g", "approx_distinct").collect():
+                final[r["g"]] = r["approx_distinct"]
+
+        q = (
+            out.writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_drop()
+    # drop 2: group a repeats 300..599 (no new) and adds 600..799; b adds 200..499
+    write_drop(
+        "d2.txt",
+        [("a", i) for i in range(300, 800)] + [("b", i) for i in range(200, 500)],
+    )
+    run_drop()
+
+    # batch twin over the union of both drops, same lg_k
+    batch = spark.createDataFrame(
+        [("a", i) for i in range(800)] + [("b", i) for i in range(500)], "g string, v long"
+    )
+    expected = {
+        r["g"]: r["approx_distinct"]
+        for r in batch.groupBy("g")
+        .agg(F.hll_sketch_agg("v", F.lit(12)).alias("sk"))
+        .select("g", F.hll_sketch_estimate("sk").alias("approx_distinct"))
+        .collect()
+    }
+    for g, exact in {"a": 800, "b": 500}.items():
+        assert abs(final[g] - expected[g]) <= 0.05 * exact, (g, final, expected)
+        assert abs(final[g] - exact) <= max(3, 0.05 * exact), (g, final[g])
