@@ -476,3 +476,40 @@ def test_ivfpq_topk_batch_cell_join_is_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
+    """Scale posture: when a join's build side is selectively filtered,
+    Spark injects a runtime bloom filter — `bloom_filter_agg` over the
+    filtered dim keys (with map-side partials) whose `might_contain`
+    probe lands on the FACT side before its shuffle, so non-matching
+    fact rows are dropped pre-exchange (semi-join reduction). At real
+    scale this fires with default thresholds (application side > 10 GB);
+    the test lowers the thresholds so the toy fact table qualifies and
+    pins the injected plan shape."""
+    from pyspark.sql import functions as F
+
+    spark.range(50000).select(F.col("id").alias("k"), (F.col("id") % 97).alias("x")) \
+        .write.parquet(str(tmp_path / "fact"))
+    spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 13).alias("f")) \
+        .write.parquet(str(tmp_path / "dim"))
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("f") == 3)
+        phys = fact.join(dim, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys, phys
+        assert "partial_bloom_filter_agg" in phys, phys
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
