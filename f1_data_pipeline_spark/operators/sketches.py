@@ -26,7 +26,7 @@ same tier as operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.catalog import Tables
@@ -271,3 +271,72 @@ def x_kll_quantiles(t: Tables) -> DataFrame:
         F.element_at("quantiles", 2).alias("p90"),
         F.element_at("quantiles", 3).alias("p99"),
     ).orderBy("source")
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Per-key KMV (k-minimum-values) distinct estimate from the same
+    bottom-k machinery as ``bottomk_sample``: with h = k-th smallest
+    md5-derived hash normalized to [0,1), distinct ≈ (k−1)/h (Bar-Yossef
+    et al. 2002, rel. error ~1/√k); groups holding fewer than k distinct
+    ids report their EXACT count (the sketch contains every id).
+
+    Unlike HLL this estimator is a pure deterministic function of the
+    id set — no sketch-mode promotions, no merge-order effects — and its
+    member set doubles as the coordinated sample, so one bottom-k pass
+    yields sample + estimate. Hash normalization uses the first 13 hex
+    chars (52 bits — exact in a double). Same WindowGroupLimit plan as
+    ``bottomk_sample`` plus one per-group aggregate.
+
+    Returns ``keys + [n_held, approx_distinct]``.
+    """
+    ids = df.select(*keys, id_col).distinct()
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    hnorm = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(16**13))
+    )
+    w = Window.partitionBy(*keys).orderBy(hnorm.asc(), F.col(id_col).asc())
+    bottom = (
+        ids.withColumn("__h", hnorm)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+    )
+    agg = bottom.groupBy(*keys).agg(
+        F.count("*").alias("n_held"), F.max("__h").alias("__hk")
+    )
+    return agg.select(
+        *keys,
+        "n_held",
+        F.when(F.col("n_held") < k, F.col("n_held").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / F.col("__hk"))
+        .alias("approx_distinct"),
+    )
+
+
+@query("x_kmv_distinct", None)  # deterministic estimator; DuckDB lacks hex→int
+def x_kmv_distinct(t: Tables) -> DataFrame:
+    """Per-source KMV distinct estimate over doc_id (k=64) — the
+    deterministic counterpart of x_hll_rollup: a pure function of the id
+    set (no sketch modes, no merge-order effects), sharing its bottom-k
+    pass with the coordinated sample. err vs exact is pinned in tests;
+    rows-only because DuckDB has no hex→integer conversion for the
+    hash-normalization step."""
+    est = kmv_distinct_estimate(t.documents, ["source"], "doc_id", 64, _BK_SALT)
+    exact = t.documents.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_held",
+            F.round("approx_distinct", 3).alias("approx_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("source")
+    )

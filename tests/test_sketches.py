@@ -269,3 +269,52 @@ def test_hll_incremental_refresh_from_persisted_partials(spark, tmp_path):
         for r in hll_distinct(day1.unionAll(day2), ["g"], "v").collect()
     }
     assert rolled == direct
+
+
+def test_kmv_estimate_exact_below_k_and_bounded_above(spark):
+    """Groups with < k distinct ids report exactly; larger groups land
+    within ~3/sqrt(k) relative error of the true cardinality."""
+    from f1_data_pipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    # contiguous id ranges so the per-group distinct counts are exact:
+    # g0: ids 0..9999 % 50 → 50 distinct (< k); g1: % 4000 → 4000;
+    # g2: ids 20000..29999 % 9000 → residues 2000..8999 ∪ 0..2999 = 9000
+    df = spark.range(30000).select(
+        (F.col("id") / 10000).cast("long").alias("g"),
+        F.when(F.col("id") < 10000, F.col("id") % 50)
+        .when(F.col("id") < 20000, F.col("id") % 4000)
+        .otherwise(F.col("id") % 9000)
+        .alias("v"),
+    )
+    got = {
+        r["g"]: (r["n_held"], r["approx_distinct"])
+        for r in kmv_distinct_estimate(df, ["g"], "v", 256, "kmv-t1").collect()
+    }
+    assert got[0] == (50, 50.0)
+    import math
+
+    for g, exact in {1: 4000, 2: 9000}.items():
+        n_held, est = got[g]
+        assert n_held == 256
+        assert abs(est - exact) <= 3 / math.sqrt(256) * exact, (g, est, exact)
+
+
+def test_kmv_matches_pure_python_replay(spark):
+    """The estimate is a deterministic function of the id set — an
+    independent Python re-derivation must agree to float precision."""
+    from f1_data_pipeline_spark.operators.sketches import kmv_distinct_estimate
+
+    docs = load_tables(spark, _SF).documents
+    got = {
+        r["source"]: r["approx_distinct"]
+        for r in kmv_distinct_estimate(docs, ["source"], "doc_id", 16, "kmv-t2").collect()
+    }
+    raw = [(r["source"], r["doc_id"]) for r in docs.select("source", "doc_id").distinct().collect()]
+    by_key: dict[str, list[float]] = {}
+    for source, doc_id in raw:
+        h = hashlib.md5(f"{doc_id}kmv-t2".encode()).hexdigest()
+        by_key.setdefault(source, []).append(int(h[:13], 16) / 16**13)
+    for source, hs in by_key.items():
+        hs.sort()
+        exp = float(len(hs)) if len(hs) < 16 else 15.0 / hs[15]
+        assert abs(got[source] - exp) < 1e-9, (source, got[source], exp)
