@@ -72,13 +72,19 @@ def sketch_rollup(
 
     ``sketches`` (the intermediate with the binary column) is returned by
     ``sketch_table`` below for persistence; this function returns the
-    human-readable estimates.
+    human-readable estimates. This is the gold-layer single-key face of
+    the canonical generalized machinery in ``operators/sketches.py``
+    (multi-key, arbitrary rollup levels, KLL/KMV siblings) — both paths
+    share one implementation.
     """
+    from f1_data_pipeline_spark.operators.sketches import hll_rollup
+
     sk = sketch_table(df, group_col, value_col, lg_k)
     per = sk.select(group_col, F.hll_sketch_estimate("sketch").alias("distinct_est"))
-    total = sk.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est")
-    ).select(F.lit("__TOTAL__").alias(group_col), "distinct_est")
+    total = hll_rollup(sk, []).select(
+        F.lit("__TOTAL__").alias(group_col),
+        F.col("approx_distinct").alias("distinct_est"),
+    )
     return per.unionByName(total).orderBy(group_col)
 
 
@@ -87,10 +93,11 @@ def sketch_table(
 ) -> DataFrame:
     """The persistable form: (group, sketch binary). Write this to parquet
     per ingest increment; later rollups ``hll_union_agg`` across
-    increments without touching raw data."""
-    return df.groupBy(group_col).agg(
-        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
-    )
+    increments without touching raw data. Delegates to
+    ``operators/sketches.hll_distinct`` (the canonical implementation)."""
+    from f1_data_pipeline_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(df, [group_col], value_col, lg_k).select(group_col, "sketch")
 
 
 def misra_gries_candidates(

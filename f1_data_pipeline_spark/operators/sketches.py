@@ -21,7 +21,9 @@ Liberty 2016 (KLL streaming quantiles), Bar-Yossef et al. 2002 (KMV /
 bottom-k distinct estimation), Cohen & Kaplan 2007 (coordinated bottom-k
 samples). The reference pipeline has no sketch surface (its scale never
 required one); this module is part of the training-data extension layer,
-same tier as operators/dedup.py.
+same tier as operators/dedup.py. ``analytics.sketch_rollup`` /
+``sketch_table`` (the gold-layer single-key face with a ``__TOTAL__``
+row, query ``x_sketch_rollup``) delegate here — one implementation.
 """
 
 from __future__ import annotations
