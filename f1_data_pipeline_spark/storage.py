@@ -221,78 +221,111 @@ def repartition_for(df: DataFrame, keys: list[str], partitions: int | None = Non
 
 
 # ---------------------------------------------------------------------------
-# Snapshot tables: versioned parquet + atomic manifest pointer (time travel)
+# Snapshot tables: versioned parquet + immutable commit log (time travel)
 # ---------------------------------------------------------------------------
 #
 # The minimal lakehouse commit protocol (the shape Delta/Iceberg formalize):
-# every write lands in an immutable ``v=N`` directory, and readers follow a
-# one-line manifest that is REPLACED atomically — so a crashed writer can
-# never expose a half-written table, concurrent readers always see a
-# complete snapshot, and old versions stay readable until vacuumed. At
-# cluster scale the same layout works on any Hadoop filesystem; the rename
-# on object stores without atomic rename should go through a commit service
-# (as Delta does) — documented, not hidden.
+# every write lands in an immutable ``v=N`` directory, and a commit is the
+# ATOMIC creation of an immutable per-version record ``_manifests/N.json``
+# (create-no-overwrite — no mutable pointer, no rename, which is exactly
+# what object stores without atomic rename need; Delta's _delta_log uses
+# the same shape). A crashed writer can never expose a half-written table,
+# concurrent readers always see a complete snapshot, and old versions stay
+# readable until vacuumed. Every filesystem touch goes through the Hadoop
+# FileSystem API resolved from the path itself, so a table dir may be
+# ``file:``/``hdfs://``/``s3a://`` — never the driver's local os module.
+# Caveat inherited from the substrate: create-no-overwrite is atomic on
+# HDFS/POSIX; on S3 proper single-writer discipline (or a commit service)
+# is still required, as with every log-structured table format.
 
-SNAPSHOT_MANIFEST = "_MANIFEST.json"
+SNAPSHOT_MANIFEST_DIR = "_manifests"
 
 
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, SNAPSHOT_MANIFEST)
+def _snap_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def snapshot_version(table_dir: str) -> int:
-    """Current committed version (0 = no commit yet)."""
-    import json
+def _snap_path(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(x.rstrip("/") for x in parts))
 
-    try:
-        with open(_manifest_path(table_dir)) as f:
-            return int(json.load(f)["version"])
-    except FileNotFoundError:
+
+def snapshot_version(spark: SparkSession, table_dir: str) -> int:
+    """Current committed version (0 = no commit yet): the max N among the
+    immutable ``_manifests/N.json`` commit records."""
+    fs, jvm = _snap_fs(spark, table_dir)
+    mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
+    if not fs.exists(mdir):
         return 0
+    versions = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and name[:-5].isdigit():
+            versions.append(int(name[:-5]))
+    return max(versions, default=0)
 
 
 def snapshot_write(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as the next table version and return it.
 
-    Write order is the whole protocol: (1) parquet lands in ``v=N`` and is
-    verified complete via ``_SUCCESS``; (2) the manifest is written beside
-    it to a temp name and renamed over the old one (atomic on POSIX/HDFS).
-    A crash before (2) leaves an orphan ``v=N`` dir readers never saw.
+    Protocol: (1) CLAIM the staging dir ``v=N`` by atomically creating
+    ``v=N/_CLAIM`` (``createNewFile`` — create-no-overwrite); (2) write
+    parquet into the claimed dir (append mode, so the claim marker
+    survives) and verify ``_SUCCESS``; (3) COMMIT by atomically creating
+    the immutable record ``_manifests/N.json``. Readers only follow
+    committed records, so a crash at any point before (3) leaves an
+    orphan stage readers never saw.
 
     Single-writer protocol, cheaply ENFORCED (optimistic concurrency):
-    staging refuses to start if ``v=N+1`` already exists — two writers
+    a writer refuses to stage if ``v=N+1`` already exists — two writers
     that both read version N cannot both stage into the same directory
-    (one fails fast instead of them overwriting each other mid-write with
-    last-manifest-wins over possibly mixed files). A leftover dir from a
-    CRASHED writer also trips this; the remedy is stated in the error
-    (delete the orphan — the manifest proves it was never committed).
-    True multi-writer commit needs a coordination service (what Delta's
-    commit coordinator provides); this protocol is explicitly
-    single-writer, like a plain Hive table."""
+    (one fails fast instead of them overwriting each other mid-write);
+    the ones that tie on the exists-check are broken by the atomic _CLAIM
+    create, and the ones that somehow both stage are broken by the atomic
+    commit create. A leftover dir from a CRASHED writer also trips the
+    guard; the remedy is stated in the error (delete the orphan — the
+    missing commit record proves it was never committed). True
+    multi-writer commit needs a coordination service (what Delta's commit
+    coordinator provides), exactly as for any log-structured format."""
     import json
 
-    os.makedirs(table_dir, exist_ok=True)
-    version = snapshot_version(table_dir) + 1
-    vdir = os.path.join(table_dir, f"v={version}")
-    try:
-        # atomic claim: exists-check-then-write would let two writers that
-        # both read version N pass the check before either created the dir
-        os.makedirs(vdir)
-    except FileExistsError:
+    spark = df.sparkSession
+    fs, jvm = _snap_fs(spark, table_dir)
+    version = snapshot_version(spark, table_dir) + 1
+    vdir = f"{table_dir.rstrip('/')}/v={version}"
+    vpath = _snap_path(jvm, vdir)
+    if fs.exists(vpath):
         raise RuntimeError(
-            f"snapshot_write: staging dir {vdir} already exists — either a "
-            f"concurrent writer is staging version {version} (snapshot "
-            f"tables are single-writer) or a crashed writer left an orphan; "
-            f"if the manifest still points at v={version - 1}, the orphan "
-            f"was never committed and is safe to delete"
-        ) from None
-    df.write.mode("overwrite").parquet(vdir)
-    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            f"snapshot_write: staging dir v={version} already exists under "
+            f"{table_dir} — either a concurrent writer is staging version "
+            f"{version} (snapshot tables are single-writer) or a crashed "
+            f"writer left an orphan; if _manifests/{version}.json is "
+            f"absent, the orphan was never committed and is safe to delete"
+        )
+    if not fs.createNewFile(_snap_path(jvm, vdir, "_CLAIM")):
+        raise RuntimeError(
+            f"snapshot_write: lost the staging race for v={version} under "
+            f"{table_dir} (snapshot tables are single-writer)"
+        )
+    # append, not overwrite: overwrite would delete the dir and with it the
+    # _CLAIM marker that holds the stage against concurrent writers
+    df.write.mode("append").parquet(vdir)
+    if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
         raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
-    tmp = _manifest_path(table_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "dir": f"v={version}"}, f)
-    os.replace(tmp, _manifest_path(table_dir))
+    record = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.json")
+    try:
+        out = fs.create(record, False)  # create-no-overwrite: THE commit
+    except Exception as e:
+        raise RuntimeError(
+            f"snapshot_write: commit record for v={version} already exists "
+            f"under {table_dir} — a concurrent writer committed first "
+            f"(snapshot tables are single-writer)"
+        ) from e
+    try:
+        out.write(bytearray(json.dumps({"version": version, "dir": f"v={version}"}).encode()))
+    finally:
+        out.close()
     return version
 
 
@@ -300,31 +333,36 @@ def snapshot_read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the latest committed snapshot, or time-travel to ``version``."""
-    v = version if version is not None else snapshot_version(table_dir)
+    fs, jvm = _snap_fs(spark, table_dir)
+    v = version if version is not None else snapshot_version(spark, table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    vdir = os.path.join(table_dir, f"v={v}")
-    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+    if not fs.exists(_snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")):
+        raise FileNotFoundError(f"snapshot version {v} was never committed in {table_dir}")
+    vdir = f"{table_dir.rstrip('/')}/v={v}"
+    if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
         raise FileNotFoundError(f"snapshot version {v} not found in {table_dir}")
     return spark.read.parquet(vdir)
 
 
-def snapshot_vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
-    """Delete snapshot versions older than the newest ``keep_last``;
-    returns the versions removed. Never touches the committed version:
-    ``keep_last`` is clamped to >= 1, so even ``keep_last=0`` cannot
-    delete what the manifest points at."""
+def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshot data dirs older than the newest ``keep_last``;
+    returns the versions removed. Commit records are KEPT (they are the
+    table history, like Delta's log) — time travel to a vacuumed version
+    raises FileNotFoundError because its data is gone, while the current
+    version can never be deleted: ``keep_last`` is clamped to >= 1."""
     import re
 
+    fs, jvm = _snap_fs(spark, table_dir)
     keep_last = max(1, keep_last)
-    current = snapshot_version(table_dir)
+    current = snapshot_version(spark, table_dir)
     removed = []
-    for name in sorted(os.listdir(table_dir)):
-        m = re.fullmatch(r"v=(\d+)", name)
+    for st in fs.listStatus(_snap_path(jvm, table_dir)):
+        m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
         if not m:
             continue
         v = int(m.group(1))
         if v <= current - keep_last:
-            shutil.rmtree(os.path.join(table_dir, name))
+            fs.delete(st.getPath(), True)
             removed.append(v)
-    return removed
+    return sorted(removed)

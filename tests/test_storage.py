@@ -216,7 +216,7 @@ def test_snapshot_write_read_time_travel(spark, tmp_path):
     v1 = snapshot_write(spark.range(5).withColumnRenamed("id", "k"), tdir)
     v2 = snapshot_write(spark.range(8).withColumnRenamed("id", "k"), tdir)
     assert (v1, v2) == (1, 2)
-    assert snapshot_version(tdir) == 2
+    assert snapshot_version(spark, tdir) == 2
     assert snapshot_read(spark, tdir).count() == 8  # latest
     assert snapshot_read(spark, tdir, version=1).count() == 5  # time travel
 
@@ -237,7 +237,11 @@ def test_snapshot_crashed_writer_invisible(spark, tmp_path):
     spark.range(99).withColumnRenamed("id", "k").write.parquet(orphan)
     assert os.path.exists(os.path.join(orphan, "_SUCCESS"))
     assert snapshot_read(spark, tdir).count() == 3
-    with open(os.path.join(tdir, "_MANIFEST.json")) as f:
+    # the commit log holds exactly one record — the orphan was never
+    # committed (ignore the local FS's hidden .crc checksum sidecars)
+    records = [n for n in os.listdir(os.path.join(tdir, "_manifests")) if not n.startswith(".")]
+    assert sorted(records) == ["1.json"]
+    with open(os.path.join(tdir, "_manifests", "1.json")) as f:
         assert json.load(f)["version"] == 1
     # the next commit FAILS FAST on the orphan (it is indistinguishable
     # from a concurrent writer's staging dir — the optimistic-concurrency
@@ -284,12 +288,34 @@ def test_snapshot_vacuum_keeps_recent(spark, tmp_path):
     tdir = str(tmp_path / "tbl")
     for n in (2, 4, 6, 8):
         snapshot_write(spark.range(n).withColumnRenamed("id", "k"), tdir)
-    removed = snapshot_vacuum(tdir, keep_last=2)
+    removed = snapshot_vacuum(spark, tdir, keep_last=2)
     assert removed == [1, 2]
     assert snapshot_read(spark, tdir).count() == 8
     assert snapshot_read(spark, tdir, version=3).count() == 6
     with pytest.raises(FileNotFoundError):
         snapshot_read(spark, tdir, version=1)
     # keep_last=0 is clamped to 1: the committed version always survives
-    assert snapshot_vacuum(tdir, keep_last=0) == [3]
+    assert snapshot_vacuum(spark, tdir, keep_last=0) == [3]
     assert snapshot_read(spark, tdir).count() == 8
+
+
+def test_snapshot_roundtrip_through_file_uri(spark, tmp_path):
+    """The commit log must work on URI paths, not just driver-local ones:
+    every touch goes through the path's own Hadoop FileSystem, so a
+    `file:` URI (the same resolution path `hdfs://`/`s3a://` would take)
+    round-trips — write, version listing, time travel, vacuum."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = "file://" + str(tmp_path / "tbl_uri")
+    for n in (3, 6, 9):
+        snapshot_write(spark.range(n).withColumnRenamed("id", "k"), tdir)
+    assert snapshot_version(spark, tdir) == 3
+    assert snapshot_read(spark, tdir).count() == 9
+    assert snapshot_read(spark, tdir, version=1).count() == 3
+    assert snapshot_vacuum(spark, tdir, keep_last=1) == [1, 2]
+    assert snapshot_read(spark, tdir).count() == 9
