@@ -366,3 +366,29 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> 
             fs.delete(st.getPath(), True)
             removed.append(v)
     return sorted(removed)
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Lakehouse-native small-files compaction: rewrite the CURRENT
+    snapshot into ceil(total_bytes/target) files committed as a NEW
+    version — the versioned twin of ``compact``. No rename window at
+    all: readers of version N are untouched while N+1 stages, the commit
+    is the same atomic record create as any write, and the bloated
+    version remains time-travelable until ``snapshot_vacuum`` reclaims
+    it. URI-capable end-to-end (sizes via the Hadoop FS ContentSummary,
+    not os.path). Returns (new_version, file_count)."""
+    import math
+
+    fs, jvm = _snap_fs(spark, table_dir)
+    v = snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    vdir = f"{table_dir.rstrip('/')}/v={v}"
+    total = fs.getContentSummary(_snap_path(jvm, vdir)).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(vdir).repartition(n)
+    return snapshot_write(df, table_dir), n

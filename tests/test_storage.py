@@ -319,3 +319,25 @@ def test_snapshot_roundtrip_through_file_uri(spark, tmp_path):
     assert snapshot_read(spark, tdir, version=1).count() == 3
     assert snapshot_vacuum(spark, tdir, keep_last=1) == [1, 2]
     assert snapshot_read(spark, tdir).count() == 9
+
+
+def test_snapshot_compact_commits_new_version(spark, tmp_path):
+    """Compaction lands as a committed version: same rows, fewer files,
+    old version still time-travelable (no swap window)."""
+    import glob
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    t = spark.range(5000).withColumnRenamed("id", "k").repartition(16)
+    snapshot_write(t, tdir)
+    assert len(glob.glob(f"{tdir}/v=1/*.parquet")) >= 16
+    v, n = snapshot_compact(spark, tdir, target_file_bytes=1 << 30)
+    assert (v, n) == (2, 1)
+    assert len(glob.glob(f"{tdir}/v=2/*.parquet")) == 1
+    assert snapshot_read(spark, tdir).count() == 5000
+    assert snapshot_read(spark, tdir, version=1).count() == 5000
