@@ -524,20 +524,32 @@ def connected_components(
             labels["n"], F.col("__jrep").alias("rep")
         )
 
+    from pyspark.sql import Observation
+
     spark = pairs.sparkSession
     cur = nodes.select("n", F.col("n").alias("rep"))
     for k in range(max_iter):
-        nxt = jump(propagate(cur))
-        lpath = scratch_dir + f"/labels_{k + 1}.parquet"
-        nxt.write.mode("overwrite").parquet(lpath)
-        nxt = spark.read.parquet(lpath)
-        changed = (
-            nxt.select(F.col("n"), F.col("rep").alias("__new"))
+        # fuse the convergence check into the checkpoint write: join the
+        # previous labels in and OBSERVE the changed count during the one
+        # job that writes the round — one action per round instead of a
+        # write plus a separate recomparison job over the same frames
+        nxt = (
+            jump(propagate(cur))
             .join(cur.select(F.col("n"), F.col("rep").alias("__old")), "n")
-            .where(F.col("__new") != F.col("__old"))
-            .count()
         )
-        cur = nxt
+        obs = Observation(f"cc_round_{k}")
+        lpath = scratch_dir + f"/labels_{k + 1}.parquet"
+        (
+            nxt.observe(
+                obs,
+                F.sum((F.col("rep") != F.col("__old")).cast("long")).alias("changed"),
+            )
+            .select("n", "rep")
+            .write.mode("overwrite")
+            .parquet(lpath)
+        )
+        changed = obs.get["changed"] or 0
+        cur = spark.read.parquet(lpath)
         if changed == 0:
             return cur
     raise ValueError(
