@@ -266,30 +266,10 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int:
     return max(versions, default=0)
 
 
-def snapshot_write(df: DataFrame, table_dir: str) -> int:
-    """Commit ``df`` as the next table version and return it.
-
-    Protocol: (1) CLAIM the staging dir ``v=N`` by atomically creating
-    ``v=N/_CLAIM`` (``createNewFile`` — create-no-overwrite); (2) write
-    parquet into the claimed dir (append mode, so the claim marker
-    survives) and verify ``_SUCCESS``; (3) COMMIT by atomically creating
-    the immutable record ``_manifests/N.json``. Readers only follow
-    committed records, so a crash at any point before (3) leaves an
-    orphan stage readers never saw.
-
-    Single-writer protocol, cheaply ENFORCED (optimistic concurrency):
-    a writer refuses to stage if ``v=N+1`` already exists — two writers
-    that both read version N cannot both stage into the same directory
-    (one fails fast instead of them overwriting each other mid-write);
-    the ones that tie on the exists-check are broken by the atomic _CLAIM
-    create, and the ones that somehow both stage are broken by the atomic
-    commit create. A leftover dir from a CRASHED writer also trips the
-    guard; the remedy is stated in the error (delete the orphan — the
-    missing commit record proves it was never committed). True
-    multi-writer commit needs a coordination service (what Delta's commit
-    coordinator provides), exactly as for any log-structured format."""
-    import json
-
+def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
+    """CLAIM and write the next version's staging dir (steps 1–2 of the
+    commit protocol); returns ``(version, staging_dir)``. See
+    ``snapshot_write`` for the protocol rationale."""
     spark = df.sparkSession
     fs, jvm = _snap_fs(spark, table_dir)
     version = snapshot_version(spark, table_dir) + 1
@@ -313,6 +293,78 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
     df.write.mode("append").parquet(vdir)
     if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
         raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
+    return version, vdir
+
+
+def _json_safe(v):
+    """Stats values must survive a JSON round-trip AND order the same way
+    afterwards: numbers/strings/bools pass through; date/timestamp become
+    ISO-8601 strings (whose lexicographic order IS chronological order, so
+    string comparison against an ISO literal prunes correctly); anything
+    else falls back to ``str`` on the same reasoning as Python's repr."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return str(v)
+
+
+def _staged_file_entries(
+    spark: SparkSession, table_dir: str, version: int, stats_cols: list[str] | None
+) -> list[dict]:
+    """Manifest entries for the files just staged under ``v=N``: relative
+    path + row count, plus per-file min/max for each of ``stats_cols``.
+
+    The stats come from ONE Spark job over only the new files (grouped by
+    ``input_file_name`` — the incremental cost Delta pays at write time
+    for the same reason): they are what lets readers and upserts skip
+    whole files without listing or opening them."""
+    fs, jvm = _snap_fs(spark, table_dir)
+    vdir = f"{table_dir.rstrip('/')}/v={version}"
+    names: dict[str, int] = {}
+    for st in fs.listStatus(_snap_path(jvm, vdir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            names[name] = int(st.getLen())
+    if not names:
+        return []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols or []:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    per_file = (
+        spark.read.parquet(vdir)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()  # bounded: one row per staged FILE (the manifest itself
+        # is a driver-side record — KBs per thousand files)
+    )
+    by_name = {r["__file"].rstrip("/").rsplit("/", 1)[-1]: r for r in per_file}
+    entries = []
+    for name in sorted(names):
+        r = by_name.get(name)
+        e: dict = {
+            "path": f"v={version}/{name}",
+            "rows": int(r["__rows"]) if r else 0,
+            "bytes": names[name],
+        }
+        if stats_cols and r is not None:
+            e["stats"] = {
+                c: {"min": _json_safe(r[f"__min_{c}"]), "max": _json_safe(r[f"__max_{c}"])}
+                for c in stats_cols
+            }
+        entries.append(e)
+    return entries
+
+
+def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: dict) -> None:
+    """Step 3 of the protocol: atomically create the immutable commit
+    record ``_manifests/N.json`` (create-no-overwrite IS the commit)."""
+    import json
+
+    fs, jvm = _snap_fs(spark, table_dir)
     record = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.json")
     try:
         out = fs.create(record, False)  # create-no-overwrite: THE commit
@@ -323,48 +375,353 @@ def snapshot_write(df: DataFrame, table_dir: str) -> int:
             f"(snapshot tables are single-writer)"
         ) from e
     try:
-        out.write(bytearray(json.dumps({"version": version, "dir": f"v={version}"}).encode()))
+        out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """Load the commit record for ``version`` through the path's own
+    Hadoop FileSystem (URI-capable — no driver-local ``open``)."""
+    import json
+
+    fs, jvm = _snap_fs(spark, table_dir)
+    record = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.json")
+    if not fs.exists(record):
+        raise FileNotFoundError(
+            f"snapshot version {version} was never committed in {table_dir}"
+        )
+    stream = fs.open(record)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(txt)
+
+
+def snapshot_write(
+    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+) -> int:
+    """Commit ``df`` as the next table version and return it.
+
+    Protocol: (1) CLAIM the staging dir ``v=N`` by atomically creating
+    ``v=N/_CLAIM`` (``createNewFile`` — create-no-overwrite); (2) write
+    parquet into the claimed dir (append mode, so the claim marker
+    survives) and verify ``_SUCCESS``; (3) COMMIT by atomically creating
+    the immutable record ``_manifests/N.json``. Readers only follow
+    committed records, so a crash at any point before (3) leaves an
+    orphan stage readers never saw.
+
+    The commit record carries the version's explicit FILE LIST (relative
+    paths + row counts + the dataframe schema), and — when ``stats_cols``
+    is given — per-file min/max for those columns. The file list is what
+    lets ``snapshot_upsert`` commit a new version that REFERENCES
+    untouched files instead of rewriting them (copy-on-write), and the
+    stats are what lets ``snapshot_read(where=...)`` and the upsert's
+    touched-file selection skip files entirely — at 100 TB the difference
+    between a query and a table scan is made at this manifest level,
+    before any file is listed or opened (the same job Delta/Iceberg give
+    their stats). Cost: one extra Spark job over only the new files.
+
+    Single-writer protocol, cheaply ENFORCED (optimistic concurrency):
+    a writer refuses to stage if ``v=N+1`` already exists — two writers
+    that both read version N cannot both stage into the same directory
+    (one fails fast instead of them overwriting each other mid-write);
+    the ones that tie on the exists-check are broken by the atomic _CLAIM
+    create, and the ones that somehow both stage are broken by the atomic
+    commit create. A leftover dir from a CRASHED writer also trips the
+    guard; the remedy is stated in the error (delete the orphan — the
+    missing commit record proves it was never committed). True
+    multi-writer commit needs a coordination service (what Delta's commit
+    coordinator provides), exactly as for any log-structured format."""
+    spark = df.sparkSession
+    version, vdir = _stage_version(df, table_dir)
+    entries = _staged_file_entries(spark, table_dir, version, stats_cols)
+    _commit_record(
+        spark,
+        table_dir,
+        version,
+        {
+            "version": version,
+            "dir": f"v={version}",
+            "files": entries,
+            "schema": df.schema.json(),
+        },
+    )
     return version
 
 
+_WHERE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stats_comparable(a, b) -> bool:
+    """Only prune when the stats value and the literal share a total
+    order we can evaluate driver-side: both numeric (bool excluded —
+    Python would happily order True against 1) or both strings."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
+    """True when the file's [min,max] envelope PROVES no row can satisfy
+    the conjunction. All-null stats (min and max both null) prune under
+    any comparison — SQL comparisons against NULL are never true. Missing
+    stats, unknown ops, or incomparable types never prune (safe
+    fallback: the residual filter still runs on every surviving row)."""
+    stats = entry.get("stats") or {}
+    for col, op, val in where:
+        s = stats.get(col)
+        if s is None or op not in _WHERE_OPS:
+            continue
+        mn, mx = s.get("min"), s.get("max")
+        if mn is None and mx is None and entry.get("rows", 0) > 0:
+            return True
+        if mn is None or mx is None or not _stats_comparable(mn, val):
+            continue
+        if op == "=" and (val < mn or val > mx):
+            return True
+        if op == "<" and not (mn < val):
+            return True
+        if op == "<=" and not (mn <= val):
+            return True
+        if op == ">" and not (mx > val):
+            return True
+        if op == ">=" and not (mx >= val):
+            return True
+    return False
+
+
+def _where_expr(where: list[tuple]):
+    """The same conjunction as a real Column predicate — applied to the
+    surviving files so the result is exact regardless of how much the
+    manifest level could prune (pruning is a superset guarantee, the
+    filter is the semantics)."""
+    import operator as _op
+
+    ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    expr = F.lit(True)
+    for col, op, val in where:
+        if op not in ops:
+            raise ValueError(f"snapshot_read: unsupported where op {op!r} (use one of {_WHERE_OPS})")
+        expr = expr & ops[op](F.col(col), F.lit(val))
+    return expr
+
+
 def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
-    """Read the latest committed snapshot, or time-travel to ``version``."""
+    """Read the latest committed snapshot, or time-travel to ``version``.
+
+    ``where`` is a conjunction of ``(column, op, literal)`` triples
+    (ops ``= < <= > >=``). It is applied twice, at two different costs:
+    once DRIVER-SIDE against the manifest's per-file min/max — files whose
+    envelope cannot contain a match are never listed, opened, or scanned
+    (manifest-level data skipping, the 100 TB lever) — and once as a real
+    pushed-down filter on the surviving files, so the result is exactly
+    the filtered table even when stats are absent. Date/timestamp columns
+    store ISO-8601 string stats; pass the literal in the same form."""
+    from pyspark.errors import AnalysisException
+
     fs, jvm = _snap_fs(spark, table_dir)
     v = version if version is not None else snapshot_version(spark, table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    if not fs.exists(_snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")):
-        raise FileNotFoundError(f"snapshot version {v} was never committed in {table_dir}")
-    vdir = f"{table_dir.rstrip('/')}/v={v}"
-    if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
-        raise FileNotFoundError(f"snapshot version {v} not found in {table_dir}")
-    return spark.read.parquet(vdir)
+    manifest = _read_manifest(spark, table_dir, v)
+    entries = manifest.get("files")
+    if entries is None:
+        # v1 record (no file list): whole-directory read, filter only
+        vdir = f"{table_dir.rstrip('/')}/v={v}"
+        if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
+            raise FileNotFoundError(f"snapshot version {v} not found in {table_dir}")
+        df = spark.read.parquet(vdir)
+        return df.where(_where_expr(where)) if where else df
+    if where:
+        entries = [e for e in entries if not _entry_prunable(e, where)]
+    if not entries:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+        return empty.where(_where_expr(where)) if where else empty
+    base = table_dir.rstrip("/")
+    try:
+        df = spark.read.parquet(*[f"{base}/{e['path']}" for e in entries])
+    except AnalysisException as e:
+        raise FileNotFoundError(
+            f"snapshot version {v} in {table_dir} references missing data "
+            f"files (vacuumed?): {e}"
+        ) from e
+    return df.where(_where_expr(where)) if where else df
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Copy-on-write last-write-wins upsert committed as a new version.
+
+    The Delta-MERGE cost model, not the full-rewrite one: files whose
+    ``key`` min/max envelope cannot contain any update key are CARRIED
+    into the new version's manifest by reference — their bytes are never
+    read, rewritten, or moved, and their stats entries come along
+    verbatim. Only files that might hold a matching key are read,
+    anti-joined against the update keys, and re-staged together with the
+    updates. On a 100 TB table a keyed CDC batch therefore costs
+    O(touched files + updates), not O(table).
+
+    Touched-file selection is itself a Spark job — the (KB-scale) manifest
+    envelope table broadcast against the DISTINCT update keys — so update
+    batches of any size never round-trip through the driver.
+
+    Requires the current version to carry ``key`` stats (write with
+    ``stats_cols=[key, ...]``); raises otherwise instead of silently
+    degrading to a full rewrite. Update keys must be unique and non-null
+    (last-write-wins needs an order *within* the batch that the caller
+    must resolve first — ``merge.cdc_apply`` is the changelog-folding
+    twin). ``stats_cols`` defaults to the columns the current manifest
+    tracks, so skipping power survives round after round of upserts."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, current)
+    entries = manifest.get("files")
+    if entries is None or any("stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0):
+        raise ValueError(
+            f"snapshot_upsert needs per-file {key!r} stats in the current "
+            f"manifest — rewrite the table once with "
+            f"snapshot_write(df, table_dir, stats_cols=[{key!r}, ...])"
+        )
+    if stats_cols is None:
+        with_stats = next((e for e in entries if e.get("stats")), None)
+        stats_cols = sorted(with_stats["stats"]) if with_stats else [key]
+
+    dup = updates.agg(
+        F.count(key).alias("n"),
+        F.count_distinct(F.col(key)).alias("d"),
+        F.count(F.lit(1)).alias("all"),
+    ).head()
+    if dup["all"] != dup["n"]:
+        raise ValueError(f"snapshot_upsert: update batch has NULL {key!r} keys")
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"snapshot_upsert: update batch has duplicate {key!r} keys — "
+            f"fold the batch (e.g. merge.cdc_apply) before upserting"
+        )
+
+    env_rows = [
+        (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+        for e in entries
+        if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
+    ]
+    touched: set[str] = set()
+    if env_rows:
+        env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
+        touched = {
+            r["__path"]
+            for r in (
+                updates.select(F.col(key).alias("__k"))
+                .distinct()
+                .join(
+                    F.broadcast(env),
+                    (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+                )
+                .select("__path")
+                .distinct()
+                .collect()  # bounded by the FILE count, not the update count
+            )
+        }
+    carried = [e for e in entries if e["path"] not in touched]
+
+    cols = updates.columns
+    base = table_dir.rstrip("/")
+    if touched:
+        existing = spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
+        survivors = existing.select(cols).join(
+            updates.select(F.col(key)), key, "left_anti"
+        )
+        staged_df = survivors.unionByName(updates)
+    else:
+        staged_df = updates
+    version, _ = _stage_version(staged_df, table_dir)
+    new_entries = _staged_file_entries(spark, table_dir, version, stats_cols) + carried
+    _commit_record(
+        spark,
+        table_dir,
+        version,
+        {
+            "version": version,
+            "dir": f"v={version}",
+            "files": new_entries,
+            "schema": manifest.get("schema") or staged_df.schema.json(),
+        },
+    )
+    return version
 
 
 def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
-    """Delete snapshot data dirs older than the newest ``keep_last``;
-    returns the versions removed. Commit records are KEPT (they are the
-    table history, like Delta's log) — time travel to a vacuumed version
-    raises FileNotFoundError because its data is gone, while the current
-    version can never be deleted: ``keep_last`` is clamped to >= 1."""
+    """Reclaim data not reachable from the newest ``keep_last`` versions;
+    returns the versions whose directories were removed or emptied.
+
+    Reachability, not age, decides: copy-on-write upserts make newer
+    manifests reference files living in OLDER version directories, so an
+    old ``v=N`` dir is swept file-by-file — anything a kept manifest still
+    lists survives in place, the rest is deleted, and the dir goes only
+    when nothing reachable remains in it. Commit records are KEPT (they
+    are the table history, like Delta's log) — time travel to a vacuumed
+    version raises FileNotFoundError because its data is gone, while the
+    current version can never be deleted: ``keep_last`` is clamped to
+    >= 1. A v1 manifest (no file list) keeps its whole directory."""
     import re
 
     fs, jvm = _snap_fs(spark, table_dir)
     keep_last = max(1, keep_last)
     current = snapshot_version(spark, table_dir)
+    reachable: set[str] = set()
+    whole_dirs: set[str] = set()
+    for v in range(max(1, current - keep_last + 1), current + 1):
+        try:
+            m = _read_manifest(spark, table_dir, v)
+        except FileNotFoundError:
+            continue
+        files = m.get("files")
+        if files is None:
+            whole_dirs.add(f"v={v}")
+        else:
+            reachable.update(e["path"] for e in files)
     removed = []
     for st in fs.listStatus(_snap_path(jvm, table_dir)):
-        m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
-        if not m:
+        name = st.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m or name in whole_dirs:
             continue
         v = int(m.group(1))
-        if v <= current - keep_last:
+        if v > current - keep_last:
+            continue
+        kept_any = False
+        swept_any = False
+        for fst in fs.listStatus(st.getPath()):
+            rel = f"{name}/{fst.getPath().getName()}"
+            if rel in reachable:
+                kept_any = True
+            elif fst.getPath().getName().endswith(".parquet"):
+                fs.delete(fst.getPath(), False)
+                swept_any = True
+        if not kept_any:
             fs.delete(st.getPath(), True)
             removed.append(v)
+        elif swept_any:
+            removed.append(v)  # swept of unreachable data; carried files stay
     return sorted(removed)
 
 
@@ -372,6 +729,7 @@ def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    stats_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Lakehouse-native small-files compaction: rewrite the CURRENT
     snapshot into ceil(total_bytes/target) files committed as a NEW
@@ -379,16 +737,28 @@ def snapshot_compact(
     all: readers of version N are untouched while N+1 stages, the commit
     is the same atomic record create as any write, and the bloated
     version remains time-travelable until ``snapshot_vacuum`` reclaims
-    it. URI-capable end-to-end (sizes via the Hadoop FS ContentSummary,
-    not os.path). Returns (new_version, file_count)."""
+    it. Reads through the manifest (after copy-on-write upserts the
+    current version's data spans several ``v=`` dirs) and sizes from the
+    manifest's per-file byte counts — URI-capable end-to-end. By default
+    re-derives ``stats_cols`` from the current manifest so compaction
+    never silently drops the table's skipping power.
+    Returns (new_version, file_count)."""
     import math
 
     fs, jvm = _snap_fs(spark, table_dir)
     v = snapshot_version(spark, table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    vdir = f"{table_dir.rstrip('/')}/v={v}"
-    total = fs.getContentSummary(_snap_path(jvm, vdir)).getLength()
+    manifest = _read_manifest(spark, table_dir, v)
+    entries = manifest.get("files")
+    if entries is None:
+        vdir = f"{table_dir.rstrip('/')}/v={v}"
+        total = fs.getContentSummary(_snap_path(jvm, vdir)).getLength()
+    else:
+        total = sum(e.get("bytes", 0) for e in entries)
+        if stats_cols is None:
+            with_stats = next((e for e in entries if e.get("stats")), None)
+            stats_cols = sorted(with_stats["stats"]) if with_stats else None
     n = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(vdir).repartition(n)
-    return snapshot_write(df, table_dir), n
+    df = snapshot_read(spark, table_dir).repartition(n)
+    return snapshot_write(df, table_dir, stats_cols=stats_cols), n

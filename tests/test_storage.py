@@ -341,3 +341,218 @@ def test_snapshot_compact_commits_new_version(spark, tmp_path):
     assert len(glob.glob(f"{tdir}/v=2/*.parquet")) == 1
     assert snapshot_read(spark, tdir).count() == 5000
     assert snapshot_read(spark, tdir, version=1).count() == 5000
+
+
+# --- manifest file lists: data skipping + copy-on-write upsert --------------
+
+
+def _manifest(tdir, v):
+    import json
+    import os
+
+    with open(os.path.join(tdir, "_manifests", f"{v}.json")) as f:
+        return json.load(f)
+
+
+def _keyed(spark, lo, hi, tag="base"):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.concat(F.lit(tag + "-"), F.col("k")))
+    )
+
+
+def test_snapshot_write_records_file_stats(spark, tmp_path):
+    """The commit record carries an explicit file list with rows/bytes and,
+    when asked, per-file min/max — the manifest level a 100 TB reader
+    prunes at before listing or opening anything."""
+    from f1_data_pipeline_spark.storage import snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    df = _keyed(spark, 0, 1000).repartitionByRange(4, "k")
+    snapshot_write(df, tdir, stats_cols=["k"])
+    m = _manifest(tdir, 1)
+    files = m["files"]
+    assert len(files) == 4
+    assert sum(e["rows"] for e in files) == 1000
+    assert all(e["bytes"] > 0 for e in files)
+    envelopes = sorted((e["stats"]["k"]["min"], e["stats"]["k"]["max"]) for e in files)
+    # range-partitioned by k: disjoint, covering envelopes
+    assert envelopes[0][0] == 0 and envelopes[-1][1] == 999
+    for (lo1, hi1), (lo2, _) in zip(envelopes, envelopes[1:]):
+        assert hi1 < lo2
+    assert "schema" in m
+
+
+def test_snapshot_read_where_skips_files(spark, tmp_path):
+    """Manifest-level data skipping: a selective predicate reads only the
+    files whose [min,max] envelope can match — and the result is exactly
+    the filtered table (the same predicate also runs as a real filter)."""
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    full = _keyed(spark, 0, 1000).repartitionByRange(8, "k")
+    snapshot_write(full, tdir, stats_cols=["k"])
+    pruned = snapshot_read(spark, tdir, where=[("k", ">=", 900)])
+    assert len(snapshot_read(spark, tdir).inputFiles()) == 8
+    assert len(pruned.inputFiles()) < 8
+    expect = sorted(r["k"] for r in snapshot_read(spark, tdir).where("k >= 900").collect())
+    assert sorted(r["k"] for r in pruned.collect()) == expect
+    # equality prunes to (at most) one file
+    one = snapshot_read(spark, tdir, where=[("k", "=", 123)])
+    assert len(one.inputFiles()) == 1
+    assert [r["v"] for r in one.collect()] == ["base-123"]
+    # a predicate no envelope satisfies: zero files, correct empty schema
+    none = snapshot_read(spark, tdir, where=[("k", ">", 10_000)])
+    assert none.count() == 0
+    assert none.columns == ["k", "v"]
+
+
+def test_snapshot_upsert_is_copy_on_write(spark, tmp_path):
+    """Only files whose key envelope intersects the update keys are
+    rewritten; every other file is carried into the new manifest BY
+    REFERENCE — its bytes never move, and time travel still sees the old
+    version."""
+    import glob
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    before = {e["path"]: e for e in _manifest(tdir, 1)["files"]}
+
+    updates = _keyed(spark, 995, 1005, tag="upd")  # touches only the top file
+    v = snapshot_upsert(spark, tdir, updates, key="k")
+    assert v == 2
+    after = _manifest(tdir, 2)["files"]
+    carried = [e for e in after if e["path"].startswith("v=1/")]
+    staged = [e for e in after if e["path"].startswith("v=2/")]
+    assert len(carried) == 7 and staged  # 7 of 8 files never moved
+    for e in carried:
+        assert before[e["path"]] == e  # stats/rows/bytes carried verbatim
+    assert not any(
+        f.endswith(tuple(e["path"].rsplit("/", 1)[-1] for e in carried))
+        for f in glob.glob(f"{tdir}/v=2/*.parquet")
+    )
+
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 1005
+    got = {r["k"]: r["v"] for r in cur.where("k >= 990").collect()}
+    assert got[994] == "base-994" and got[995] == "upd-995" and got[1004] == "upd-1004"
+    # old version untouched
+    old = snapshot_read(spark, tdir, version=1)
+    assert old.count() == 1000
+    assert old.where("k = 995").head()["v"] == "base-995"
+    # carried stats still prune on the new version
+    assert len(snapshot_read(spark, tdir, where=[("k", "=", 3)]).inputFiles()) == 1
+
+
+def test_snapshot_upsert_contract_errors(spark, tmp_path):
+    import pytest
+
+    from f1_data_pipeline_spark.storage import snapshot_upsert, snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 100), tdir)  # no stats
+    with pytest.raises(ValueError, match="stats"):
+        snapshot_upsert(spark, tdir, _keyed(spark, 0, 5, "u"), key="k")
+
+    tdir2 = str(tmp_path / "tbl2")
+    snapshot_write(_keyed(spark, 0, 100), tdir2, stats_cols=["k"])
+    dup = _keyed(spark, 0, 5, "u").union(_keyed(spark, 4, 6, "u"))
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_upsert(spark, tdir2, dup, key="k")
+    from pyspark.sql import functions as F
+
+    nulls = _keyed(spark, 0, 5, "u").withColumn(
+        "k", F.when(F.col("k") == 2, None).otherwise(F.col("k"))
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_upsert(spark, tdir2, nulls, key="k")
+
+
+def test_snapshot_vacuum_respects_carried_references(spark, tmp_path):
+    """Reachability-based vacuum: files an upserted version carries from an
+    old directory SURVIVE vacuuming that version's directory; only the
+    unreferenced (rewritten) files are reclaimed."""
+    import glob
+
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    snapshot_upsert(spark, tdir, _keyed(spark, 0, 5, "u"), key="k")  # touches low file(s)
+    v1_files_before = len(glob.glob(f"{tdir}/v=1/*.parquet"))
+    removed = snapshot_vacuum(spark, tdir, keep_last=1)
+    assert removed == [1]
+    v1_files_after = glob.glob(f"{tdir}/v=1/*.parquet")
+    # the carried files survive in place; at least the rewritten one is gone
+    assert 0 < len(v1_files_after) < v1_files_before
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 1000
+    assert cur.where("k = 3").head()["v"] == "u-3"
+    assert cur.where("k = 500").head()["v"] == "base-500"
+    # time travel to the vacuumed version now fails: its rewritten file is gone
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, tdir, version=1).count()
+
+
+def test_snapshot_compact_after_upsert_preserves_data_and_stats(spark, tmp_path):
+    """Compaction reads THROUGH the manifest (post-upsert data spans
+    several v= dirs) and re-derives the manifest's stats columns so the
+    table keeps its skipping power."""
+    import glob
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_compact,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    snapshot_upsert(spark, tdir, _keyed(spark, 100, 110, "u"), key="k")
+    v, n = snapshot_compact(spark, tdir, target_file_bytes=1 << 30)
+    assert (v, n) == (3, 1)
+    assert len(glob.glob(f"{tdir}/v=3/*.parquet")) == 1
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 1000
+    assert cur.where("k = 105").head()["v"] == "u-105"
+    m = _manifest(tdir, 3)
+    assert all("k" in e["stats"] for e in m["files"] if e["rows"] > 0)
+
+
+def test_snapshot_upsert_roundtrip_through_file_uri(spark, tmp_path):
+    """The copy-on-write path is URI-capable end-to-end: manifest read,
+    envelope join, staging, carried references, vacuum."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = "file://" + str(tmp_path / "tbl_uri")
+    snapshot_write(_keyed(spark, 0, 400).repartitionByRange(4, "k"), tdir, stats_cols=["k"])
+    v = snapshot_upsert(spark, tdir, _keyed(spark, 398, 402, "u"), key="k")
+    assert v == 2
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 402
+    assert cur.where("k = 399").head()["v"] == "u-399"
+    assert len(snapshot_read(spark, tdir, where=[("k", "=", 1)]).inputFiles()) == 1
+    assert snapshot_vacuum(spark, tdir, keep_last=1) == [1]
+    assert snapshot_read(spark, tdir).count() == 402
