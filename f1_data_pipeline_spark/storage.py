@@ -568,6 +568,7 @@ def snapshot_upsert(
     updates: DataFrame,
     key: str,
     stats_cols: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Copy-on-write last-write-wins upsert committed as a new version.
 
@@ -590,7 +591,16 @@ def snapshot_upsert(
     (last-write-wins needs an order *within* the batch that the caller
     must resolve first — ``merge.cdc_apply`` is the changelog-folding
     twin). ``stats_cols`` defaults to the columns the current manifest
-    tracks, so skipping power survives round after round of upserts."""
+    tracks, so skipping power survives round after round of upserts.
+
+    ``cluster_files`` range-partitions the staged (rewritten) rows by
+    ``key`` into that many files. Without it the staged files inherit
+    whatever layout the update batch arrived in — after a hash shuffle
+    that means every file's key envelope spans the whole range and
+    NOTHING can be skipped next round. Min/max skipping is only as good
+    as the physical clustering under it (the reason Delta/Iceberg pair
+    stats with clustering); any table maintained by repeated upserts
+    should cluster."""
     current = snapshot_version(spark, table_dir)
     if current < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -653,6 +663,8 @@ def snapshot_upsert(
         staged_df = survivors.unionByName(updates)
     else:
         staged_df = updates
+    if cluster_files:
+        staged_df = staged_df.repartitionByRange(cluster_files, key)
     version, _ = _stage_version(staged_df, table_dir)
     new_entries = _staged_file_entries(spark, table_dir, version, stats_cols) + carried
     _commit_record(
@@ -667,6 +679,69 @@ def snapshot_upsert(
         },
     )
     return version
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    where: list[tuple],
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Copy-on-write predicate delete committed as a new version;
+    returns ``(new_version, rows_deleted)``.
+
+    The takedown/right-to-erasure shape a training-data table needs:
+    files whose stats envelope PROVES no row matches (``_entry_prunable``
+    — the same driver-side skipping ``snapshot_read`` uses) are carried
+    into the new manifest by reference, untouched; only candidate files
+    are read, filtered to survivors, and re-staged. Cost is O(candidate
+    files), not O(table) — on a key-clustered 100 TB table a targeted
+    delete touches a handful of files. Files without stats are simply
+    candidates (correct, just not skipped).
+
+    SQL DELETE semantics: rows where the predicate is TRUE go; rows
+    where it is FALSE **or NULL** stay. ``rows_deleted`` falls out of
+    the manifests for free (candidate rows minus staged rows) — no extra
+    count job. ``stats_cols`` defaults to what the current manifest
+    tracks, so skipping power survives the rewrite."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, current)
+    entries = manifest.get("files")
+    if entries is None:
+        raise ValueError(
+            f"snapshot_delete needs a file-list manifest — rewrite the "
+            f"table once with snapshot_write (any stats_cols) under {table_dir}"
+        )
+    if stats_cols is None:
+        with_stats = next((e for e in entries if e.get("stats")), None)
+        stats_cols = sorted(with_stats["stats"]) if with_stats else None
+
+    candidates = [e for e in entries if not _entry_prunable(e, where)]
+    if not candidates:
+        return current, 0  # no file can hold a match: nothing to commit
+    carried = [e for e in entries if e["path"] not in {c["path"] for c in candidates}]
+    base = table_dir.rstrip("/")
+    keep = ~F.coalesce(_where_expr(where), F.lit(False))
+    survivors = spark.read.parquet(
+        *[f"{base}/{e['path']}" for e in candidates]
+    ).where(keep)
+    version, _ = _stage_version(survivors, table_dir)
+    staged = _staged_file_entries(spark, table_dir, version, stats_cols)
+    deleted = sum(e.get("rows", 0) for e in candidates) - sum(e["rows"] for e in staged)
+    _commit_record(
+        spark,
+        table_dir,
+        version,
+        {
+            "version": version,
+            "dir": f"v={version}",
+            "files": staged + carried,
+            "schema": manifest.get("schema") or survivors.schema.json(),
+        },
+    )
+    return version, deleted
 
 
 def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:

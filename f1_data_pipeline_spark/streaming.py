@@ -694,3 +694,74 @@ def stream_hll_distinct(
         F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
     )
     return agg.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+
+
+def stream_snapshot_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint: str,
+    table_dir: str,
+    key: str,
+    schema,
+    stats_cols: list[str] | None = None,
+    cluster_files: int = 4,
+    trigger: dict | None = None,
+):
+    """Continuously maintain a versioned snapshot TABLE from a stream of
+    keyed change batches: per micro-batch, fold to one row per key
+    (last-write-wins in arrival order) and commit it through the
+    copy-on-write ``storage.snapshot_upsert`` — only files whose key
+    envelope intersects the batch's keys are rewritten, so a steady
+    trickle of updates against a 100 TB table costs O(touched files +
+    batch) per trigger, and every commit is atomic (readers always see a
+    complete version, never a half-applied batch).
+
+    Every commit is range-clustered on ``key`` into ``cluster_files``
+    files: min/max skipping is only as good as the physical clustering
+    under it — a hash-shuffled write gives every file a full-range key
+    envelope and the NEXT batch would have to rewrite everything.
+
+    Delivery: at-least-once batches × key-idempotent merge =
+    effectively-once CONTENT — replaying a batch re-asserts the same
+    (key → latest row) mapping, so the table converges to the same state;
+    only the version history records the replay. The first batch
+    bootstraps the table with ``snapshot_write`` carrying ``key`` stats,
+    so upserts can skip files from version 2 onward."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_upsert,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    scols = stats_cols or [key]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.sparkSession
+        others = [c for c in batch_df.columns if c != key]
+        folded = (
+            batch_df.withColumn("__ord", F.monotonically_increasing_id())
+            .groupBy(key)
+            .agg(F.max_by(F.struct(*others), F.col("__ord")).alias("__s"))
+            .select(key, "__s.*")
+        )
+        if snapshot_version(b, table_dir) < 1:
+            snapshot_write(
+                folded.repartitionByRange(cluster_files, key),
+                table_dir,
+                stats_cols=scols,
+            )
+        else:
+            snapshot_upsert(
+                b, table_dir, folded, key=key, stats_cols=scols,
+                cluster_files=cluster_files,
+            )
+
+    changes = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        changes.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -556,3 +556,48 @@ def test_snapshot_upsert_roundtrip_through_file_uri(spark, tmp_path):
     assert len(snapshot_read(spark, tdir, where=[("k", "=", 1)]).inputFiles()) == 1
     assert snapshot_vacuum(spark, tdir, keep_last=1) == [1]
     assert snapshot_read(spark, tdir).count() == 402
+
+
+def test_snapshot_delete_copy_on_write(spark, tmp_path):
+    """Predicate delete with the copy-on-write cost model: files whose
+    envelope proves no match are carried by reference; only candidates
+    are rewritten; rows where the predicate is NULL survive (SQL DELETE
+    semantics); a provably-no-match delete is a version no-op."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = _keyed(spark, 0, 1000).withColumn(
+        "score", F.when(F.col("k") % 100 == 0, None).otherwise(F.col("k") % 7)
+    ).repartitionByRange(8, "k")
+    snapshot_write(df, tdir, stats_cols=["k"])
+
+    # targeted delete: k in [990, 1000) — one file's envelope
+    v, n = snapshot_delete(spark, tdir, [("k", ">=", 990)])
+    assert (v, n) == (2, 10)
+    m = _manifest(tdir, 2)
+    assert sum(e["path"].startswith("v=1/") for e in m["files"]) == 7
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 990
+    assert cur.where("k >= 990").count() == 0
+    # NULL-predicate rows survive: score is NULL at multiples of 100
+    v, n = snapshot_delete(spark, tdir, [("score", "=", 3)])
+    assert n == cur.where("score = 3").count() > 0
+    left = snapshot_read(spark, tdir)
+    assert left.where("score = 3").count() == 0
+    assert left.where("score IS NULL").count() == 10  # k=0,100,...,900 kept
+    # provably-no-match: no new version
+    before = snapshot_version(spark, tdir)
+    v, n = snapshot_delete(spark, tdir, [("k", ">", 10_000)])
+    assert (v, n) == (before, 0)
+    assert snapshot_version(spark, tdir) == before
+    # old versions time-travel across deletes
+    assert snapshot_read(spark, tdir, version=1).count() == 1000

@@ -734,3 +734,69 @@ def test_stream_hll_distinct_across_drops_matches_batch_identity(spark, tmp_path
     for g, exact in {"a": 800, "b": 500}.items():
         assert abs(final[g] - expected[g]) <= 0.05 * exact, (g, final, expected)
         assert abs(final[g] - exact) <= max(3, 0.05 * exact), (g, final[g])
+
+
+def test_stream_snapshot_upsert_maintains_versioned_table(spark, tmp_path):
+    """Streaming copy-on-write maintenance of a snapshot table: two
+    availableNow drops on one checkpoint land as successive versions;
+    within-batch duplicates fold last-write-wins in arrival order; files
+    the batch's keys cannot touch are carried by reference, not
+    rewritten; and replaying a batch (fresh checkpoint, same data)
+    converges to identical CONTENT — effectively-once through key
+    idempotence, with only the version history recording the replay."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+
+    def write_drop(name, rows):
+        spark.createDataFrame(rows, schema).repartitionByRange(4, "k").write.parquet(
+            str(src / name)
+        )
+
+    def run(ck):
+        q = strm.stream_snapshot_upsert(
+            spark, str(src) + "/*", ck, tdir, key="k", schema=schema
+        )
+        assert q.awaitTermination(180)
+
+    # drop 1 bootstraps the table (includes an in-batch duplicate: k=7
+    # arrives twice, later row must win)
+    write_drop("d1", [(i, f"a-{i}") for i in range(100)] + [(7, "a-7-final")])
+    run(str(tmp_path / "ck"))
+    assert snapshot_version(spark, tdir) == 1
+    t1 = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(t1) == 100 and t1[7] == "a-7-final"
+
+    # drop 2 updates a narrow key band + inserts: copy-on-write carries
+    # the untouched files of v=1 by reference
+    write_drop("d2", [(i, f"b-{i}") for i in range(98, 105)])
+    run(str(tmp_path / "ck"))
+    assert snapshot_version(spark, tdir) == 2
+    cur = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(cur) == 105
+    assert cur[5] == "a-5" and cur[98] == "b-98" and cur[104] == "b-104"
+    carried = [
+        e for e in _read_manifest(spark, tdir, 2)["files"] if e["path"].startswith("v=1/")
+    ]
+    assert carried  # untouched v=1 files referenced, not rewritten
+    # old version still time-travels
+    assert snapshot_read(spark, tdir, version=1).count() == 100
+
+    # replay both drops on a FRESH checkpoint: content identical
+    run(str(tmp_path / "ck2"))
+    assert snapshot_version(spark, tdir) > 2
+    again = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert again == cur
