@@ -342,3 +342,133 @@ def x_kmv_distinct(t: Tables) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def kmv_jaccard(
+    elements: DataFrame,
+    group_col: str,
+    elem_col: str,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between every two groups' DISTINCT
+    element sets, estimated from coordinated bottom-k sketches (Cohen &
+    Kaplan 2007; Beyer et al. 2007: for U = bottom-k of the pair's
+    union, J ≈ |{x ∈ U : x ∈ A ∧ x ∈ B}| / |U|).
+
+    The sketch-side twin of ``text.source_overlap_matrix``: the exact
+    matrix self-joins EVERY distinct fingerprint across sources —
+    correct, but the join input is the full fingerprint table. Here the
+    corpus is touched once (distinct + per-group WindowGroupLimit,
+    exactly ``bottomk_sample``'s plan), and the pairwise phase runs on
+    sketches only — groups² × k rows, KBs, independent of corpus size.
+    Because the samples are COORDINATED (one shared salt), membership of
+    the same element in two groups' sketches is directly comparable —
+    the property plain per-group random samples don't have.
+
+    Deterministic: a pure function of (element sets, salt, k) — an
+    external engine reproduces every estimate bit-for-bit. Groups whose
+    union holds ≤ k distinct elements get their EXACT Jaccard (the
+    denominator is min(k, |union|) by construction).
+
+    Returns ``(group_a, group_b, union_k, shared_k, jaccard_est)`` for
+    every unordered pair (a < b)."""
+    e = elements.select(group_col, elem_col).distinct()
+    h = F.md5(F.concat(F.col(elem_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(elem_col).asc())
+    sk = (
+        e.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(group_col, elem_col, "__h")
+    )
+    g = e.select(F.col(group_col).alias("group_a")).distinct()
+    pairs = g.join(
+        e.select(F.col(group_col).alias("group_b")).distinct(),
+        F.col("group_a") < F.col("group_b"),
+    )
+    # per-pair union membership via two equi-joins (no OR-join): each
+    # side tags which group contributed the element, max() folds dupes
+    ua = pairs.join(
+        sk.select(F.col(group_col).alias("group_a"), elem_col, "__h"), "group_a"
+    ).select("group_a", "group_b", elem_col, "__h", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+    ub = pairs.join(
+        sk.select(F.col(group_col).alias("group_b"), elem_col, "__h"), "group_b"
+    ).select("group_a", "group_b", elem_col, "__h", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+    memb = (
+        ua.unionByName(ub)
+        .groupBy("group_a", "group_b", elem_col, "__h")
+        .agg(F.max("__a").alias("__ina"), F.max("__b").alias("__inb"))
+    )
+    w2 = Window.partitionBy("group_a", "group_b").orderBy(
+        F.col("__h").asc(), F.col(elem_col).asc()
+    )
+    u = memb.withColumn("__rn", F.row_number().over(w2)).where(F.col("__rn") <= k)
+    return u.groupBy("group_a", "group_b").agg(
+        F.count("*").cast("long").alias("union_k"),
+        F.sum(F.col("__ina") * F.col("__inb")).cast("long").alias("shared_k"),
+        F.round(
+            F.sum(F.col("__ina") * F.col("__inb")) * 1.0 / F.count("*"), 4
+        ).alias("jaccard_est"),
+    )
+
+
+_KJ_K = 64
+_KJ_SALT = "kj-v1"
+
+
+@query(
+    "x_kmv_jaccard",
+    f"""WITH w AS (SELECT doc_id, source, string_split(trim(text), ' ') AS w
+                  FROM documents),
+       fp AS (SELECT DISTINCT source,
+                     md5(array_to_string(list_slice(w, s, s + 7), ' ')) AS fp
+              FROM w, unnest(generate_series(1, len(w) - 7)) t(s)
+              WHERE len(w) >= 8),
+       sk AS (SELECT source, fp, hh FROM (
+                SELECT source, fp, md5(fp || '{_KJ_SALT}') AS hh,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY md5(fp || '{_KJ_SALT}'), fp) AS rn
+                FROM fp) WHERE rn <= {_KJ_K}),
+       p AS (SELECT a.source AS ga, b.source AS gb
+             FROM (SELECT DISTINCT source FROM fp) a,
+                  (SELECT DISTINCT source FROM fp) b
+             WHERE a.source < b.source),
+       m AS (SELECT p.ga, p.gb, s.fp, s.hh,
+                    max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+                    max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+             FROM p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+             GROUP BY p.ga, p.gb, s.fp, s.hh),
+       r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+                                          ORDER BY hh, fp) AS rn FROM m)
+       SELECT ga AS source_a, gb AS source_b,
+              CAST(count(*) AS BIGINT) AS union_k,
+              CAST(sum(in_a * in_b) AS BIGINT) AS shared_k,
+              ROUND(sum(in_a * in_b) * 1.0 / count(*), 4) AS jaccard_est
+       FROM r WHERE rn <= {_KJ_K}
+       GROUP BY ga, gb ORDER BY source_a, source_b""",
+)
+def x_kmv_jaccard(t: Tables) -> DataFrame:
+    """Cross-source 8-gram Jaccard ESTIMATED from coordinated bottom-k
+    sketches (k=64) — the sketch-cost answer to the question
+    ``x_source_overlap`` answers exactly: how much do two sources'
+    distinct-shingle vocabularies overlap? One corpus pass builds the
+    per-source sketches; the pairwise phase never re-touches the corpus.
+    Deterministic end-to-end, so the oracle reproduces every estimate
+    bit-for-bit (same md5 order, same tie-break, same ROUND)."""
+    from f1_data_pipeline_spark.operators.dedup import word_shingles
+
+    d = t.documents
+    sh = word_shingles(d.select("doc_id", "source", "text"), "text", 8)
+    fp = (
+        d.select("doc_id", "source")
+        .join(sh, "doc_id")
+        .select(F.col("source"), F.md5("shingle").alias("fp"))
+        .distinct()
+    )
+    return (
+        kmv_jaccard(fp, "source", "fp", _KJ_K, _KJ_SALT)
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+        .orderBy("source_a", "source_b")
+    )

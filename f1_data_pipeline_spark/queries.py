@@ -1557,6 +1557,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_t2": "time-filtered count; T-family in-window via q_t1",
     # built round 8 after the r8 rotation was already full — rotate next round
     "x_bottomk_sample": "bottom-k consistent sample (new r8); rotate next round; sampling family in-window via x_pps_sample",
+    "x_kmv_jaccard": "coordinated bottom-k Jaccard estimate (new r8); rotate next round; overlap family in-window via x_source_overlap",
 }
 
 

@@ -318,3 +318,42 @@ def test_kmv_matches_pure_python_replay(spark):
         hs.sort()
         exp = float(len(hs)) if len(hs) < 16 else 15.0 / hs[15]
         assert abs(got[source] - exp) < 1e-9, (source, got[source], exp)
+
+
+def test_kmv_jaccard_exact_below_k_and_estimates_above(spark):
+    """Pairs whose union fits in the sketch report EXACT Jaccard; larger
+    unions estimate within the bottom-k error envelope on planted sets
+    with known overlap; output is invariant under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.sketches import kmv_jaccard
+
+    # small: A = {0..29}, B = {20..49} → J = 10/50 = 0.2, union 50 ≤ k
+    small = spark.createDataFrame(
+        [("A", i) for i in range(30)] + [("B", i) for i in range(20, 50)],
+        "g string, e long",
+    )
+    r = kmv_jaccard(small, "g", "e", k=64, salt="kj-t").head()
+    assert (r["union_k"], r["shared_k"]) == (50, 10)
+    assert abs(r["jaccard_est"] - 0.2) < 1e-9
+
+    # large: |A|=|B|=4000 with 2000 shared → J = 2000/6000 = 1/3;
+    # k=256 → std error ~ sqrt(J(1-J)/k) ≈ 0.03
+    big = spark.createDataFrame(
+        [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 6000)],
+        "g string, e long",
+    )
+    r = kmv_jaccard(big, "g", "e", k=256, salt="kj-t").head()
+    assert r["union_k"] == 256
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.1, r
+    # deterministic: identical under a different physical layout
+    r2 = kmv_jaccard(big.repartition(17), "g", "e", k=256, salt="kj-t").head()
+    assert (r2["union_k"], r2["shared_k"], r2["jaccard_est"]) == (
+        r["union_k"], r["shared_k"], r["jaccard_est"],
+    )
+    # disjoint pair estimates zero
+    z = spark.createDataFrame(
+        [("A", i) for i in range(500)] + [("B", i + 10_000) for i in range(500)],
+        "g string, e long",
+    )
+    assert kmv_jaccard(z, "g", "e", k=128, salt="kj-t").head()["jaccard_est"] == 0.0
