@@ -681,6 +681,53 @@ def snapshot_upsert(
     return version
 
 
+def snapshot_history(
+    spark: SparkSession, table_dir: str, check_available: bool = False
+) -> list[dict]:
+    """Table history from the commit log (the DESCRIBE HISTORY shape):
+    one record per committed version — file/row/byte totals and how many
+    files were newly staged vs carried by reference from older versions.
+    Pure manifest reads — no data files are listed or opened, so history
+    on a 100 TB table costs KBs of JSON. ``check_available=True``
+    additionally probes every referenced file's existence (False once
+    vacuum reclaimed any of it) — one FS round-trip per file, so opt-in."""
+    fs, jvm = _snap_fs(spark, table_dir)
+    out = []
+    for v in range(1, snapshot_version(spark, table_dir) + 1):
+        try:
+            m = _read_manifest(spark, table_dir, v)
+        except FileNotFoundError:
+            continue
+        rec: dict = {"version": v}
+        files = m.get("files")
+        if files is None:
+            rec.update(
+                {"n_files": None, "rows": None, "bytes": None,
+                 "n_staged": None, "n_carried": None}
+            )
+            if check_available:
+                rec["available"] = bool(
+                    fs.exists(_snap_path(jvm, table_dir, f"v={v}", "_SUCCESS"))
+                )
+        else:
+            own = f"v={v}/"
+            rec.update(
+                {
+                    "n_files": len(files),
+                    "rows": sum(e.get("rows", 0) for e in files),
+                    "bytes": sum(e.get("bytes", 0) for e in files),
+                    "n_staged": sum(e["path"].startswith(own) for e in files),
+                    "n_carried": sum(not e["path"].startswith(own) for e in files),
+                }
+            )
+            if check_available:
+                rec["available"] = all(
+                    fs.exists(_snap_path(jvm, table_dir, e["path"])) for e in files
+                )
+        out.append(rec)
+    return out
+
+
 def snapshot_delete(
     spark: SparkSession,
     table_dir: str,

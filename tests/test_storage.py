@@ -601,3 +601,28 @@ def test_snapshot_delete_copy_on_write(spark, tmp_path):
     assert snapshot_version(spark, tdir) == before
     # old versions time-travel across deletes
     assert snapshot_read(spark, tdir, version=1).count() == 1000
+
+
+def test_snapshot_history_reports_lineage(spark, tmp_path):
+    """History comes from manifests alone: per-version totals, staged vs
+    carried file split, and (opt-in) availability that flips once vacuum
+    reclaims a version's data."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_history,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    snapshot_upsert(spark, tdir, _keyed(spark, 0, 5, "u"), key="k", cluster_files=1)
+    h = snapshot_history(spark, tdir, check_available=True)
+    assert [r["version"] for r in h] == [1, 2]
+    assert h[0]["rows"] == 1000 and h[0]["n_staged"] == 8 and h[0]["n_carried"] == 0
+    assert h[1]["rows"] == 1000 and h[1]["n_staged"] == 1 and h[1]["n_carried"] == 7
+    assert all(r["available"] for r in h)
+    snapshot_vacuum(spark, tdir, keep_last=1)
+    h2 = snapshot_history(spark, tdir, check_available=True)
+    assert h2[0]["available"] is False  # v1's rewritten file was reclaimed
+    assert h2[1]["available"] is True
