@@ -423,6 +423,14 @@ def snapshot_write(
     before any file is listed or opened (the same job Delta/Iceberg give
     their stats). Cost: one extra Spark job over only the new files.
 
+    Known bound, stated rather than hidden: the manifest is one
+    driver-side JSON record — ~100 bytes per file entry, so practical to
+    roughly 10⁵ files per version (a ~10 TB version at 128 MB files);
+    past that the file list itself needs to become a parquet dataset
+    read distributed (Delta's checkpointed _delta_log, Iceberg's
+    manifest-list indirection — the same evolution this protocol would
+    take).
+
     Single-writer protocol, cheaply ENFORCED (optimistic concurrency):
     a writer refuses to stage if ``v=N+1`` already exists — two writers
     that both read version N cannot both stage into the same directory
