@@ -799,6 +799,52 @@ def snapshot_delete(
     return version, deleted
 
 
+def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> int:
+    """Commit ``to_version``'s state as the NEW current version (the
+    RESTORE shape): the new commit record simply references the old
+    version's file list — zero bytes move, the operation costs one
+    manifest read and one atomic record create regardless of table size,
+    and the rolled-back-over versions stay time-travelable until
+    vacuumed. Reachability vacuum then treats the restored version's
+    files as current, so a restore also PROTECTS them. Raises if the
+    target's data is no longer fully present (vacuumed) — restoring to a
+    hole would commit a version that cannot be read."""
+    fs, jvm = _snap_fs(spark, table_dir)
+    manifest = _read_manifest(spark, table_dir, to_version)
+    files = manifest.get("files")
+    if files is None:
+        raise ValueError(
+            f"snapshot_restore: version {to_version} in {table_dir} has a "
+            f"v1 (no-file-list) manifest — read it and snapshot_write the "
+            f"rows instead"
+        )
+    missing = [
+        e["path"]
+        for e in files
+        if not fs.exists(_snap_path(jvm, table_dir, e["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"snapshot_restore: version {to_version} in {table_dir} is no "
+            f"longer fully present (vacuumed?) — {len(missing)} file(s) "
+            f"missing, e.g. {missing[0]}"
+        )
+    version = snapshot_version(spark, table_dir) + 1
+    _commit_record(
+        spark,
+        table_dir,
+        version,
+        {
+            "version": version,
+            "dir": f"v={version}",
+            "files": files,
+            "schema": manifest.get("schema"),
+            "restored_from": to_version,
+        },
+    )
+    return version
+
+
 def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
     """Reclaim data not reachable from the newest ``keep_last`` versions;
     returns the versions whose directories were removed or emptied.

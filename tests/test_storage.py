@@ -626,3 +626,46 @@ def test_snapshot_history_reports_lineage(spark, tmp_path):
     h2 = snapshot_history(spark, tdir, check_available=True)
     assert h2[0]["available"] is False  # v1's rewritten file was reclaimed
     assert h2[1]["available"] is True
+
+
+def test_snapshot_restore_is_zero_copy(spark, tmp_path):
+    """RESTORE commits the old version's file list under a new version
+    number: no data moves (n_staged == 0 in history), the restored state
+    reads back exactly, reachability vacuum protects the restored files,
+    and restoring into a vacuumed hole refuses."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    snapshot_upsert(spark, tdir, _keyed(spark, 0, 5, "u"), key="k", cluster_files=1)
+    assert snapshot_read(spark, tdir).where("k = 3").head()["v"] == "u-3"
+
+    v = snapshot_restore(spark, tdir, 1)
+    assert v == 3
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 1000
+    assert cur.where("k = 3").head()["v"] == "base-3"  # pre-upsert state
+    h = {r["version"]: r for r in snapshot_history(spark, tdir)}
+    assert h[3]["n_staged"] == 0 and h[3]["n_carried"] == 8  # zero-copy
+    # stats carried: skipping still works on the restored version
+    assert len(snapshot_read(spark, tdir, where=[("k", "=", 3)]).inputFiles()) == 1
+    # the rolled-back-over upsert stays time-travelable
+    assert snapshot_read(spark, tdir, version=2).where("k = 3").head()["v"] == "u-3"
+    # vacuum keeps every v=1 file (current references all of them), and
+    # reclaims v=2's rewrite
+    snapshot_vacuum(spark, tdir, keep_last=1)
+    assert snapshot_read(spark, tdir).count() == 1000
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, tdir, version=2).count()
+    # restoring INTO the vacuumed hole refuses with the reason
+    with pytest.raises(FileNotFoundError, match="no longer fully present"):
+        snapshot_restore(spark, tdir, 2)
