@@ -669,3 +669,25 @@ def test_snapshot_restore_is_zero_copy(spark, tmp_path):
     # restoring INTO the vacuumed hole refuses with the reason
     with pytest.raises(FileNotFoundError, match="no longer fully present"):
         snapshot_restore(spark, tdir, 2)
+
+
+def test_snapshot_upsert_pure_insert_touches_nothing(spark, tmp_path):
+    """Updates whose keys land outside every file envelope rewrite ZERO
+    existing files: the staged version holds only the new rows and every
+    prior file is carried by reference."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+    snapshot_upsert(spark, tdir, _keyed(spark, 5000, 5005, "new"), key="k")
+    m = _manifest(tdir, 2)
+    assert sum(e["path"].startswith("v=1/") for e in m["files"]) == 8  # all carried
+    staged_rows = sum(e["rows"] for e in m["files"] if e["path"].startswith("v=2/"))
+    assert staged_rows == 5
+    cur = snapshot_read(spark, tdir)
+    assert cur.count() == 1005
+    assert cur.where("k = 5002").head()["v"] == "new-5002"
