@@ -398,6 +398,10 @@ def test_snapshot_read_where_skips_files(spark, tmp_path):
     pruned = snapshot_read(spark, tdir, where=[("k", ">=", 900)])
     assert len(snapshot_read(spark, tdir).inputFiles()) == 8
     assert len(pruned.inputFiles()) < 8
+    # the residual predicate must ALSO reach the scan as a pushed filter
+    # (manifest skipping prunes files, the footer prunes row groups)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(k,900)" in plan.split("PushedFilters")[1][:120], plan
     expect = sorted(r["k"] for r in snapshot_read(spark, tdir).where("k >= 900").collect())
     assert sorted(r["k"] for r in pruned.collect()) == expect
     # equality prunes to (at most) one file
