@@ -381,10 +381,16 @@ def kmv_jaccard(
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(group_col, elem_col, "__h")
+        # materialize the sketch ONCE (bounded: k rows per group) — five
+        # downstream consumers (two group lists, two membership joins)
+        # would otherwise each re-run the corpus-wide distinct + window
+        .localCheckpoint(eager=True)
     )
-    g = e.select(F.col(group_col).alias("group_a")).distinct()
+    # the group list comes from the SKETCH, not from the corpus-wide
+    # distinct — every non-empty group has sketch rows
+    g = sk.select(F.col(group_col).alias("group_a")).distinct()
     pairs = g.join(
-        e.select(F.col(group_col).alias("group_b")).distinct(),
+        sk.select(F.col(group_col).alias("group_b")).distinct(),
         F.col("group_a") < F.col("group_b"),
     )
     # per-pair union membership via two equi-joins (no OR-join): each

@@ -776,7 +776,8 @@ def snapshot_delete(
     candidates = [e for e in entries if not _entry_prunable(e, where)]
     if not candidates:
         return current, 0  # no file can hold a match: nothing to commit
-    carried = [e for e in entries if e["path"] not in {c["path"] for c in candidates}]
+    candidate_paths = {c["path"] for c in candidates}
+    carried = [e for e in entries if e["path"] not in candidate_paths]
     base = table_dir.rstrip("/")
     keep = ~F.coalesce(_where_expr(where), F.lit(False))
     survivors = spark.read.parquet(
