@@ -320,14 +320,36 @@ def kmv_distinct_estimate(
     )
 
 
-@query("x_kmv_distinct", None)  # deterministic estimator; DuckDB lacks hex→int
+@query(
+    "x_kmv_distinct",
+    f"""WITH d AS (SELECT DISTINCT source, doc_id FROM documents),
+       h AS (SELECT source, doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_BK_SALT}'),
+                                   1, 13) AS BIGINT)
+                 / 4503599627370496.0 AS hn
+             FROM d),
+       r AS (SELECT source, hn,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY hn, doc_id) AS rn FROM h),
+       b AS (SELECT source, count(*) AS n_held, max(hn) AS hk
+             FROM r WHERE rn <= 64 GROUP BY source),
+       e AS (SELECT source, count(DISTINCT doc_id) AS exact_distinct
+             FROM documents GROUP BY source)
+       SELECT b.source, CAST(n_held AS BIGINT) AS n_held,
+              ROUND(CASE WHEN n_held < 64 THEN CAST(n_held AS DOUBLE)
+                         ELSE 63.0 / hk END, 3) AS approx_distinct,
+              CAST(exact_distinct AS BIGINT) AS exact_distinct
+       FROM b JOIN e USING (source) ORDER BY source""",
+)
 def x_kmv_distinct(t: Tables) -> DataFrame:
     """Per-source KMV distinct estimate over doc_id (k=64) — the
     deterministic counterpart of x_hll_rollup: a pure function of the id
     set (no sketch modes, no merge-order effects), sharing its bottom-k
-    pass with the coordinated sample. err vs exact is pinned in tests;
-    rows-only because DuckDB has no hex→integer conversion for the
-    hash-normalization step."""
+    pass with the coordinated sample. Oracle-checked bit-for-bit: the
+    hash normalization divides the first 13 hex chars by 2^52 on both
+    engines (DuckDB via ``CAST('0x…' AS BIGINT)``, Spark via ``conv``),
+    both exact in a double, so even the (k−1)/h_(k) division agrees to
+    the last bit."""
     est = kmv_distinct_estimate(t.documents, ["source"], "doc_id", 64, _BK_SALT)
     exact = t.documents.groupBy("source").agg(
         F.countDistinct("doc_id").alias("exact_distinct")

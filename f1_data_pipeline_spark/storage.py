@@ -399,8 +399,34 @@ def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
     return json.loads(txt)
 
 
+def check_expectations(df: DataFrame, expectations: dict[str, str]) -> None:
+    """CHECK-constraint gate: every row must satisfy every expectation
+    (``name -> SQL boolean expression``). ONE scan counts all violations
+    together (sum-of-cases aggregate, map-side combined — not one job per
+    rule); raises with per-rule counts if any row fails. NULL results
+    count as violations — an expectation must be provably true."""
+    if not expectations:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(cond), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, cond in expectations.items()
+    ]
+    row = df.agg(*aggs).head()
+    bad = {name: int(row[name] or 0) for name in expectations if (row[name] or 0) > 0}
+    if bad:
+        raise ValueError(
+            "expectations violated: "
+            + ", ".join(f"{n} ({c} rows, rule: {expectations[n]!r})" for n, c in sorted(bad.items()))
+        )
+
+
 def snapshot_write(
-    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return it.
 
@@ -441,8 +467,16 @@ def snapshot_write(
     guard; the remedy is stated in the error (delete the orphan — the
     missing commit record proves it was never committed). True
     multi-writer commit needs a coordination service (what Delta's commit
-    coordinator provides), exactly as for any log-structured format."""
+    coordinator provides), exactly as for any log-structured format.
+
+    ``expectations`` (``name -> SQL boolean expression``) gate the commit
+    like Delta CHECK constraints: one aggregate scan counts violations of
+    every rule together BEFORE anything is staged; any violation raises
+    with per-rule counts and nothing is written — a bad batch can never
+    become a committed version."""
     spark = df.sparkSession
+    if expectations:
+        check_expectations(df, expectations)
     version, vdir = _stage_version(df, table_dir)
     entries = _staged_file_entries(spark, table_dir, version, stats_cols)
     _commit_record(

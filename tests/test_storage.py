@@ -695,3 +695,38 @@ def test_snapshot_upsert_pure_insert_touches_nothing(spark, tmp_path):
     cur = snapshot_read(spark, tdir)
     assert cur.count() == 1005
     assert cur.where("k = 5002").head()["v"] == "new-5002"
+
+
+def test_snapshot_write_expectations_gate_the_commit(spark, tmp_path):
+    """CHECK-constraint gate: a violating batch raises with per-rule
+    counts and commits NOTHING (no staging dir, no version); a clean
+    batch passes; NULL expectation results count as violations."""
+    import os
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    rules = {"k_nonneg": "k >= 0", "v_present": "v IS NOT NULL"}
+    bad = _keyed(spark, 0, 100).withColumn(
+        "v", F.when(F.col("k") % 10 == 0, None).otherwise(F.col("v"))
+    ).withColumn("k", F.when(F.col("k") == 7, -1).otherwise(F.col("k")))
+    with pytest.raises(ValueError, match=r"k_nonneg \(1 rows.*v_present \(10 rows"):
+        snapshot_write(bad, tdir, stats_cols=["k"], expectations=rules)
+    assert snapshot_version(spark, tdir) == 0
+    assert not os.path.exists(os.path.join(tdir, "v=1"))
+    # NULL rule results violate: k > 0 is NULL for NULL k
+    nully = _keyed(spark, 1, 50).withColumn(
+        "k", F.when(F.col("k") == 5, None).otherwise(F.col("k"))
+    )
+    with pytest.raises(ValueError, match="k_pos"):
+        snapshot_write(nully, tdir, expectations={"k_pos": "k > 0"})
+    # clean batch commits
+    v = snapshot_write(_keyed(spark, 0, 100), tdir, stats_cols=["k"], expectations=rules)
+    assert v == 1
