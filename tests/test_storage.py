@@ -730,3 +730,50 @@ def test_snapshot_write_expectations_gate_the_commit(spark, tmp_path):
     # clean batch commits
     v = snapshot_write(_keyed(spark, 0, 100), tdir, stats_cols=["k"], expectations=rules)
     assert v == 1
+
+
+def test_snapshot_stats_on_zorder_clustering_prune_both_dimensions(spark, tmp_path):
+    """The two layout levers compose: Z-order clustering gives every file
+    a tight envelope in EVERY interleaved dimension, so a snapshot
+    manifest with stats on both columns skips files for predicates on
+    either one — where a single-column sort can only ever skip on its
+    sort key (the second dimension's envelopes span the full range)."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.layout import bucketize, interleave_bits
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
+
+    n = 64 * 64
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zkey = interleave_bits(
+        [bucketize(F.col("x"), 0, 64, 6), bucketize(F.col("y"), 0, 64, 6)], bits=6
+    )
+    zdir = str(tmp_path / "ztbl")
+    clustered = (
+        df.withColumn("__z", zkey)
+        .repartitionByRange(16, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    snapshot_write(clustered, zdir, stats_cols=["x", "y"])
+
+    sdir = str(tmp_path / "stbl")  # single-column sort: x only
+    snapshot_write(df.repartitionByRange(16, "x"), sdir, stats_cols=["x", "y"])
+
+    def files(tdir, where):
+        return len(snapshot_read(spark, tdir, where=where).inputFiles())
+
+    # predicate on x: both layouts skip
+    assert files(zdir, [("x", "<", 8)]) < 16
+    assert files(sdir, [("x", "<", 8)]) < 16
+    # predicate on y: ONLY the z-ordered layout skips
+    assert files(zdir, [("y", "<", 8)]) < 16
+    assert files(sdir, [("y", "<", 8)]) == 16
+    # results identical to brute filters either way
+    got = sorted(
+        (r["x"], r["y"]) for r in snapshot_read(spark, zdir, where=[("y", "<", 8)]).collect()
+    )
+    want = sorted((r["x"], r["y"]) for r in df.where("y < 8").collect())
+    assert got == want
