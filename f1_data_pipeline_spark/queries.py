@@ -1389,6 +1389,11 @@ def x_arrayagg(t: Tables) -> DataFrame:
     )
 
 
+# scratch snapshot-table dir of x_snapshot_cdc's previous invocation per
+# sf_dir — deleted on the next call (see builder comment)
+_SNAP_CDC_DIRS: dict[str, str] = {}
+
+
 @query(
     "x_snapshot_cdc",
     """SELECT event_id, user_id,
@@ -1412,6 +1417,7 @@ def x_snapshot_cdc(t: Tables) -> DataFrame:
 
     Scale: the upsert costs O(touched files + batch), the read costs
     O(files whose envelope intersects the range) — never O(table)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1427,6 +1433,13 @@ def x_snapshot_cdc(t: Tables) -> DataFrame:
         "event_id", "user_id", "event_type", F.round("value", 4).alias("val")
     )
     tdir = tempfile.gettempdir() + f"/f1dp_snap_cdc_{uuid.uuid4().hex}"
+    # each call builds a fresh table; reclaim the PREVIOUS call's scratch
+    # for this sf (its result was consumed before this call could start),
+    # so repeated bench/driver invocations don't accumulate /tmp tables
+    prev = _SNAP_CDC_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SNAP_CDC_DIRS[t.sf_dir] = tdir
     snapshot_write(
         base.repartitionByRange(8, "event_id"), tdir, stats_cols=["event_id"]
     )
