@@ -705,6 +705,8 @@ def stream_snapshot_upsert(
     schema,
     stats_cols: list[str] | None = None,
     cluster_files: int = 4,
+    expectations: dict[str, str] | None = None,
+    quarantine_dir: str | None = None,
     trigger: dict | None = None,
 ):
     """Continuously maintain a versioned snapshot TABLE from a stream of
@@ -726,7 +728,15 @@ def stream_snapshot_upsert(
     (key → latest row) mapping, so the table converges to the same state;
     only the version history records the replay. The first batch
     bootstraps the table with ``snapshot_write`` carrying ``key`` stats,
-    so upserts can skip files from version 2 onward."""
+    so upserts can skip files from version 2 onward.
+
+    ``expectations`` (``name -> SQL boolean rule``) apply the DLT policy
+    shape, not the batch CHECK-constraint one: a failing row must not
+    poison the stream (at-least-once redelivery would replay the same
+    bad batch forever), so violating rows are DIVERTED — appended to
+    ``quarantine_dir`` tagged with the rules they failed — and only the
+    clean remainder is folded and committed. NULL rule results count as
+    violations, matching ``storage.check_expectations``."""
     from f1_data_pipeline_spark.storage import (
         snapshot_upsert,
         snapshot_version,
@@ -734,11 +744,30 @@ def stream_snapshot_upsert(
     )
 
     scols = stats_cols or [key]
+    if expectations and not quarantine_dir:
+        raise ValueError("expectations need a quarantine_dir to divert violations to")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         b = batch_df.sparkSession
+        if expectations:
+            ok = F.lit(True)
+            failed_tags = []
+            for name, cond in expectations.items():
+                passes = F.coalesce(F.expr(cond), F.lit(False))
+                ok = ok & passes
+                failed_tags.append(F.when(~passes, F.lit(name)))
+            tagged = batch_df.withColumn(
+                "__failed", F.array_compact(F.array(*failed_tags))
+            )
+            bad = tagged.where(~ok).withColumn(
+                "failed_rules", F.concat_ws(",", "__failed")
+            ).drop("__failed")
+            bad.write.mode("append").parquet(quarantine_dir)
+            batch_df = tagged.where(ok).drop("__failed")
+            if batch_df.isEmpty():
+                return
         others = [c for c in batch_df.columns if c != key]
         folded = (
             batch_df.withColumn("__ord", F.monotonically_increasing_id())

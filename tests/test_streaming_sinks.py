@@ -800,3 +800,41 @@ def test_stream_snapshot_upsert_maintains_versioned_table(spark, tmp_path):
     assert snapshot_version(spark, tdir) > 2
     again = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
     assert again == cur
+
+
+def test_stream_snapshot_upsert_quarantines_expectation_violations(spark, tmp_path):
+    """DLT-policy expectations on the streaming maintainer: violating
+    rows are diverted to the quarantine table tagged with every rule
+    they failed (NULL rule results count as violations) and never reach
+    a committed version; the clean remainder upserts normally."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import snapshot_read
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "tbl")
+    qdir = str(tmp_path / "quarantine")
+    os.makedirs(src)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    rows = [(i, f"a-{i}") for i in range(20)]
+    rows[3] = (-3, "a-3")          # fails k_nonneg
+    rows[7] = (7, None)            # fails v_present (NULL rule result)
+    rows[9] = (-9, None)           # fails both
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "d1"))
+
+    q = strm.stream_snapshot_upsert(
+        spark, str(src) + "/*", str(tmp_path / "ck"), tdir, key="k",
+        schema=schema,
+        expectations={"k_nonneg": "k >= 0", "v_present": "v IS NOT NULL"},
+        quarantine_dir=qdir,
+    )
+    assert q.awaitTermination(180)
+
+    table = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(table) == 17 and -3 not in table and 7 not in table and -9 not in table
+    quar = {r["k"]: r["failed_rules"] for r in spark.read.parquet(qdir).collect()}
+    assert quar == {-3: "k_nonneg", 7: "v_present", -9: "k_nonneg,v_present"}
