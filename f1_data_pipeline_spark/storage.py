@@ -643,6 +643,56 @@ def snapshot_upsert(
     as the physical clustering under it (the reason Delta/Iceberg pair
     stats with clustering); any table maintained by repeated upserts
     should cluster."""
+    delete_keys = updates.select(F.col(key)).limit(0)
+    return _merge_into_snapshot(
+        spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
+        what="snapshot_upsert",
+    )
+
+
+def snapshot_apply_cdc(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("D", "d", "delete"),
+    stats_cols: list[str] | None = None,
+    cluster_files: int | None = None,
+) -> int:
+    """Apply a FOLDED changelog (one row per key: its final upsert state
+    or a delete tombstone) to the table in ONE copy-on-write commit —
+    the Debezium→lakehouse shape. Rows whose ``op_col`` is in
+    ``delete_ops`` remove their key; every other row upserts
+    last-write-wins (the op column itself is not stored). Folding a raw
+    I/U/D log down to one row per key is the caller's step —
+    ``merge.cdc_apply`` for batch logs, or the per-batch ``max_by`` fold
+    the streaming maintainer does; this function then applies upserts
+    AND deletes against one shared touched-file set, so a mixed batch
+    still costs O(touched files + batch), never two table passes."""
+    ups = changes.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
+    delete_keys = changes.where(F.col(op_col).isin(*delete_ops)).select(F.col(key))
+    return _merge_into_snapshot(
+        spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,
+        what="snapshot_apply_cdc",
+    )
+
+
+def _merge_into_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    upserts: DataFrame,
+    delete_keys: DataFrame,
+    key: str,
+    stats_cols: list[str] | None,
+    cluster_files: int | None,
+    what: str,
+) -> int:
+    """Shared copy-on-write merge core for ``snapshot_upsert`` (no
+    deletes) and ``snapshot_apply_cdc`` (upserts + tombstones): one
+    envelope join selects the files any change key could live in; those
+    files' rows are anti-joined against ALL change keys and re-staged
+    together with the upserts; everything else is carried by reference."""
     current = snapshot_version(spark, table_dir)
     if current < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -650,7 +700,7 @@ def snapshot_upsert(
     entries = manifest.get("files")
     if entries is None or any("stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0):
         raise ValueError(
-            f"snapshot_upsert needs per-file {key!r} stats in the current "
+            f"{what} needs per-file {key!r} stats in the current "
             f"manifest — rewrite the table once with "
             f"snapshot_write(df, table_dir, stats_cols=[{key!r}, ...])"
         )
@@ -658,17 +708,18 @@ def snapshot_upsert(
         with_stats = next((e for e in entries if e.get("stats")), None)
         stats_cols = sorted(with_stats["stats"]) if with_stats else [key]
 
-    dup = updates.agg(
+    all_keys = upserts.select(F.col(key)).unionByName(delete_keys.select(F.col(key)))
+    dup = all_keys.agg(
         F.count(key).alias("n"),
         F.count_distinct(F.col(key)).alias("d"),
         F.count(F.lit(1)).alias("all"),
     ).head()
     if dup["all"] != dup["n"]:
-        raise ValueError(f"snapshot_upsert: update batch has NULL {key!r} keys")
+        raise ValueError(f"{what}: change batch has NULL {key!r} keys")
     if dup["n"] != dup["d"]:
         raise ValueError(
-            f"snapshot_upsert: update batch has duplicate {key!r} keys — "
-            f"fold the batch (e.g. merge.cdc_apply) before upserting"
+            f"{what}: change batch has duplicate {key!r} keys — fold the "
+            f"batch to one row per key (e.g. merge.cdc_apply) first"
         )
 
     env_rows = [
@@ -682,7 +733,7 @@ def snapshot_upsert(
         touched = {
             r["__path"]
             for r in (
-                updates.select(F.col(key).alias("__k"))
+                all_keys.select(F.col(key).alias("__k"))
                 .distinct()
                 .join(
                     F.broadcast(env),
@@ -690,21 +741,21 @@ def snapshot_upsert(
                 )
                 .select("__path")
                 .distinct()
-                .collect()  # bounded by the FILE count, not the update count
+                .collect()  # bounded by the FILE count, not the change count
             )
         }
     carried = [e for e in entries if e["path"] not in touched]
 
-    cols = updates.columns
+    cols = upserts.columns
     base = table_dir.rstrip("/")
     if touched:
         existing = spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
-        survivors = existing.select(cols).join(
-            updates.select(F.col(key)), key, "left_anti"
-        )
-        staged_df = survivors.unionByName(updates)
+        survivors = existing.select(cols).join(all_keys, key, "left_anti")
+        staged_df = survivors.unionByName(upserts)
+    elif upserts.isEmpty():
+        return current  # pure delete of absent keys: nothing to commit
     else:
-        staged_df = updates
+        staged_df = upserts
     if cluster_files:
         staged_df = staged_df.repartitionByRange(cluster_files, key)
     version, _ = _stage_version(staged_df, table_dir)

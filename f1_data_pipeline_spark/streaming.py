@@ -707,6 +707,8 @@ def stream_snapshot_upsert(
     cluster_files: int = 4,
     expectations: dict[str, str] | None = None,
     quarantine_dir: str | None = None,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("D", "d", "delete"),
     trigger: dict | None = None,
 ):
     """Continuously maintain a versioned snapshot TABLE from a stream of
@@ -736,8 +738,18 @@ def stream_snapshot_upsert(
     bad batch forever), so violating rows are DIVERTED — appended to
     ``quarantine_dir`` tagged with the rules they failed — and only the
     clean remainder is folded and committed. NULL rule results count as
-    violations, matching ``storage.check_expectations``."""
+    violations, matching ``storage.check_expectations``.
+
+    ``op_col`` names a changelog op column: after the per-key fold, a key
+    whose LATEST row is a tombstone (op in ``delete_ops``) is removed
+    from the table instead of upserted — a Debezium-style keyed change
+    stream maintains the table end-to-end, deletes included, through
+    ``storage.snapshot_apply_cdc`` (upserts and deletes share one
+    touched-file set and one atomic commit per batch). The fold keeps
+    arrival order, so insert-then-delete of a key within one batch
+    correctly deletes."""
     from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
         snapshot_upsert,
         snapshot_version,
         snapshot_write,
@@ -776,10 +788,18 @@ def stream_snapshot_upsert(
             .select(key, "__s.*")
         )
         if snapshot_version(b, table_dir) < 1:
+            if op_col:
+                folded = folded.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
             snapshot_write(
                 folded.repartitionByRange(cluster_files, key),
                 table_dir,
                 stats_cols=scols,
+            )
+        elif op_col:
+            snapshot_apply_cdc(
+                b, table_dir, folded, key=key, op_col=op_col,
+                delete_ops=delete_ops, stats_cols=scols,
+                cluster_files=cluster_files,
             )
         else:
             snapshot_upsert(

@@ -777,3 +777,50 @@ def test_snapshot_stats_on_zorder_clustering_prune_both_dimensions(spark, tmp_pa
     )
     want = sorted((r["x"], r["y"]) for r in df.where("y < 8").collect())
     assert got == want
+
+
+def test_snapshot_apply_cdc_mixed_batch_one_commit(spark, tmp_path):
+    """A folded I/U/D changelog lands in ONE copy-on-write version:
+    upserts replace, inserts add, tombstones remove — against one shared
+    touched-file set, with untouched files carried by reference. A
+    pure-delete of absent keys is a version no-op."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"])
+
+    changes = spark.createDataFrame(
+        [(3, "upd-3", "U"), (1001, "new-1001", "I"), (5, None, "D")],
+        "k long, v string, op string",
+    )
+    v = snapshot_apply_cdc(spark, tdir, changes, key="k")
+    assert v == 2
+    cur = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(cur) == 1000  # 1000 - 1 delete + 1 insert
+    assert cur[3] == "upd-3" and cur[1001] == "new-1001" and 5 not in cur
+    carried = [
+        e for e in _manifest(tdir, 2)["files"] if e["path"].startswith("v=1/")
+    ]
+    assert carried  # files outside the change keys' envelopes never moved
+    assert snapshot_read(spark, tdir, version=1).count() == 1000
+
+    # pure delete of keys the envelopes prove absent: no new version
+    ghost = spark.createDataFrame([(50_000, None, "D")], "k long, v string, op string")
+    assert snapshot_apply_cdc(spark, tdir, ghost, key="k") == 2
+    assert snapshot_version(spark, tdir) == 2
+
+    # a key appearing twice (even as U then D) is an unfolded log: refuse
+    unfolded = spark.createDataFrame(
+        [(7, "x", "U"), (7, None, "D")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_apply_cdc(spark, tdir, unfolded, key="k")

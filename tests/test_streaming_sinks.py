@@ -838,3 +838,49 @@ def test_stream_snapshot_upsert_quarantines_expectation_violations(spark, tmp_pa
     assert len(table) == 17 and -3 not in table and 7 not in table and -9 not in table
     quar = {r["k"]: r["failed_rules"] for r in spark.read.parquet(qdir).collect()}
     assert quar == {-3: "k_nonneg", 7: "v_present", -9: "k_nonneg,v_present"}
+
+
+def test_stream_snapshot_upsert_applies_tombstones(spark, tmp_path):
+    """op_col changelog maintenance: the second drop's tombstones remove
+    keys, updates replace, and an insert-then-delete of the same key
+    within ONE batch deletes (the fold keeps arrival order)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import snapshot_read
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+
+    def run():
+        q = strm.stream_snapshot_upsert(
+            spark, str(src) + "/*", str(tmp_path / "ck"), tdir, key="k",
+            schema=schema, op_col="op",
+        )
+        assert q.awaitTermination(180)
+
+    # drop 1: 50 inserts, plus k=42 inserted THEN deleted in the same batch
+    d1 = [(i, f"a-{i}", "I") for i in range(50)] + [(42, None, "D")]
+    spark.createDataFrame(d1, schema).coalesce(1).write.parquet(str(src / "d1"))
+    run()
+    t1 = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(t1) == 49 and 42 not in t1
+
+    # drop 2: update k=1, delete k=2, insert k=100
+    d2 = [(1, "b-1", "U"), (2, None, "D"), (100, "b-100", "I")]
+    spark.createDataFrame(d2, schema).coalesce(1).write.parquet(str(src / "d2"))
+    run()
+    t2 = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert len(t2) == 49  # 49 - 1 delete + 1 insert
+    assert t2[1] == "b-1" and 2 not in t2 and t2[100] == "b-100"
+    # the op column itself is never stored
+    assert "op" not in snapshot_read(spark, tdir).columns
