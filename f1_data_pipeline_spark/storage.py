@@ -670,8 +670,11 @@ def snapshot_apply_cdc(
     the streaming maintainer does; this function then applies upserts
     AND deletes against one shared touched-file set, so a mixed batch
     still costs O(touched files + batch), never two table passes."""
-    ups = changes.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
-    delete_keys = changes.where(F.col(op_col).isin(*delete_ops)).select(F.col(key))
+    # NULL op must not make a row vanish from BOTH sides (isin is NULL on
+    # NULL input): anything not provably a delete is an upsert
+    is_delete = F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
+    ups = changes.where(~is_delete).drop(op_col)
+    delete_keys = changes.where(is_delete).select(F.col(key))
     return _merge_into_snapshot(
         spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,
         what="snapshot_apply_cdc",

@@ -738,7 +738,10 @@ def stream_snapshot_upsert(
     bad batch forever), so violating rows are DIVERTED — appended to
     ``quarantine_dir`` tagged with the rules they failed — and only the
     clean remainder is folded and committed. NULL rule results count as
-    violations, matching ``storage.check_expectations``.
+    violations, matching ``storage.check_expectations``. The quarantine
+    side inherits the source's at-least-once delivery (a replayed batch
+    re-appends its bad rows) — quarantine is an investigation feed, not
+    a keyed table; dedup on read if exact counts matter.
 
     ``op_col`` names a changelog op column: after the per-key fold, a key
     whose LATEST row is a tombstone (op in ``delete_ops``) is removed
@@ -789,7 +792,11 @@ def stream_snapshot_upsert(
         )
         if snapshot_version(b, table_dir) < 1:
             if op_col:
-                folded = folded.where(~F.col(op_col).isin(*delete_ops)).drop(op_col)
+                # same NULL-op rule as snapshot_apply_cdc: not provably a
+                # delete => upsert (bare ~isin is NULL on NULL op and drops)
+                folded = folded.where(
+                    ~F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
+                ).drop(op_col)
             snapshot_write(
                 folded.repartitionByRange(cluster_files, key),
                 table_dir,

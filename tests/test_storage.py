@@ -824,3 +824,11 @@ def test_snapshot_apply_cdc_mixed_batch_one_commit(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         snapshot_apply_cdc(spark, tdir, unfolded, key="k")
+
+    # a NULL op is not provably a delete: the row upserts instead of
+    # silently vanishing from both sides (bare isin is NULL on NULL)
+    nullop = spark.createDataFrame(
+        [(9, "nullop-9", None)], "k long, v string, op string"
+    )
+    snapshot_apply_cdc(spark, tdir, nullop, key="k")
+    assert snapshot_read(spark, tdir).where("k = 9").head()["v"] == "nullop-9"
