@@ -1633,6 +1633,7 @@ SWEEP_ONLY: dict[str, str] = {
     # built round 8 after the r8 rotation was already full — rotate next round
     "x_bottomk_sample": "bottom-k consistent sample (new r8); rotate next round; sampling family in-window via x_pps_sample",
     "x_kmv_jaccard": "coordinated bottom-k Jaccard estimate (new r8); rotate next round; overlap family in-window via x_source_overlap",
+    "x_kmv_distinct": "KMV distinct estimate (oracle gained r8 via hex cast); rotate next round; distinct-count family in-window via q_a1",
     "x_snapshot_cdc": "snapshot-table CDC round-trip (new r8); rotate next round; merge family in-window via x_cdc_apply",
 }
 
