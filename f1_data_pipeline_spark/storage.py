@@ -611,8 +611,15 @@ def snapshot_upsert(
     key: str,
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
+    merge_mode: str = "replace",
 ) -> int:
     """Copy-on-write last-write-wins upsert committed as a new version.
+
+    ``merge_mode="replace"`` (default) replaces the whole matched row —
+    the reference's K4 shape. ``"coalesce"`` merges column-wise: a NULL
+    in the update keeps the stored value (K5, ``COALESCE(EXCLUDED.c,
+    t.c)`` — the partial-update semantics the reference's lap merge
+    uses); cost is one extra equi-join on rows of the touched files only.
 
     The Delta-MERGE cost model, not the full-rewrite one: files whose
     ``key`` min/max envelope cannot contain any update key are CARRIED
@@ -646,7 +653,7 @@ def snapshot_upsert(
     delete_keys = updates.select(F.col(key)).limit(0)
     return _merge_into_snapshot(
         spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
-        what="snapshot_upsert",
+        what="snapshot_upsert", merge_mode=merge_mode,
     )
 
 
@@ -690,6 +697,7 @@ def _merge_into_snapshot(
     stats_cols: list[str] | None,
     cluster_files: int | None,
     what: str,
+    merge_mode: str = "replace",
 ) -> int:
     """Shared copy-on-write merge core for ``snapshot_upsert`` (no
     deletes) and ``snapshot_apply_cdc`` (upserts + tombstones): one
@@ -749,12 +757,40 @@ def _merge_into_snapshot(
         }
     carried = [e for e in entries if e["path"] not in touched]
 
+    if merge_mode not in ("replace", "coalesce"):
+        raise ValueError(f"{what}: unknown merge_mode {merge_mode!r}")
     cols = upserts.columns
     base = table_dir.rstrip("/")
     if touched:
         existing = spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
         survivors = existing.select(cols).join(all_keys, key, "left_anti")
-        staged_df = survivors.unionByName(upserts)
+        if merge_mode == "coalesce":
+            # column-wise K5 merge: matched rows keep stored values where
+            # the update is NULL; update keys absent from the touched
+            # files are pure inserts (the envelopes prove they exist
+            # nowhere else)
+            val_cols = [c for c in cols if c != key]
+            renamed = upserts.select(
+                F.col(key), *[F.col(c).alias(f"__new_{c}") for c in val_cols]
+            )
+            matched = (
+                existing.select(cols)
+                .join(renamed, key)
+                .select(
+                    F.col(key),
+                    *[
+                        F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                        for c in val_cols
+                    ],
+                )
+                .select(cols)
+            )
+            inserts = upserts.join(
+                existing.select(F.col(key)), key, "left_anti"
+            )
+            staged_df = survivors.unionByName(matched).unionByName(inserts)
+        else:
+            staged_df = survivors.unionByName(upserts)
     elif upserts.isEmpty():
         return current  # pure delete of absent keys: nothing to commit
     else:

@@ -832,3 +832,45 @@ def test_snapshot_apply_cdc_mixed_batch_one_commit(spark, tmp_path):
     )
     snapshot_apply_cdc(spark, tdir, nullop, key="k")
     assert snapshot_read(spark, tdir).where("k = 9").head()["v"] == "nullop-9"
+
+
+def test_snapshot_upsert_coalesce_merge_mode(spark, tmp_path):
+    """merge_mode='coalesce' is the K5 partial-update shape: a NULL in the
+    update keeps the stored value, non-NULLs overwrite, new keys insert —
+    while 'replace' (default) overwrites the whole row. Copy-on-write
+    carrying is unchanged."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_upsert, snapshot_write
+
+    def table(tag):
+        tdir = str(tmp_path / tag)
+        base = spark.createDataFrame(
+            [(i, f"a-{i}", i * 10) for i in range(100)], "k long, v string, n long"
+        )
+        snapshot_write(base.repartitionByRange(4, "k"), tdir, stats_cols=["k"])
+        return tdir
+
+    updates = spark.createDataFrame(
+        [(7, None, 777), (8, "upd-8", None), (200, "new-200", None)],
+        "k long, v string, n long",
+    )
+
+    t1 = table("coalesce")
+    snapshot_upsert(spark, t1, updates, key="k", merge_mode="coalesce")
+    got = {r["k"]: (r["v"], r["n"]) for r in snapshot_read(spark, t1).collect()}
+    assert len(got) == 101
+    assert got[7] == ("a-7", 777)        # NULL v kept stored value
+    assert got[8] == ("upd-8", 80)       # NULL n kept stored value
+    assert got[200] == ("new-200", None) # pure insert keeps its NULLs
+    assert got[9] == ("a-9", 90)         # untouched
+
+    t2 = table("replace")
+    snapshot_upsert(spark, t2, updates, key="k")  # default replace
+    got = {r["k"]: (r["v"], r["n"]) for r in snapshot_read(spark, t2).collect()}
+    assert got[7] == (None, 777) and got[8] == ("upd-8", None)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="merge_mode"):
+        snapshot_upsert(spark, t2, updates, key="k", merge_mode="bogus")
