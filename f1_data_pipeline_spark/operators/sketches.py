@@ -366,6 +366,166 @@ def x_kmv_distinct(t: Tables) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimates
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Per-key count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``value_col`` occurrences, as a ``keys + [row, bucket, cnt]`` COO
+    counter table — ``depth`` hash rows × ``width`` buckets.
+
+    The frequency-estimation member of the sketch family: HLL answers
+    "how many distinct", Misra-Gries answers "which values are heavy",
+    CMS answers "how often does value v occur" for ANY v in O(d) cell
+    probes, with one-sided error (never an underestimate, overestimate
+    ≤ εN with ε ≈ e/width at high probability per probe row).
+
+    Two properties the other sketches don't give bit-for-bit:
+    - **Deterministic**: cells are md5(value‖salt‖row) mod width —
+      a pure function of the multiset, reproducible by any engine
+      (the ``x_cms_freq`` oracle re-derives every counter in DuckDB).
+    - **Exactly mergeable**: counters are plain integers, so
+      ``cms_rollup`` of per-subgroup sketches equals the direct build
+      EXACTLY (element-wise sums commute) — no sparse/dense promotion
+      caveats, the strongest incremental-rollup algebra in the family.
+
+    Plan shape: one shuffle. The ``depth``-fold explode happens
+    scan-side, and hash-aggregation map-side combines to at most
+    depth × width cells per (task, key) before the exchange — the
+    shuffle moves bounded sketch cells, never value occurrences. At
+    100 TB the sketch table is KBs per key regardless of row count.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    v = F.col(value_col).cast("string")
+    cells = df.select(*keys, v.alias("__v")).select(*keys, "__v", rows)
+    h = F.md5(F.concat(F.col("__v"), F.lit(salt), F.col("row").cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % width).alias(
+        "bucket"
+    )
+    return (
+        cells.select(*keys, "row", bucket)
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_rollup(cms: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge finer-grained CMS counter tables up to ``keys`` (possibly
+    ``[]`` for a grand total) — element-wise integer sums, so the result
+    is EXACTLY the sketch a from-scratch build over the union would
+    produce (test-pinned). Input is ≤ depth×width rows per subgroup;
+    this is KB-scale by construction."""
+    grouped = (
+        cms.groupBy(*keys, "row", "bucket") if keys else cms.groupBy("row", "bucket")
+    )
+    return grouped.agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``queries``: appends
+    ``est_cnt`` = min over the ``depth`` probed cells (absent cell = 0,
+    so values never seen estimate 0..εN like any other value).
+
+    ``width``/``depth``/``salt`` must match the build. The sketch side
+    is ≤ depth×width rows, so it is broadcast — estimating frequencies
+    for a billion query rows is a scan-local map-side join plus one
+    keyed min, with no shuffle of the sketch and no driver round-trip.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    v = F.col(value_col).cast("string")
+    qcols = queries.columns
+    qcells = queries.select(*qcols, rows)
+    h = F.md5(F.concat(v, F.lit(salt), F.col("row").cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % width).alias(
+        "bucket"
+    )
+    probed = qcells.select(*qcols, "row", bucket).join(
+        F.broadcast(cms.select("row", "bucket", "cnt")), ["row", "bucket"], "left"
+    )
+    return probed.groupBy(*qcols).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    )
+
+
+_CMS_W = 64
+_CMS_D = 3
+_CMS_SALT = "cms-v1"
+
+
+@query(
+    "x_cms_freq",
+    f"""WITH t AS (SELECT w FROM (
+           SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+         WHERE w <> ''),
+       cells AS (SELECT r,
+                   CAST('0x' || substr(md5(w || '{_CMS_SALT}'
+                                           || CAST(r AS VARCHAR)), 1, 13)
+                        AS BIGINT) % {_CMS_W} AS b
+                 FROM t, unnest(generate_series(0, {_CMS_D - 1})) g(r)),
+       cms AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY r, b),
+       exact AS (SELECT w, count(*) AS exact_cnt FROM t GROUP BY w),
+       top AS (SELECT w, exact_cnt FROM exact
+               ORDER BY exact_cnt DESC, w LIMIT 20),
+       qc AS (SELECT top.w, top.exact_cnt, g.r,
+                   CAST('0x' || substr(md5(top.w || '{_CMS_SALT}'
+                                           || CAST(g.r AS VARCHAR)), 1, 13)
+                        AS BIGINT) % {_CMS_W} AS b
+              FROM top, unnest(generate_series(0, {_CMS_D - 1})) g(r)),
+       est AS (SELECT w, exact_cnt, min(coalesce(cnt, 0)) AS est_cnt
+               FROM qc LEFT JOIN cms USING (r, b) GROUP BY w, exact_cnt)
+       SELECT w AS word, CAST(est_cnt AS BIGINT) AS est_cnt,
+              CAST(exact_cnt AS BIGINT) AS exact_cnt,
+              CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+       FROM est ORDER BY exact_cnt DESC, word""",
+)
+def x_cms_freq(t: Tables) -> DataFrame:
+    """Count-min frequency estimates for the corpus's 20 most frequent
+    words (width=64, depth=3): estimate beside exact count and the
+    one-sided overcount. Deterministic end-to-end — the oracle rebuilds
+    every CMS counter in DuckDB and the value hash pins bit equality,
+    including the never-underestimate property (overcount ≥ 0 on every
+    row by construction of the same cells)."""
+    words = (
+        t.documents.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    cms = cms_build(words, [], "w", width=_CMS_W, depth=_CMS_D, salt=_CMS_SALT)
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("w"))
+        .limit(20)
+    )
+    est = cms_estimate(cms, top, "w", width=_CMS_W, depth=_CMS_D, salt=_CMS_SALT)
+    return (
+        est.select(
+            F.col("w").alias("word"),
+            "est_cnt",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("word"))
+    )
+
+
 def kmv_jaccard(
     elements: DataFrame,
     group_col: str,
@@ -499,4 +659,159 @@ def x_kmv_jaccard(t: Tables) -> DataFrame:
         .withColumnRenamed("group_a", "source_a")
         .withColumnRenamed("group_b", "source_b")
         .orderBy("source_a", "source_b")
+    )
+
+
+def kmv_set_ops(
+    elements: DataFrame,
+    group_col: str,
+    elem_col: str,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Pairwise SET-OPERATION cardinality estimates between every two
+    groups' distinct element sets, from one pass of coordinated bottom-k
+    sketches: |A∪B| via the KMV estimator over the union's bottom-k
+    (Bar-Yossef et al. 2002 — bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B),
+    so the union sketch needs no second corpus pass), |A∩B| via
+    J·|A∪B| (Beyer et al. 2007). The distinct-count complement of
+    ``kmv_jaccard``'s similarity answer: "how MANY elements do these two
+    sources share / how many would the merged source hold" at sketch
+    cost — groups² × k pairwise rows, independent of corpus size.
+
+    Pairs whose union holds ≤ k distinct elements get EXACT answers
+    (the union sketch contains every element). Deterministic end-to-end:
+    hashes are the normalized first 13 hex chars of md5(elem‖salt)
+    (52 bits — exact in a double), ordering ties broken on the element,
+    so an external engine reproduces every estimate bit-for-bit.
+
+    Returns ``(group_a, group_b, union_k, shared_k, jaccard_est,
+    union_est, inter_est)`` for every unordered pair (a < b)."""
+    e = elements.select(group_col, elem_col).distinct()
+    h = F.md5(F.concat(F.col(elem_col).cast("string"), F.lit(salt)))
+    hnorm = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(16**13))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__h").asc(), F.col(elem_col).asc()
+    )
+    sk = (
+        e.withColumn("__h", hnorm)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(group_col, elem_col, "__h")
+        # bounded (k rows per group); materialized once for the four
+        # downstream consumers, same discipline as kmv_jaccard
+        .localCheckpoint(eager=True)
+    )
+    g = sk.select(F.col(group_col).alias("group_a")).distinct()
+    pairs = g.join(
+        sk.select(F.col(group_col).alias("group_b")).distinct(),
+        F.col("group_a") < F.col("group_b"),
+    )
+    ua = pairs.join(
+        sk.select(F.col(group_col).alias("group_a"), elem_col, "__h"), "group_a"
+    ).select(
+        "group_a", "group_b", elem_col, "__h",
+        F.lit(1).alias("__a"), F.lit(0).alias("__b"),
+    )
+    ub = pairs.join(
+        sk.select(F.col(group_col).alias("group_b"), elem_col, "__h"), "group_b"
+    ).select(
+        "group_a", "group_b", elem_col, "__h",
+        F.lit(0).alias("__a"), F.lit(1).alias("__b"),
+    )
+    memb = (
+        ua.unionByName(ub)
+        .groupBy("group_a", "group_b", elem_col, "__h")
+        .agg(F.max("__a").alias("__ina"), F.max("__b").alias("__inb"))
+    )
+    w2 = Window.partitionBy("group_a", "group_b").orderBy(
+        F.col("__h").asc(), F.col(elem_col).asc()
+    )
+    u = memb.withColumn("__rn", F.row_number().over(w2)).where(F.col("__rn") <= k)
+    agg = u.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).cast("long").alias("union_k"),
+        F.sum(F.col("__ina") * F.col("__inb")).cast("long").alias("shared_k"),
+        F.max("__h").alias("__hk"),
+    )
+    jacc = F.col("shared_k") * 1.0 / F.col("union_k")
+    union_est = F.when(
+        F.col("union_k") < k, F.col("union_k").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+    return agg.select(
+        "group_a",
+        "group_b",
+        "union_k",
+        "shared_k",
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(union_est, 3).alias("union_est"),
+        F.round(jacc * union_est, 3).alias("inter_est"),
+    )
+
+
+_KS_K = 64
+_KS_SALT = "ks-v1"
+
+
+@query(
+    "x_kmv_setops",
+    f"""WITH d AS (SELECT DISTINCT event_type,
+                     CAST(user_id AS VARCHAR) || '@'
+                       || CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+                   FROM events),
+       h AS (SELECT event_type, ud,
+               CAST('0x' || substr(md5(ud || '{_KS_SALT}'),
+                                   1, 13) AS BIGINT)
+                 / 4503599627370496.0 AS hn
+             FROM d),
+       sk AS (SELECT event_type, ud, hn FROM (
+                SELECT event_type, ud, hn,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hn, ud) AS rn
+                FROM h) WHERE rn <= {_KS_K}),
+       p AS (SELECT a.event_type AS ga, b.event_type AS gb
+             FROM (SELECT DISTINCT event_type FROM sk) a,
+                  (SELECT DISTINCT event_type FROM sk) b
+             WHERE a.event_type < b.event_type),
+       m AS (SELECT p.ga, p.gb, s.ud, s.hn,
+                    max(CASE WHEN s.event_type = p.ga THEN 1 ELSE 0 END) AS in_a,
+                    max(CASE WHEN s.event_type = p.gb THEN 1 ELSE 0 END) AS in_b
+             FROM p JOIN sk s ON s.event_type = p.ga OR s.event_type = p.gb
+             GROUP BY p.ga, p.gb, s.ud, s.hn),
+       r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+                                          ORDER BY hn, ud) AS rn FROM m),
+       agg AS (SELECT ga, gb, count(*) AS union_k,
+                      sum(in_a * in_b) AS shared_k, max(hn) AS hk
+               FROM r WHERE rn <= {_KS_K} GROUP BY ga, gb)
+       SELECT ga AS group_a, gb AS group_b,
+              CAST(union_k AS BIGINT) AS union_k,
+              CAST(shared_k AS BIGINT) AS shared_k,
+              ROUND(shared_k * 1.0 / union_k, 4) AS jaccard_est,
+              ROUND(CASE WHEN union_k < {_KS_K} THEN CAST(union_k AS DOUBLE)
+                         ELSE {_KS_K - 1}.0 / hk END, 3) AS union_est,
+              ROUND(shared_k * 1.0 / union_k
+                    * CASE WHEN union_k < {_KS_K} THEN CAST(union_k AS DOUBLE)
+                           ELSE {_KS_K - 1}.0 / hk END, 3) AS inter_est
+       FROM agg ORDER BY group_a, group_b""",
+)
+def x_kmv_setops(t: Tables) -> DataFrame:
+    """Pairwise active-user-day set-operation estimates between event
+    types (k=64) from coordinated bottom-k sketches: estimated union and
+    intersection cardinalities beside the Jaccard — "how many user-days
+    do click and purchase share / how many would the merged segment
+    hold" at sketch cost. Elements are ``user_id@date`` so the sets
+    genuinely differ (raw user sets are saturated at this corpus's
+    scale). Deterministic end-to-end, so the oracle reproduces every
+    estimate bit-for-bit (same 52-bit hash normalization as
+    x_kmv_distinct, same tie-break, same ROUND)."""
+    ud = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.col("ts").cast("date").cast("string"),
+    ).alias("ud")
+    elems = t.events.select(F.col("event_type"), ud)
+    return (
+        kmv_set_ops(elems, "event_type", "ud", _KS_K, _KS_SALT)
+        .orderBy("group_a", "group_b")
     )

@@ -1635,6 +1635,8 @@ SWEEP_ONLY: dict[str, str] = {
     "x_kmv_jaccard": "coordinated bottom-k Jaccard estimate (new r8); rotate next round; overlap family in-window via x_source_overlap",
     "x_kmv_distinct": "KMV distinct estimate (oracle gained r8 via hex cast); rotate next round; distinct-count family in-window via q_a1",
     "x_snapshot_cdc": "snapshot-table CDC round-trip (new r8); rotate next round; merge family in-window via x_cdc_apply",
+    "x_cms_freq": "count-min frequency estimates (new r8); rotate next round; sketch family in-window via x_stream_heavy_hitters, exact twin x_heavy_hitters",
+    "x_kmv_setops": "coordinated bottom-k set-op estimates (new r8); rotate next round; overlap family in-window via x_source_overlap",
 }
 
 

@@ -357,3 +357,151 @@ def test_kmv_jaccard_exact_below_k_and_estimates_above(spark):
         "g string, e long",
     )
     assert kmv_jaccard(z, "g", "e", k=128, salt="kj-t").head()["jaccard_est"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(value: str, salt: str, width: int, depth: int):
+    """The d cells a value hashes to — independent pure-Python replay."""
+    out = []
+    for r in range(depth):
+        h = hashlib.md5(f"{value}{salt}{r}".encode()).hexdigest()
+        out.append((r, int(h[:13], 16) % width))
+    return out
+
+
+def test_cms_matches_pure_python_replay(spark):
+    """Every counter cell and every estimate reproduced independently."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 1 + ["dd"] * 7
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    W, D, S = 16, 3, "cms-t1"
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, [], "v", width=W, depth=D, salt=S).collect()
+    }
+    expected: dict[tuple, int] = {}
+    for v in vals:
+        for cell in _cms_cells(v, S, W, D):
+            expected[cell] = expected.get(cell, 0) + 1
+    assert got == expected
+
+    cms = cms_build(df, [], "v", width=W, depth=D, salt=S)
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("dd",), ("zz",)], "v string")
+    est = {
+        r["v"]: r["est_cnt"]
+        for r in cms_estimate(cms, q, "v", width=W, depth=D, salt=S).collect()
+    }
+    for v, exact in [("a", 5), ("b", 3), ("c", 1), ("dd", 7), ("zz", 0)]:
+        replay = min(expected.get(cell, 0) for cell in _cms_cells(v, S, W, D))
+        assert est[v] == replay
+        assert est[v] >= exact  # one-sided error
+
+
+def test_cms_never_underestimates_corpus_words(spark):
+    """The CMS guarantee on real data: est >= exact for EVERY word."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    words = (
+        load_tables(spark, _SF)
+        .documents.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    cms = cms_build(words, [], "w", width=64, depth=3, salt="cms-t2")
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(cms, exact, "w", width=64, depth=3, salt="cms-t2")
+    bad = est.where(F.col("est_cnt") < F.col("exact")).count()
+    assert bad == 0
+
+
+def test_cms_rollup_exactly_equals_direct_build(spark):
+    """Integer counters sum exactly: rolling per-source sketches to the
+    global sketch is bit-identical to building the global sketch from
+    scratch — the strongest merge algebra in the sketch family."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_rollup
+
+    words = (
+        load_tables(spark, _SF)
+        .documents.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    per_source = cms_build(words, ["source"], "w", width=32, depth=4, salt="cms-t3")
+    rolled = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_rollup(per_source, []).collect()
+    }
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(words, [], "w", width=32, depth=4, salt="cms-t3").collect()
+    }
+    assert rolled == direct
+
+
+def test_cms_invariant_under_repartitioning(spark):
+    from f1_data_pipeline_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(str(i % 97),) for i in range(3000)], "v string")
+    a = sorted(map(tuple, cms_build(df, [], "v", 32, 3, "cms-t4").collect()))
+    b = sorted(
+        map(tuple, cms_build(df.repartition(13), [], "v", 32, 3, "cms-t4").collect())
+    )
+    assert a == b
+
+
+def test_cms_build_partial_aggregation_plan(spark):
+    """The shuffle must move combined sketch cells, not value
+    occurrences: map-side partial_count before the exchange."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("x",)], "v string")
+    plan = (
+        cms_build(df, [], "v", 32, 3, "p")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_setops_exact_below_k(spark):
+    """Union fits the sketch → union, intersection, Jaccard all EXACT."""
+    from f1_data_pipeline_spark.operators.sketches import kmv_set_ops
+
+    small = spark.createDataFrame(
+        [("A", i) for i in range(30)] + [("B", i) for i in range(20, 50)],
+        "g string, e long",
+    )
+    r = kmv_set_ops(small, "g", "e", k=64, salt="ks-t").head()
+    assert (r["union_k"], r["shared_k"]) == (50, 10)
+    assert abs(r["jaccard_est"] - 0.2) < 1e-9
+    assert r["union_est"] == 50.0
+    assert abs(r["inter_est"] - 10.0) < 1e-9
+
+
+def test_kmv_setops_estimates_above_k(spark):
+    """|A|=|B|=4000, |A∩B|=2000 → union 6000, intersection 2000. With
+    k=256 the KMV union estimate carries ~1/√k ≈ 6% error and the
+    intersection inherits Jaccard noise — both pinned at 15%/25%."""
+    from f1_data_pipeline_spark.operators.sketches import kmv_set_ops
+
+    big = spark.createDataFrame(
+        [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 6000)],
+        "g string, e long",
+    )
+    r = kmv_set_ops(big, "g", "e", k=256, salt="ks-t").head()
+    assert abs(r["union_est"] - 6000) / 6000 < 0.15, r
+    assert abs(r["inter_est"] - 2000) / 2000 < 0.25, r
+    # deterministic under relayout
+    r2 = kmv_set_ops(big.repartition(17), "g", "e", k=256, salt="ks-t").head()
+    assert (r2["union_est"], r2["inter_est"]) == (r["union_est"], r["inter_est"])
