@@ -586,16 +586,25 @@ def snapshot_read(
         return df.where(_where_expr(where)) if where else df
     if where:
         entries = [e for e in entries if not _entry_prunable(e, where)]
+    import json
+
+    from pyspark.sql.types import StructType
+
+    mschema = (
+        StructType.fromJson(json.loads(manifest["schema"]))
+        if manifest.get("schema")
+        else None
+    )
     if not entries:
-        import json
-
-        from pyspark.sql.types import StructType
-
-        empty = spark.createDataFrame([], StructType.fromJson(json.loads(manifest["schema"])))
+        empty = spark.createDataFrame([], mschema)
         return empty.where(_where_expr(where)) if where else empty
     base = table_dir.rstrip("/")
     try:
-        df = spark.read.parquet(*[f"{base}/{e['path']}" for e in entries])
+        # the manifest schema is the read contract: files committed
+        # before a schema evolution surface NULL for columns added later,
+        # and no footer-merging inference pass is paid across files
+        reader = spark.read.schema(mschema) if mschema is not None else spark.read
+        df = reader.parquet(*[f"{base}/{e['path']}" for e in entries])
     except AnalysisException as e:
         raise FileNotFoundError(
             f"snapshot version {v} in {table_dir} references missing data "
@@ -612,8 +621,16 @@ def snapshot_upsert(
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
     merge_mode: str = "replace",
+    evolve_schema: bool = False,
 ) -> int:
     """Copy-on-write last-write-wins upsert committed as a new version.
+
+    ``evolve_schema=True`` accepts a batch whose columns differ from the
+    committed schema: new columns are ADDED to the table (rows in carried
+    files read them as NULL — the manifest schema is the read contract,
+    so old files are never rewritten), and columns the batch omits are
+    null-filled on the batch side. Without it a column mismatch raises —
+    a typo'd batch must never silently drop a table column.
 
     ``merge_mode="replace"`` (default) replaces the whole matched row —
     the reference's K4 shape. ``"coalesce"`` merges column-wise: a NULL
@@ -653,7 +670,7 @@ def snapshot_upsert(
     delete_keys = updates.select(F.col(key)).limit(0)
     return _merge_into_snapshot(
         spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
-        what="snapshot_upsert", merge_mode=merge_mode,
+        what="snapshot_upsert", merge_mode=merge_mode, evolve_schema=evolve_schema,
     )
 
 
@@ -666,6 +683,7 @@ def snapshot_apply_cdc(
     delete_ops: tuple[str, ...] = ("D", "d", "delete"),
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Apply a FOLDED changelog (one row per key: its final upsert state
     or a delete tombstone) to the table in ONE copy-on-write commit —
@@ -684,7 +702,7 @@ def snapshot_apply_cdc(
     delete_keys = changes.where(is_delete).select(F.col(key))
     return _merge_into_snapshot(
         spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,
-        what="snapshot_apply_cdc",
+        what="snapshot_apply_cdc", evolve_schema=evolve_schema,
     )
 
 
@@ -698,6 +716,7 @@ def _merge_into_snapshot(
     cluster_files: int | None,
     what: str,
     merge_mode: str = "replace",
+    evolve_schema: bool = False,
 ) -> int:
     """Shared copy-on-write merge core for ``snapshot_upsert`` (no
     deletes) and ``snapshot_apply_cdc`` (upserts + tombstones): one
@@ -759,10 +778,51 @@ def _merge_into_snapshot(
 
     if merge_mode not in ("replace", "coalesce"):
         raise ValueError(f"{what}: unknown merge_mode {merge_mode!r}")
-    cols = upserts.columns
+    # column reconciliation against the committed table schema: a batch
+    # with extra columns EVOLVES the schema (old rows read as NULL) and a
+    # batch with missing columns null-fills them — both only under
+    # evolve_schema=True; otherwise mismatches raise instead of silently
+    # dropping table columns from the rewritten files
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    tschema = (
+        StructType.fromJson(_json.loads(manifest["schema"]))
+        if manifest.get("schema")
+        else None
+    )
+    table_cols = [f.name for f in tschema.fields] if tschema else upserts.columns
+    extra = [c for c in upserts.columns if c not in table_cols]
+    missing = [c for c in table_cols if c not in upserts.columns]
+    if (extra or missing) and not evolve_schema:
+        raise ValueError(
+            f"{what}: change batch columns {sorted(upserts.columns)} do not "
+            f"match the table schema {sorted(table_cols)} "
+            f"(extra {extra}, missing {missing}) — pass evolve_schema=True "
+            f"to add new columns / null-fill omitted ones"
+        )
+    if missing and tschema is not None:
+        for f in tschema.fields:
+            if f.name in missing:
+                upserts = upserts.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = table_cols + extra
+    upserts = upserts.select(cols)
     base = table_dir.rstrip("/")
     if touched:
-        existing = spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
+        # read survivors with the COMMITTED schema (carried files cannot
+        # hold evolved columns), then null-fill any newly added columns
+        existing = (
+            spark.read.schema(tschema).parquet(
+                *[f"{base}/{p}" for p in sorted(touched)]
+            )
+            if tschema is not None
+            else spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
+        )
+        for c in extra:
+            existing = existing.withColumn(
+                c, F.lit(None).cast(upserts.schema[c].dataType)
+            )
         survivors = existing.select(cols).join(all_keys, key, "left_anti")
         if merge_mode == "coalesce":
             # column-wise K5 merge: matched rows keep stored values where
@@ -807,10 +867,109 @@ def _merge_into_snapshot(
             "version": version,
             "dir": f"v={version}",
             "files": new_entries,
-            "schema": manifest.get("schema") or staged_df.schema.json(),
+            # an evolved batch commits the MERGED schema (readers
+            # null-fill carried files); otherwise the committed schema
+            # is carried forward unchanged
+            "schema": (
+                staged_df.schema.json()
+                if extra
+                else manifest.get("schema") or staged_df.schema.json()
+            ),
         },
     )
     return version
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two committed versions — the Delta
+    CDF / Iceberg changelog shape: every row of the result is a table row
+    plus a ``_change_type`` column in ``insert | delete |
+    update_preimage | update_postimage``. Net semantics over the span
+    (a key upserted in v+1 and deleted in v+2 reads as one delete from
+    v→v+2); call per adjacent pair for per-commit granularity.
+
+    The 100 TB lever is manifest-level: data files are immutable, so any
+    file carried by reference from ``from_version`` into ``to_version``
+    cannot contain a changed row — both endpoint manifests are diffed
+    DRIVER-SIDE and only the files unique to one side are ever listed,
+    opened, or scanned (test-pinned via ``inputFiles``). On a table
+    maintained by keyed upserts that is O(touched files), not O(table).
+    The rows of rewritten-but-unchanged survivors (a touched file holds
+    10k rows, one key updated) are dropped by a null-safe struct compare
+    after one full-outer join keyed by ``key`` — the only shuffle, and it
+    moves changed-file rows only.
+
+    Columns follow ``to_version``'s manifest schema; rows read from
+    pre-evolution files surface NULL for columns added later (the same
+    fill ``snapshot_read`` applies)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    current = snapshot_version(spark, table_dir)
+    v_to = to_version if to_version is not None else current
+    if from_version > v_to:
+        raise ValueError(
+            f"snapshot_changes: from_version {from_version} > to_version {v_to}"
+        )
+    m_from = _read_manifest(spark, table_dir, from_version)
+    m_to = _read_manifest(spark, table_dir, v_to)
+    if m_from.get("files") is None or m_to.get("files") is None:
+        raise ValueError(
+            "snapshot_changes needs file-list manifests on both endpoints "
+            "(v1-era whole-directory records carry no file identity)"
+        )
+    schema = StructType.fromJson(_json.loads(m_to["schema"]))
+    cols = [f.name for f in schema.fields]
+    from_paths = {e["path"] for e in m_from["files"]}
+    to_paths = {e["path"] for e in m_to["files"]}
+    base = table_dir.rstrip("/")
+
+    def _read(paths: set[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema)
+        # explicit schema: pre-evolution files fill missing columns with
+        # NULL, and no footer-merging schema inference pass is paid
+        return spark.read.schema(schema).parquet(
+            *[f"{base}/{p}" for p in sorted(paths)]
+        )
+
+    old_df = _read(from_paths - to_paths)
+    new_df = _read(to_paths - from_paths)
+    val_cols = [c for c in cols if c != key]
+    o = old_df.select(F.col(key), F.struct(*val_cols).alias("__old"))
+    n = new_df.select(F.col(key), F.struct(*val_cols).alias("__new"))
+    j = o.join(n, key, "full_outer")
+    # ONE pass over the join: each row yields 0 (rewritten-but-identical
+    # survivor), 1 (insert/delete), or 2 (update pre+post) change events
+    old, new = F.col("__old"), F.col("__new")
+
+    def _ev(side, change):
+        return F.struct(side.alias("vals"), F.lit(change).alias("_change_type"))
+
+    events = (
+        F.when(old.isNull(), F.array(_ev(new, "insert")))
+        .when(new.isNull(), F.array(_ev(old, "delete")))
+        .when(
+            ~old.eqNullSafe(new),
+            F.array(_ev(old, "update_preimage"), _ev(new, "update_postimage")),
+        )
+    )  # otherwise NULL: explode drops the row
+    return (
+        j.select(F.col(key), F.explode(events).alias("__e"))
+        .select(
+            F.col(key),
+            *[F.col(f"__e.vals.{c}").alias(c) for c in val_cols],
+            F.col("__e._change_type").alias("_change_type"),
+        )
+        .select(*cols, "_change_type")
+    )
 
 
 def snapshot_history(
@@ -904,7 +1063,19 @@ def snapshot_delete(
     carried = [e for e in entries if e["path"] not in candidate_paths]
     base = table_dir.rstrip("/")
     keep = ~F.coalesce(_where_expr(where), F.lit(False))
-    survivors = spark.read.parquet(
+    # manifest schema = read contract: after a schema evolution the
+    # candidate files can differ in width — inferring from one footer
+    # could rewrite survivors minus an evolved column
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    _reader = (
+        spark.read.schema(StructType.fromJson(_json.loads(manifest["schema"])))
+        if manifest.get("schema")
+        else spark.read
+    )
+    survivors = _reader.parquet(
         *[f"{base}/{e['path']}" for e in candidates]
     ).where(keep)
     version, _ = _stage_version(survivors, table_dir)

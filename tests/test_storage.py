@@ -874,3 +874,155 @@ def test_snapshot_upsert_coalesce_merge_mode(spark, tmp_path):
 
     with pytest.raises(ValueError, match="merge_mode"):
         snapshot_upsert(spark, t2, updates, key="k", merge_mode="bogus")
+
+
+def test_snapshot_changes_net_row_level_feed(spark, tmp_path):
+    """Change feed between versions: insert / delete / update pre+post
+    rows, net semantics across a span, and rewritten-but-identical
+    survivor rows never surface."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"]
+    )
+    # v2: update k=995..999, insert k=1000..1004 (one touched file)
+    snapshot_upsert(spark, tdir, _keyed(spark, 995, 1005, tag="upd"), key="k")
+    # v3: delete k=3
+    snapshot_delete(spark, tdir, where=[("k", "=", 3)])
+
+    c12 = snapshot_changes(spark, tdir, "k", 1, 2)
+    by_type = {
+        t: sorted(r["k"] for r in rows)
+        for t, rows in __import__("itertools").groupby(
+            sorted(c12.collect(), key=lambda r: r["_change_type"]),
+            key=lambda r: r["_change_type"],
+        )
+    }
+    assert by_type["insert"] == [1000, 1001, 1002, 1003, 1004]
+    assert by_type["update_preimage"] == [995, 996, 997, 998, 999]
+    assert by_type["update_postimage"] == [995, 996, 997, 998, 999]
+    assert "delete" not in by_type
+    pre = {r["k"]: r["v"] for r in c12.where("_change_type = 'update_preimage'").collect()}
+    post = {r["k"]: r["v"] for r in c12.where("_change_type = 'update_postimage'").collect()}
+    assert pre[995] == "base-995" and post[995] == "upd-995"
+
+    c23 = snapshot_changes(spark, tdir, "k", 2, 3)
+    rows = c23.collect()
+    assert [(r["k"], r["_change_type"], r["v"]) for r in rows] == [
+        (3, "delete", "base-3")
+    ]
+
+    # net across the span: the same update/insert set plus the delete
+    c13 = snapshot_changes(spark, tdir, "k", 1, 3)
+    net = {(r["k"], r["_change_type"]) for r in c13.collect()}
+    assert (3, "delete") in net and (1000, "insert") in net
+    assert (995, "update_preimage") in net and (995, "update_postimage") in net
+    # rewritten survivors (e.g. k=990..994 shared the touched file) absent
+    assert not {k for k, t in net if t.startswith("update")} - set(range(995, 1000))
+
+
+def test_snapshot_changes_skips_carried_files(spark, tmp_path):
+    """Files carried by reference between the endpoint manifests are
+    never opened: the feed's input files are only the endpoint-unique
+    ones."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_changes,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"]
+    )
+    snapshot_upsert(spark, tdir, _keyed(spark, 995, 1005, tag="upd"), key="k")
+    m1 = {e["path"] for e in _manifest(tdir, 1)["files"]}
+    m2 = {e["path"] for e in _manifest(tdir, 2)["files"]}
+    diff_paths = {p.rsplit("/", 1)[-1] for p in (m1 ^ m2)}
+    feed = snapshot_changes(spark, tdir, "k", 1, 2)
+    opened = {f.rsplit("/", 1)[-1] for f in feed.inputFiles()}
+    assert opened and opened <= diff_paths
+    # 7 of 8 v1 files were carried: none of them opened
+    assert len(m1 & m2) == 7
+
+
+def test_snapshot_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True adds new columns (carried files read NULL),
+    null-fills omitted ones, and updates the manifest's read contract;
+    without it a mismatched batch raises instead of dropping columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_changes,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _keyed(spark, 0, 1000).repartitionByRange(8, "k"), tdir, stats_cols=["k"]
+    )
+    widened = _keyed(spark, 995, 1005, tag="upd").withColumn(
+        "score", F.col("k").cast("double") / 10
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_upsert(spark, tdir, widened, key="k")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_upsert(spark, tdir, widened.drop("v"), key="k")
+
+    v = snapshot_upsert(spark, tdir, widened, key="k", evolve_schema=True)
+    cur = snapshot_read(spark, tdir, version=v)
+    assert cur.columns == ["k", "v", "score"]
+    assert cur.count() == 1005
+    got = {r["k"]: (r["v"], r["score"]) for r in cur.where("k >= 994 or k = 3").collect()}
+    assert got[3] == ("base-3", None)  # carried file: evolved column NULL
+    assert got[994] == ("base-994", None)  # rewritten survivor row
+    assert got[1004] == ("upd-1004", 100.4)
+    # time travel to the pre-evolution version keeps the old shape
+    assert snapshot_read(spark, tdir, version=1).columns == ["k", "v"]
+    # the feed speaks the evolved schema too
+    ins = snapshot_changes(spark, tdir, "k", 1, v).where("_change_type = 'insert'")
+    assert {r["score"] for r in ins.where("k = 1000").collect()} == {100.0}
+
+    # a later batch OMITTING the evolved column null-fills it
+    v3 = snapshot_upsert(
+        spark, tdir, _keyed(spark, 0, 2, tag="late"), key="k", evolve_schema=True
+    )
+    got3 = {r["k"]: (r["v"], r["score"]) for r in
+            snapshot_read(spark, tdir, version=v3).where("k <= 2").collect()}
+    assert got3[0] == ("late-0", None) and got3[2] == ("base-2", None)
+
+
+def test_snapshot_delete_preserves_evolved_columns(spark, tmp_path):
+    """A delete that rewrites a MIXED set of files (pre- and
+    post-evolution) must not lose evolved-column values to footer
+    inference."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 100).coalesce(1), tdir, stats_cols=["k"])
+    widened = _keyed(spark, 50, 150, tag="upd").withColumn(
+        "score", F.lit(1.5) + F.col("k")
+    )
+    snapshot_upsert(spark, tdir, widened, key="k", evolve_schema=True)
+    v, deleted = snapshot_delete(spark, tdir, where=[("k", "=", 10)])
+    assert deleted == 1
+    cur = snapshot_read(spark, tdir, version=v)
+    assert cur.where("k = 10").count() == 0
+    assert cur.where("k = 60").head()["score"] == 61.5  # survived the rewrite
+    assert cur.count() == 149
