@@ -1464,6 +1464,104 @@ def x_snapshot_cdc(t: Tables) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "val").orderBy("event_id")
 
 
+# scratch table dir of x_snapshot_changes's previous invocation per sf_dir
+_SNAP_CDF_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_snapshot_changes",
+    """WITH base AS (SELECT event_id, user_id, event_type,
+                            ROUND(value, 4) AS val
+                     FROM events WHERE event_id BETWEEN 0 AND 299)
+       SELECT event_id, user_id, event_type, val, _change_type FROM (
+         SELECT event_id, user_id, event_type, val,
+                'update_preimage' AS _change_type
+         FROM base WHERE event_id BETWEEN 100 AND 149
+         UNION ALL
+         SELECT event_id, user_id, 'updated', val + 1000,
+                'update_postimage'
+         FROM base WHERE event_id BETWEEN 100 AND 149
+         UNION ALL
+         SELECT event_id + 100000, user_id, 'inserted', val, 'insert'
+         FROM base WHERE event_id BETWEEN 0 AND 19
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'delete'
+         FROM base WHERE event_id BETWEEN 200 AND 209)
+       ORDER BY event_id, _change_type""",
+)
+def x_snapshot_changes(t: Tables) -> DataFrame:
+    """Row-level change-data-feed round-trip, externally hash-verified:
+    commit an events slice as a versioned snapshot table, apply one
+    mixed upsert batch (a key band of updates + disjoint inserts) and a
+    predicate delete as two further versions, then read the NET v1→v3
+    feed through ``storage.snapshot_changes``. The feed rows are a pure
+    function of the events table, so the oracle reproduces them with no
+    filesystem — updates surface as pre+post image pairs, inserts and
+    deletes as single rows, and the 150 rewritten-but-identical survivor
+    rows sharing the touched files must NOT surface (a survivor-drop
+    regression breaks the row count before it breaks the hash). The
+    builder self-asserts what the result can't show: the feed must read
+    only the endpoint manifests' DIFF files, never the carried ones
+    (O(touched files), not O(table))."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    spark = t.spark
+    base = t.events.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("val")
+    ).where(F.col("event_id").between(0, 299))
+    tdir = tempfile.gettempdir() + f"/f1dp_snap_cdf_{uuid.uuid4().hex}"
+    prev = _SNAP_CDF_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SNAP_CDF_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        base.repartitionByRange(8, "event_id"), tdir, stats_cols=["event_id"]
+    )
+    updates = base.where(F.col("event_id").between(100, 149)).select(
+        "event_id",
+        "user_id",
+        F.lit("updated").alias("event_type"),
+        (F.col("val") + 1000).alias("val"),
+    )
+    inserts = base.where(F.col("event_id").between(0, 19)).select(
+        (F.col("event_id") + 100000).alias("event_id"),
+        "user_id",
+        F.lit("inserted").alias("event_type"),
+        "val",
+    )
+    snapshot_upsert(
+        spark, tdir, updates.unionByName(inserts), key="event_id", cluster_files=2
+    )
+    v3, _ = snapshot_delete(
+        spark, tdir, where=[("event_id", ">=", 200), ("event_id", "<=", 209)]
+    )
+    feed = snapshot_changes(spark, tdir, "event_id", 1, v3)
+    m1 = {e["path"] for e in _read_manifest(spark, tdir, 1)["files"]}
+    m3 = {e["path"] for e in _read_manifest(spark, tdir, v3)["files"]}
+    if not (m1 & m3):
+        raise RuntimeError(
+            "no files carried across v1→v3 — copy-on-write regressed"
+        )
+    opened = {f.rsplit("/", 1)[-1] for f in feed.inputFiles()}
+    carried = {p.rsplit("/", 1)[-1] for p in (m1 & m3)}
+    if opened & carried:
+        raise RuntimeError(
+            "change feed opened files carried by reference — manifest "
+            "diffing regressed to an O(table) scan"
+        )
+    return feed.orderBy("event_id", "_change_type")
+
+
 # Driver manifest: external correctness harnesses cap how many registered
 # queries they check (observed: first 50 dict entries). ``DRIVER_PRIORITY``
 # is the explicit manifest for that window: the 32 declared SURVEY §2.12
@@ -1637,6 +1735,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_snapshot_cdc": "snapshot-table CDC round-trip (new r8); rotate next round; merge family in-window via x_cdc_apply",
     "x_cms_freq": "count-min frequency estimates (new r8); rotate next round; sketch family in-window via x_stream_heavy_hitters, exact twin x_heavy_hitters",
     "x_kmv_setops": "coordinated bottom-k set-op estimates (new r8); rotate next round; overlap family in-window via x_source_overlap",
+    "x_snapshot_changes": "snapshot change-data-feed round-trip (new r8); rotate next round; changelog family in-window via x_cdc_apply",
 }
 
 
