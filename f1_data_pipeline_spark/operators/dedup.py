@@ -1051,6 +1051,162 @@ def set_similarity_join(
     )
 
 
+def edit_distance_join(
+    strings: DataFrame,
+    k: int,
+    q: int = 2,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> DataFrame:
+    """EXACT edit-distance self-join: every unordered pair with
+    ``levenshtein ≤ k``, WITHOUT the n² cross product — the q-gram
+    prefix-filtering family (Gravano et al. VLDB'01 count filtering;
+    Ed-Join, Xiao et al. VLDB'08), the edit-distance sibling of
+    ``set_similarity_join``. Returns ``(id1, id2, dist)`` with
+    ``id1 < id2``.
+
+    Why it is complete: one edit destroys at most ``q`` of a string's
+    q-gram OCCURRENCES, so ``ed(a,b) ≤ k`` forces a bag-overlap of at
+    least ``glen − k·q`` gram occurrences (glen = the string's own gram
+    count). Under one global rarest-first total order on gram values,
+    the multiset prefix-filter bound then guarantees the first
+    ``k·q + 1`` occurrences of BOTH strings share a gram value —
+    occurrences, not distinct values, which is why the explode below
+    keeps duplicates (a set-level prefix can miss pairs on strings with
+    repeated grams). Candidates additionally pass the length filter
+    ``|len(a) − len(b)| ≤ k``; every candidate is then verified with the
+    builtin ``levenshtein`` — the output is exact, the filters only
+    bound the work.
+
+    Strings too short to carry ``k·q + 1`` gram occurrences
+    (len ≤ k·q + q − 1) fall outside the theorem; they take a separate
+    complete path — a banded length equi-join (each short string emits
+    its 2k+1 admissible partner lengths) against everything short enough
+    to be within k edits of a short string. Exactness is unconditional;
+    the short band is assumed small (it is the strings shorter than
+    ~(k+1)·q characters — document the population if that's not true for
+    your corpus).
+
+    Scale shape: gram explode is scan-local; the frequency aggregate and
+    the per-string rarity-rank window are one keyed shuffle each;
+    rarest-first prefixes keep the candidate equi-join's per-gram
+    fan-out off the stop-gram hot keys (the same discipline as
+    ``set_similarity_join``); verification joins the original strings
+    back by id — candidate-bounded, never quadratic. No cartesian
+    anywhere (plan-gated in tests)."""
+    base = strings.select(
+        F.col(id_col).alias("__id"), F.col(str_col).alias("__s")
+    ).withColumn("__len", F.length("__s"))
+    pk = k * q + 1
+    short_max = k * q + q - 1
+
+    grams = (
+        base.where(F.col("__len") > short_max)
+        .select(
+            "__id",
+            "__len",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, __len - {q} + 1),"
+                    f" p -> struct(p AS pos, substring(__s, p, {q}) AS g))"
+                )
+            ).alias("__e"),
+        )
+        .select(
+            "__id", "__len", F.col("__e.pos").alias("__p"), F.col("__e.g").alias("__g")
+        )
+    )
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__g", "__p")
+    prefix = (
+        grams.join(freq, "__g")
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= pk)
+        .select("__id", "__len", "__g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand_long = (
+        a.join(
+            b,
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.abs(F.col("a.__len") - F.col("b.__len")) <= k),
+        )
+        .select(F.col("a.__id").alias("id1"), F.col("b.__id").alias("id2"))
+    )
+
+    shorts = base.where(F.col("__len") <= short_max)
+    partners = base.select(
+        F.col("__id").alias("__idb"), F.col("__len").alias("__lenb")
+    ).where(F.col("__lenb") <= short_max + k)
+    cand_short = (
+        shorts.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__len") - k, F.col("__len") + k)
+            ).alias("__band"),
+        )
+        .join(partners, F.col("__band") == F.col("__lenb"))
+        .where(F.col("__id") != F.col("__idb"))
+        .select(
+            F.least("__id", "__idb").alias("id1"),
+            F.greatest("__id", "__idb").alias("id2"),
+        )
+    )
+
+    cand = cand_long.unionByName(cand_short).distinct()
+    s1 = base.select(F.col("__id").alias("id1"), F.col("__s").alias("__s1"))
+    s2 = base.select(F.col("__id").alias("id2"), F.col("__s").alias("__s2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("dist", F.levenshtein("__s1", "__s2"))
+        .where(F.col("dist") <= k)
+        .select("id1", "id2", "dist")
+    )
+
+
+_EDJ_K = 2
+
+
+@query(
+    "x_editdist_join",
+    f"""WITH n AS (SELECT DISTINCT p_name AS s FROM part),
+       c AS (SELECT p_name AS s, count(*) AS n_parts FROM part GROUP BY p_name)
+       SELECT a.s AS name_a, b.s AS name_b,
+              levenshtein(a.s, b.s) AS dist,
+              ca.n_parts AS n_a, cb.n_parts AS n_b
+       FROM n a JOIN n b ON a.s < b.s
+            AND levenshtein(a.s, b.s) <= {_EDJ_K}
+       JOIN c ca ON ca.s = a.s JOIN c cb ON cb.s = b.s
+       ORDER BY name_a, name_b""",
+)
+def x_editdist_join(t: Tables) -> DataFrame:
+    """Spelling-variant detection over the part-name vocabulary: every
+    distinct-name pair within edit distance 2, with each name's part
+    multiplicity joined back — the vocabulary-canonicalization shape
+    (dedup names FIRST, then ed-join the vocabulary, which is orders of
+    magnitude smaller than the corpus). Spark runs the sub-quadratic
+    q-gram prefix-filter join; the oracle is the exhaustive
+    levenshtein cross product — different algorithm, provably identical
+    output."""
+    names = t.part.select(F.col("p_name").alias("s")).distinct()
+    counts = t.part.groupBy(F.col("p_name").alias("s")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    pairs = edit_distance_join(names.withColumn("id", F.col("s")), _EDJ_K, q=2,
+                               id_col="id", str_col="s")
+    return (
+        pairs.select(
+            F.col("id1").alias("name_a"), F.col("id2").alias("name_b"), "dist"
+        )
+        .join(counts.select(F.col("s").alias("name_a"), F.col("n_parts").alias("n_a")), "name_a")
+        .join(counts.select(F.col("s").alias("name_b"), F.col("n_parts").alias("n_b")), "name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
 _SSJOIN_T = 0.5
 # Fixed verifier slice (r7 judge ask #6): the exhaustive all-pairs oracle is
 # quadratic, so the benched input is capped at a deterministic id range —

@@ -1736,6 +1736,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_cms_freq": "count-min frequency estimates (new r8); rotate next round; sketch family in-window via x_stream_heavy_hitters, exact twin x_heavy_hitters",
     "x_kmv_setops": "coordinated bottom-k set-op estimates (new r8); rotate next round; overlap family in-window via x_source_overlap",
     "x_snapshot_changes": "snapshot change-data-feed round-trip (new r8); rotate next round; changelog family in-window via x_cdc_apply",
+    "x_editdist_join": "exact edit-distance similarity join (new r8); rotate next round; similarity-join family in-window via x_ssjoin",
 }
 
 

@@ -2456,3 +2456,111 @@ def test_semantic_dedup_lsh_production_path_matches_exact(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown method"):
         semantic_dedup(df, 0.95, method="bogus")
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_join (exact Ed-Join)
+# ---------------------------------------------------------------------------
+
+
+def _exhaustive_ed_pairs(spark, df, k):
+    """Oracle by different algorithm: the full cross product + builtin
+    levenshtein (test-only; the operator exists to avoid this plan)."""
+    a, b = df.alias("a"), df.alias("b")
+    return {
+        (r["id1"], r["id2"], r["dist"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.s", "b.s").alias("dist"),
+        )
+        .where(F.col("dist") <= k)
+        .collect()
+    }
+
+
+def test_edit_distance_join_matches_exhaustive(spark):
+    """Exact agreement with the cross-product oracle on a mutation
+    corpus: seeds, single-edit variants (sub/ins/del), duplicates, and
+    strings with heavily repeated grams (the case a set-level —
+    distinct-gram — prefix filter would miss)."""
+    from f1_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    rng = random.Random(42)
+    alpha = "abcdef"
+    seeds = ["".join(rng.choice(alpha) for _ in range(rng.randint(6, 14))) for _ in range(40)]
+    rows = []
+    for s in seeds:
+        rows.append(s)
+        i = rng.randrange(len(s))
+        rows.append(s[:i] + rng.choice(alpha) + s[i + 1:])   # substitution
+        rows.append(s[:i] + s[i + 1:])                        # deletion
+        rows.append(s[:i] + rng.choice(alpha) + s[i:])        # insertion
+    rows += ["ababab", "bababa", "aaaaaaa", "aaaaaab", "abcabcabc"]  # repeated grams
+    rows += [rows[0], rows[5]]  # exact duplicates (ed = 0)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "id long, s string"
+    )
+    for k in (1, 2):
+        got = {
+            (r["id1"], r["id2"], r["dist"])
+            for r in edit_distance_join(df, k=k, q=2).collect()
+        }
+        assert got == _exhaustive_ed_pairs(spark, df, k)
+
+
+def test_edit_distance_join_short_strings_complete(spark):
+    """Strings too short for the q-gram theorem (len ≤ k·q + q − 1) must
+    still pair exactly — they take the banded-length path. Includes
+    zero-gram-overlap pairs like ('ab','cd') at k=2."""
+    from f1_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    rows = ["", "a", "b", "ab", "cd", "abc", "abd", "xy", "xyz", "wxyz", "ab"]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "id long, s string"
+    )
+    for k in (1, 2):
+        got = {
+            (r["id1"], r["id2"], r["dist"])
+            for r in edit_distance_join(df, k=k, q=2).collect()
+        }
+        assert got == _exhaustive_ed_pairs(spark, df, k)
+    # the k=2 zero-overlap pair is present
+    k2 = {
+        (r["id1"], r["id2"])
+        for r in edit_distance_join(df, k=2, q=2).collect()
+    }
+    assert (3, 4) in k2  # 'ab' vs 'cd'
+
+
+def test_edit_distance_join_no_cartesian_plan(spark):
+    from f1_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abcdeg")], "id long, s string")
+    plan = (
+        edit_distance_join(df, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_edit_distance_join_prefix_prunes_candidates(spark):
+    """The point of the prefix filter: candidate volume must stay far
+    below n²/2 on a corpus of mutually-distant strings."""
+    from f1_data_pipeline_spark.operators.dedup import edit_distance_join
+
+    rng = random.Random(7)
+    # long random strings over a large alphabet: almost all pairs are
+    # distant, so prefixes should collide rarely
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rows = [
+        "".join(rng.choice(alpha) for _ in range(20)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rows)], "id long, s string"
+    )
+    out = edit_distance_join(df, k=2, q=2)
+    assert out.count() == 0  # random 20-char strings are never within 2
