@@ -622,8 +622,15 @@ def snapshot_upsert(
     cluster_files: int | None = None,
     merge_mode: str = "replace",
     evolve_schema: bool = False,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Copy-on-write last-write-wins upsert committed as a new version.
+
+    ``expectations`` gate the commit exactly as on ``snapshot_write``:
+    every rule is checked against the INCOMING batch (one aggregate
+    scan, before anything stages or any touched file is read) — survivor
+    rows already passed the gate when their own version committed, so
+    re-checking the table would be O(table) for nothing.
 
     ``evolve_schema=True`` accepts a batch whose columns differ from the
     committed schema: new columns are ADDED to the table (rows in carried
@@ -667,6 +674,8 @@ def snapshot_upsert(
     as the physical clustering under it (the reason Delta/Iceberg pair
     stats with clustering); any table maintained by repeated upserts
     should cluster."""
+    if expectations:
+        check_expectations(updates, expectations)
     delete_keys = updates.select(F.col(key)).limit(0)
     return _merge_into_snapshot(
         spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
@@ -684,6 +693,7 @@ def snapshot_apply_cdc(
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
     evolve_schema: bool = False,
+    expectations: dict[str, str] | None = None,
 ) -> int:
     """Apply a FOLDED changelog (one row per key: its final upsert state
     or a delete tombstone) to the table in ONE copy-on-write commit —
@@ -699,6 +709,10 @@ def snapshot_apply_cdc(
     # NULL input): anything not provably a delete is an upsert
     is_delete = F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
     ups = changes.where(~is_delete).drop(op_col)
+    if expectations:
+        # gate the UPSERT rows only: a delete tombstone carries no
+        # payload for a CHECK constraint to hold over
+        check_expectations(ups, expectations)
     delete_keys = changes.where(is_delete).select(F.col(key))
     return _merge_into_snapshot(
         spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,

@@ -1026,3 +1026,47 @@ def test_snapshot_delete_preserves_evolved_columns(spark, tmp_path):
     assert cur.where("k = 10").count() == 0
     assert cur.where("k = 60").head()["score"] == 61.5  # survived the rewrite
     assert cur.count() == 149
+
+
+def test_snapshot_upsert_expectations_gate_the_merge(spark, tmp_path):
+    """Merge-path CHECK constraints: a violating batch raises BEFORE
+    anything stages (no new version, no touched file read), on both the
+    upsert and the CDC-apply path; delete tombstones are exempt (no
+    payload to check)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
+        snapshot_upsert,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_keyed(spark, 0, 100), tdir, stats_cols=["k"])
+    rules = {"v_nonnull": "v IS NOT NULL"}
+    bad = _keyed(spark, 5, 8).withColumn(
+        "v", F.when(F.col("k") == 6, None).otherwise(F.col("v"))
+    )
+    with pytest.raises(ValueError, match="v_nonnull"):
+        snapshot_upsert(spark, tdir, bad, key="k", expectations=rules)
+    assert snapshot_version(spark, tdir) == 1  # nothing committed
+
+    ok = _keyed(spark, 5, 8, tag="upd")
+    assert snapshot_upsert(spark, tdir, ok, key="k", expectations=rules) == 2
+
+    # CDC path: the delete tombstone's NULL payload must NOT trip the gate
+    cdc = (
+        _keyed(spark, 9, 10, tag="cdc")
+        .withColumn("op", F.lit("U"))
+        .unionByName(
+            spark.createDataFrame([(99,)], "k long")
+            .withColumn("v", F.lit(None).cast("string"))
+            .withColumn("op", F.lit("D"))
+        )
+    )
+    assert snapshot_apply_cdc(spark, tdir, cdc, key="k", expectations=rules) == 3
+    badcdc = cdc.withColumn("op", F.lit("U"))  # now the NULL row is an upsert
+    with pytest.raises(ValueError, match="v_nonnull"):
+        snapshot_apply_cdc(spark, tdir, badcdc, key="k", expectations=rules)
