@@ -986,6 +986,65 @@ def snapshot_changes(
     )
 
 
+def snapshot_changes_since(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    offset_dir: str,
+) -> tuple[DataFrame, int]:
+    """Incremental change-feed consumer: the changes committed since this
+    consumer's last acknowledged version — the table-to-table sync shape
+    (Delta CDF + a consumer group offset).
+
+    Returns ``(feed, version)``. The FIRST call (no offset yet) delivers
+    the whole current table as ``insert`` rows — the initial load.
+    Afterwards each call returns ``snapshot_changes(last_acked,
+    current)``; when nothing new is committed the feed is empty (same
+    schema). The offset only advances when the caller invokes
+    ``snapshot_ack(spark, offset_dir, version)`` AFTER materializing the
+    feed downstream — two-phase on purpose: a crash between read and ack
+    re-delivers the same span (at-least-once), and an idempotent keyed
+    sink (the repo's upsert family) makes that effectively-once — the
+    same contract the streaming sinks document.
+
+    The offset is a one-row parquet artifact via ``write_json_artifact``,
+    so consumer state lives on the same URI-capable filesystem as the
+    table — no driver-local files."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    try:
+        last = int(read_json_artifact(spark, offset_dir)["acked_version"])
+    except Exception:
+        last = None
+    if last is None:
+        feed = snapshot_read(spark, table_dir, version=current).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        return feed, current
+    if last > current:
+        raise ValueError(
+            f"consumer offset {last} is ahead of the table's current "
+            f"version {current} in {table_dir} — was the table restored or "
+            f"recreated? reset the offset dir to re-sync"
+        )
+    if last == current:
+        feed = (
+            snapshot_read(spark, table_dir, version=current)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        return feed, current
+    return snapshot_changes(spark, table_dir, key, last, current), current
+
+
+def snapshot_ack(spark: SparkSession, offset_dir: str, version: int) -> None:
+    """Acknowledge a consumed change span: persist ``version`` as this
+    consumer's offset (overwrite — the artifact writer commits via
+    ``_SUCCESS``, so a torn ack is unreadable and re-delivers)."""
+    write_json_artifact(spark, offset_dir, {"acked_version": int(version)})
+
+
 def snapshot_history(
     spark: SparkSession, table_dir: str, check_available: bool = False
 ) -> list[dict]:

@@ -1070,3 +1070,52 @@ def test_snapshot_upsert_expectations_gate_the_merge(spark, tmp_path):
     badcdc = cdc.withColumn("op", F.lit("U"))  # now the NULL row is an upsert
     with pytest.raises(ValueError, match="v_nonnull"):
         snapshot_apply_cdc(spark, tdir, badcdc, key="k", expectations=rules)
+
+
+def test_snapshot_changes_since_consumer_offsets(spark, tmp_path):
+    """The incremental consumer: initial load as inserts, per-span
+    re-delivery until acked, empty feed when caught up, and an
+    ahead-of-table offset raises instead of silently re-syncing."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_ack,
+        snapshot_changes_since,
+        snapshot_delete,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    odir = str(tmp_path / "offsets")
+    snapshot_write(_keyed(spark, 0, 100), tdir, stats_cols=["k"])
+
+    feed, v = snapshot_changes_since(spark, tdir, "k", odir)
+    assert v == 1 and feed.count() == 100
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+    # NOT acked: the same span re-delivers (at-least-once)
+    feed2, v2 = snapshot_changes_since(spark, tdir, "k", odir)
+    assert v2 == 1 and feed2.count() == 100
+    snapshot_ack(spark, odir, v2)
+
+    # caught up: empty feed, schema intact
+    feed3, v3 = snapshot_changes_since(spark, tdir, "k", odir)
+    assert v3 == 1 and feed3.count() == 0
+    assert feed3.columns == ["k", "v", "_change_type"]
+
+    snapshot_upsert(spark, tdir, _keyed(spark, 5, 7, tag="upd"), key="k")
+    snapshot_delete(spark, tdir, where=[("k", "=", 50)])
+    feed4, v4 = snapshot_changes_since(spark, tdir, "k", odir)
+    assert v4 == 3
+    got = {(r["k"], r["_change_type"]) for r in feed4.collect()}
+    assert got == {
+        (5, "update_preimage"), (5, "update_postimage"),
+        (6, "update_preimage"), (6, "update_postimage"),
+        (50, "delete"),
+    }
+    snapshot_ack(spark, odir, v4)
+
+    # a stale/foreign offset ahead of the table raises
+    snapshot_ack(spark, odir, 99)
+    with pytest.raises(ValueError, match="ahead of the table"):
+        snapshot_changes_since(spark, tdir, "k", odir)
