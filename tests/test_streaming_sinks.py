@@ -931,3 +931,97 @@ def test_lap_stream_into_snapshot_table_k5_parity(spark, wire_dir, tmp_path):
     want = sorted(tuple(str(r[c]) for c in cols) for r in batch.collect())
     assert got == want  # row-for-row parity with the batch decode
     assert snapshot_version(spark, tdir) >= 2  # replay recorded as versions
+
+
+def test_stream_to_table_to_downstream_sync_via_change_feed(spark, tmp_path):
+    """The full lakehouse loop: a change stream maintains the primary
+    snapshot table (copy-on-write commits), and a DOWNSTREAM table syncs
+    from it through the offset-acked change-data-feed consumer — initial
+    load, then per-span incremental applies. After every sync the
+    downstream content equals the primary exactly; a crash between feed
+    and ack re-delivers and converges through the idempotent apply."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_ack,
+        snapshot_apply_cdc,
+        snapshot_changes_since,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "primary")
+    ddir = str(tmp_path / "downstream")
+    odir = str(tmp_path / "offsets")
+    os.makedirs(src)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+
+    def run(ck):
+        q = strm.stream_snapshot_upsert(
+            spark, str(src) + "/*", ck, tdir, key="k", schema=schema
+        )
+        assert q.awaitTermination(180)
+
+    def sync_downstream():
+        feed, ver = snapshot_changes_since(spark, tdir, "k", odir)
+        batch = (
+            feed.where(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                    F.lit("U")
+                ),
+            )
+            .drop("_change_type")
+        )
+        if batch.isEmpty():
+            snapshot_ack(spark, odir, ver)
+            return
+        try:
+            snapshot_read(spark, ddir)
+            snapshot_apply_cdc(spark, ddir, batch, key="k")
+        except FileNotFoundError:
+            snapshot_write(
+                batch.where(F.col("op") != "D").drop("op"), ddir, stats_cols=["k"]
+            )
+        snapshot_ack(spark, odir, ver)
+
+    def table(d):
+        return {r["k"]: r["v"] for r in snapshot_read(spark, d).collect()}
+
+    # drop 1 bootstraps primary; downstream takes the initial load
+    spark.createDataFrame(
+        [(i, f"a-{i}") for i in range(50)], schema
+    ).repartitionByRange(4, "k").write.parquet(str(src / "d1"))
+    run(str(tmp_path / "ck"))
+    sync_downstream()
+    assert table(ddir) == table(tdir)
+
+    # drop 2: updates + inserts flow through as one incremental span
+    spark.createDataFrame(
+        [(i, f"b-{i}") for i in range(48, 55)], schema
+    ).repartitionByRange(4, "k").write.parquet(str(src / "d2"))
+    run(str(tmp_path / "ck"))
+    feed, ver = snapshot_changes_since(spark, tdir, "k", odir)
+    # incremental, not a re-load: only the changed span flows
+    assert feed.count() == 2 + 2 + 5  # 2 updates (pre+post) + 5 inserts
+    sync_downstream()
+    assert table(ddir) == table(tdir)
+
+    # crash between feed and ack: the span re-delivers, apply converges
+    spark.createDataFrame(
+        [(0, "c-0")], schema
+    ).write.parquet(str(src / "d3"))
+    run(str(tmp_path / "ck"))
+    feed, ver = snapshot_changes_since(spark, tdir, "k", odir)
+    assert feed.count() > 0  # read but NOT acked — simulated crash
+    sync_downstream()  # re-reads the same span, applies, acks
+    assert table(ddir) == table(tdir)
+    # caught up: the next sync is a no-op
+    feed, _ = snapshot_changes_since(spark, tdir, "k", odir)
+    assert feed.count() == 0
