@@ -359,6 +359,99 @@ def _staged_file_entries(
     return entries
 
 
+def _bloom_file_entries(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    cols: list[str],
+    m: int,
+    h: int,
+) -> dict[str, dict]:
+    """Per-file Bloom filters for the files just staged under ``v=N``:
+    ``{file_name: {col: {m, h, words}}}``.
+
+    Built entirely executor-side: the h bit positions per value are the
+    same md5-derived positions ``_bloom_positions`` computes in Python
+    (engine-portable on string/integer keys — the cast-to-string must
+    agree between Spark and Python, so float keys are not supported),
+    distinct (file, position) pairs aggregate per file, and the packing
+    into 64-bit words happens inside Catalyst — the driver only ever
+    receives the packed filter, m/64 longs per (file, column).
+
+    Cost: one scan of the new files per column. Size: ~m/8 bytes per
+    (file, column) in the manifest (JSON-int inflated) — at the default
+    16 Kbit that is ~2-5 KB per entry, so bloom_cols shares the
+    manifest's stated driver-side bound and is opt-in per table."""
+    vdir = f"{table_dir.rstrip('/')}/v={version}"
+    out: dict[str, dict] = {}
+    nwords = m // 64
+    for c in cols:
+        pos = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col(c).cast("string"), F.lit(f"|{j}"))),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for j in range(h)
+        ]
+        rows = (
+            spark.read.parquet(vdir)
+            .where(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*pos)).alias("__p"),
+            )
+            .distinct()
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .select(
+                "__f",
+                F.expr(
+                    f"transform(sequence(0, {nwords - 1}), w -> "
+                    f"aggregate(filter(__ps, p -> int(p / 64) = w), 0L, "
+                    f"(acc, p) -> acc | shiftleft(1L, int(p % 64))))"
+                ).alias("__words"),
+            )
+            .collect()  # bounded: m/64 longs per staged FILE per column
+        )
+        for r in rows:
+            name = r["__f"].rstrip("/").rsplit("/", 1)[-1]
+            out.setdefault(name, {})[c] = {
+                "m": m,
+                "h": h,
+                "words": [int(x) for x in r["__words"]],
+            }
+    return out
+
+
+def _apply_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    entries: list[dict],
+    spec: dict | None,
+) -> None:
+    """Attach per-file Bloom entries for the just-staged files according
+    to the table's bloom spec (no-op without one). Carried entries keep
+    the blooms they were committed with."""
+    if not spec or not spec.get("cols"):
+        return
+    bl = _bloom_file_entries(
+        spark, table_dir, version, spec["cols"], spec["m"], spec["h"]
+    )
+    for e in entries:
+        name = e["path"].rsplit("/", 1)[-1]
+        if e["path"].startswith(f"v={version}/") and name in bl:
+            e["bloom"] = bl[name]
+
+
 def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: dict) -> None:
     """Step 3 of the protocol: atomically create the immutable commit
     record ``_manifests/N.json`` (create-no-overwrite IS the commit)."""
@@ -427,8 +520,23 @@ def snapshot_write(
     table_dir: str,
     stats_cols: list[str] | None = None,
     expectations: dict[str, str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 16384,
+    bloom_hashes: int = 5,
 ) -> int:
     """Commit ``df`` as the next table version and return it.
+
+    ``bloom_cols`` additionally stores a per-file Bloom filter for each
+    listed column (string/integer keys) — the point-lookup skipping
+    lever for HASH-DISTRIBUTED keys, whose min/max envelope spans the
+    whole domain and prunes nothing. ``snapshot_read(where=[(col, '=',
+    v)])`` probes the filters driver-side: a miss proves absence (no
+    false negatives — pruning stays exact), a false positive costs one
+    extra file read (rate ≈ (1−e^(−h·n/m))^h; the 16 Kbit / 5-hash
+    default holds <1% to ~2k distinct keys per file). The spec persists
+    in the commit record, and every maintenance path (upsert, CDC apply,
+    delete, compact) rebuilds filters for the files it stages, so
+    skipping power survives table maintenance exactly like stats_cols.
 
     Protocol: (1) CLAIM the staging dir ``v=N`` by atomically creating
     ``v=N/_CLAIM`` (``createNewFile`` — create-no-overwrite); (2) write
@@ -479,17 +587,21 @@ def snapshot_write(
         check_expectations(df, expectations)
     version, vdir = _stage_version(df, table_dir)
     entries = _staged_file_entries(spark, table_dir, version, stats_cols)
-    _commit_record(
-        spark,
-        table_dir,
-        version,
-        {
-            "version": version,
-            "dir": f"v={version}",
-            "files": entries,
-            "schema": df.schema.json(),
-        },
+    bloom_spec = (
+        {"cols": list(bloom_cols), "m": int(bloom_bits), "h": int(bloom_hashes)}
+        if bloom_cols
+        else None
     )
+    _apply_blooms(spark, table_dir, version, entries, bloom_spec)
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": entries,
+        "schema": df.schema.json(),
+    }
+    if bloom_spec:
+        payload["bloom_spec"] = bloom_spec
+    _commit_record(spark, table_dir, version, payload)
     return version
 
 
@@ -508,14 +620,51 @@ def _stats_comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
+def _bloom_positions(value, m: int, h: int) -> list[int]:
+    """The ``h`` bit positions a value sets in an ``m``-bit file Bloom
+    filter: ``md5(str(value) + '|' + str(j))`` first 13 hex chars mod m —
+    deliberately derivable in pure Python AND pure Catalyst (conv/
+    substring/md5), so the filter is built executor-side by Spark and
+    probed driver-side with no JVM round-trip."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}|{j}".encode()).hexdigest()[:13], 16) % m
+        for j in range(h)
+    ]
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """Driver-side probe of a manifest Bloom entry (``words`` are the
+    filter's 64-bit words as Spark signed longs; Python's arbitrary-
+    precision two's complement makes ``(w >> k) & 1`` read the raw bit
+    correctly for negative words)."""
+    words, m, h = bloom["words"], bloom["m"], bloom["h"]
+    for p in _bloom_positions(value, m, h):
+        if not (words[p // 64] >> (p % 64)) & 1:
+            return False
+    return True
+
+
 def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
     """True when the file's [min,max] envelope PROVES no row can satisfy
     the conjunction. All-null stats (min and max both null) prune under
     any comparison — SQL comparisons against NULL are never true. Missing
     stats, unknown ops, or incomparable types never prune (safe
-    fallback: the residual filter still runs on every surviving row)."""
+    fallback: the residual filter still runs on every surviving row).
+
+    Point predicates additionally probe the file's Bloom filter when the
+    manifest carries one for the column (``snapshot_write(bloom_cols=…)``)
+    — the skipping lever for hash-distributed keys, whose min/max
+    envelope spans everything and prunes nothing. A Bloom miss is a
+    PROOF of absence (no false negatives), so pruning stays exact; a
+    false positive merely reads one extra file."""
+    blooms = entry.get("bloom") or {}
     stats = entry.get("stats") or {}
     for col, op, val in where:
+        if op == "=" and col in blooms and val is not None:
+            if not _bloom_might_contain(blooms[col], val):
+                return True
         s = stats.get(col)
         if s is None or op not in _WHERE_OPS:
             continue
@@ -873,24 +1022,24 @@ def _merge_into_snapshot(
         staged_df = staged_df.repartitionByRange(cluster_files, key)
     version, _ = _stage_version(staged_df, table_dir)
     new_entries = _staged_file_entries(spark, table_dir, version, stats_cols) + carried
-    _commit_record(
-        spark,
-        table_dir,
-        version,
-        {
-            "version": version,
-            "dir": f"v={version}",
-            "files": new_entries,
-            # an evolved batch commits the MERGED schema (readers
-            # null-fill carried files); otherwise the committed schema
-            # is carried forward unchanged
-            "schema": (
-                staged_df.schema.json()
-                if extra
-                else manifest.get("schema") or staged_df.schema.json()
-            ),
-        },
-    )
+    bloom_spec = manifest.get("bloom_spec")
+    _apply_blooms(spark, table_dir, version, new_entries, bloom_spec)
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": new_entries,
+        # an evolved batch commits the MERGED schema (readers
+        # null-fill carried files); otherwise the committed schema
+        # is carried forward unchanged
+        "schema": (
+            staged_df.schema.json()
+            if extra
+            else manifest.get("schema") or staged_df.schema.json()
+        ),
+    }
+    if bloom_spec:
+        payload["bloom_spec"] = bloom_spec
+    _commit_record(spark, table_dir, version, payload)
     return version
 
 
@@ -1045,6 +1194,12 @@ def snapshot_ack(spark: SparkSession, offset_dir: str, version: int) -> None:
     write_json_artifact(spark, offset_dir, {"acked_version": int(version)})
 
 
+def _manifest_blooms_for_test(spark: SparkSession, table_dir: str, version: int) -> dict:
+    """Test hook: {path: bloom-entry} for a committed version."""
+    m = _read_manifest(spark, table_dir, version)
+    return {e["path"]: e["bloom"] for e in m.get("files", []) if e.get("bloom")}
+
+
 def snapshot_history(
     spark: SparkSession, table_dir: str, check_available: bool = False
 ) -> list[dict]:
@@ -1154,17 +1309,17 @@ def snapshot_delete(
     version, _ = _stage_version(survivors, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     deleted = sum(e.get("rows", 0) for e in candidates) - sum(e["rows"] for e in staged)
-    _commit_record(
-        spark,
-        table_dir,
-        version,
-        {
-            "version": version,
-            "dir": f"v={version}",
-            "files": staged + carried,
-            "schema": manifest.get("schema") or survivors.schema.json(),
-        },
-    )
+    bloom_spec = manifest.get("bloom_spec")
+    _apply_blooms(spark, table_dir, version, staged, bloom_spec)
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": staged + carried,
+        "schema": manifest.get("schema") or survivors.schema.json(),
+    }
+    if bloom_spec:
+        payload["bloom_spec"] = bloom_spec
+    _commit_record(spark, table_dir, version, payload)
     return version, deleted
 
 
@@ -1199,18 +1354,16 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
             f"missing, e.g. {missing[0]}"
         )
     version = snapshot_version(spark, table_dir) + 1
-    _commit_record(
-        spark,
-        table_dir,
-        version,
-        {
-            "version": version,
-            "dir": f"v={version}",
-            "files": files,
-            "schema": manifest.get("schema"),
-            "restored_from": to_version,
-        },
-    )
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": files,
+        "schema": manifest.get("schema"),
+        "restored_from": to_version,
+    }
+    if manifest.get("bloom_spec"):
+        payload["bloom_spec"] = manifest["bloom_spec"]
+    _commit_record(spark, table_dir, version, payload)
     return version
 
 
@@ -1306,4 +1459,15 @@ def snapshot_compact(
             stats_cols = sorted(with_stats["stats"]) if with_stats else None
     n = max(1, math.ceil(total / target_file_bytes))
     df = snapshot_read(spark, table_dir).repartition(n)
-    return snapshot_write(df, table_dir, stats_cols=stats_cols), n
+    spec = manifest.get("bloom_spec") or {}
+    return (
+        snapshot_write(
+            df,
+            table_dir,
+            stats_cols=stats_cols,
+            bloom_cols=spec.get("cols"),
+            bloom_bits=spec.get("m", 16384),
+            bloom_hashes=spec.get("h", 5),
+        ),
+        n,
+    )

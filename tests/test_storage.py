@@ -1119,3 +1119,97 @@ def test_snapshot_changes_since_consumer_offsets(spark, tmp_path):
     snapshot_ack(spark, odir, 99)
     with pytest.raises(ValueError, match="ahead of the table"):
         snapshot_changes_since(spark, tdir, "k", odir)
+
+
+def test_snapshot_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Per-file Bloom filters prune point lookups on a HASH-DISTRIBUTED
+    key — where min/max envelopes span everything and prune nothing.
+    Misses prove absence (exactness never depends on the filter), and
+    the spec survives upsert, delete, and compaction."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        _manifest_blooms_for_test,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    # hash-distributed string key: every file's [min,max] covers ~the
+    # whole domain, so stats alone cannot skip a point lookup
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.concat(F.lit("v-"), F.col("id")).alias("v"),
+        )
+        .repartition(8)  # hash layout — adversarial for min/max
+    )
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(df, tdir, stats_cols=["h"], bloom_cols=["h"])
+
+    import hashlib
+
+    probe = hashlib.md5(b"123").hexdigest()
+    total = len(snapshot_read(spark, tdir).inputFiles())
+    got = snapshot_read(spark, tdir, where=[("h", "=", probe)])
+    assert [r["k"] for r in got.collect()] == [123]
+    opened = len(got.inputFiles())
+    assert opened < total, (opened, total)  # bloom pruned hash layout
+
+    # stats alone would NOT have pruned: every envelope spans the probe
+    absent = snapshot_read(spark, tdir, where=[("h", "=", "0" * 32)])
+    assert absent.count() == 0  # miss is exact regardless of pruning
+
+    # maintenance keeps the skipping power: upsert, delete, compact
+    ups = (
+        spark.range(5000, 5003)
+        .select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+            F.lit("new").alias("v"),
+        )
+    )
+    snapshot_upsert(spark, tdir, ups, key="h", cluster_files=2)
+    p2 = hashlib.md5(b"5001").hexdigest()
+    got2 = snapshot_read(spark, tdir, where=[("h", "=", p2)])
+    assert [r["v"] for r in got2.collect()] == ["new"]
+    assert len(got2.inputFiles()) < len(snapshot_read(spark, tdir).inputFiles())
+
+    snapshot_delete(spark, tdir, where=[("h", "=", probe)])
+    assert snapshot_read(spark, tdir, where=[("h", "=", probe)]).count() == 0
+
+    v, _n = snapshot_compact(spark, tdir, target_file_bytes=8 * 1024)
+    got3 = snapshot_read(spark, tdir, where=[("h", "=", p2)])
+    assert [r["v"] for r in got3.collect()] == ["new"]
+    blooms = _manifest_blooms_for_test(spark, tdir, v)
+    assert blooms, "compacted version lost its bloom entries"
+
+
+def test_bloom_positions_agree_spark_and_python(spark):
+    """The driver-side probe and the executor-side build must derive the
+    SAME bit positions or pruning silently breaks."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import _bloom_positions
+
+    m, h = 1024, 4
+    vals = ["abc", "123", "", "Ω-unicode", "42"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    pos_cols = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("s"), F.lit(f"|{j}"))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).alias(f"p{j}")
+        for j in range(h)
+    ]
+    got = {r["s"]: [r[f"p{j}"] for j in range(h)] for r in df.select("s", *pos_cols).collect()}
+    for v in vals:
+        assert got[v] == _bloom_positions(v, m, h), v
