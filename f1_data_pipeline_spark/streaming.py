@@ -710,6 +710,7 @@ def stream_snapshot_upsert(
     op_col: str | None = None,
     delete_ops: tuple[str, ...] = ("D", "d", "delete"),
     trigger: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ):
     """Continuously maintain a versioned snapshot TABLE from a stream of
     keyed change batches: per micro-batch, fold to one row per key
@@ -797,10 +798,14 @@ def stream_snapshot_upsert(
                 folded = folded.where(
                     ~F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
                 ).drop(op_col)
+            # bloom_cols only matters at bootstrap: the spec persists in
+            # the commit record and every later upsert/CDC commit
+            # rebuilds filters for the files it stages
             snapshot_write(
                 folded.repartitionByRange(cluster_files, key),
                 table_dir,
                 stats_cols=scols,
+                bloom_cols=bloom_cols,
             )
         elif op_col:
             snapshot_apply_cdc(

@@ -1025,3 +1025,50 @@ def test_stream_to_table_to_downstream_sync_via_change_feed(spark, tmp_path):
     # caught up: the next sync is a no-op
     feed, _ = snapshot_changes_since(spark, tdir, "k", odir)
     assert feed.count() == 0
+
+
+def test_stream_snapshot_upsert_bloom_bootstrap_survives_maintenance(spark, tmp_path):
+    """bloom_cols on the streaming maintainer: the bootstrap commit
+    stores the spec, later streamed upsert commits rebuild filters for
+    their staged files, and a point lookup on the hash-distributed key
+    prunes files after BOTH drops."""
+    import hashlib
+    import os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_version
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src)
+    schema = StructType(
+        [StructField("h", StringType()), StructField("v", StringType())]
+    )
+
+    def drop(name, ids, tag):
+        rows = [(hashlib.md5(str(i).encode()).hexdigest(), f"{tag}-{i}") for i in ids]
+        spark.createDataFrame(rows, schema).repartition(4).write.parquet(
+            str(src / name)
+        )
+
+    def run(ck):
+        q = strm.stream_snapshot_upsert(
+            spark, str(src) + "/*", ck, tdir, key="h", schema=schema,
+            bloom_cols=["h"],
+        )
+        assert q.awaitTermination(180)
+
+    drop("d1", range(500), "a")
+    run(str(tmp_path / "ck"))
+    assert snapshot_version(spark, tdir) == 1
+    drop("d2", range(490, 520), "b")
+    run(str(tmp_path / "ck"))
+    assert snapshot_version(spark, tdir) == 2
+
+    total = len(snapshot_read(spark, tdir).inputFiles())
+    for probe_id, want in [(3, "a-3"), (515, "b-515")]:
+        probe = hashlib.md5(str(probe_id).encode()).hexdigest()
+        got = snapshot_read(spark, tdir, where=[("h", "=", probe)])
+        assert [r["v"] for r in got.collect()] == [want]
+        assert len(got.inputFiles()) < total  # bloom pruned on a hashed key
