@@ -1471,3 +1471,76 @@ def snapshot_compact(
         ),
         n,
     )
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Bin-packing OPTIMIZE (the Delta shape): coalesce ONLY the
+    current version's small files into ~target-sized ones and carry
+    every adequately-sized file by reference — maintenance cost is
+    O(small files), never O(table). After years of trickle upserts a
+    100 TB table holds a long tail of KB-scale commit files; rewriting
+    the whole table to fix them (what ``snapshot_compact`` does) costs
+    a full pass, while this touches only the tail. Files at or above
+    ``small_file_bytes`` (default target/2) never move — their bytes,
+    stats, and Bloom entries ride into the new manifest verbatim.
+
+    Returns ``(version, files_rewritten, files_carried)``; a no-op
+    (fewer than 2 small files) commits nothing and returns the current
+    version. Stats and Bloom filters are re-derived for the packed
+    files from the manifest's own spec, so skipping power survives,
+    and the rewritten-over version stays time-travelable until
+    vacuumed."""
+    import json as _json
+    import math
+
+    from pyspark.sql.types import StructType
+
+    v = snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, v)
+    entries = manifest.get("files")
+    if entries is None:
+        raise ValueError(
+            "snapshot_optimize needs a file-list manifest — rewrite once "
+            "with snapshot_write (v1-era record found)"
+        )
+    cutoff = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
+    small = [e for e in entries if e.get("bytes", 0) < cutoff]
+    carried = [e for e in entries if e.get("bytes", 0) >= cutoff]
+    if len(small) < 2:
+        return v, 0, len(entries)
+    if stats_cols is None:
+        with_stats = next((e for e in entries if e.get("stats")), None)
+        stats_cols = sorted(with_stats["stats"]) if with_stats else None
+    base = table_dir.rstrip("/")
+    mschema = (
+        StructType.fromJson(_json.loads(manifest["schema"]))
+        if manifest.get("schema")
+        else None
+    )
+    reader = spark.read.schema(mschema) if mschema is not None else spark.read
+    total_small = sum(e.get("bytes", 0) for e in small)
+    n = max(1, math.ceil(total_small / target_file_bytes))
+    packed = reader.parquet(*[f"{base}/{e['path']}" for e in small]).coalesce(n)
+    version, _ = _stage_version(packed, table_dir)
+    staged = _staged_file_entries(spark, table_dir, version, stats_cols)
+    bloom_spec = manifest.get("bloom_spec")
+    _apply_blooms(spark, table_dir, version, staged, bloom_spec)
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": staged + carried,
+        "schema": manifest.get("schema") or packed.schema.json(),
+        "optimized_from": v,
+    }
+    if bloom_spec:
+        payload["bloom_spec"] = bloom_spec
+    _commit_record(spark, table_dir, version, payload)
+    return version, len(small), len(carried)

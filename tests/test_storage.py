@@ -1213,3 +1213,71 @@ def test_bloom_positions_agree_spark_and_python(spark):
     got = {r["s"]: [r[f"p{j}"] for j in range(h)] for r in df.select("s", *pos_cols).collect()}
     for v in vals:
         assert got[v] == _bloom_positions(v, m, h), v
+
+
+def test_snapshot_optimize_packs_only_small_files(spark, tmp_path):
+    """Bin-packing OPTIMIZE: small files coalesce into ~target-sized
+    ones, adequately-sized files are carried BY REFERENCE (entries
+    verbatim, bytes unmoved), content is identical, skipping stats and
+    Bloom filters survive, and a tail-free table is a no-op."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        _manifest_blooms_for_test,
+        _read_manifest,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    # one adequately-sized file + a long tail of tiny upsert commits
+    snapshot_write(
+        _keyed(spark, 0, 5000).coalesce(1).withColumn(
+            "h", F.md5(F.col("k").cast("string"))
+        ),
+        tdir,
+        stats_cols=["k"],
+        bloom_cols=["h"],
+    )
+    for i in range(4):  # 4 trickle upserts -> 4+ tiny files
+        ups = _keyed(spark, 10000 + i, 10001 + i, tag=f"t{i}").withColumn(
+            "h", F.md5(F.col("k").cast("string"))
+        )
+        snapshot_upsert(spark, tdir, ups, key="k", cluster_files=1)
+    before = snapshot_read(spark, tdir)
+    n_before = len(before.inputFiles())
+    rows_before = {(r["k"], r["v"]) for r in before.collect()}
+    m = _read_manifest(spark, tdir, 5)
+    big = [e for e in m["files"] if e["bytes"] >= 16 * 1024]
+    assert big, "fixture needs at least one adequately-sized file"
+
+    v, rewritten, carried_n = snapshot_optimize(
+        spark, tdir, target_file_bytes=256 * 1024, small_file_bytes=16 * 1024
+    )
+    assert rewritten >= 4 and carried_n == len(big)
+    after = snapshot_read(spark, tdir)
+    assert {(r["k"], r["v"]) for r in after.collect()} == rows_before
+    assert len(after.inputFiles()) < n_before
+    m2 = _read_manifest(spark, tdir, v)
+    carried_entries = [e for e in m2["files"] if not e["path"].startswith(f"v={v}/")]
+    by_path = {e["path"]: e for e in m["files"]}
+    for e in carried_entries:
+        assert by_path[e["path"]] == e  # stats/bloom/bytes ride verbatim
+    # skipping survives: stats prune a range probe, blooms a point probe
+    assert len(
+        snapshot_read(spark, tdir, where=[("k", "=", 3)]).inputFiles()
+    ) < len(after.inputFiles())
+    import hashlib
+
+    probe = hashlib.md5(b"3").hexdigest()
+    got = snapshot_read(spark, tdir, where=[("h", "=", probe)])
+    assert [r["k"] for r in got.collect()] == [3]
+    assert _manifest_blooms_for_test(spark, tdir, v)
+
+    # second run: tail is gone, optimize is a version-preserving no-op
+    v2, rw2, _ = snapshot_optimize(
+        spark, tdir, target_file_bytes=256 * 1024, small_file_bytes=16 * 1024
+    )
+    assert (v2, rw2) == (v, 0)
