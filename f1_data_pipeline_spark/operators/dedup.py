@@ -1207,6 +1207,50 @@ def x_editdist_join(t: Tables) -> DataFrame:
     )
 
 
+_EDC_K = 2
+
+_EDC_ORACLE = f"""
+  WITH RECURSIVE
+  n AS (SELECT DISTINCT p_name AS s FROM part),
+  pairs AS (SELECT a.s AS sa, b.s AS sb FROM n a JOIN n b
+            ON a.s < b.s AND levenshtein(a.s, b.s) <= {_EDC_K}),
+  edges AS (SELECT sa AS a, sb AS b FROM pairs
+            UNION SELECT sb, sa FROM pairs),
+  reach AS (
+    SELECT a AS x, b AS m FROM edges
+    UNION
+    SELECT r.x, e.b AS m FROM reach r JOIN edges e ON r.m = e.a
+  ),
+  lbl AS (SELECT x, LEAST(x, MIN(m)) AS rep FROM reach GROUP BY x)
+  SELECT rep AS canonical, CAST(count(*) AS BIGINT) AS variants
+  FROM lbl GROUP BY rep ORDER BY canonical"""
+
+
+@query("x_editdist_clusters", _EDC_ORACLE)
+def x_editdist_clusters(t: Tables) -> DataFrame:
+    """Fuzzy vocabulary canonicalization, end to end: spelling-variant
+    clusters over the distinct part-name vocabulary — the sub-quadratic
+    ``edit_distance_join`` (ed ≤ 2) feeds the SAME checkpointed
+    connected-components stage every other dedup pipeline uses, one row
+    per cluster with its canonical (minimum) name and variant count.
+    Pairwise keep-the-smaller is not enough when A~B and B~C but A!~C —
+    the composition is the production shape. Oracle: exhaustive
+    levenshtein pairs closed by a recursive CTE — different algorithms
+    for BOTH stages, provably identical output."""
+    names = t.part.select(F.col("p_name").alias("s")).distinct()
+    pairs = edit_distance_join(
+        names.withColumn("id", F.col("s")), _EDC_K, q=2, id_col="id", str_col="s"
+    )
+    comp = connected_components(
+        pairs.select(F.col("id1").alias("id_a"), F.col("id2").alias("id_b"))
+    )
+    return (
+        comp.groupBy(F.col("rep").alias("canonical"))
+        .agg(F.count(F.lit(1)).alias("variants"))
+        .orderBy("canonical")
+    )
+
+
 _SSJOIN_T = 0.5
 # Fixed verifier slice (r7 judge ask #6): the exhaustive all-pairs oracle is
 # quadratic, so the benched input is capped at a deterministic id range —
