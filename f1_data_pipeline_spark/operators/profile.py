@@ -23,7 +23,7 @@ shape matters:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from f1_data_pipeline_spark.catalog import Tables
@@ -163,3 +163,96 @@ def x_winsorize(t: Tables) -> DataFrame:
     """Winsorized per-event-type value statistics (5th/95th percentile
     clamp) via ``winsorize_stats``."""
     return winsorize_stats(t.events, "event_type", "value").orderBy("event_type")
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Per-group Kolmogorov-Smirnov drift against the whole corpus:
+    ``ks = max_i |CDF_group(g_i) − CDF_corpus(g_i)|`` evaluated on the
+    corpus's own exact decile grid — the numeric-distribution
+    counterpart of ``text.source_kl_divergence``'s vocabulary drift
+    (a source whose document-length / quality-score distribution walks
+    away from the corpus is the mixture-tuning and ingest-regression
+    signal this row feeds).
+
+    Exact and engine-portable by construction: the grid is Spark's
+    exact interpolated ``percentile`` (DuckDB ``quantile_cont``, same
+    definition), CDFs are plain conditional counts at the grid points,
+    and the max runs over |probs| doubles — so the oracle reproduces
+    every statistic bit-for-bit, unlike a sketch-based KS. Restricting
+    the sup to a fixed grid lower-bounds the true KS; deciles are the
+    standard operating resolution for drift gates.
+
+    Plan shape: ONE aggregate over the corpus for the grid (a 1-row
+    broadcast), then ONE keyed aggregate computing all grid counts as
+    map-side-combined conditional sums (no explode — scan volume is
+    unchanged by grid size); corpus totals derive from the group frame
+    (group-count-sized) — nothing quadratic, nothing driver-side."""
+    k = len(probs)
+    grid = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(f'{p}D' for p in probs)}))"
+        ).alias("__g")
+    )
+    per_group = (
+        df.crossJoin(F.broadcast(grid))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    (F.col(value_col) <= F.element_at("__g", i + 1)).cast("long")
+                ).alias(f"__c{i}")
+                for i in range(k)
+            ],
+        )
+    )
+    w = Window.partitionBy()
+    tot = per_group.select(
+        group_col,
+        "n",
+        *[F.col(f"__c{i}") for i in range(k)],
+        F.sum("n").over(w).alias("__N"),
+        *[F.sum(f"__c{i}").over(w).alias(f"__t{i}") for i in range(k)],
+    )
+    diffs = [
+        F.abs(
+            F.col(f"__c{i}") * 1.0 / F.col("n")
+            - F.col(f"__t{i}") * 1.0 / F.col("__N")
+        )
+        for i in range(k)
+    ]
+    return tot.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.greatest(*diffs), 4).alias("ks"),
+    )
+
+
+_DRIFT_PROBS = "0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9"
+
+
+@query(
+    "x_source_drift",
+    f"""WITH g AS (SELECT quantile_cont(n_chars, [{_DRIFT_PROBS}]) AS g
+                   FROM documents),
+       pg AS (SELECT source, count(*) AS n,
+                     {', '.join(f'sum(CASE WHEN n_chars <= g[{i + 1}] THEN 1 ELSE 0 END) AS c{i}' for i in range(9))}
+              FROM documents, g GROUP BY source),
+       tt AS (SELECT *, sum(n) OVER () AS nn,
+                     {', '.join(f'sum(c{i}) OVER () AS t{i}' for i in range(9))}
+              FROM pg)
+       SELECT source, CAST(n AS BIGINT) AS n,
+              ROUND(greatest({', '.join(f'abs(c{i} * 1.0 / n - t{i} * 1.0 / nn)' for i in range(9))}), 4) AS ks
+       FROM tt ORDER BY source""",
+)
+def x_source_drift(t: Tables) -> DataFrame:
+    """Per-source KS drift of the document-length distribution against
+    the corpus, on the corpus's exact decile grid — bit-for-bit
+    oracle-checked (exact percentile grid + integer conditional counts,
+    identical division order on both engines)."""
+    return distribution_drift(t.documents, "source", "n_chars").orderBy("source")
