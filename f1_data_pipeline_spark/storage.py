@@ -1165,6 +1165,11 @@ def snapshot_changes_since(
     try:
         last = int(read_json_artifact(spark, offset_dir)["acked_version"])
     except Exception:
+        # missing offset AND torn/corrupt offset both fall back to the
+        # initial load — overwrite-based offsets lose the previous value
+        # mid-ack, so the only safe recovery is the expensive one; the
+        # idempotent downstream apply the contract requires makes the
+        # re-load converge rather than duplicate
         last = None
     if last is None:
         feed = snapshot_read(spark, table_dir, version=current).withColumn(
@@ -1218,6 +1223,9 @@ def snapshot_history(
         except FileNotFoundError:
             continue
         rec: dict = {"version": v}
+        for k in ("restored_from", "optimized_from"):
+            if k in m:
+                rec[k] = m[k]
         files = m.get("files")
         if files is None:
             rec.update(

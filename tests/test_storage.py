@@ -1281,3 +1281,9 @@ def test_snapshot_optimize_packs_only_small_files(spark, tmp_path):
         spark, tdir, target_file_bytes=256 * 1024, small_file_bytes=16 * 1024
     )
     assert (v2, rw2) == (v, 0)
+
+    # history records the optimize lineage
+    from f1_data_pipeline_spark.storage import snapshot_history
+
+    hist = {h["version"]: h for h in snapshot_history(spark, tdir)}
+    assert hist[v].get("optimized_from") == v - 1
