@@ -1569,8 +1569,8 @@ _SNAP_BLOOM_DIRS: dict[str, str] = {}
 @query(
     "x_snapshot_bloom",
     """SELECT event_id, user_id, event_type
-       FROM events WHERE md5(CAST(event_id AS VARCHAR)) =
-            md5(CAST(137 AS VARCHAR))
+       FROM events WHERE event_id <= 3999
+         AND md5(CAST(event_id AS VARCHAR)) = md5(CAST(137 AS VARCHAR))
        ORDER BY event_id""",
 )
 def x_snapshot_bloom(t: Tables) -> DataFrame:
@@ -1592,7 +1592,12 @@ def x_snapshot_bloom(t: Tables) -> DataFrame:
     from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
 
     spark = t.spark
-    base = t.events.select(
+    # bounded key slice: a Bloom filter's pruning power is a function of
+    # keys-per-file vs bits (n·h/m) — the FULL table at growing sf would
+    # saturate the fixed 16 Kbit default and turn the self-assert into a
+    # scale-dependent coin flip; real deployments size bloom_bits to the
+    # file row target instead (snapshot_write docstring)
+    base = t.events.where(F.col("event_id") <= 3999).select(
         "event_id",
         "user_id",
         "event_type",
