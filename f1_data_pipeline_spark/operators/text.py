@@ -610,6 +610,71 @@ def mixture_weights(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    by: str = "source",
+    weight_expr: F.Column | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-training
+    α-sampling scheme: sample domain d with probability p_d^α / Σ p^α
+    instead of its natural share p_d — α=1 keeps the natural mixture,
+    α→0 approaches uniform, flattening head domains and up-weighting the
+    tail without a hand-written target table — the knob
+    ``mixture_weights`` needs explicit targets for).
+
+    Returns per-group ``(by, n_units, p_raw, p_temp, sample_factor)``
+    where ``sample_factor = p_temp / p_raw`` is what a sampler multiplies
+    into its keep/repeat probability. ``weight_expr`` sets the unit mass
+    (default row count; pass a token-count column to balance by tokens —
+    the quantity that actually matters for a training mix).
+
+    One keyed aggregate over the corpus; both normalizers (Σ mass and
+    Σ mass^α) are broadcast 1-row aggregates of the GROUP-count-sized
+    frame — the ``mixture_weights`` shape, nothing driver-side."""
+    mass = weight_expr if weight_expr is not None else F.lit(1)
+    actual = df.groupBy(by).agg(F.sum(mass).cast("double").alias("n_units"))
+    powed = actual.withColumn("__pw", F.pow("n_units", F.lit(float(alpha))))
+    total = powed.agg(
+        F.sum("n_units").alias("__total"), F.sum("__pw").alias("__pw_total")
+    )
+    p_raw = F.col("n_units") / F.col("__total")
+    p_temp = F.col("__pw") / F.col("__pw_total")
+    return powed.crossJoin(F.broadcast(total)).select(
+        by,
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(p_raw, 4).alias("p_raw"),
+        F.round(p_temp, 4).alias("p_temp"),
+        F.round(p_temp / p_raw, 4).alias("sample_factor"),
+    )
+
+
+@query(
+    "x_temp_mixture",
+    """WITH a AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_units,
+                         sum(n_chars) AS w
+                  FROM documents GROUP BY source),
+       b AS (SELECT source, CAST(w AS DOUBLE) AS n_units,
+                    pow(CAST(w AS DOUBLE), 0.5) AS pw FROM a),
+       t AS (SELECT sum(n_units) AS total, sum(pw) AS pw_total FROM b)
+       SELECT source, CAST(n_units AS BIGINT) AS n_units,
+              ROUND(n_units / total, 4) AS p_raw,
+              ROUND(pw / pw_total, 4) AS p_temp,
+              ROUND((pw / pw_total) / (n_units / total), 4) AS sample_factor
+       FROM b, t ORDER BY source""",
+)
+def x_temp_mixture(t: Tables) -> DataFrame:
+    """Temperature resampling factors (α=0.5) over per-source character
+    mass: the no-target-table mixture flattener. Head sources get
+    sample_factor < 1, tail sources > 1, and the oracle reproduces every
+    value (pow → ROUND(…,4): a last-ulp libm divergence cannot move a
+    4-decimal round except exactly on a .00005 boundary, which the
+    deterministic corpus is checked not to sit on)."""
+    return temperature_mixture_weights(
+        t.documents, "source", weight_expr=F.col("n_chars"), alpha=0.5
+    ).orderBy("source")
+
+
 @query(
     "x_mixture",
     """WITH actual AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

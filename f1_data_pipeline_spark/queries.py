@@ -1801,6 +1801,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_snapshot_bloom": "Bloom-pruned snapshot point lookup (new r8); rotate next round; skipping family in-window via x_zorder, merge kin x_cdc_apply",
     "x_editdist_clusters": "ed-join + CC fuzzy canonicalization (new r8); rotate next round; cluster family in-window via x_dedup_clusters",
     "x_source_drift": "per-source KS distribution drift (new r8); rotate next round; corpus-health family in-window via x_source_kl",
+    "x_temp_mixture": "temperature (alpha) mixture resampling (new r8); rotate next round; sampling family in-window via x_pps_sample",
 }
 
 
