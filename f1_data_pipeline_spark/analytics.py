@@ -247,3 +247,109 @@ def finalize_aggregate(state: DataFrame, keys: list[str]) -> DataFrame:
         F.col("mn").alias("min"),
         F.col("mx").alias("max"),
     )
+
+
+def sync_rollup_from_changes(
+    spark: SparkSession,
+    source_dir: str,
+    source_key: str,
+    rollup_dir: str,
+    group_keys: list[str],
+    value_col: str,
+) -> tuple[int, int]:
+    """Exactly-once incremental view maintenance: keep a ``group_keys →
+    (n, s)`` gold rollup snapshot table in sync with a source snapshot
+    table by applying its CHANGE FEED, never re-scanning history.
+
+    Deletes subtract and updates adjust exactly because count and sum
+    are abelian-group (invertible) measures — insert/update_postimage
+    rows contribute +1/+value, delete/update_preimage rows −1/−value,
+    and groups whose count reaches zero leave the rollup. min/max are
+    deliberately NOT maintained here: they are not invertible under
+    deletes (losing the current min forces a rescan) — the append-only
+    ``merge_partial_aggregates`` family covers them.
+
+    Exactly-once without an offset store: each rollup commit stamps the
+    source version it reflects into its OWN commit record
+    (``snapshot_write(properties=...)``), atomically with the data. A
+    crash between reading the feed and committing redoes the span (the
+    rollup still names the old version); a crash after committing is
+    already durable (the rollup names the new version and the next sync
+    starts there). There is no window where the applied data and the
+    recorded position can disagree — the flaw every external-offset
+    design (including ``snapshot_changes_since`` + idempotent sink)
+    works around rather than removes.
+
+    Cost per sync: the feed reads only endpoint-diff files (O(touched
+    files)), the signed delta is one keyed aggregate over change rows,
+    and the merge joins it against the group-count-sized rollup. The
+    rollup rewrite is a full write of a GOLD-sized table — KBs-MBs —
+    which is the honest simple shape (clustered upserts would save
+    nothing at that size). Returns (rollup_version, source_version)."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_changes,
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    src_ver = snapshot_version(spark, source_dir)
+    if src_ver < 1:
+        raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    try:
+        rollup_ver = snapshot_version(spark, rollup_dir)
+    except FileNotFoundError:
+        rollup_ver = 0
+    if rollup_ver < 1:
+        # initial materialization: one aggregate over the current source
+        init = snapshot_read(spark, source_dir).groupBy(*group_keys).agg(
+            F.count(value_col).alias("n"),
+            F.sum(value_col).cast("double").alias("s"),
+        )
+        v = snapshot_write(
+            init, rollup_dir, properties={"source_version": src_ver}
+        )
+        return v, src_ver
+    last = snapshot_properties(spark, rollup_dir).get("source_version")
+    if last is None:
+        raise ValueError(
+            f"rollup at {rollup_dir} carries no source_version property — "
+            f"not maintained by sync_rollup_from_changes; rebuild it"
+        )
+    last = int(last)
+    if last == src_ver:
+        return rollup_ver, src_ver  # caught up: no empty commit
+    feed = snapshot_changes(spark, source_dir, source_key, last, src_ver)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.withColumn("__sgn", sign)
+        .groupBy(*group_keys)
+        .agg(
+            F.sum(
+                F.when(F.col(value_col).isNotNull(), F.col("__sgn")).otherwise(0)
+            ).alias("dn"),
+            F.sum(F.col("__sgn") * F.coalesce(F.col(value_col), F.lit(0.0))).alias(
+                "ds"
+            ),
+        )
+    )
+    cur = snapshot_read(spark, rollup_dir)
+    merged = (
+        cur.join(delta, group_keys, "full_outer")
+        .select(
+            *group_keys,
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("long")
+            .alias("n"),
+            (
+                F.coalesce(F.col("s"), F.lit(0.0))
+                + F.coalesce(F.col("ds"), F.lit(0.0))
+            ).alias("s"),
+        )
+        .where(F.col("n") > 0)
+    )
+    v = snapshot_write(merged, rollup_dir, properties={"source_version": src_ver})
+    return v, src_ver

@@ -523,8 +523,18 @@ def snapshot_write(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 16384,
     bloom_hashes: int = 5,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return it.
+
+    ``properties`` is an arbitrary JSON-safe dict stamped into the commit
+    record (the Delta ``commitInfo``/txn shape) and read back via
+    ``snapshot_properties``. Because it commits ATOMICALLY WITH the data,
+    it is the exactly-once lever for derived tables: a consumer that
+    records "this rollup reflects source version N" inside its own
+    commit can always resume from the right span after a crash — no
+    separate offset store whose update can tear away from the data write
+    (``analytics.sync_rollup_from_changes`` is the worked example).
 
     ``bloom_cols`` additionally stores a per-file Bloom filter for each
     listed column (string/integer keys) — the point-lookup skipping
@@ -601,8 +611,21 @@ def snapshot_write(
     }
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if properties:
+        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
     _commit_record(spark, table_dir, version, payload)
     return version
+
+
+def snapshot_properties(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> dict:
+    """The ``properties`` dict a version was committed with (empty dict
+    if none) — the read side of the exactly-once consumer pattern."""
+    v = version if version is not None else snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    return _read_manifest(spark, table_dir, v).get("properties") or {}
 
 
 _WHERE_OPS = ("=", "<", "<=", ">", ">=")

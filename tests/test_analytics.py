@@ -268,3 +268,76 @@ def test_misra_gries_guarantee_at_threshold(spark):
     df = spark.createDataFrame(heavy + noise, "term string").repartition(3)
     cands = {r.term for r in misra_gries_candidates(df, "term", 8).collect()}
     assert "HH" in cands
+
+
+def test_sync_rollup_from_changes_exactly_once(spark, tmp_path):
+    """CDF-driven incremental view maintenance: the rollup equals a
+    from-scratch recompute after inserts, updates, AND deletes; a
+    caught-up sync commits nothing (re-running after a 'crash' between
+    feed and commit is the same call — same result, exactly once);
+    groups whose last member is deleted leave the rollup."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.analytics import sync_rollup_from_changes
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_properties,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "rollup")
+
+    def mk(lo, hi, grp, val_mult=1.0):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % grp).cast("string").alias("g"),
+                (F.col("id") * val_mult).cast("double").alias("x"),
+            )
+        )
+
+    def recompute():
+        return {
+            (r["g"], r["n"], round(r["s"], 6))
+            for r in snapshot_read(spark, src)
+            .groupBy("g")
+            .agg(F.count("x").alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    def rollup_rows():
+        return {
+            (r["g"], r["n"], round(r["s"], 6))
+            for r in snapshot_read(spark, roll).collect()
+        }
+
+    snapshot_write(mk(0, 200, 5), src, stats_cols=["k"])
+    v, sv = sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert (v, sv) == (1, 1)
+    assert rollup_rows() == recompute()
+
+    # updates (values change) + inserts into a NEW group value
+    ups = mk(150, 260, 5, val_mult=10.0).withColumn(
+        "g", F.when(F.col("k") >= 200, F.lit("newgrp")).otherwise(F.col("g"))
+    )
+    snapshot_upsert(spark, src, ups, key="k")
+    # delete an entire group's rows: g='0' has k % 5 == 0
+    snapshot_delete(spark, src, where=[("k", "=", 145)])
+    v2, sv2 = sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert sv2 == 3 and v2 == 2
+    assert rollup_rows() == recompute()
+    assert snapshot_properties(spark, roll) == {"source_version": 3}
+
+    # caught up: version-preserving no-op (exactly-once on retry)
+    v3, _ = sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert v3 == v2 and rollup_rows() == recompute()
+
+    # delete the whole new group: its rollup row must vanish
+    snapshot_delete(spark, src, where=[("k", ">=", 200)])
+    sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert rollup_rows() == recompute()
+    assert not [r for r in rollup_rows() if r[0] == "newgrp"]
