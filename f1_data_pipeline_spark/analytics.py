@@ -302,10 +302,19 @@ def sync_rollup_from_changes(
     except FileNotFoundError:
         rollup_ver = 0
     if rollup_ver < 1:
-        # initial materialization: one aggregate over the current source
-        init = snapshot_read(spark, source_dir).groupBy(*group_keys).agg(
-            F.count(value_col).alias("n"),
-            F.sum(value_col).cast("double").alias("s"),
+        # initial materialization: one aggregate over the current source.
+        # n > 0 matches the steady-state contract (a group exists while it
+        # has ≥1 NON-NULL measure) — without it, an all-NULL-value group
+        # would appear here with n=0 yet be evicted by the first
+        # incremental merge, diverging from a from-scratch rebuild.
+        init = (
+            snapshot_read(spark, source_dir)
+            .groupBy(*group_keys)
+            .agg(
+                F.count(value_col).alias("n"),
+                F.sum(value_col).cast("double").alias("s"),
+            )
+            .where(F.col("n") > 0)
         )
         v = snapshot_write(
             init, rollup_dir, properties={"source_version": src_ver}
@@ -337,10 +346,23 @@ def sync_rollup_from_changes(
         )
     )
     cur = snapshot_read(spark, rollup_dir)
+    # NULL group keys are legitimate groupBy groups, so the merge join
+    # must be null-safe — a plain equi-join would never match them and
+    # every sync would append another NULL-key row instead of adjusting
+    d = delta.select(
+        *[F.col(k).alias(f"__d_{k}") for k in group_keys], "dn", "ds"
+    )
+    cond = None
+    for k in group_keys:
+        c = F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+        cond = c if cond is None else (cond & c)
     merged = (
-        cur.join(delta, group_keys, "full_outer")
+        cur.join(d, cond, "full_outer")
         .select(
-            *group_keys,
+            *[
+                F.coalesce(F.col(k), F.col(f"__d_{k}")).alias(k)
+                for k in group_keys
+            ],
             (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
             .cast("long")
             .alias("n"),

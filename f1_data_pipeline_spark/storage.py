@@ -359,6 +359,37 @@ def _staged_file_entries(
     return entries
 
 
+def _bloom_ctypes(df: DataFrame, cols: list[str]) -> dict[str, str]:
+    """Enforce + classify each Bloom column's type: the driver-side probe
+    must stringify its literal EXACTLY as the Spark build cast did, which
+    only holds for strings and integrals (floats/bools/timestamps
+    stringify differently between the engines) — a mismatch would be a
+    false-negative prune, i.e. silently wrong reads."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    ctypes: dict[str, str] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, StringType):
+            ctypes[c] = "string"
+        elif isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            ctypes[c] = "integral"
+        else:
+            raise ValueError(
+                f"bloom_cols: column {c!r} has type {dt.simpleString()} — "
+                f"Bloom skipping supports string and integral key columns "
+                f"(other types stringify differently between the build cast "
+                f"and the driver-side probe)"
+            )
+    return ctypes
+
+
 def _bloom_file_entries(
     spark: SparkSession,
     table_dir: str,
@@ -383,11 +414,14 @@ def _bloom_file_entries(
     16 Kbit that is ~2-5 KB per entry, so bloom_cols shares the
     manifest's stated driver-side bound and is opt-in per table."""
     vdir = f"{table_dir.rstrip('/')}/v={version}"
-    out: dict[str, dict] = {}
-    nwords = m // 64
+    df = spark.read.parquet(vdir)
+    ctypes = _bloom_ctypes(df, cols)
+    # ONE scan covers every bloom column: explode (col, position) pairs,
+    # distinct per (file, col, pos), pack per (file, col) executor-side
+    pairs = []
     for c in cols:
-        pos = [
-            (
+        for j in range(h):
+            p = (
                 F.conv(
                     F.substring(
                         F.md5(F.concat(F.col(c).cast("string"), F.lit(f"|{j}"))),
@@ -399,35 +433,42 @@ def _bloom_file_entries(
                 ).cast("long")
                 % m
             )
-            for j in range(h)
-        ]
-        rows = (
-            spark.read.parquet(vdir)
-            .where(F.col(c).isNotNull())
-            .select(
-                F.input_file_name().alias("__f"),
-                F.explode(F.array(*pos)).alias("__p"),
+            pairs.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(F.lit(c).alias("c"), p.alias("p")),
+                )
             )
-            .distinct()
-            .groupBy("__f")
-            .agg(F.collect_set("__p").alias("__ps"))
-            .select(
-                "__f",
-                F.expr(
-                    f"transform(sequence(0, {nwords - 1}), w -> "
-                    f"aggregate(filter(__ps, p -> int(p / 64) = w), 0L, "
-                    f"(acc, p) -> acc | shiftleft(1L, int(p % 64))))"
-                ).alias("__words"),
-            )
-            .collect()  # bounded: m/64 longs per staged FILE per column
+    nwords = m // 64
+    rows = (
+        df.select(
+            F.input_file_name().alias("__f"),
+            F.explode(F.array_compact(F.array(*pairs))).alias("__e"),
         )
-        for r in rows:
-            name = r["__f"].rstrip("/").rsplit("/", 1)[-1]
-            out.setdefault(name, {})[c] = {
-                "m": m,
-                "h": h,
-                "words": [int(x) for x in r["__words"]],
-            }
+        .select("__f", F.col("__e.c").alias("__c"), F.col("__e.p").alias("__p"))
+        .distinct()
+        .groupBy("__f", "__c")
+        .agg(F.collect_set("__p").alias("__ps"))
+        .select(
+            "__f",
+            "__c",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), w -> "
+                f"aggregate(filter(__ps, p -> int(p / 64) = w), 0L, "
+                f"(acc, p) -> acc | shiftleft(1L, int(p % 64))))"
+            ).alias("__words"),
+        )
+        .collect()  # bounded: m/64 longs per staged FILE per column
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        name = r["__f"].rstrip("/").rsplit("/", 1)[-1]
+        out.setdefault(name, {})[r["__c"]] = {
+            "m": m,
+            "h": h,
+            "ctype": ctypes[r["__c"]],
+            "words": [int(x) for x in r["__words"]],
+        }
     return out
 
 
@@ -443,6 +484,8 @@ def _apply_blooms(
     the blooms they were committed with."""
     if not spec or not spec.get("cols"):
         return
+    if not any(e["path"].startswith(f"v={version}/") for e in entries):
+        return  # nothing staged (e.g. a pure-delete merge): no dir to scan
     bl = _bloom_file_entries(
         spark, table_dir, version, spec["cols"], spec["m"], spec["h"]
     )
@@ -471,6 +514,27 @@ def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: d
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+
+
+def _manifest_schema(manifest: dict):
+    """The committed read-contract schema as a StructType (None for
+    pre-schema v1-era records). Single parse point for every consumer —
+    snapshot_read, the merge core, the change feed, delete, optimize."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    sch = manifest.get("schema")
+    return StructType.fromJson(json.loads(sch)) if sch else None
+
+
+def _manifest_reader(spark: SparkSession, manifest: dict):
+    """A reader honoring the manifest's schema contract: files committed
+    before a schema evolution surface NULL for columns added later, and
+    no multi-file footer-inference pass is paid. Falls back to plain
+    inference only for v1-era records with no recorded schema."""
+    sch = _manifest_schema(manifest)
+    return spark.read.schema(sch) if sch is not None else spark.read
 
 
 def _read_manifest(spark: SparkSession, table_dir: str, version: int) -> dict:
@@ -593,6 +657,19 @@ def snapshot_write(
     with per-rule counts and nothing is written — a bad batch can never
     become a committed version."""
     spark = df.sparkSession
+    if bloom_cols and (
+        bloom_bits < 64 or bloom_bits % 64 or bloom_hashes < 1
+    ):
+        raise ValueError(
+            f"bloom_bits must be a positive multiple of 64 and "
+            f"bloom_hashes >= 1 (got {bloom_bits}, {bloom_hashes}) — the "
+            f"filter packs into 64-bit words, and a ragged width would "
+            f"silently drop the trailing bit range"
+        )
+    if bloom_cols:
+        # fail BEFORE staging on an unsupported key type (the builder
+        # re-checks, but by then a claim dir exists)
+        _bloom_ctypes(df, list(bloom_cols))
     if expectations:
         check_expectations(df, expectations)
     version, vdir = _stage_version(df, table_dir)
@@ -657,6 +734,24 @@ def _bloom_positions(value, m: int, h: int) -> list[int]:
     ]
 
 
+def _bloom_probe_safe(bloom: dict, value) -> bool:
+    """Only probe when the Python literal's stringification provably
+    matches the Spark-side CAST(col AS STRING) the filter was built
+    from — the Bloom analogue of ``_stats_comparable``. The spec records
+    the column's type class at build time: ``string`` probes accept str
+    literals only, ``integral`` probes accept non-bool ints only. A
+    cross-typed literal (float vs int, bool, int against a string
+    column) silently stringifies differently on the two sides, and a
+    mismatched probe is a FALSE NEGATIVE — wrong empty reads — so those
+    fall through to the stats/residual path instead."""
+    ctype = bloom.get("ctype")
+    if ctype == "string":
+        return isinstance(value, str)
+    if ctype == "integral":
+        return isinstance(value, int) and not isinstance(value, bool)
+    return False  # unknown/legacy spec: never prune on it
+
+
 def _bloom_might_contain(bloom: dict, value) -> bool:
     """Driver-side probe of a manifest Bloom entry (``words`` are the
     filter's 64-bit words as Spark signed longs; Python's arbitrary-
@@ -686,7 +781,9 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
     stats = entry.get("stats") or {}
     for col, op, val in where:
         if op == "=" and col in blooms and val is not None:
-            if not _bloom_might_contain(blooms[col], val):
+            if _bloom_probe_safe(blooms[col], val) and not _bloom_might_contain(
+                blooms[col], val
+            ):
                 return True
         s = stats.get(col)
         if s is None or op not in _WHERE_OPS:
@@ -758,25 +855,14 @@ def snapshot_read(
         return df.where(_where_expr(where)) if where else df
     if where:
         entries = [e for e in entries if not _entry_prunable(e, where)]
-    import json
-
-    from pyspark.sql.types import StructType
-
-    mschema = (
-        StructType.fromJson(json.loads(manifest["schema"]))
-        if manifest.get("schema")
-        else None
-    )
     if not entries:
-        empty = spark.createDataFrame([], mschema)
+        empty = spark.createDataFrame([], _manifest_schema(manifest))
         return empty.where(_where_expr(where)) if where else empty
     base = table_dir.rstrip("/")
     try:
-        # the manifest schema is the read contract: files committed
-        # before a schema evolution surface NULL for columns added later,
-        # and no footer-merging inference pass is paid across files
-        reader = spark.read.schema(mschema) if mschema is not None else spark.read
-        df = reader.parquet(*[f"{base}/{e['path']}" for e in entries])
+        df = _manifest_reader(spark, manifest).parquet(
+            *[f"{base}/{e['path']}" for e in entries]
+        )
     except AnalysisException as e:
         raise FileNotFoundError(
             f"snapshot version {v} in {table_dir} references missing data "
@@ -969,15 +1055,7 @@ def _merge_into_snapshot(
     # batch with missing columns null-fills them — both only under
     # evolve_schema=True; otherwise mismatches raise instead of silently
     # dropping table columns from the rewritten files
-    import json as _json
-
-    from pyspark.sql.types import StructType
-
-    tschema = (
-        StructType.fromJson(_json.loads(manifest["schema"]))
-        if manifest.get("schema")
-        else None
-    )
+    tschema = _manifest_schema(manifest)
     table_cols = [f.name for f in tschema.fields] if tschema else upserts.columns
     extra = [c for c in upserts.columns if c not in table_cols]
     missing = [c for c in table_cols if c not in upserts.columns]
@@ -998,12 +1076,8 @@ def _merge_into_snapshot(
     if touched:
         # read survivors with the COMMITTED schema (carried files cannot
         # hold evolved columns), then null-fill any newly added columns
-        existing = (
-            spark.read.schema(tschema).parquet(
-                *[f"{base}/{p}" for p in sorted(touched)]
-            )
-            if tschema is not None
-            else spark.read.parquet(*[f"{base}/{p}" for p in sorted(touched)])
+        existing = _manifest_reader(spark, manifest).parquet(
+            *[f"{base}/{p}" for p in sorted(touched)]
         )
         for c in extra:
             existing = existing.withColumn(
@@ -1094,10 +1168,6 @@ def snapshot_changes(
     Columns follow ``to_version``'s manifest schema; rows read from
     pre-evolution files surface NULL for columns added later (the same
     fill ``snapshot_read`` applies)."""
-    import json as _json
-
-    from pyspark.sql.types import StructType
-
     current = snapshot_version(spark, table_dir)
     v_to = to_version if to_version is not None else current
     if from_version > v_to:
@@ -1111,7 +1181,12 @@ def snapshot_changes(
             "snapshot_changes needs file-list manifests on both endpoints "
             "(v1-era whole-directory records carry no file identity)"
         )
-    schema = StructType.fromJson(_json.loads(m_to["schema"]))
+    schema = _manifest_schema(m_to)
+    if schema is None:
+        raise ValueError(
+            "snapshot_changes: the target version carries no schema "
+            "(v1-era record) — rewrite the table once with snapshot_write"
+        )
     cols = [f.name for f in schema.fields]
     from_paths = {e["path"] for e in m_from["files"]}
     to_paths = {e["path"] for e in m_to["files"]}
@@ -1185,15 +1260,20 @@ def snapshot_changes_since(
     current = snapshot_version(spark, table_dir)
     if current < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    try:
-        last = int(read_json_artifact(spark, offset_dir)["acked_version"])
-    except Exception:
-        # missing offset AND torn/corrupt offset both fall back to the
-        # initial load — overwrite-based offsets lose the previous value
-        # mid-ack, so the only safe recovery is the expensive one; the
-        # idempotent downstream apply the contract requires makes the
-        # re-load converge rather than duplicate
-        last = None
+    if not dataset_exists(spark, offset_dir):
+        last = None  # first run: no offset yet
+    else:
+        try:
+            last = int(read_json_artifact(spark, offset_dir)["acked_version"])
+        except ValueError:
+            # torn ack (empty artifact): overwrite-based offsets lose the
+            # previous value mid-ack, so the only safe recovery is the
+            # initial load — the idempotent downstream apply the contract
+            # requires makes the re-load converge rather than duplicate.
+            # Anything else (IO/auth/parse on an EXISTING dataset) raises:
+            # silently re-delivering a full table on a transient error and
+            # then acking over a good offset would be far worse.
+            last = None
     if last is None:
         feed = snapshot_read(spark, table_dir, version=current).withColumn(
             "_change_type", F.lit("insert")
@@ -1325,16 +1405,7 @@ def snapshot_delete(
     # manifest schema = read contract: after a schema evolution the
     # candidate files can differ in width — inferring from one footer
     # could rewrite survivors minus an evolved column
-    import json as _json
-
-    from pyspark.sql.types import StructType
-
-    _reader = (
-        spark.read.schema(StructType.fromJson(_json.loads(manifest["schema"])))
-        if manifest.get("schema")
-        else spark.read
-    )
-    survivors = _reader.parquet(
+    survivors = _manifest_reader(spark, manifest).parquet(
         *[f"{base}/{e['path']}" for e in candidates]
     ).where(keep)
     version, _ = _stage_version(survivors, table_dir)
@@ -1394,6 +1465,9 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
     }
     if manifest.get("bloom_spec"):
         payload["bloom_spec"] = manifest["bloom_spec"]
+    if manifest.get("properties"):
+        # the restored content IS the target version's: its stamp applies
+        payload["properties"] = manifest["properties"]
     _commit_record(spark, table_dir, version, payload)
     return version
 
@@ -1499,6 +1573,10 @@ def snapshot_compact(
             bloom_cols=spec.get("cols"),
             bloom_bits=spec.get("m", 16384),
             bloom_hashes=spec.get("h", 5),
+            # content-preserving maintenance: the table still reflects
+            # whatever its properties claimed (exactly-once consumers
+            # must survive an operator compacting their rollup)
+            properties=manifest.get("properties"),
         ),
         n,
     )
@@ -1527,10 +1605,7 @@ def snapshot_optimize(
     files from the manifest's own spec, so skipping power survives,
     and the rewritten-over version stays time-travelable until
     vacuumed."""
-    import json as _json
     import math
-
-    from pyspark.sql.types import StructType
 
     v = snapshot_version(spark, table_dir)
     if v < 1:
@@ -1551,15 +1626,11 @@ def snapshot_optimize(
         with_stats = next((e for e in entries if e.get("stats")), None)
         stats_cols = sorted(with_stats["stats"]) if with_stats else None
     base = table_dir.rstrip("/")
-    mschema = (
-        StructType.fromJson(_json.loads(manifest["schema"]))
-        if manifest.get("schema")
-        else None
-    )
-    reader = spark.read.schema(mschema) if mschema is not None else spark.read
     total_small = sum(e.get("bytes", 0) for e in small)
     n = max(1, math.ceil(total_small / target_file_bytes))
-    packed = reader.parquet(*[f"{base}/{e['path']}" for e in small]).coalesce(n)
+    packed = _manifest_reader(spark, manifest).parquet(
+        *[f"{base}/{e['path']}" for e in small]
+    ).coalesce(n)
     version, _ = _stage_version(packed, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     bloom_spec = manifest.get("bloom_spec")
@@ -1573,5 +1644,8 @@ def snapshot_optimize(
     }
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("properties"):
+        # content-preserving: carry the exactly-once consumer stamp
+        payload["properties"] = manifest["properties"]
     _commit_record(spark, table_dir, version, payload)
     return version, len(small), len(carried)

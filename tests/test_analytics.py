@@ -341,3 +341,34 @@ def test_sync_rollup_from_changes_exactly_once(spark, tmp_path):
     sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
     assert rollup_rows() == recompute()
     assert not [r for r in rollup_rows() if r[0] == "newgrp"]
+
+    # NULL group keys are real groups: the null-safe merge must adjust
+    # the existing NULL-key row, not append a second one per sync
+    nulls = (
+        spark.range(9000, 9003)
+        .select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("string").alias("g"),
+            F.col("id").cast("double").alias("x"),
+        )
+    )
+    snapshot_upsert(spark, src, nulls, key="k")
+    sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert rollup_rows() == recompute()
+    snapshot_upsert(
+        spark, src,
+        nulls.where("k = 9000").withColumn("x", F.lit(777.0)), key="k",
+    )
+    sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert rollup_rows() == recompute()
+    assert len([r for r in rollup_rows() if r[0] is None]) == 1
+
+    # an operator compacting the rollup must not break the consumer:
+    # content-preserving maintenance carries the exactly-once stamp
+    from f1_data_pipeline_spark.storage import snapshot_optimize
+
+    snapshot_optimize(spark, roll, target_file_bytes=1 << 20)
+    assert snapshot_properties(spark, roll).get("source_version") is not None
+    snapshot_upsert(spark, src, mk(0, 1, 5, val_mult=3.0), key="k")
+    sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert rollup_rows() == recompute()

@@ -1287,3 +1287,69 @@ def test_snapshot_optimize_packs_only_small_files(spark, tmp_path):
 
     hist = {h["version"]: h for h in snapshot_history(spark, tdir)}
     assert hist[v].get("optimized_from") == v - 1
+
+
+def test_bloom_probe_type_safety_and_validation(spark, tmp_path):
+    """A literal whose stringification can't match the build cast must
+    NOT prune (false negatives are wrong results, not slow ones);
+    unsupported key types and ragged bit widths fail before staging."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("ks"),
+        (F.col("id") * 1.0).alias("d"),
+    )
+    # float / bool / ragged-width specs are rejected up front
+    with pytest.raises(ValueError, match="string and integral"):
+        snapshot_write(df, str(tmp_path / "bad1"), bloom_cols=["d"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        snapshot_write(df, str(tmp_path / "bad2"), bloom_cols=["k"], bloom_bits=1000)
+
+    snapshot_write(df.repartition(4), tdir, bloom_cols=["k", "ks"], bloom_bits=1024)
+    # well-typed probes prune and stay exact
+    got = snapshot_read(spark, tdir, where=[("k", "=", 37)])
+    assert [r["ks"] for r in got.collect()] == ["37"]
+    assert len(got.inputFiles()) < 4
+    # cross-typed probes (str literal on the integral col, int on the
+    # string col, bool) must not prune — the residual filter decides
+    # cross-typed probes: int literal on the string col, str literal on
+    # the integral col — Spark's implicit casts make the PREDICATE match,
+    # so a bloom false-negative would silently empty the result
+    for col, val in [("ks", 37), ("k", "37")]:
+        r = snapshot_read(spark, tdir, where=[(col, "=", val)])
+        assert len(r.inputFiles()) == 4, (col, val)  # no pruning attempted
+        assert r.count() == 1, (col, val)  # and the result stays exact
+
+
+def test_bloom_table_survives_pure_delete_cdc_batch(spark, tmp_path):
+    """A CDC batch that deletes every row of its touched files (staging
+    zero data files) must still commit on a bloom-enabled table."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("v")
+    )
+    snapshot_write(
+        base.repartitionByRange(4, "k"), tdir, stats_cols=["k"], bloom_cols=["v"]
+    )
+    # delete the entire first file's key range, no upserts
+    dels = spark.range(0, 25).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("string").alias("v"),
+        F.lit("D").alias("op"),
+    )
+    v = snapshot_apply_cdc(spark, tdir, dels, key="k")
+    assert v == 2
+    assert snapshot_read(spark, tdir).count() == 75
