@@ -437,29 +437,54 @@ def cms_estimate(
     width: int = 256,
     depth: int = 4,
     salt: str = "cms-v1",
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for every row of ``queries``: appends
     ``est_cnt`` = min over the ``depth`` probed cells (absent cell = 0,
     so values never seen estimate 0..εN like any other value).
 
-    ``width``/``depth``/``salt`` must match the build. The sketch side
-    is ≤ depth×width rows, so it is broadcast — estimating frequencies
-    for a billion query rows is a scan-local map-side join plus one
-    keyed min, with no shuffle of the sketch and no driver round-trip.
+    ``width``/``depth``/``salt`` must match the build, and ``keys`` must
+    match the ``cms_build(keys=...)`` that produced the sketch (the key
+    columns join too, so a keyed sketch probes only its own key's
+    counters — mixing keys would silently break CMS's one-sided-error
+    guarantee). The sketch columns are validated up front: pass the same
+    ``keys``, or ``cms_rollup(cms, [])`` down to a global sketch first.
+
+    Output cardinality equals input cardinality: duplicate query rows
+    each keep their own output row (an internal per-input-row ordinal
+    keys the min-over-depth aggregate, then drops out).
+
+    The sketch side is ≤ depth×width rows per key, so it is broadcast —
+    estimating frequencies for a billion query rows is a scan-local
+    map-side join plus one keyed min, with no shuffle of the sketch and
+    no driver round-trip.
     """
+    keys = list(keys or [])
+    expected = set(keys) | {"row", "bucket", "cnt"}
+    if set(cms.columns) != expected:
+        raise ValueError(
+            f"cms_estimate: sketch has columns {sorted(cms.columns)} but "
+            f"keys={keys} expects exactly {sorted(expected)} — pass the "
+            "keys= the sketch was built with, or cms_rollup(cms, []) it "
+            "down to a global [row, bucket, cnt] sketch first"
+        )
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     v = F.col(value_col).cast("string")
     qcols = queries.columns
-    qcells = queries.select(*qcols, rows)
+    qcells = queries.select(
+        *qcols, F.monotonically_increasing_id().alias("__qid")
+    ).select(*qcols, "__qid", rows)
     h = F.md5(F.concat(v, F.lit(salt), F.col("row").cast("string")))
     bucket = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % width).alias(
         "bucket"
     )
-    probed = qcells.select(*qcols, "row", bucket).join(
-        F.broadcast(cms.select("row", "bucket", "cnt")), ["row", "bucket"], "left"
+    probed = qcells.select(*qcols, "__qid", "row", bucket).join(
+        F.broadcast(cms), [*keys, "row", "bucket"], "left"
     )
-    return probed.groupBy(*qcols).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt")
+    return (
+        probed.groupBy(*qcols, "__qid")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+        .drop("__qid")
     )
 
 

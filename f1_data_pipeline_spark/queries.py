@@ -1641,8 +1641,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # block for which entries each round displaced and why.)
     "q_s1",
     "q_c1",
-    "q_a1", "q_a3",
-    "q_j3", "q_j6",
+    "q_a1",
+    "q_j3",
     # the wire-path hash check: a literal VALUES oracle over the
     # deterministic fixture value-verifies bronze→silver decode
     # (U2/C3/F-family), which the rows-only f1_* checks never did
@@ -1653,16 +1653,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle-bearing operator-module queries: each operator family lands
     # its strongest oracle-checked entry in-window
     "x_dedup_clusters",
-    "x_asof_join", "x_sessionize",
+    "x_asof_join",
     "x_token_budget", "x_curation",
-    "x_chunk",
     "x_dedup_lines",
     "x_multimodal_real",
     "x_text_winnow", "x_rolling_scaled",
-    "x_ppl", "x_dsir", "x_ngram_spans",
-    "x_pack_sequences", "x_quantize", "x_heavy_hitters",
-    "x_ssjoin", "x_profile", "x_zorder",
-    "x_cdc_apply", "x_pps_sample",
+    "x_dsir",
+    "x_pack_sequences", "x_heavy_hitters",
+    "x_ssjoin", "x_zorder",
+    "x_cdc_apply",
     # ---- round-6 rotation ----
     # The 12 operators left sweep-only at the end of round 5 (every one was
     # marked "rotate next round" in SWEEP_ONLY), plus the telemetry wire
@@ -1673,9 +1672,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_gapfill, x_stratified, x_normalize, x_decontam, x_text_repetition,
     # x_mixture, x_pii, x_gopher, x_bm25 (reasons per entry in SWEEP_ONLY).
     "f1_telemetry_by_driver",
-    "x_urls", "x_semdedup", "x_split", "x_invindex",
+    "x_urls", "x_semdedup", "x_invindex",
     "x_dedup_incr",
-    "x_taxonomy",
     # ---- round-8 rotation ----
     # The 6 operators built in round 6 and marked "rotate next round" in
     # SWEEP_ONLY (two rounds of debt), the 4 f1 wire queries that gained
@@ -1692,7 +1690,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ttr", "x_source_kl", "x_source_overlap",
     "f1_lap_table", "f1_positions_latest",
     "f1_session_report", "f1_race_control",
-    "x_stream_heavy_hitters",
+    # ---- round-9 rotation ----
+    # The 12 oracle-bearing queries built in round 8 after the r8 rotation
+    # was already full (the lakehouse CDC/CDF/Bloom wave, the KMV/CMS
+    # sketch family, edit-distance joins, KS drift, temperature mixtures)
+    # — every one was marked "rotate next round" in SWEEP_ONLY. Evicted:
+    # x_stream_heavy_hitters (rows-only by design — its window slot could
+    # never hash-verify; batch equivalence is asserted inside the builder
+    # and in e2e streaming tests, per the r8 verdict ask #1) plus 11
+    # long-stable hash-green entries whose families stay densely in-window
+    # — q_a3, q_j6, x_sessionize, x_chunk, x_ppl, x_ngram_spans,
+    # x_quantize, x_pps_sample, x_taxonomy, x_split, x_profile (reasons
+    # per entry in SWEEP_ONLY).
+    "x_snapshot_cdc", "x_snapshot_changes", "x_snapshot_bloom",
+    "x_cms_freq", "x_kmv_distinct", "x_kmv_jaccard", "x_kmv_setops",
+    "x_editdist_join", "x_editdist_clusters",
+    "x_bottomk_sample", "x_temp_mixture", "x_source_drift",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -1710,7 +1723,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a7": "explicit GROUPING SETS; grouping-agg semantics in-window via q_a1",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
     "q_u3": "EXCEPT/anti; semi/anti join kin in-window via q_j3",
-    "x_text_tokens": "whitespace tokens; text family in-window via x_urls/x_taxonomy/x_chunk",
+    "x_text_tokens": "whitespace tokens; text family in-window via x_urls/x_curation",
     "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
     "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
@@ -1725,8 +1738,8 @@ SWEEP_ONLY: dict[str, str] = {
     "q_w6": "window-frame variant; frame semantics in-window via q_w4",
     "q_c5": "coercion surface; C-family in-window via q_c1",
     "q_c6": "coercion surface; C-family in-window via q_c1",
-    "q_j7": "join variant; join family in-window (q_j3/q_j6)",
-    "q_j8": "join variant; join family in-window (q_j3/q_j6)",
+    "q_j7": "join variant; join family in-window (q_j3)",
+    "q_j8": "join variant; join family in-window (q_j3)",
     "q_u4": "set-op surface; family represented in-window by q_u1",
     "q_u5": "set-op surface; family represented in-window by q_u1",
     "q_sub2": "scalar subquery surface; sweep-stable",
@@ -1742,22 +1755,22 @@ SWEEP_ONLY: dict[str, str] = {
     "x_sim_topk": "brute-force top-k; sim family in-window via x_semdedup",
     "q_t4": "distinct-pair count (stateful-dedup analog); distinct/agg semantics in-window via q_a1/q_t1",
     "q_p2": "1-row existence check; P-family in-window via q_s1",
-    "q_j5": "composite-key join variant; join family in-window (q_j3/q_j6)",
-    "q_a2": "1-row distinct cardinality; A-family in-window via q_a1/q_a3",
+    "q_j5": "composite-key join variant; join family in-window (q_j3)",
+    "q_a2": "1-row distinct cardinality; A-family in-window via q_a1",
     "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
     # displaced in the round-8 rotation (all externally hash-green in the
     # r7-or-earlier driver windows) to make room for the 6 r6 operators,
     # the 4 f1 wire oracles, and the streaming Misra-Gries row
-    "q_j1": "composite hash join; join family in-window via q_j3/q_j6 and x_asof_join",
-    "q_j9": "FULL OUTER join; join family in-window via q_j3/q_j6, COALESCE-key merge via x_cdc_apply",
+    "q_j1": "composite hash join; join family in-window via q_j3 and x_asof_join",
+    "q_j9": "FULL OUTER join; join family in-window via q_j3, COALESCE-key merge via x_cdc_apply",
     "x_seq_pack": "held in-window r6-r7 for its HUGEINT CAST fix, externally confirmed green in r7; pack family in-window via x_pack_sequences",
     "x_multimodal_features": "fake-plumbing multimodal aggregate; real-codec twin x_multimodal_real in-window",
     "x_triangles": "1-row global triangle count; graph family in-window via x_dedup_clusters (CC), heavy aggs via q_a1/q_t1",
     "x_outliers": "IQR outlier gate; quality-gate family in-window via x_curation",
-    "x_funnel": "1-row ordered-funnel conversion; event-sequence family in-window via x_sessionize/x_asof_join",
+    "x_funnel": "1-row ordered-funnel conversion; event-sequence family in-window via x_asof_join",
     "x_pack_assign": "first-fit pack assignment; pack family in-window via x_pack_sequences",
-    "x_ppl2": "bigram perplexity; LM-scoring twin x_ppl in-window",
-    "x_mixture_sample": "mixture materialization; sampling family in-window via x_pps_sample",
+    "x_ppl2": "bigram perplexity; LM-scoring family in-window via x_dsir",
+    "x_mixture_sample": "mixture materialization; sampling family in-window via x_temp_mixture/x_bottomk_sample",
     "x_dedup_spans": "span-level n-gram index; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
@@ -1766,42 +1779,43 @@ SWEEP_ONLY: dict[str, str] = {
     "x_tfidf": "corpus TF-IDF term stats; tf/df geometry in-window via x_invindex posting lists",
     "x_scd2": "SCD2 history build; merge family in-window via x_cdc_apply",
     "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_asof_join",
-    "x_stratified": "per-group stratified sample; sampling family in-window via x_pps_sample",
-    "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_urls/x_taxonomy/x_text_winnow)",
+    "x_stratified": "per-group stratified sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_urls/x_text_winnow)",
     "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_incr",
-    "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_urls/x_taxonomy/x_chunk)",
-    "x_mixture": "mixture weight computation; sampling family in-window via x_pps_sample",
-    "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_urls/x_taxonomy)",
+    "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_urls/x_curation)",
+    "x_mixture": "mixture weight computation; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_urls/x_curation)",
     "x_gopher": "Gopher quality gate; quality-gate family in-window via x_curation",
     "x_bm25": "BM25 scoring; retrieval-stats geometry in-window via x_invindex",
     # displaced in the second-wave round-5 rotation
     "q_p1": "filter pushdown surface; predicates exercised by every windowed entry, scan family via q_s1",
     "q_c4": "conditional-expression surface; C-family in-window via q_c1",
-    "q_j4": "anti/semi variant; join family in-window (q_j3/q_j6)",
+    "q_j4": "anti/semi variant; join family in-window (q_j3)",
     "q_t3": "latest-per-key; changelog-replay geometry in-window via x_cdc_apply",
     "q_a4": "COALESCE merge agg; merge family in-window via x_cdc_apply",
     "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_semdedup",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
-    "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation/x_urls/x_taxonomy)",
-    "q_j2": "left outer join; join family in-window (q_j3/q_j6)",
+    "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation/x_urls)",
+    "q_j2": "left outer join; join family in-window (q_j3)",
     "q_c3": "coercion surface; C-family in-window via q_c1",
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
     "q_w3": "lag() offset window; window family in-window via q_w1/q_w4/x_rolling_scaled",
     "q_t2": "time-filtered count; T-family in-window via q_t1",
-    # built round 8 after the r8 rotation was already full — rotate next round
-    "x_bottomk_sample": "bottom-k consistent sample (new r8); rotate next round; sampling family in-window via x_pps_sample",
-    "x_kmv_jaccard": "coordinated bottom-k Jaccard estimate (new r8); rotate next round; overlap family in-window via x_source_overlap",
-    "x_kmv_distinct": "KMV distinct estimate (oracle gained r8 via hex cast); rotate next round; distinct-count family in-window via q_a1",
-    "x_snapshot_cdc": "snapshot-table CDC round-trip (new r8); rotate next round; merge family in-window via x_cdc_apply",
-    "x_cms_freq": "count-min frequency estimates (new r8); rotate next round; sketch family in-window via x_stream_heavy_hitters, exact twin x_heavy_hitters",
-    "x_kmv_setops": "coordinated bottom-k set-op estimates (new r8); rotate next round; overlap family in-window via x_source_overlap",
-    "x_snapshot_changes": "snapshot change-data-feed round-trip (new r8); rotate next round; changelog family in-window via x_cdc_apply",
-    "x_editdist_join": "exact edit-distance similarity join (new r8); rotate next round; similarity-join family in-window via x_ssjoin",
-    "x_snapshot_bloom": "Bloom-pruned snapshot point lookup (new r8); rotate next round; skipping family in-window via x_zorder, merge kin x_cdc_apply",
-    "x_editdist_clusters": "ed-join + CC fuzzy canonicalization (new r8); rotate next round; cluster family in-window via x_dedup_clusters",
-    "x_source_drift": "per-source KS distribution drift (new r8); rotate next round; corpus-health family in-window via x_source_kl",
-    "x_temp_mixture": "temperature (alpha) mixture resampling (new r8); rotate next round; sampling family in-window via x_pps_sample",
+    # displaced in the round-9 rotation (all externally hash-green in the
+    # r8-or-earlier driver windows) to make room for the 12 r8
+    # lakehouse/sketch/edit-distance oracle queries
+    "q_a3": "first-wins dedup ordinal; first-wins A1 path in-window via f1_race_control, agg family via q_a1",
+    "q_j6": "broadcast enrichment join; join family in-window via q_j3, broadcast path via f1_session_report",
+    "x_sessionize": "lag-gap sessionization; event-sequence family in-window via x_asof_join",
+    "x_chunk": "doc chunking with overlap; text family in-window via x_urls/x_text_winnow",
+    "x_ppl": "unigram perplexity scoring; LM-scoring family in-window via x_dsir",
+    "x_ngram_spans": "n-gram span extraction; span family in-window via x_dedup_lines",
+    "x_quantize": "embedding scalar quantization; embedding family in-window via x_semdedup",
+    "x_pps_sample": "PPS weighted sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_urls/x_curation",
+    "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_bottomk_sample",
+    "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
 }
 
 

@@ -505,3 +505,56 @@ def test_kmv_setops_estimates_above_k(spark):
     # deterministic under relayout
     r2 = kmv_set_ops(big.repartition(17), "g", "e", k=256, salt="ks-t").head()
     assert (r2["union_est"], r2["inter_est"]) == (r["union_est"], r["inter_est"])
+
+
+def test_cms_estimate_keyed_sketch_probes_only_its_key(spark):
+    """r8 advice: probing a keyed sketch must join the key columns too —
+    a (row, bucket)-only join would min over OTHER keys' counters and
+    could underestimate, breaking the one-sided-error guarantee."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [("s1", "a")] * 5 + [("s1", "b")] * 2 + [("s2", "a")] * 9
+    df = spark.createDataFrame(rows, "src string, v string")
+    W, D, S = 16, 3, "cms-t5"
+    cms = cms_build(df, ["src"], "v", width=W, depth=D, salt=S)
+    q = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")], "src string, v string"
+    )
+    est = {
+        (r["src"], r["v"]): r["est_cnt"]
+        for r in cms_estimate(cms, q, "v", width=W, depth=D, salt=S, keys=["src"]).collect()
+    }
+    # per-key one-sided error: never below the per-key exact count
+    for key, exact in [(("s1", "a"), 5), (("s1", "b"), 2), (("s2", "a"), 9), (("s2", "b"), 0)]:
+        assert est[key] >= exact
+    # and with width >> distinct values there are no collisions, so exact
+    assert est[("s1", "a")] == 5 and est[("s2", "a")] == 9 and est[("s2", "b")] == 0
+
+
+def test_cms_estimate_validates_sketch_columns(spark):
+    """Passing a keyed sketch without keys= (or vice versa) must raise,
+    not silently min across keys."""
+    import pytest
+
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("s1", "a")], "src string, v string")
+    keyed = cms_build(df, ["src"], "v", width=8, depth=2, salt="s")
+    q = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="cms_rollup"):
+        cms_estimate(keyed, q, "v", width=8, depth=2, salt="s")
+    with pytest.raises(ValueError, match="keys"):
+        cms_estimate(keyed.drop("src"), q, "v", width=8, depth=2, salt="s", keys=["src"])
+
+
+def test_cms_estimate_preserves_duplicate_query_rows(spark):
+    """r8 advice: callers probing a MULTISET of lookups keep one output
+    row per input row — duplicates are not collapsed."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)], "v string")
+    cms = cms_build(df, [], "v", width=16, depth=3, salt="cms-t6")
+    q = spark.createDataFrame([("a",), ("a",), ("b",)], "v string")
+    out = cms_estimate(cms, q, "v", width=16, depth=3, salt="cms-t6").collect()
+    assert len(out) == 3
+    assert sorted((r["v"], r["est_cnt"]) for r in out) == [("a", 4), ("a", 4), ("b", 1)]
