@@ -280,6 +280,13 @@ def sync_rollup_from_changes(
     design (including ``snapshot_changes_since`` + idempotent sink)
     works around rather than removes.
 
+    Concurrent maintainers are safe too: the commit is a compare-and-swap
+    on the rollup version read at entry (``expected_version``), so two
+    syncs that both read stamp N cannot both apply the same span — the
+    loser's commit raises ``SnapshotConflictError`` without touching the
+    table, and re-invoking it re-reads the moved stamp and applies only
+    what remains (test-pinned in test_storage.py).
+
     Cost per sync: the feed reads only endpoint-diff files (O(touched
     files)), the signed delta is one keyed aggregate over change rows,
     and the merge joins it against the group-count-sized rollup. The
@@ -317,7 +324,10 @@ def sync_rollup_from_changes(
             .where(F.col("n") > 0)
         )
         v = snapshot_write(
-            init, rollup_dir, properties={"source_version": src_ver}
+            init,
+            rollup_dir,
+            properties={"source_version": src_ver},
+            expected_version=rollup_ver,
         )
         return v, src_ver
     last = snapshot_properties(spark, rollup_dir).get("source_version")
@@ -373,5 +383,16 @@ def sync_rollup_from_changes(
         )
         .where(F.col("n") > 0)
     )
-    v = snapshot_write(merged, rollup_dir, properties={"source_version": src_ver})
+    # CAS on the rollup version read above: if a concurrent maintainer
+    # committed after we read source_version=last, OUR delta was derived
+    # from a span the table no longer reflects — committing it would
+    # double-apply that span. The conflict loser raises (typed) and the
+    # caller simply re-invokes, which re-reads the moved stamp and
+    # resyncs only the remaining span.
+    v = snapshot_write(
+        merged,
+        rollup_dir,
+        properties={"source_version": src_ver},
+        expected_version=rollup_ver,
+    )
     return v, src_ver

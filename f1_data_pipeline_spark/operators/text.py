@@ -634,6 +634,25 @@ def temperature_mixture_weights(
     frame — the ``mixture_weights`` shape, nothing driver-side."""
     mass = weight_expr if weight_expr is not None else F.lit(1)
     actual = df.groupBy(by).agg(F.sum(mass).cast("double").alias("n_units"))
+    # non-positive group mass is a caller bug, not a degenerate weight:
+    # pow(x, α) is NaN for x<0 and p_temp/p_raw divides by zero for x=0,
+    # which would flow through as silent NULL/NaN sample factors — raise
+    # AT THE GROUP, executor-side, instead (r8 advice)
+    actual = actual.withColumn(
+        "n_units",
+        F.when(F.col("n_units") > 0, F.col("n_units")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "temperature_mixture_weights: non-positive mass for "
+                        f"group {by}="
+                    ),
+                    F.col(by).cast("string"),
+                    F.lit(" — filter such groups or fix weight_expr"),
+                )
+            ).cast("double")
+        ),
+    )
     powed = actual.withColumn("__pw", F.pow("n_units", F.lit(float(alpha))))
     total = powed.agg(
         F.sum("n_units").alias("__total"), F.sum("__pw").alias("__pw_total")

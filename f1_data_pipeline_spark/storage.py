@@ -241,6 +241,15 @@ def repartition_for(df: DataFrame, keys: list[str], partitions: int | None = Non
 SNAPSHOT_MANIFEST_DIR = "_manifests"
 
 
+class SnapshotConflictError(RuntimeError):
+    """A concurrent writer won the staging or commit race. The loser's
+    work was never exposed (readers only follow committed records); the
+    caller may re-derive its write against the NEW current version and
+    try again — blind full-replace writers can do so automatically via
+    ``snapshot_write(..., retries=N)``, read-modify-write maintainers
+    must re-read first (which ``expected_version`` enforces)."""
+
+
 def _snap_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -276,17 +285,17 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     vdir = f"{table_dir.rstrip('/')}/v={version}"
     vpath = _snap_path(jvm, vdir)
     if fs.exists(vpath):
-        raise RuntimeError(
+        raise SnapshotConflictError(
             f"snapshot_write: staging dir v={version} already exists under "
             f"{table_dir} — either a concurrent writer is staging version "
-            f"{version} (snapshot tables are single-writer) or a crashed "
-            f"writer left an orphan; if _manifests/{version}.json is "
-            f"absent, the orphan was never committed and is safe to delete"
+            f"{version} or a crashed writer left an orphan; if "
+            f"_manifests/{version}.json is absent, the orphan was never "
+            f"committed and is safe to delete"
         )
     if not fs.createNewFile(_snap_path(jvm, vdir, "_CLAIM")):
-        raise RuntimeError(
+        raise SnapshotConflictError(
             f"snapshot_write: lost the staging race for v={version} under "
-            f"{table_dir} (snapshot tables are single-writer)"
+            f"{table_dir} to a concurrent writer"
         )
     # append, not overwrite: overwrite would delete the dir and with it the
     # _CLAIM marker that holds the stage against concurrent writers
@@ -497,19 +506,52 @@ def _apply_blooms(
 
 def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: dict) -> None:
     """Step 3 of the protocol: atomically create the immutable commit
-    record ``_manifests/N.json`` (create-no-overwrite IS the commit)."""
+    record ``_manifests/N.json`` (create-no-overwrite IS the commit).
+
+    On ``file:`` paths the record is PUBLISHED BY HARD LINK: the payload
+    is fully written to a hidden per-writer temp file first, then
+    ``link(tmp, N.json)`` claims the name — a single atomic syscall that
+    fails with EEXIST if any other writer committed first (closing the
+    check-then-create race Hadoop's RawLocalFileSystem has in
+    ``create(overwrite=false)``), and the record is complete the instant
+    it becomes visible, so a concurrent ``_read_manifest`` can never see
+    a half-written commit. On HDFS, ``create(overwrite=false)`` is
+    already an atomic namespace operation and is used directly; object
+    stores without conditional PUT keep the documented single-writer
+    caveat, as with every log-structured table format."""
     import json
+    import uuid
 
     fs, jvm = _snap_fs(spark, table_dir)
     record = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.json")
+    conflict = SnapshotConflictError(
+        f"snapshot_write: commit record for v={version} already exists "
+        f"under {table_dir} — a concurrent writer committed first; "
+        f"re-derive against the new current version and retry"
+    )
+    if record.toUri().getScheme() in (None, "file"):
+        mdir = record.getParent()
+        fs.mkdirs(mdir)
+        tmp = _snap_path(jvm, str(mdir), f".{version}.json.{uuid.uuid4().hex}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode()))
+        finally:
+            out.close()
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(record.toUri().getPath()).toPath(),
+                jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+            )
+        except Exception as e:
+            raise conflict from e
+        finally:
+            fs.delete(tmp, False)
+        return
     try:
         out = fs.create(record, False)  # create-no-overwrite: THE commit
     except Exception as e:
-        raise RuntimeError(
-            f"snapshot_write: commit record for v={version} already exists "
-            f"under {table_dir} — a concurrent writer committed first "
-            f"(snapshot tables are single-writer)"
-        ) from e
+        raise conflict from e
     try:
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
@@ -588,8 +630,27 @@ def snapshot_write(
     bloom_bits: int = 16384,
     bloom_hashes: int = 5,
     properties: dict | None = None,
+    expected_version: int | None = None,
+    retries: int = 0,
 ) -> int:
     """Commit ``df`` as the next table version and return it.
+
+    Concurrency controls (optimistic, Delta-style):
+
+    ``expected_version`` — compare-and-swap for READ-MODIFY-WRITE
+    maintainers: the commit succeeds only as version
+    ``expected_version + 1``. If any other writer committed after the
+    caller read version ``expected_version``, this raises
+    ``SnapshotConflictError`` instead of committing a result derived
+    from a stale read (the lost-update every external-offset /
+    last-writer-wins design permits). The caller re-reads and re-derives.
+
+    ``retries`` — automatic retry-with-next-version for BLIND writers
+    whose content does not depend on the previous version (full-replace
+    ingest): on a staging/commit race the loser cleans its orphan stage
+    and re-claims the new next version, up to ``retries`` times. Mutually
+    exclusive with ``expected_version`` (retrying a CAS would silently
+    commit the stale derivation it exists to prevent).
 
     ``properties`` is an arbitrary JSON-safe dict stamped into the commit
     record (the Delta ``commitInfo``/txn shape) and read back via
@@ -672,26 +733,65 @@ def snapshot_write(
         _bloom_ctypes(df, list(bloom_cols))
     if expectations:
         check_expectations(df, expectations)
-    version, vdir = _stage_version(df, table_dir)
-    entries = _staged_file_entries(spark, table_dir, version, stats_cols)
+    if expected_version is not None and retries:
+        raise ValueError(
+            "snapshot_write: expected_version and retries are mutually "
+            "exclusive — auto-retrying a CAS commit would re-commit the "
+            "stale derivation the CAS exists to reject; re-read and "
+            "re-derive in the caller instead"
+        )
     bloom_spec = (
         {"cols": list(bloom_cols), "m": int(bloom_bits), "h": int(bloom_hashes)}
         if bloom_cols
         else None
     )
-    _apply_blooms(spark, table_dir, version, entries, bloom_spec)
-    payload = {
-        "version": version,
-        "dir": f"v={version}",
-        "files": entries,
-        "schema": df.schema.json(),
-    }
-    if bloom_spec:
-        payload["bloom_spec"] = bloom_spec
-    if properties:
-        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
-    _commit_record(spark, table_dir, version, payload)
-    return version
+    attempts = 1 + max(0, int(retries))
+    for attempt in range(attempts):
+        if expected_version is not None:
+            cur = snapshot_version(spark, table_dir)
+            if cur != expected_version:
+                raise SnapshotConflictError(
+                    f"snapshot_write: table {table_dir} is at version {cur} "
+                    f"but the caller derived its write from version "
+                    f"{expected_version} — a concurrent writer committed in "
+                    f"between; re-read and re-derive"
+                )
+        vdir = None
+        try:
+            version, vdir = _stage_version(df, table_dir)
+            if expected_version is not None and version != expected_version + 1:
+                raise SnapshotConflictError(
+                    f"snapshot_write: staged v={version} but the CAS expects "
+                    f"v={expected_version + 1} under {table_dir}"
+                )
+            entries = _staged_file_entries(spark, table_dir, version, stats_cols)
+            _apply_blooms(spark, table_dir, version, entries, bloom_spec)
+            payload = {
+                "version": version,
+                "dir": f"v={version}",
+                "files": entries,
+                "schema": df.schema.json(),
+            }
+            if bloom_spec:
+                payload["bloom_spec"] = bloom_spec
+            if properties:
+                payload["properties"] = {
+                    k: _json_safe(v) for k, v in properties.items()
+                }
+            _commit_record(spark, table_dir, version, payload)
+            return version
+        except SnapshotConflictError:
+            # our stage (if we got that far) was never committed — remove
+            # the orphan so it can't trip the next claimant's exists-check
+            if vdir is not None:
+                fs, jvm = _snap_fs(spark, table_dir)
+                fs.delete(_snap_path(jvm, vdir), True)
+            if attempt + 1 >= attempts or expected_version is not None:
+                raise
+            import time
+
+            time.sleep(0.05 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
 def snapshot_properties(
@@ -1263,17 +1363,28 @@ def snapshot_changes_since(
     if not dataset_exists(spark, offset_dir):
         last = None  # first run: no offset yet
     else:
+        import json
+
         try:
-            last = int(read_json_artifact(spark, offset_dir)["acked_version"])
+            payload = read_json_artifact(spark, offset_dir)
+        except json.JSONDecodeError:
+            # present-but-unparseable payload: corruption, not a torn ack
+            raise
         except ValueError:
-            # torn ack (empty artifact): overwrite-based offsets lose the
-            # previous value mid-ack, so the only safe recovery is the
-            # initial load — the idempotent downstream apply the contract
-            # requires makes the re-load converge rather than duplicate.
-            # Anything else (IO/auth/parse on an EXISTING dataset) raises:
-            # silently re-delivering a full table on a transient error and
-            # then acking over a good offset would be far worse.
+            # torn ack (dataset exists but holds NO row): overwrite-based
+            # offsets lose the previous value mid-ack, so the only safe
+            # recovery is the initial load — the idempotent downstream
+            # apply the contract requires makes the re-load converge
+            # rather than duplicate.
+            payload = None
+        if payload is None:
             last = None
+        else:
+            # a payload that EXISTS must parse — a readable artifact with
+            # a missing/garbage acked_version is corruption, and silently
+            # re-delivering the full table (then acking over it) would
+            # paper over it; int()/KeyError surface to the caller
+            last = int(payload["acked_version"])
     if last is None:
         feed = snapshot_read(spark, table_dir, version=current).withColumn(
             "_change_type", F.lit("insert")

@@ -372,3 +372,71 @@ def test_sync_rollup_from_changes_exactly_once(spark, tmp_path):
     snapshot_upsert(spark, src, mk(0, 1, 5, val_mult=3.0), key="k")
     sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
     assert rollup_rows() == recompute()
+
+
+def test_sync_rollup_concurrent_maintainers_cannot_double_apply(spark, tmp_path, monkeypatch):
+    """r8 advice: two maintainers that both read source stamp N must not
+    both apply the same change span. The commit is a CAS on the rollup
+    version read at entry, so the interleaved loser raises the typed
+    conflict WITHOUT committing, and a plain re-invoke converges to the
+    from-scratch answer — never a double-applied delta."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import f1_data_pipeline_spark.analytics as A
+    import f1_data_pipeline_spark.storage as S
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "rollup")
+
+    def mk(lo, hi, mult=1.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * mult).cast("double").alias("x"),
+        )
+
+    def recompute():
+        return {
+            (r["g"], r["n"], round(r["s"], 6))
+            for r in S.snapshot_read(spark, src)
+            .groupBy("g")
+            .agg(F.count("x").alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    def rollup_rows():
+        return {
+            (r["g"], r["n"], round(r["s"], 6))
+            for r in S.snapshot_read(spark, roll).collect()
+        }
+
+    S.snapshot_write(mk(0, 60), src, stats_cols=["k"])
+    A.sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    S.snapshot_upsert(spark, src, mk(30, 90, mult=5.0), key="k")
+
+    # interleave: maintainer B completes a full sync INSIDE maintainer
+    # A's read-feed step, after A has already read the rollup stamp
+    real_changes = S.snapshot_changes
+    fired = {"done": False}
+
+    def racy_changes(sp, table_dir, key, lo, hi):
+        if not fired["done"]:
+            fired["done"] = True
+            A.sync_rollup_from_changes(sp, src, "k", roll, ["g"], "x")
+        return real_changes(sp, table_dir, key, lo, hi)
+
+    monkeypatch.setattr(S, "snapshot_changes", racy_changes)
+    with pytest.raises(S.SnapshotConflictError):
+        A.sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    monkeypatch.setattr(S, "snapshot_changes", real_changes)
+
+    # B's sync applied the span exactly once; A's loss committed nothing
+    assert rollup_rows() == recompute()
+    stamp = int(S.snapshot_properties(spark, roll)["source_version"])
+    assert stamp == S.snapshot_version(spark, src)
+    # A's retry is a caught-up no-op — still exactly once
+    v_before = S.snapshot_version(spark, roll)
+    A.sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
+    assert S.snapshot_version(spark, roll) == v_before
+    assert rollup_rows() == recompute()

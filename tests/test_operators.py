@@ -2564,3 +2564,37 @@ def test_edit_distance_join_prefix_prunes_candidates(spark):
     )
     out = edit_distance_join(df, k=2, q=2)
     assert out.count() == 0  # random 20-char strings are never within 2
+
+
+def test_temperature_mixture_rejects_non_positive_group_mass(spark):
+    """r8 advice: a group whose weight_expr sums to 0 or negative must
+    raise executor-side instead of flowing silent NULL/NaN sample
+    factors (pow of a negative is NaN, p_temp/p_raw divides by zero)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.operators.text import temperature_mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 3.0), ("z", -3.0)], "source string, w double"
+    )
+    bad = temperature_mixture_weights(df, "source", weight_expr=F.col("w"))
+    with pytest.raises(Exception, match="non-positive mass"):
+        bad.collect()
+    # zero mass is equally rejected
+    zero = spark.createDataFrame([("a", 4.0), ("b", 0.0)], "source string, w double")
+    with pytest.raises(Exception, match="non-positive mass"):
+        temperature_mixture_weights(zero, "source", weight_expr=F.col("w")).collect()
+    # positive-mass groups still compute cleanly
+    ok = temperature_mixture_weights(
+        df.where("w > 0"), "source", weight_expr=F.col("w"), alpha=0.5
+    ).collect()
+    by = {r["source"]: r for r in ok}
+    import math
+
+    pw_a, pw_b = math.sqrt(15.0), math.sqrt(3.0)
+    assert by["a"]["p_raw"] == round(15.0 / 18.0, 4)
+    assert by["a"]["p_temp"] == round(pw_a / (pw_a + pw_b), 4)
+    assert by["b"]["sample_factor"] == round(
+        (pw_b / (pw_a + pw_b)) / (3.0 / 18.0), 4
+    )
