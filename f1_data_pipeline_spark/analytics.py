@@ -396,3 +396,102 @@ def sync_rollup_from_changes(
         expected_version=rollup_ver,
     )
     return v, src_ver
+
+
+def sync_replica_from_changes(
+    spark: SparkSession,
+    source_dir: str,
+    key: str,
+    replica_dir: str,
+    cluster_files: int | None = None,
+) -> tuple[int, int]:
+    """Exactly-once snapshot-table REPLICATION off the change feed: keep
+    ``replica_dir`` row-identical to ``source_dir`` by applying only the
+    changes since the last synced source version — never re-copying the
+    table. The cross-region / environment-promotion shape.
+
+    Same exactly-once lever as ``sync_rollup_from_changes``: each replica
+    commit stamps the source version it reflects into its OWN commit
+    record, atomically with the data, and commits with a CAS on the
+    replica version read at entry — a crash redoes the span (the keyed
+    CDC apply is idempotent), a concurrent replicator loses the CAS
+    typed-loudly, and there is no external offset to tear.
+
+    Per sync: the feed reads only endpoint-diff files of the SOURCE
+    (O(touched files)); the net span folds to at most one row per
+    changed key (``snapshot_changes`` already nets pre/post pairs, so
+    dropping preimages leaves one event per key); the apply costs
+    O(touched replica files + changed keys). A span that nets to zero
+    rows still advances the stamp through a metadata-only ``restamp``
+    commit. Deletion-vector deletes on the source replicate for free —
+    the feed surfaces them as delete events. Returns
+    ``(replica_version, source_version)``."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
+        snapshot_changes,
+        snapshot_properties,
+        snapshot_read,
+        snapshot_restamp,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    src_ver = snapshot_version(spark, source_dir)
+    if src_ver < 1:
+        raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    try:
+        rep_ver = snapshot_version(spark, replica_dir)
+    except FileNotFoundError:
+        rep_ver = 0
+    if rep_ver < 1:
+        init = snapshot_read(spark, source_dir)
+        if cluster_files:
+            init = init.repartitionByRange(cluster_files, key)
+        v = snapshot_write(
+            init,
+            replica_dir,
+            stats_cols=[key],
+            properties={"source_version": src_ver},
+            expected_version=0,
+        )
+        return v, src_ver
+    last = snapshot_properties(spark, replica_dir).get("source_version")
+    if last is None:
+        raise ValueError(
+            f"replica at {replica_dir} carries no source_version property — "
+            f"not maintained by sync_replica_from_changes; rebuild it"
+        )
+    last = int(last)
+    if last == src_ver:
+        return rep_ver, src_ver  # caught up: no empty commit
+    feed = snapshot_changes(spark, source_dir, key, last, src_ver)
+    ops = (
+        feed.where(F.col("_change_type") != "update_preimage")
+        .withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .drop("_change_type")
+    )
+    v = snapshot_apply_cdc(
+        spark,
+        replica_dir,
+        ops,
+        key=key,
+        op_col="op",
+        stats_cols=[key],
+        cluster_files=cluster_files,
+        properties={"source_version": src_ver},
+        expected_version=rep_ver,
+    )
+    if v == rep_ver:
+        # the span netted to zero applied change (e.g. restore round-trip,
+        # or deletes of keys the replica never held): the stamp must still
+        # advance or every later sync re-reads this span forever
+        v = snapshot_restamp(
+            spark, replica_dir, {"source_version": src_ver},
+            expected_version=rep_ver,
+        )
+    return v, src_ver

@@ -922,6 +922,69 @@ def _where_expr(where: list[tuple]):
     return expr
 
 
+# Deletion vectors (merge-on-read deletes, the Delta DV shape): a version
+# may carry a small (path, pos) parquet dataset of DELETED row positions —
+# ``path`` is the data file's table-relative path ("v=K/part-….parquet"),
+# ``pos`` its parquet row index (``_metadata.row_index``). A DV delete
+# commits in O(matching rows) without rewriting ANY data file — the lever
+# for scattered right-to-erasure deletes on a 100 TB table, where
+# copy-on-write would rewrite a 128 MB file per tombstoned row. Readers
+# subtract positions with one broadcast anti-join; every physical rewrite
+# (compact, optimize, upsert-touched files) PURGES its files' entries, so
+# DVs never accumulate past maintenance. Mass deletes should stay
+# copy-on-write (mode="cow"): a DV grows with the deleted-row count.
+_DV_RELPATH_RE = r"(v=\d+/[^/]+)$"
+
+
+def _dv_read(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame | None:
+    """The (path, pos) deleted-positions dataset of a committed version,
+    or None when the version carries no deletion vector."""
+    dv = manifest.get("dv")
+    if not dv:
+        return None
+    return spark.read.schema("path string, pos long").parquet(
+        f"{table_dir.rstrip('/')}/{dv['dir']}"
+    )
+
+
+def _apply_dv(df: DataFrame, dvdf: DataFrame | None) -> DataFrame:
+    """Subtract deleted positions from a parquet scan: one broadcast
+    anti-join on (relative path, row index). The scan must come straight
+    from ``spark.read.parquet`` so ``_metadata`` is still addressable."""
+    if dvdf is None:
+        return df
+    marked = df.withColumn(
+        "__dv_path", F.regexp_extract(F.col("_metadata.file_path"), _DV_RELPATH_RE, 1)
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+    return marked.join(
+        F.broadcast(
+            dvdf.select(F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos"))
+        ),
+        ["__dv_path", "__dv_pos"],
+        "left_anti",
+    ).drop("__dv_path", "__dv_pos")
+
+
+def _write_dv(
+    spark: SparkSession, table_dir: str, version: int, dvdf: DataFrame | None
+) -> dict | None:
+    """Persist a deletion-vector dataset under the (already-claimed)
+    ``v=N/_dv`` and return its manifest block — per-file deleted counts
+    (bounded by the FILE count, the same driver-state bound as the file
+    list itself) plus the total. None/empty → no block."""
+    if dvdf is None:
+        return None
+    counts = {
+        r["path"]: r["cnt"]
+        for r in dvdf.groupBy("path").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    if not counts:
+        return None
+    rel = f"v={version}/_dv"
+    dvdf.coalesce(1).write.mode("append").parquet(f"{table_dir.rstrip('/')}/{rel}")
+    return {"dir": rel, "files": counts, "deleted": int(sum(counts.values()))}
+
+
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
@@ -968,6 +1031,7 @@ def snapshot_read(
             f"snapshot version {v} in {table_dir} references missing data "
             f"files (vacuumed?): {e}"
         ) from e
+    df = _apply_dv(df, _dv_read(spark, table_dir, manifest))
     return df.where(_where_expr(where)) if where else df
 
 
@@ -981,8 +1045,13 @@ def snapshot_upsert(
     merge_mode: str = "replace",
     evolve_schema: bool = False,
     expectations: dict[str, str] | None = None,
+    properties: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Copy-on-write last-write-wins upsert committed as a new version.
+    ``properties`` / ``expected_version`` behave as on ``snapshot_write``
+    (exactly-once stamp committed atomically with the data; CAS against
+    the version the batch was derived from).
 
     ``expectations`` gate the commit exactly as on ``snapshot_write``:
     every rule is checked against the INCOMING batch (one aggregate
@@ -1038,6 +1107,7 @@ def snapshot_upsert(
     return _merge_into_snapshot(
         spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
         what="snapshot_upsert", merge_mode=merge_mode, evolve_schema=evolve_schema,
+        properties=properties, expected_version=expected_version,
     )
 
 
@@ -1052,6 +1122,8 @@ def snapshot_apply_cdc(
     cluster_files: int | None = None,
     evolve_schema: bool = False,
     expectations: dict[str, str] | None = None,
+    properties: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Apply a FOLDED changelog (one row per key: its final upsert state
     or a delete tombstone) to the table in ONE copy-on-write commit —
@@ -1075,6 +1147,7 @@ def snapshot_apply_cdc(
     return _merge_into_snapshot(
         spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,
         what="snapshot_apply_cdc", evolve_schema=evolve_schema,
+        properties=properties, expected_version=expected_version,
     )
 
 
@@ -1089,6 +1162,8 @@ def _merge_into_snapshot(
     what: str,
     merge_mode: str = "replace",
     evolve_schema: bool = False,
+    properties: dict | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Shared copy-on-write merge core for ``snapshot_upsert`` (no
     deletes) and ``snapshot_apply_cdc`` (upserts + tombstones): one
@@ -1098,6 +1173,12 @@ def _merge_into_snapshot(
     current = snapshot_version(spark, table_dir)
     if current < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if expected_version is not None and current != expected_version:
+        raise SnapshotConflictError(
+            f"{what}: table {table_dir} is at version {current} but the "
+            f"change batch was derived from version {expected_version} — "
+            f"a concurrent writer committed in between; re-read and re-derive"
+        )
     manifest = _read_manifest(spark, table_dir, current)
     entries = manifest.get("files")
     if entries is None or any("stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0):
@@ -1173,11 +1254,16 @@ def _merge_into_snapshot(
     cols = table_cols + extra
     upserts = upserts.select(cols)
     base = table_dir.rstrip("/")
+    old_dv = _dv_read(spark, table_dir, manifest)
     if touched:
         # read survivors with the COMMITTED schema (carried files cannot
-        # hold evolved columns), then null-fill any newly added columns
-        existing = _manifest_reader(spark, manifest).parquet(
-            *[f"{base}/{p}" for p in sorted(touched)]
+        # hold evolved columns), then null-fill any newly added columns;
+        # deletion-vectored rows must not resurrect through the rewrite
+        existing = _apply_dv(
+            _manifest_reader(spark, manifest).parquet(
+                *[f"{base}/{p}" for p in sorted(touched)]
+            ),
+            old_dv,
         )
         for c in extra:
             existing = existing.withColumn(
@@ -1225,6 +1311,18 @@ def _merge_into_snapshot(
         "version": version,
         "dir": f"v={version}",
         "files": new_entries,
+    }
+    # touched files were rewritten with their deletion vectors applied,
+    # so their DV entries are purged; carried files' entries ride along
+    if old_dv is not None:
+        carried_paths = sorted(e["path"] for e in carried)
+        dv_block = _write_dv(
+            spark, table_dir, version,
+            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+        )
+        if dv_block:
+            payload["dv"] = dv_block
+    payload.update({
         # an evolved batch commits the MERGED schema (readers
         # null-fill carried files); otherwise the committed schema
         # is carried forward unchanged
@@ -1233,7 +1331,9 @@ def _merge_into_snapshot(
             if extra
             else manifest.get("schema") or staged_df.schema.json()
         ),
-    }
+    })
+    if properties:
+        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
     _commit_record(spark, table_dir, version, payload)
@@ -1301,8 +1401,58 @@ def snapshot_changes(
             *[f"{base}/{p}" for p in sorted(paths)]
         )
 
-    old_df = _read(from_paths - to_paths)
-    new_df = _read(to_paths - from_paths)
+    # each endpoint's LIVE rows honor that endpoint's deletion vector
+    # (_metadata only resolves on a real file scan, so skip empty sides)
+    dv_from = _dv_read(spark, table_dir, m_from)
+    dv_to = _dv_read(spark, table_dir, m_to)
+
+    def _read_live(paths: set[str], dv) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return _apply_dv(_read(paths), dv).select(cols)
+
+    old_df = _read_live(from_paths - to_paths, dv_from)
+    new_df = _read_live(to_paths - from_paths, dv_to)
+    if dv_from is not None or dv_to is not None:
+        # DV delta over SHARED files: positions deleted between the
+        # endpoints are live-at-from rows (they surface as deletes); a
+        # restore can resurrect positions the other way. Only files named
+        # in the delta are ever opened — the manifest-diff bound holds.
+        empty_dv = spark.createDataFrame([], "path string, pos long")
+        f_dv = dv_from if dv_from is not None else empty_dv
+        t_dv = dv_to if dv_to is not None else empty_dv
+        shared = from_paths & to_paths
+
+        def _dv_delta_rows(delta: DataFrame) -> DataFrame:
+            delta = delta.where(
+                F.col("path").isin(sorted(shared)) if shared else F.lit(False)
+            )
+            paths = [r["path"] for r in delta.select("path").distinct().collect()]
+            if not paths:
+                return spark.createDataFrame([], schema)
+            rows = (
+                _read(set(paths))
+                .withColumn(
+                    "__dv_path",
+                    F.regexp_extract(F.col("_metadata.file_path"), _DV_RELPATH_RE, 1),
+                )
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            )
+            return rows.join(
+                F.broadcast(
+                    delta.select(
+                        F.col("path").alias("__dv_path"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_path", "__dv_pos"],
+                "semi",
+            ).select(cols)
+
+        newly_deleted = _dv_delta_rows(t_dv.exceptAll(f_dv))
+        resurrected = _dv_delta_rows(f_dv.exceptAll(t_dv))
+        old_df = old_df.unionByName(newly_deleted)
+        new_df = new_df.unionByName(resurrected)
     val_cols = [c for c in cols if c != key]
     o = old_df.select(F.col(key), F.struct(*val_cols).alias("__old"))
     n = new_df.select(F.col(key), F.struct(*val_cols).alias("__new"))
@@ -1474,9 +1624,23 @@ def snapshot_delete(
     table_dir: str,
     where: list[tuple],
     stats_cols: list[str] | None = None,
+    mode: str = "cow",
 ) -> tuple[int, int]:
-    """Copy-on-write predicate delete committed as a new version;
-    returns ``(new_version, rows_deleted)``.
+    """Predicate delete committed as a new version; returns
+    ``(new_version, rows_deleted)``.
+
+    ``mode="cow"`` (default) rewrites candidate files minus matches —
+    right for deletes that hollow out whole key ranges. ``mode="dv"``
+    commits a DELETION VECTOR instead (the Delta/Iceberg merge-on-read
+    shape): no data file is rewritten — candidate files are scanned once
+    for matching (file, row-index) positions, which append to the
+    version's ``_dv`` dataset; readers subtract them with one broadcast
+    anti-join. O(matching rows) write cost makes it the lever for
+    SCATTERED deletes (GDPR erasure of single rows across thousands of
+    128 MB files); physical maintenance (optimize/compact, or an upsert
+    touching the file) purges entries as it rewrites, so the debt never
+    outlives maintenance. For mass deletes stay with ``cow`` — the DV
+    grows with the deleted-row count.
 
     The takedown/right-to-erasure shape a training-data table needs:
     files whose stats envelope PROVES no row matches (``_entry_prunable``
@@ -1506,22 +1670,78 @@ def snapshot_delete(
         with_stats = next((e for e in entries if e.get("stats")), None)
         stats_cols = sorted(with_stats["stats"]) if with_stats else None
 
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"snapshot_delete: unknown mode {mode!r}")
     candidates = [e for e in entries if not _entry_prunable(e, where)]
     if not candidates:
         return current, 0  # no file can hold a match: nothing to commit
     candidate_paths = {c["path"] for c in candidates}
     carried = [e for e in entries if e["path"] not in candidate_paths]
     base = table_dir.rstrip("/")
+    old_dv = _dv_read(spark, table_dir, manifest)
+    if mode == "dv":
+        cand_df = _manifest_reader(spark, manifest).parquet(
+            *[f"{base}/{e['path']}" for e in candidates]
+        )
+        matches = (
+            cand_df.withColumn(
+                "path",
+                F.regexp_extract(F.col("_metadata.file_path"), _DV_RELPATH_RE, 1),
+            )
+            .withColumn("pos", F.col("_metadata.row_index"))
+            .where(F.coalesce(_where_expr(where), F.lit(False)))
+            .select("path", "pos")
+        )
+        if old_dv is not None:
+            # already-deleted rows must not double-count (or re-match)
+            matches = matches.join(F.broadcast(old_dv), ["path", "pos"], "left_anti")
+        new_dv = matches if old_dv is None else old_dv.unionByName(matches)
+        fs, jvm = _snap_fs(spark, table_dir)
+        version = current + 1
+        vdir = f"{base}/v={version}"
+        if fs.exists(_snap_path(jvm, vdir)):
+            raise SnapshotConflictError(
+                f"snapshot_delete: staging dir v={version} already exists "
+                f"under {table_dir} — concurrent writer or crashed orphan"
+            )
+        if not fs.createNewFile(_snap_path(jvm, vdir, "_CLAIM")):
+            raise SnapshotConflictError(
+                f"snapshot_delete: lost the staging race for v={version}"
+            )
+        dv_block = _write_dv(spark, table_dir, version, new_dv)
+        old_total = (manifest.get("dv") or {}).get("deleted", 0)
+        deleted_now = (dv_block["deleted"] if dv_block else 0) - old_total
+        if deleted_now == 0:
+            fs.delete(_snap_path(jvm, vdir), True)  # no match: nothing to commit
+            return current, 0
+        payload = {
+            "version": version,
+            "dir": f"v={version}",
+            "files": entries,  # every data file carried by reference
+            "schema": manifest.get("schema"),
+            "dv": dv_block,
+        }
+        if manifest.get("bloom_spec"):
+            payload["bloom_spec"] = manifest["bloom_spec"]
+        _commit_record(spark, table_dir, version, payload)
+        return version, deleted_now
     keep = ~F.coalesce(_where_expr(where), F.lit(False))
     # manifest schema = read contract: after a schema evolution the
     # candidate files can differ in width — inferring from one footer
     # could rewrite survivors minus an evolved column
-    survivors = _manifest_reader(spark, manifest).parquet(
-        *[f"{base}/{e['path']}" for e in candidates]
+    survivors = _apply_dv(
+        _manifest_reader(spark, manifest).parquet(
+            *[f"{base}/{e['path']}" for e in candidates]
+        ),
+        old_dv,
     ).where(keep)
     version, _ = _stage_version(survivors, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
-    deleted = sum(e.get("rows", 0) for e in candidates) - sum(e["rows"] for e in staged)
+    dv_counts = (manifest.get("dv") or {}).get("files", {})
+    live_candidates = sum(
+        e.get("rows", 0) - dv_counts.get(e["path"], 0) for e in candidates
+    )
+    deleted = live_candidates - sum(e["rows"] for e in staged)
     bloom_spec = manifest.get("bloom_spec")
     _apply_blooms(spark, table_dir, version, staged, bloom_spec)
     payload = {
@@ -1530,10 +1750,56 @@ def snapshot_delete(
         "files": staged + carried,
         "schema": manifest.get("schema") or survivors.schema.json(),
     }
+    # rewritten candidates physically drop their deleted rows; only the
+    # carried files' deletion-vector entries survive
+    if old_dv is not None:
+        carried_paths = sorted(e["path"] for e in carried)
+        dv_block = _write_dv(
+            spark, table_dir, version,
+            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+        )
+        if dv_block:
+            payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
     _commit_record(spark, table_dir, version, payload)
     return version, deleted
+
+
+def snapshot_restamp(
+    spark: SparkSession, table_dir: str, properties: dict,
+    expected_version: int | None = None,
+) -> int:
+    """Metadata-only commit: a new version referencing the CURRENT file
+    list (and deletion vector) verbatim, with new ``properties``. Zero
+    bytes move. The exactly-once stamp mover for derived-table
+    maintainers whose change span nets to ZERO content change — the
+    stamp must still advance atomically or every later sync re-reads the
+    same span. ``expected_version`` applies the usual CAS."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if expected_version is not None and current != expected_version:
+        raise SnapshotConflictError(
+            f"snapshot_restamp: table {table_dir} is at version {current}, "
+            f"caller expected {expected_version}"
+        )
+    manifest = _read_manifest(spark, table_dir, current)
+    if manifest.get("files") is None:
+        raise ValueError("snapshot_restamp needs a file-list manifest")
+    payload = {
+        "version": current + 1,
+        "dir": f"v={current + 1}",
+        "files": manifest["files"],
+        "schema": manifest.get("schema"),
+        "properties": {k: _json_safe(v) for k, v in properties.items()},
+        "restamped_from": current,
+    }
+    for carry in ("bloom_spec", "dv"):
+        if manifest.get(carry):
+            payload[carry] = manifest[carry]
+    _commit_record(spark, table_dir, current + 1, payload)
+    return current + 1
 
 
 def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> int:
@@ -1560,6 +1826,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         for e in files
         if not fs.exists(_snap_path(jvm, table_dir, e["path"]))
     ]
+    if manifest.get("dv") and not fs.exists(
+        _snap_path(jvm, table_dir, manifest["dv"]["dir"])
+    ):
+        missing.append(manifest["dv"]["dir"])
     if missing:
         raise FileNotFoundError(
             f"snapshot_restore: version {to_version} in {table_dir} is no "
@@ -1574,6 +1844,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         "schema": manifest.get("schema"),
         "restored_from": to_version,
     }
+    if manifest.get("dv"):
+        # the restored state's deletion vector IS part of that state; the
+        # pointer is version-relative and the dataset is vacuum-protected
+        payload["dv"] = manifest["dv"]
     if manifest.get("bloom_spec"):
         payload["bloom_spec"] = manifest["bloom_spec"]
     if manifest.get("properties"):
@@ -1603,6 +1877,7 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> 
     current = snapshot_version(spark, table_dir)
     reachable: set[str] = set()
     whole_dirs: set[str] = set()
+    dv_dirs: set[str] = set()
     for v in range(max(1, current - keep_last + 1), current + 1):
         try:
             m = _read_manifest(spark, table_dir, v)
@@ -1613,6 +1888,11 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> 
             whole_dirs.add(f"v={v}")
         else:
             reachable.update(e["path"] for e in files)
+        if m.get("dv"):
+            # a kept version's deletion vector is part of its state; the
+            # dataset may live in an OLDER version's dir (carried by a
+            # restore), so protect it by name like any reachable file
+            dv_dirs.add(m["dv"]["dir"])
     removed = []
     for st in fs.listStatus(_snap_path(jvm, table_dir)):
         name = st.getPath().getName()
@@ -1626,7 +1906,7 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> 
         swept_any = False
         for fst in fs.listStatus(st.getPath()):
             rel = f"{name}/{fst.getPath().getName()}"
-            if rel in reachable:
+            if rel in reachable or rel in dv_dirs:
                 kept_any = True
             elif fst.getPath().getName().endswith(".parquet"):
                 fs.delete(fst.getPath(), False)
@@ -1739,8 +2019,12 @@ def snapshot_optimize(
     base = table_dir.rstrip("/")
     total_small = sum(e.get("bytes", 0) for e in small)
     n = max(1, math.ceil(total_small / target_file_bytes))
-    packed = _manifest_reader(spark, manifest).parquet(
-        *[f"{base}/{e['path']}" for e in small]
+    old_dv = _dv_read(spark, table_dir, manifest)
+    packed = _apply_dv(
+        _manifest_reader(spark, manifest).parquet(
+            *[f"{base}/{e['path']}" for e in small]
+        ),
+        old_dv,
     ).coalesce(n)
     version, _ = _stage_version(packed, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
@@ -1753,6 +2037,16 @@ def snapshot_optimize(
         "schema": manifest.get("schema") or packed.schema.json(),
         "optimized_from": v,
     }
+    # packed files drop their deletion-vector debt physically; only the
+    # carried (already well-sized) files' entries survive
+    if old_dv is not None:
+        carried_paths = sorted(e["path"] for e in carried)
+        dv_block = _write_dv(
+            spark, table_dir, version,
+            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+        )
+        if dv_block:
+            payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
     if manifest.get("properties"):

@@ -839,3 +839,43 @@ def stream_snapshot_upsert(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def stream_table_maintainer(
+    spark: SparkSession,
+    step,
+    checkpoint: str,
+    interval_seconds: float = 10.0,
+):
+    """Run a derived-table maintenance ``step`` on a STREAMING cadence —
+    the deployment shape for the exactly-once CDF consumers
+    (``analytics.sync_rollup_from_changes`` /
+    ``sync_replica_from_changes``): a 1-row/s rate source is the
+    metronome, and each micro-batch fires the step once.
+
+    All exactly-once state lives in the DERIVED TABLE's own commit stamp
+    (that is the whole point of those consumers), so the streaming
+    checkpoint here carries only the metronome offset — losing it
+    re-fires a step, which re-reads the stamp and applies nothing twice.
+    A ``SnapshotConflictError`` from the step is the designed
+    concurrent-maintainer outcome: it is swallowed and the next tick
+    re-reads the moved stamp; any other exception fails the query
+    loudly. Returns the ``StreamingQuery`` (caller owns ``stop()``)."""
+    from f1_data_pipeline_spark.storage import SnapshotConflictError
+
+    beat = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+
+    def tick(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            step()
+        except SnapshotConflictError:
+            pass  # lost a CAS to a concurrent maintainer: next tick resyncs
+
+    return (
+        beat.writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{interval_seconds} seconds")
+        .start()
+    )

@@ -440,3 +440,116 @@ def test_sync_rollup_concurrent_maintainers_cannot_double_apply(spark, tmp_path,
     A.sync_rollup_from_changes(spark, src, "k", roll, ["g"], "x")
     assert S.snapshot_version(spark, roll) == v_before
     assert rollup_rows() == recompute()
+
+
+def test_sync_replica_from_changes_exactly_once(spark, tmp_path):
+    """CDF-driven table replication: the replica is row-identical to the
+    source after inserts, updates, copy-on-write deletes AND
+    deletion-vector deletes; a caught-up sync commits nothing; a span
+    netting to zero still advances the stamp (restamp, no data move);
+    and re-running after a 'crash' converges (keyed idempotence)."""
+    from pyspark.sql import functions as F
+
+    from f1_data_pipeline_spark.analytics import sync_replica_from_changes
+    import f1_data_pipeline_spark.storage as S
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "replica")
+
+    def mk(lo, hi, mult=1.0):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") * mult).cast("double").alias("x"),
+        )
+
+    def rows(d):
+        return {
+            (r["k"], r["g"], r["x"]) for r in S.snapshot_read(spark, d).collect()
+        }
+
+    S.snapshot_write(mk(0, 120).repartitionByRange(4, "k"), src, stats_cols=["k"])
+    v, sv = sync_replica_from_changes(spark, src, "k", rep, cluster_files=4)
+    assert (v, sv) == (1, 1)
+    assert rows(rep) == rows(src)
+
+    # mixed span: updates + inserts + a cow delete + a DV delete
+    S.snapshot_upsert(spark, src, mk(100, 140, mult=7.0), key="k")
+    S.snapshot_delete(spark, src, [("k", "<", 10)])
+    S.snapshot_delete(spark, src, [("k", "=", 55)], mode="dv")
+    v2, sv2 = sync_replica_from_changes(spark, src, "k", rep, cluster_files=4)
+    assert sv2 == S.snapshot_version(spark, src) and v2 > v
+    assert rows(rep) == rows(src)
+    assert 55 not in {r[0] for r in rows(rep)}
+
+    # caught up: version-preserving no-op
+    v3, _ = sync_replica_from_changes(spark, src, "k", rep)
+    assert v3 == v2
+
+    # zero-net span: delete then restore — the stamp must still advance
+    S.snapshot_delete(spark, src, [("k", "=", 70)], mode="dv")
+    S.snapshot_restore(spark, src, S.snapshot_version(spark, src) - 1)
+    v4, sv4 = sync_replica_from_changes(spark, src, "k", rep)
+    assert v4 > v3  # restamp committed
+    assert int(S.snapshot_properties(spark, rep)["source_version"]) == sv4
+    assert rows(rep) == rows(src)
+    # and the next sync is a clean no-op (the stamp really moved)
+    v5, _ = sync_replica_from_changes(spark, src, "k", rep)
+    assert v5 == v4
+
+
+def test_stream_table_maintainer_drives_replica(spark, tmp_path):
+    """The metronome deployment shape: a rate-source streaming query
+    fires the exactly-once replica sync on a cadence; new source commits
+    land in the replica without any manual re-invoke."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    import f1_data_pipeline_spark.storage as S
+    import f1_data_pipeline_spark.streaming as strm
+    from f1_data_pipeline_spark.analytics import sync_replica_from_changes
+
+    src = str(tmp_path / "src")
+    rep = str(tmp_path / "replica")
+    S.snapshot_write(
+        spark.range(50)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("x"))
+        .repartitionByRange(2, "k"),
+        src,
+        stats_cols=["k"],
+    )
+
+    q = strm.stream_table_maintainer(
+        spark,
+        lambda: sync_replica_from_changes(spark, src, "k", rep),
+        checkpoint=str(tmp_path / "ck"),
+        interval_seconds=1.0,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if S.snapshot_read(spark, rep).count() == 50:
+                    break
+            except FileNotFoundError:
+                pass
+            time.sleep(1)
+        assert S.snapshot_read(spark, rep).count() == 50
+        # a new source commit flows through on the next ticks
+        S.snapshot_upsert(
+            spark,
+            src,
+            spark.range(50, 60).select(
+                F.col("id").alias("k"), (F.col("id") * 2.0).alias("x")
+            ),
+            key="k",
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if S.snapshot_read(spark, rep).count() == 60:
+                break
+            time.sleep(1)
+        assert S.snapshot_read(spark, rep).count() == 60
+    finally:
+        q.stop()

@@ -1476,3 +1476,185 @@ def test_snapshot_changes_since_offset_corruption_vs_torn_ack(spark, tmp_path):
     feed2, v2 = snapshot_changes_since(spark, tdir, "k", odir)
     assert v2 == 1 and feed2.count() == 5
     assert {r["_change_type"] for r in feed2.collect()} == {"insert"}
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read deletes)
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=100, files=4):
+    from f1_data_pipeline_spark.storage import snapshot_write
+
+    tdir = str(tmp_path / "dvtbl")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("string").alias("g"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+        .repartitionByRange(files, "k")
+    )
+    snapshot_write(df, tdir, stats_cols=["k"])
+    return tdir
+
+
+def test_snapshot_delete_dv_mode_rewrites_nothing(spark, tmp_path):
+    """mode='dv' commits scattered deletes WITHOUT touching any data
+    file: the new manifest references the identical file list, readers
+    subtract positions, time travel still sees the rows, and repeated /
+    no-match deletes behave like their copy-on-write twins."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    tdir = _dv_table(spark, tmp_path)
+    m1 = _read_manifest(spark, tdir, 1)
+
+    v, n_del = snapshot_delete(spark, tdir, [("g", "=", "3")], mode="dv")
+    assert v == 2 and n_del == len([i for i in range(100) if i % 7 == 3])
+    m2 = _read_manifest(spark, tdir, 2)
+    assert m2["files"] == m1["files"]  # zero data files rewritten
+    assert m2["dv"]["deleted"] == n_del
+    cur = {r["k"] for r in snapshot_read(spark, tdir).collect()}
+    assert cur == {i for i in range(100) if i % 7 != 3}
+    # time travel: v1 still sees everything
+    assert snapshot_read(spark, tdir, version=1).count() == 100
+    # where-filtered read composes with the DV subtraction
+    assert snapshot_read(spark, tdir, where=[("k", "<", 10)]).count() == len(
+        [i for i in range(10) if i % 7 != 3]
+    )
+
+    # a second scattered delete ACCUMULATES (and never double-counts
+    # rows the first one already removed)
+    v3, n3 = snapshot_delete(spark, tdir, [("k", "<", 5)], mode="dv")
+    assert v3 == 3 and n3 == len([i for i in range(5) if i % 7 != 3])
+    cur = {r["k"] for r in snapshot_read(spark, tdir).collect()}
+    assert cur == {i for i in range(5, 100) if i % 7 != 3}
+    # re-deleting the same predicate is a no-op, no empty commit
+    v4, n4 = snapshot_delete(spark, tdir, [("k", "<", 5)], mode="dv")
+    assert (v4, n4) == (3, 0)
+    assert snapshot_version(spark, tdir) == 3
+
+
+def test_snapshot_dv_upsert_purges_touched_and_keeps_carried(spark, tmp_path):
+    """An upsert over a DV'd table must not resurrect deleted rows in the
+    files it rewrites, must purge those files' DV entries, and must carry
+    the untouched files' entries."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+    )
+
+    tdir = _dv_table(spark, tmp_path)
+    snapshot_delete(spark, tdir, [("g", "=", "3")], mode="dv")
+    gone = {i for i in range(100) if i % 7 == 3}
+
+    # touch only the low key band (files are range-clustered on k)
+    ups = spark.createDataFrame(
+        [(k, "upd", 9.9) for k in (1, 2, 4)], "k long, g string, x double"
+    )
+    v = snapshot_upsert(spark, tdir, ups, key="k", cluster_files=1)
+    m = _read_manifest(spark, tdir, v)
+    cur = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    assert set(cur) == ({i for i in range(100)} - gone) | {1, 2, 4}
+    assert cur[1]["g"] == "upd" and cur[4]["x"] == 9.9
+    # deleted rows in the touched band did NOT resurrect
+    assert 3 not in cur and 10 not in cur
+    # DV entries now reference only carried files
+    carried = {e["path"] for e in m["files"]}
+    assert m.get("dv"), "carried files keep their deletion-vector entries"
+    assert set(m["dv"]["files"]) <= carried
+    assert m["dv"]["deleted"] < len(gone)  # touched files' entries purged
+
+
+def test_snapshot_dv_change_feed_emits_deletes(spark, tmp_path):
+    """A DV commit changes no files, so the change feed must derive its
+    delete events from the deletion-vector delta — and a restore across
+    a DV version surfaces the rows as re-inserts."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_restore,
+    )
+
+    tdir = _dv_table(spark, tmp_path, n=40, files=2)
+    snapshot_delete(spark, tdir, [("k", ">=", 35)], mode="dv")
+    feed = snapshot_changes(spark, tdir, "k", 1, 2).collect()
+    assert {r["_change_type"] for r in feed} == {"delete"}
+    assert {r["k"] for r in feed} == {35, 36, 37, 38, 39}
+
+    # net span across dv-delete + a later dv-delete
+    snapshot_delete(spark, tdir, [("k", "<", 3)], mode="dv")
+    feed = snapshot_changes(spark, tdir, "k", 1, 3).collect()
+    assert {r["k"] for r in feed} == {0, 1, 2, 35, 36, 37, 38, 39}
+    assert {r["_change_type"] for r in feed} == {"delete"}
+
+    # restore back to v1: the feed v3 -> v4 resurrects them as inserts
+    v4 = snapshot_restore(spark, tdir, 1)
+    assert snapshot_read(spark, tdir).count() == 40
+    feed = snapshot_changes(spark, tdir, "k", 3, v4).collect()
+    assert {r["_change_type"] for r in feed} == {"insert"}
+    assert {r["k"] for r in feed} == {0, 1, 2, 35, 36, 37, 38, 39}
+
+
+def test_snapshot_dv_optimize_and_compact_purge_debt(spark, tmp_path):
+    """Physical maintenance materializes deletion vectors: optimize
+    purges the packed files' entries (carrying the rest), and a full
+    compact leaves the table with NO deletion vector at all."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    tdir = _dv_table(spark, tmp_path)
+    snapshot_delete(spark, tdir, [("g", "=", "3")], mode="dv")
+    live = {i for i in range(100) if i % 7 != 3}
+
+    # every file is small: optimize packs them all -> debt fully purged
+    v, rewritten, carried = snapshot_optimize(spark, tdir, target_file_bytes=1 << 20)
+    assert rewritten > 0
+    m = _read_manifest(spark, tdir, v)
+    assert m.get("dv") is None
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == live
+
+    # dv again, then full compact: also purged
+    snapshot_delete(spark, tdir, [("k", "=", 50)], mode="dv")
+    v2, _ = snapshot_compact(spark, tdir, target_file_bytes=1 << 20)
+    m2 = _read_manifest(spark, tdir, v2)
+    assert m2.get("dv") is None
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == live - {50}
+
+
+def test_snapshot_dv_vacuum_protects_referenced_vectors(spark, tmp_path):
+    """Vacuum must keep the deletion-vector datasets kept manifests still
+    reference — including one carried into a newer version by restore —
+    while still sweeping unreachable data."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_read,
+        snapshot_restore,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = _dv_table(spark, tmp_path, n=40, files=2)
+    snapshot_delete(spark, tdir, [("k", ">=", 35)], mode="dv")  # v2 (+ dv in v=2)
+    snapshot_restore(spark, tdir, 2)  # v3 references v=2/_dv
+    snapshot_write(
+        snapshot_read(spark, tdir), tdir, stats_cols=["k"]
+    )  # v4 (fresh files)
+    snapshot_restore(spark, tdir, 3)  # v5: current again references v=2/_dv
+    snapshot_vacuum(spark, tdir, keep_last=2)  # keeps v4, v5
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == set(range(35))
