@@ -1890,6 +1890,8 @@ SWEEP_ONLY: dict[str, str] = {
     "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
     # built round 9 after the r9 rotation was already full — rotate next round
     "x_snapshot_dv": "deletion-vector merge-on-read delete round-trip (new r9); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_changes",
+    "x_shard_assign": "token-balanced deterministic shard export (new r9); rotate next round; sampling/assignment family in-window via x_bottomk_sample/x_temp_mixture",
+    "x_epoch_upsample": "fractional repeat-factor materialization (new r9); rotate next round; mixture family in-window via x_temp_mixture",
 }
 
 
@@ -1912,6 +1914,7 @@ def all_queries(order: str = "registration") -> dict[str, Query]:
     import f1_data_pipeline_spark.operators.layout  # noqa: F401
     import f1_data_pipeline_spark.operators.classify  # noqa: F401
     import f1_data_pipeline_spark.operators.sketches  # noqa: F401
+    import f1_data_pipeline_spark.operators.export  # noqa: F401
     import f1_data_pipeline_spark.f1_queries  # noqa: F401
 
     if order == "registration":

@@ -2598,3 +2598,108 @@ def test_temperature_mixture_rejects_non_positive_group_mass(spark):
     assert by["b"]["sample_factor"] == round(
         (pw_b / (pw_a + pw_b)) / (3.0 / 18.0), 4
     )
+
+
+def test_shard_assign_balances_and_is_deterministic(spark):
+    """Token-balanced sharding: contiguous cumulative split => max-min
+    shard token spread is bounded by one document's weight; assignment
+    is a pure function of (id, salt) — invariant to partitioning, and a
+    salt change re-rolls it."""
+    from f1_data_pipeline_spark.operators.export import shard_assign
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).cast("long").alias("n_tok"),
+    )
+    out = shard_assign(docs, 8, token_col="n_tok")
+    agg = {r["shard"]: (r["n"], r["t"]) for r in out.groupBy("shard")
+           .agg(F.count("*").alias("n"), F.sum("n_tok").alias("t")).collect()}
+    assert set(agg) == set(range(8))
+    toks = [t for _, t in agg.values()]
+    assert max(toks) - min(toks) <= 37 * 2  # one doc per boundary
+    # partition-invariance
+    a = sorted((r["doc_id"], r["shard"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["shard"])
+        for r in shard_assign(docs.repartition(13), 8, token_col="n_tok").collect()
+    )
+    assert a == b
+    # salt re-roll changes assignments
+    c = sorted(
+        (r["doc_id"], r["shard"])
+        for r in shard_assign(docs, 8, token_col="n_tok", salt="v2").collect()
+    )
+    assert a != c
+    # row-count balance mode and the degenerate 1-shard case
+    one = shard_assign(docs, 1)
+    assert {r["shard"] for r in one.collect()} == {0}
+    import pytest
+
+    bad = docs.withColumn("n_tok", F.col("n_tok") - 1)  # makes a zero
+    with pytest.raises(ValueError, match="non-positive"):
+        shard_assign(bad, 4, token_col="n_tok")
+
+
+def test_export_shards_layout_and_read_order(spark, tmp_path):
+    """The export materializes shard=K/ dirs with rows sorted by the
+    shuffle key inside each shard — the trainer's final read order."""
+    import os
+
+    from f1_data_pipeline_spark.operators.export import export_shards, _shuffle_key
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 11 + 1).cast("long").alias("n_tok"),
+    )
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, 4, token_col="n_tok")
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    # within one shard's files, rows are stored in shuffle-key order
+    one = spark.read.parquet(path + "/shard=0")
+    got = [r["doc_id"] for r in one.collect()]
+    h = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", _shuffle_key("doc_id", "shard-v1").alias("h")).collect()}
+    assert got == sorted(got, key=lambda d: (h[d], d))
+
+
+def test_epoch_upsample_exact_fractional_repeats(spark):
+    """floor(f) copies always, +1 decided by the exact-integer md5 test:
+    replayed independently in python; factors < 1 downsample through
+    the same path; `copy` indexes are 1..n."""
+    import hashlib
+
+    from f1_data_pipeline_spark.operators.export import epoch_upsample
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    factors = spark.createDataFrame(
+        [("a", 2.25), ("b", 0.5)], "source string, sample_factor double"
+    )
+    out = epoch_upsample(docs, factors, salt="t-v1").collect()
+
+    def replay(doc_id, f):
+        u = int(hashlib.md5(f"{doc_id}t-v1".encode()).hexdigest()[:4], 16)
+        import math
+        return int(math.floor(f)) + (1 if u < math.floor((f % 1) * 65536) else 0)
+
+    expect = {}
+    for i in range(400):
+        src = "a" if i % 2 == 0 else "b"
+        n = replay(i, 2.25 if src == "a" else 0.5)
+        if n:
+            expect[i] = n
+    got: dict = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["copy"])
+    assert {k: len(v) for k, v in got.items()} == expect
+    for k, copies in got.items():
+        assert sorted(copies) == list(range(1, expect[k] + 1))
+    # statistical sanity: group a ~2.25x, group b ~0.5x
+    n_a = sum(n for i, n in expect.items() if i % 2 == 0)
+    n_b = sum(n for i, n in expect.items() if i % 2 == 1)
+    assert 2.0 * 200 < n_a < 2.5 * 200 and 0.35 * 200 < n_b < 0.65 * 200
