@@ -73,23 +73,30 @@ def shard_assign(
     (plan-gated in tests/test_operators.py)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    w = F.col(token_col).cast("long") if token_col else F.lit(1).cast("long")
+    # NULL weights coerce to 0 so they trip the non-positive guard
+    # instead of silently producing NULL shard assignments
+    w = (
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+        if token_col
+        else F.lit(1).cast("long")
+    )
     h = _shuffle_key(id_col, salt)
     keyed = df.withColumn("__h", h).withColumn("__w", w)
-    if keyed.where(F.col("__w") <= 0).limit(1).count() > 0:
+    # md5 uniformity makes the first 2 hex digits an exact 256-way range
+    # bucketing of the shuffle order: bucket boundaries ARE key-prefix
+    # boundaries, so offsets + in-bucket windows compose to the global
+    # cumulative sum with zero sampling and zero approximation. The
+    # min-weight guard rides the same aggregate — no extra corpus pass.
+    keyed = keyed.withColumn("__b", _hex_val(F.col("__h"), 2))
+    stats = keyed.groupBy("__b").agg(
+        F.sum("__w").alias("t"), F.min("__w").alias("mn")
+    ).collect()
+    if stats and min(r["mn"] for r in stats) <= 0:
         raise ValueError(
             f"shard_assign: non-positive {token_col!r} values — a zero/"
             f"negative weight row cannot be placed on a token boundary"
         )
-    # md5 uniformity makes the first 2 hex digits an exact 256-way range
-    # bucketing of the shuffle order: bucket boundaries ARE key-prefix
-    # boundaries, so offsets + in-bucket windows compose to the global
-    # cumulative sum with zero sampling and zero approximation
-    keyed = keyed.withColumn("__b", _hex_val(F.col("__h"), 2))
-    totals = {
-        r["__b"]: r["t"]
-        for r in keyed.groupBy("__b").agg(F.sum("__w").alias("t")).collect()
-    }
+    totals = {r["__b"]: r["t"] for r in stats}
     total = sum(totals.values())
     if total == 0:
         return df.withColumn("shard", F.lit(0))

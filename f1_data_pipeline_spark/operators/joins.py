@@ -438,3 +438,80 @@ def x_cdc_apply(t: Tables):
     return out.select(
         "user_id", F.round("value", 4).alias("last_value")
     ).orderBy("user_id")
+
+
+def resample_ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    every: str = "minute",
+    by: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars (+ count and sum) per
+    ``every`` bucket (a ``date_trunc`` unit) and optional ``by`` keys —
+    the resample step a telemetry/metrics table needs before plotting or
+    long-horizon modeling.
+
+    ONE hash aggregate: open/close are ``min_by``/``max_by`` over the
+    composite (ts, tiebreak) struct — order-insensitive, deterministic
+    under duplicate timestamps, and map-side combining like every other
+    measure, so downsampling 100 TB shuffles only bucket-sized partials
+    (no window function, no per-bucket sort). ``tiebreak`` must make
+    (ts, tiebreak) unique within a bucket for a pinned open/close."""
+    keys = list(by or [])
+    bucket = F.date_trunc(every, F.col(ts_col)).alias("w")
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak))
+        if tiebreak
+        else F.struct(F.col(ts_col))
+    )
+    v = F.col(value_col)
+    return (
+        df.groupBy(*keys, bucket)
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(v).alias("n"),
+            F.sum(v).alias("vsum"),
+        )
+    )
+
+
+@query(
+    "x_resample",
+    """WITH b AS (SELECT date_trunc('minute', ts) AS w, ts, event_id, value
+                  FROM events),
+       o AS (SELECT w, value,
+                    row_number() OVER (PARTITION BY w ORDER BY ts, event_id) AS ra,
+                    row_number() OVER (PARTITION BY w ORDER BY ts DESC, event_id DESC) AS rd
+             FROM b)
+       SELECT w,
+              ROUND(MAX(CASE WHEN ra = 1 THEN value END), 4) AS open,
+              ROUND(MAX(value), 4) AS high,
+              ROUND(MIN(value), 4) AS low,
+              ROUND(MAX(CASE WHEN rd = 1 THEN value END), 4) AS close,
+              CAST(count(value) AS BIGINT) AS n,
+              ROUND(SUM(value), 4) AS vsum
+       FROM o GROUP BY w ORDER BY w""",
+)
+def x_resample(t: Tables) -> DataFrame:
+    """Per-minute OHLC bars over the events table via ``resample_ohlc``
+    (event_id tie-break pins open/close under duplicate timestamps).
+    The oracle derives the same bars through window functions — a
+    different algorithm whose agreement pins the min_by/max_by
+    composite-key semantics. The Spark form stays one map-side-combining
+    aggregate; the window form the oracle uses is exactly the per-bucket
+    sort a 100 TB resample must avoid."""
+    out = resample_ohlc(t.events, "ts", "value", "minute", tiebreak="event_id")
+    return out.select(
+        "w",
+        F.round("open", 4).alias("open"),
+        F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"),
+        F.round("close", 4).alias("close"),
+        F.col("n").cast("long").alias("n"),
+        F.round("vsum", 4).alias("vsum"),
+    ).orderBy("w")

@@ -146,13 +146,29 @@ def _blocked_pair_tasks(
     n = n_rows if n_rows is not None else vectors.count()
     num_blocks = max(1, -(-n // block_rows))
 
+    row_struct = F.struct(
+        F.col(id_col).cast("long").alias("id"),
+        as_double_vec(vec_col).alias("vec"),
+    ).alias("row")
+    if num_blocks == 1:
+        # the whole table fits one block: the pair-id join and the
+        # repartition are pure stage overhead (4 stages → 2); one global
+        # collect_list IS the single pair task
+        return (
+            vectors.select(row_struct)
+            .agg(F.collect_list("row").alias("rows"))
+            .select(
+                F.lit(0).alias("ba"),
+                F.lit(0).alias("bb"),
+                F.col("rows").alias("rows_a"),
+                F.col("rows").alias("rows_b"),
+            )
+        )
+
     packed = (
         vectors.select(
             (F.abs(F.hash(F.col(id_col))) % num_blocks).alias("block"),
-            F.struct(
-                F.col(id_col).cast("long").alias("id"),
-                as_double_vec(vec_col).alias("vec"),
-            ).alias("row"),
+            row_struct,
         )
         .groupBy("block")
         .agg(F.collect_list("row").alias("rows"))

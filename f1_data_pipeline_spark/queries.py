@@ -1892,6 +1892,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_snapshot_dv": "deletion-vector merge-on-read delete round-trip (new r9); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_changes",
     "x_shard_assign": "token-balanced deterministic shard export (new r9); rotate next round; sampling/assignment family in-window via x_bottomk_sample/x_temp_mixture",
     "x_epoch_upsample": "fractional repeat-factor materialization (new r9); rotate next round; mixture family in-window via x_temp_mixture",
+    "x_resample": "OHLC time-series downsampling (new r9); rotate next round; time-bucket family in-window via q_t1, time-series kin x_asof_join",
 }
 
 

@@ -275,6 +275,27 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int:
     return max(versions, default=0)
 
 
+def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int:
+    """The version committed at-or-before unix time ``ts`` (Delta's
+    ``TIMESTAMP AS OF``): commit records carry their wall-clock commit
+    time, so this is a pure manifest scan. Raises if the table's first
+    commit is later than ``ts``. Pre-``ts``-era records (no stamp) are
+    treated as infinitely old — they satisfy any as-of."""
+    best = 0
+    for v in range(1, snapshot_version(spark, table_dir) + 1):
+        try:
+            m = _read_manifest(spark, table_dir, v)
+        except FileNotFoundError:
+            continue
+        if m.get("ts") is None or float(m["ts"]) <= ts:
+            best = v
+    if best < 1:
+        raise FileNotFoundError(
+            f"no snapshot committed at or before ts={ts} in {table_dir}"
+        )
+    return best
+
+
 def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     """CLAIM and write the next version's staging dir (steps 1–2 of the
     commit protocol); returns ``(version, staging_dir)``. See
@@ -524,6 +545,7 @@ def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: d
 
     fs, jvm = _snap_fs(spark, table_dir)
     record = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.json")
+    payload.setdefault("ts", round(__import__("time").time(), 3))
     conflict = SnapshotConflictError(
         f"snapshot_write: commit record for v={version} already exists "
         f"under {table_dir} — a concurrent writer committed first; "
@@ -936,6 +958,21 @@ def _where_expr(where: list[tuple]):
 _DV_RELPATH_RE = r"(v=\d+/[^/]+)$"
 
 
+def _entry_uri(base: str, path: str) -> str:
+    """Resolve a manifest entry path: relative entries live under the
+    table dir; absolute entries (URI or /-rooted — how a SHALLOW CLONE
+    references its source's files) pass through untouched."""
+    return path if "://" in path or path.startswith("/") else f"{base}/{path}"
+
+
+def _dv_key(entry_path: str) -> str:
+    """A manifest entry path's deletion-vector key: the last two path
+    segments ("v=K/part-….parquet") — the same normalization
+    ``_apply_dv`` extracts from ``_metadata.file_path``, so it matches
+    whether the entry is table-relative or absolute (shallow clones)."""
+    return "/".join(entry_path.rstrip("/").split("/")[-2:])
+
+
 def _dv_read(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame | None:
     """The (path, pos) deleted-positions dataset of a committed version,
     or None when the version carries no deletion vector."""
@@ -943,7 +980,7 @@ def _dv_read(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame |
     if not dv:
         return None
     return spark.read.schema("path string, pos long").parquet(
-        f"{table_dir.rstrip('/')}/{dv['dir']}"
+        _entry_uri(table_dir.rstrip("/"), dv["dir"])
     )
 
 
@@ -990,8 +1027,11 @@ def snapshot_read(
     table_dir: str,
     version: int | None = None,
     where: list[tuple] | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Read the latest committed snapshot, or time-travel to ``version``.
+    """Read the latest committed snapshot, or time-travel to ``version``
+    (or to the version committed at-or-before unix time ``as_of_ts`` —
+    Delta's TIMESTAMP AS OF; mutually exclusive with ``version``).
 
     ``where`` is a conjunction of ``(column, op, literal)`` triples
     (ops ``= < <= > >=``). It is applied twice, at two different costs:
@@ -1004,6 +1044,10 @@ def snapshot_read(
     from pyspark.errors import AnalysisException
 
     fs, jvm = _snap_fs(spark, table_dir)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("snapshot_read: pass version OR as_of_ts, not both")
+        version = snapshot_version_asof(spark, table_dir, as_of_ts)
     v = version if version is not None else snapshot_version(spark, table_dir)
     if v < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -1024,7 +1068,7 @@ def snapshot_read(
     base = table_dir.rstrip("/")
     try:
         df = _manifest_reader(spark, manifest).parquet(
-            *[f"{base}/{e['path']}" for e in entries]
+            *[_entry_uri(base, e["path"]) for e in entries]
         )
     except AnalysisException as e:
         raise FileNotFoundError(
@@ -1261,7 +1305,7 @@ def _merge_into_snapshot(
         # deletion-vectored rows must not resurrect through the rewrite
         existing = _apply_dv(
             _manifest_reader(spark, manifest).parquet(
-                *[f"{base}/{p}" for p in sorted(touched)]
+                *[_entry_uri(base, p) for p in sorted(touched)]
             ),
             old_dv,
         )
@@ -1314,11 +1358,12 @@ def _merge_into_snapshot(
     }
     # touched files were rewritten with their deletion vectors applied,
     # so their DV entries are purged; carried files' entries ride along
+    # (matched on the DV two-segment key — entry paths may be absolute)
     if old_dv is not None:
-        carried_paths = sorted(e["path"] for e in carried)
+        carried_keys = sorted({_dv_key(e["path"]) for e in carried})
         dv_block = _write_dv(
             spark, table_dir, version,
-            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+            old_dv.where(F.col("path").isin(carried_keys)) if carried_keys else None,
         )
         if dv_block:
             payload["dv"] = dv_block
@@ -1398,7 +1443,7 @@ def snapshot_changes(
         # explicit schema: pre-evolution files fill missing columns with
         # NULL, and no footer-merging schema inference pass is paid
         return spark.read.schema(schema).parquet(
-            *[f"{base}/{p}" for p in sorted(paths)]
+            *[_entry_uri(base, p) for p in sorted(paths)]
         )
 
     # each endpoint's LIVE rows honor that endpoint's deletion vector
@@ -1422,12 +1467,18 @@ def snapshot_changes(
         f_dv = dv_from if dv_from is not None else empty_dv
         t_dv = dv_to if dv_to is not None else empty_dv
         shared = from_paths & to_paths
+        # DV keys are two-segment; map back to the manifest entry paths
+        # (possibly absolute on a clone) to locate the files to open
+        shared_by_key = {_dv_key(p): p for p in shared}
 
         def _dv_delta_rows(delta: DataFrame) -> DataFrame:
             delta = delta.where(
-                F.col("path").isin(sorted(shared)) if shared else F.lit(False)
+                F.col("path").isin(sorted(shared_by_key))
+                if shared_by_key
+                else F.lit(False)
             )
-            paths = [r["path"] for r in delta.select("path").distinct().collect()]
+            keys = [r["path"] for r in delta.select("path").distinct().collect()]
+            paths = [shared_by_key[k] for k in keys]
             if not paths:
                 return spark.createDataFrame([], schema)
             rows = (
@@ -1587,7 +1638,9 @@ def snapshot_history(
         except FileNotFoundError:
             continue
         rec: dict = {"version": v}
-        for k in ("restored_from", "optimized_from"):
+        if m.get("ts") is not None:
+            rec["ts"] = m["ts"]
+        for k in ("restored_from", "optimized_from", "restamped_from", "cloned_from"):
             if k in m:
                 rec[k] = m[k]
         files = m.get("files")
@@ -1681,7 +1734,7 @@ def snapshot_delete(
     old_dv = _dv_read(spark, table_dir, manifest)
     if mode == "dv":
         cand_df = _manifest_reader(spark, manifest).parquet(
-            *[f"{base}/{e['path']}" for e in candidates]
+            *[_entry_uri(base, e["path"]) for e in candidates]
         )
         matches = (
             cand_df.withColumn(
@@ -1731,7 +1784,7 @@ def snapshot_delete(
     # could rewrite survivors minus an evolved column
     survivors = _apply_dv(
         _manifest_reader(spark, manifest).parquet(
-            *[f"{base}/{e['path']}" for e in candidates]
+            *[_entry_uri(base, e["path"]) for e in candidates]
         ),
         old_dv,
     ).where(keep)
@@ -1739,7 +1792,7 @@ def snapshot_delete(
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     dv_counts = (manifest.get("dv") or {}).get("files", {})
     live_candidates = sum(
-        e.get("rows", 0) - dv_counts.get(e["path"], 0) for e in candidates
+        e.get("rows", 0) - dv_counts.get(_dv_key(e["path"]), 0) for e in candidates
     )
     deleted = live_candidates - sum(e["rows"] for e in staged)
     bloom_spec = manifest.get("bloom_spec")
@@ -1751,12 +1804,13 @@ def snapshot_delete(
         "schema": manifest.get("schema") or survivors.schema.json(),
     }
     # rewritten candidates physically drop their deleted rows; only the
-    # carried files' deletion-vector entries survive
+    # carried files' deletion-vector entries survive (two-segment key:
+    # entry paths may be absolute on a shallow clone)
     if old_dv is not None:
-        carried_paths = sorted(e["path"] for e in carried)
+        carried_keys = sorted({_dv_key(e["path"]) for e in carried})
         dv_block = _write_dv(
             spark, table_dir, version,
-            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+            old_dv.where(F.col("path").isin(carried_keys)) if carried_keys else None,
         )
         if dv_block:
             payload["dv"] = dv_block
@@ -1764,6 +1818,76 @@ def snapshot_delete(
         payload["bloom_spec"] = bloom_spec
     _commit_record(spark, table_dir, version, payload)
     return version, deleted
+
+
+def snapshot_clone(
+    spark: SparkSession,
+    source_dir: str,
+    clone_dir: str,
+    shallow: bool = True,
+) -> int:
+    """Clone the source table's CURRENT state into a NEW table directory.
+
+    ``shallow=True`` (the Delta SHALLOW CLONE shape): the clone's v1
+    manifest references the source's data files (and deletion vector) by
+    ABSOLUTE URI — zero bytes move, the clone costs one manifest read
+    and one atomic commit regardless of table size. The clone is a fully
+    independent table from that instant: upserts/deletes/CDC on it stage
+    their own (relative) files and simply carry the absolute entries,
+    the change feed diffs as usual, and ITS vacuum never touches the
+    source's files (reachability only sweeps under the clone's own
+    directory). The dev/test-against-prod and experiment-branch shape.
+
+    The inherited caveat, stated not hidden (Delta documents the same):
+    the SOURCE's vacuum does not know about clones — vacuuming the
+    source past the cloned version breaks the clone's unrewritten
+    entries exactly like time-traveling past a vacuum. Pin the source's
+    ``keep_last`` or deep-clone before reclaiming.
+
+    ``shallow=False`` copies the data: one ``snapshot_read`` →
+    ``snapshot_write`` with the source's stats/bloom spec re-derived —
+    O(table), fully independent lifecycle."""
+    current = snapshot_version(spark, source_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {source_dir}")
+    if snapshot_version(spark, clone_dir) > 0:
+        raise ValueError(
+            f"snapshot_clone: {clone_dir} already holds a committed table"
+        )
+    manifest = _read_manifest(spark, source_dir, current)
+    entries = manifest.get("files")
+    if entries is None:
+        raise ValueError("snapshot_clone needs a file-list manifest")
+    if not shallow:
+        df = snapshot_read(spark, source_dir)
+        with_stats = next((e for e in entries if e.get("stats")), None)
+        spec = manifest.get("bloom_spec") or {}
+        return snapshot_write(
+            df,
+            clone_dir,
+            stats_cols=sorted(with_stats["stats"]) if with_stats else None,
+            bloom_cols=spec.get("cols"),
+            bloom_bits=spec.get("m", 16384),
+            bloom_hashes=spec.get("h", 5),
+        )
+    src_base = source_dir.rstrip("/")
+    # _entry_uri keeps a clone-of-a-clone from double-prefixing entries
+    # the source itself holds by absolute reference
+    abs_entries = [{**e, "path": _entry_uri(src_base, e["path"])} for e in entries]
+    payload = {
+        "version": 1,
+        "dir": "v=1",
+        "files": abs_entries,
+        "schema": manifest.get("schema"),
+        "cloned_from": {"table": src_base, "version": current},
+    }
+    if manifest.get("bloom_spec"):
+        payload["bloom_spec"] = manifest["bloom_spec"]
+    if manifest.get("dv"):
+        dv = manifest["dv"]
+        payload["dv"] = {**dv, "dir": _entry_uri(src_base, dv["dir"])}
+    _commit_record(spark, clone_dir, 1, payload)
+    return 1
 
 
 def snapshot_restamp(
@@ -1824,10 +1948,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
     missing = [
         e["path"]
         for e in files
-        if not fs.exists(_snap_path(jvm, table_dir, e["path"]))
+        if not fs.exists(_snap_path(jvm, _entry_uri(table_dir.rstrip("/"), e["path"])))
     ]
     if manifest.get("dv") and not fs.exists(
-        _snap_path(jvm, table_dir, manifest["dv"]["dir"])
+        _snap_path(jvm, _entry_uri(table_dir.rstrip("/"), manifest["dv"]["dir"]))
     ):
         missing.append(manifest["dv"]["dir"])
     if missing:
@@ -1857,9 +1981,14 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
     return version
 
 
-def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
+def snapshot_vacuum(
+    spark: SparkSession, table_dir: str, keep_last: int = 2, dry_run: bool = False
+) -> list[int]:
     """Reclaim data not reachable from the newest ``keep_last`` versions;
     returns the versions whose directories were removed or emptied.
+    ``dry_run=True`` reports the same list without deleting anything —
+    the look-before-you-reclaim step (vital around shallow clones, whose
+    sources this vacuum cannot see).
 
     Reachability, not age, decides: copy-on-write upserts make newer
     manifests reference files living in OLDER version directories, so an
@@ -1909,10 +2038,12 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> 
             if rel in reachable or rel in dv_dirs:
                 kept_any = True
             elif fst.getPath().getName().endswith(".parquet"):
-                fs.delete(fst.getPath(), False)
+                if not dry_run:
+                    fs.delete(fst.getPath(), False)
                 swept_any = True
         if not kept_any:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             removed.append(v)
         elif swept_any:
             removed.append(v)  # swept of unreachable data; carried files stay
@@ -1979,6 +2110,7 @@ def snapshot_optimize(
     target_file_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     stats_cols: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int, int]:
     """Bin-packing OPTIMIZE (the Delta shape): coalesce ONLY the
     current version's small files into ~target-sized ones and carry
@@ -2022,10 +2154,40 @@ def snapshot_optimize(
     old_dv = _dv_read(spark, table_dir, manifest)
     packed = _apply_dv(
         _manifest_reader(spark, manifest).parquet(
-            *[f"{base}/{e['path']}" for e in small]
+            *[_entry_uri(base, e["path"]) for e in small]
         ),
         old_dv,
-    ).coalesce(n)
+    )
+    if zorder_by:
+        # OPTIMIZE ... ZORDER BY: the packed tail is re-clustered on the
+        # interleaved key so multi-dimensional min/max skipping works on
+        # the result (Delta's shape); ranges come from one aggregate over
+        # ONLY the small files being packed — still O(small files)
+        from f1_data_pipeline_spark.operators.layout import (
+            bucketize,
+            interleave_bits,
+            zorder_layout,
+        )
+
+        bounds = packed.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
+        ).head()
+        zkey = interleave_bits(
+            [
+                bucketize(
+                    F.col(c).cast("double"),
+                    bounds[f"__lo_{c}"],
+                    max(bounds[f"__hi_{c}"], bounds[f"__lo_{c}"] + 1e-12),
+                )
+                for c in zorder_by
+            ]
+        )
+        # drop the helper AFTER the range-shuffle + local sort (a plain
+        # projection — keeps the clustered order, keeps the table schema)
+        packed = zorder_layout(packed, zkey, n).drop("__z")
+    else:
+        packed = packed.coalesce(n)
     version, _ = _stage_version(packed, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     bloom_spec = manifest.get("bloom_spec")
@@ -2038,12 +2200,13 @@ def snapshot_optimize(
         "optimized_from": v,
     }
     # packed files drop their deletion-vector debt physically; only the
-    # carried (already well-sized) files' entries survive
+    # carried (already well-sized) files' entries survive (two-segment
+    # key: entry paths may be absolute on a shallow clone)
     if old_dv is not None:
-        carried_paths = sorted(e["path"] for e in carried)
+        carried_keys = sorted({_dv_key(e["path"]) for e in carried})
         dv_block = _write_dv(
             spark, table_dir, version,
-            old_dv.where(F.col("path").isin(carried_paths)) if carried_paths else None,
+            old_dv.where(F.col("path").isin(carried_keys)) if carried_keys else None,
         )
         if dv_block:
             payload["dv"] = dv_block

@@ -1658,3 +1658,204 @@ def test_snapshot_dv_vacuum_protects_referenced_vectors(spark, tmp_path):
     snapshot_restore(spark, tdir, 3)  # v5: current again references v=2/_dv
     snapshot_vacuum(spark, tdir, keep_last=2)  # keeps v4, v5
     assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == set(range(35))
+
+
+def test_snapshot_clone_shallow_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone: v1 references the source's files by absolute URI —
+    zero bytes move — and the clone is an independent table from that
+    instant: reads (incl. the source's deletion vector at clone time),
+    upserts that stage only the clone's own files, CDF, and a clone's
+    vacuum that never touches source data."""
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_changes,
+        snapshot_clone,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "clone")
+    df = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("string").alias("g"),
+            (F.col("id") * 1.0).alias("x"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    snapshot_write(df, src, stats_cols=["k"])
+    snapshot_delete(spark, src, [("k", "=", 42)], mode="dv")
+
+    v = snapshot_clone(spark, src, cl)
+    assert v == 1
+    # zero copy: no data directory in the clone at all
+    assert not any(d.startswith("v=") for d in os.listdir(cl))
+    m = _read_manifest(spark, cl, 1)
+    assert all(e["path"].startswith(src) for e in m["files"])
+    # the clone sees the source state INCLUDING its deletion vector
+    got = {r["k"] for r in snapshot_read(spark, cl).collect()}
+    assert got == set(range(100)) - {42}
+
+    # mutations are independent: upsert the clone, source unchanged
+    ups = spark.createDataFrame(
+        [(1, "upd", 99.0), (200, "new", 1.0)], "k long, g string, x double"
+    )
+    v2 = snapshot_upsert(spark, cl, ups, key="k", cluster_files=1)
+    cur = {r["k"]: r for r in snapshot_read(spark, cl).collect()}
+    assert cur[1]["g"] == "upd" and 200 in cur and 42 not in cur
+    assert {r["k"] for r in snapshot_read(spark, src).collect()} == set(
+        range(100)
+    ) - {42}
+    # staged files are the clone's own (relative); untouched source files
+    # stay carried by absolute reference
+    m2 = _read_manifest(spark, cl, v2)
+    assert any(e["path"].startswith("v=2/") for e in m2["files"])
+    assert any(e["path"].startswith(src) for e in m2["files"])
+    # CDF works across the clone's own history
+    feed = snapshot_changes(spark, cl, "k", 1, v2)
+    assert {r["k"] for r in feed.where("_change_type = 'insert'").collect()} == {200}
+    # the clone's vacuum must not reclaim SOURCE data it references
+    snapshot_vacuum(spark, cl, keep_last=1)
+    assert {r["k"] for r in snapshot_read(spark, src).collect()} == set(
+        range(100)
+    ) - {42}
+    assert snapshot_read(spark, cl).count() == 100  # 100 - {42} + {200}
+
+    # a clone-side DV delete over SOURCE-owned (absolute-entry) files:
+    # positions key on the two-segment suffix, so they match either way
+    v3, n3 = snapshot_delete(spark, cl, [("k", "=", 7)], mode="dv")
+    assert n3 == 1
+    assert 7 not in {r["k"] for r in snapshot_read(spark, cl).collect()}
+    assert 7 in {r["k"] for r in snapshot_read(spark, src).collect()}
+
+    # clone-of-a-clone must not double-prefix absolute entries
+    cl2 = str(tmp_path / "clone2")
+    snapshot_clone(spark, cl, cl2)
+    assert snapshot_read(spark, cl2).count() == 99
+    import pytest
+
+    with pytest.raises(ValueError, match="already holds"):
+        snapshot_clone(spark, src, cl)
+
+
+def test_snapshot_clone_deep_copies_data(spark, tmp_path):
+    """Deep clone: O(table) copy, fully independent lifecycle — the
+    source can be deleted outright afterwards."""
+    import shutil
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_clone,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "deep")
+    snapshot_write(
+        spark.range(50).withColumnRenamed("id", "k"), src, stats_cols=["k"]
+    )
+    snapshot_clone(spark, src, cl, shallow=False)
+    shutil.rmtree(src)
+    assert snapshot_read(spark, cl).count() == 50
+
+
+def test_snapshot_timestamp_as_of_and_history_ts(spark, tmp_path):
+    """Commit records carry wall-clock stamps: TIMESTAMP AS OF resolves
+    the version committed at-or-before a time, history surfaces the
+    stamps, and pre-first-commit times raise."""
+    import time
+
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_version_asof,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    before = time.time() - 1.0
+    marks = []
+    for n in (3, 5, 9):
+        snapshot_write(spark.range(n).withColumnRenamed("id", "k"), tdir)
+        marks.append(time.time())
+        time.sleep(0.05)
+    assert snapshot_version_asof(spark, tdir, marks[0]) == 1
+    assert snapshot_version_asof(spark, tdir, marks[1]) == 2
+    assert snapshot_version_asof(spark, tdir, time.time() + 60) == 3
+    assert snapshot_read(spark, tdir, as_of_ts=marks[1]).count() == 5
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        snapshot_version_asof(spark, tdir, before)
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, tdir, version=1, as_of_ts=marks[0])
+    hist = snapshot_history(spark, tdir)
+    ts = [h["ts"] for h in hist]
+    assert len(ts) == 3 and ts == sorted(ts)
+
+
+def test_snapshot_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    for n in (3, 5, 9):
+        snapshot_write(spark.range(n).withColumnRenamed("id", "k"), tdir)
+    would = snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
+    assert would == [1, 2]
+    # nothing was touched: every version still time-travels
+    assert snapshot_read(spark, tdir, version=1).count() == 3
+    assert snapshot_read(spark, tdir, version=2).count() == 5
+    did = snapshot_vacuum(spark, tdir, keep_last=1)
+    assert did == would
+    assert not os.path.exists(os.path.join(tdir, "v=1"))
+
+
+def test_snapshot_optimize_zorder_clusters_packed_files(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY: the packed small-file tail is re-clustered
+    on the interleaved key, so BOTH dimensions' per-file envelopes
+    tighten and a 2-D point read prunes files — while carried big files
+    and the data itself are untouched (content equality pinned)."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).cast("double").alias("xx"),
+        ((F.col("id") * 7) % 64).cast("double").alias("yy"),
+    )
+    # many tiny hash-scattered files: the adversarial layout
+    snapshot_write(df.repartition(16), tdir, stats_cols=["xx", "yy"])
+    before = set(map(tuple, snapshot_read(spark, tdir).collect()))
+    v, rewritten, carried = snapshot_optimize(
+        spark, tdir, target_file_bytes=16_384, zorder_by=["xx", "yy"]
+    )
+    assert rewritten == 16
+    assert set(map(tuple, snapshot_read(spark, tdir).collect())) == before
+    m = _read_manifest(spark, tdir, v)
+    # clustered envelopes: a 2-D point lookup must prune most files
+    out = snapshot_read(
+        spark, tdir, where=[("xx", "=", 3.0), ("yy", "=", 21.0)]
+    )
+    n_files = len(m["files"])
+    assert n_files > 1
+    assert len(out.inputFiles()) < n_files
+    # schema unchanged (the __z helper must not leak into the table)
+    assert sorted(snapshot_read(spark, tdir).columns) == ["k", "xx", "yy"]
