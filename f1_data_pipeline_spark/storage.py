@@ -364,6 +364,9 @@ def _staged_file_entries(
     for c in stats_cols or []:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
     per_file = (
         spark.read.parquet(vdir)
         .groupBy(F.input_file_name().alias("__file"))
@@ -382,7 +385,11 @@ def _staged_file_entries(
         }
         if stats_cols and r is not None:
             e["stats"] = {
-                c: {"min": _json_safe(r[f"__min_{c}"]), "max": _json_safe(r[f"__max_{c}"])}
+                c: {
+                    "min": _json_safe(r[f"__min_{c}"]),
+                    "max": _json_safe(r[f"__max_{c}"]),
+                    "nulls": int(r[f"__nulls_{c}"]),
+                }
                 for c in stats_cols
             }
         entries.append(e)
@@ -827,7 +834,7 @@ def snapshot_properties(
     return _read_manifest(spark, table_dir, v).get("properties") or {}
 
 
-_WHERE_OPS = ("=", "<", "<=", ">", ">=")
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
 
 
 def _stats_comparable(a, b) -> bool:
@@ -911,6 +918,15 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
         if s is None or op not in _WHERE_OPS:
             continue
         mn, mx = s.get("min"), s.get("max")
+        nulls = s.get("nulls")  # absent on pre-r9 manifests: never prunes
+        if op == "is_null":
+            if nulls == 0 and entry.get("rows", 0) > 0:
+                return True
+            continue
+        if op == "is_not_null":
+            if nulls is not None and nulls == entry.get("rows", -1) and nulls > 0:
+                return True
+            continue
         if mn is None and mx is None and entry.get("rows", 0) > 0:
             return True
         if mn is None or mx is None or not _stats_comparable(mn, val):
@@ -938,9 +954,14 @@ def _where_expr(where: list[tuple]):
     ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     expr = F.lit(True)
     for col, op, val in where:
-        if op not in ops:
+        if op == "is_null":
+            expr = expr & F.col(col).isNull()
+        elif op == "is_not_null":
+            expr = expr & F.col(col).isNotNull()
+        elif op not in ops:
             raise ValueError(f"snapshot_read: unsupported where op {op!r} (use one of {_WHERE_OPS})")
-        expr = expr & ops[op](F.col(col), F.lit(val))
+        else:
+            expr = expr & ops[op](F.col(col), F.lit(val))
     return expr
 
 

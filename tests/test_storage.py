@@ -1859,3 +1859,66 @@ def test_snapshot_optimize_zorder_clusters_packed_files(spark, tmp_path):
     assert len(out.inputFiles()) < n_files
     # schema unchanged (the __z helper must not leak into the table)
     assert sorted(snapshot_read(spark, tdir).columns) == ["k", "xx", "yy"]
+
+
+def test_snapshot_null_count_stats_prune_is_null_reads(spark, tmp_path):
+    """Per-file null counts in the manifest: IS NULL reads skip files
+    with zero nulls, IS NOT NULL reads skip all-null files, the residual
+    filter keeps results exact, and pre-r9 manifests (no nulls key)
+    simply never prune (safe fallback)."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    # file layout by k-range: k<300 has NO nulls in v; 300<=k<600 is ALL
+    # null; 600+ mixed
+    df = spark.range(900).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 300, F.col("id").cast("string"))
+        .when(F.col("id") < 600, F.lit(None).cast("string"))
+        .otherwise(
+            F.when(F.col("id") % 2 == 0, F.col("id").cast("string"))
+        )
+        .alias("v"),
+    ).repartitionByRange(3, "k")
+    snapshot_write(df, tdir, stats_cols=["k", "v"])
+    m = _read_manifest(spark, tdir, 1)
+    assert all("nulls" in e["stats"]["v"] for e in m["files"])
+    n_files = len(m["files"])
+    assert n_files == 3
+
+    nulls = snapshot_read(spark, tdir, where=[("v", "is_null", None)])
+    assert len(nulls.inputFiles()) < n_files  # the no-null file skipped
+    assert nulls.count() == 300 + 150
+    assert {r["k"] for r in nulls.collect()} == set(range(300, 600)) | {
+        k for k in range(600, 900) if k % 2 == 1
+    }
+
+    notnull = snapshot_read(spark, tdir, where=[("v", "is_not_null", None)])
+    assert len(notnull.inputFiles()) < n_files  # the all-null file skipped
+    assert notnull.count() == 300 + 150
+
+    # composes with range predicates
+    both = snapshot_read(
+        spark, tdir, where=[("v", "is_not_null", None), ("k", "<", 100)]
+    )
+    assert len(both.inputFiles()) == 1 and both.count() == 100
+
+    # pre-r9 manifest shape (no nulls key): never prunes, still exact
+    import json
+    import os
+
+    with open(os.path.join(tdir, "_manifests", "1.json")) as f:
+        payload = json.load(f)
+    for e in payload["files"]:
+        for c in e["stats"].values():
+            c.pop("nulls", None)
+    os.remove(os.path.join(tdir, "_manifests", "1.json"))
+    with open(os.path.join(tdir, "_manifests", "1.json"), "w") as f:
+        json.dump(payload, f)
+    legacy = snapshot_read(spark, tdir, where=[("v", "is_null", None)])
+    assert len(legacy.inputFiles()) == n_files
+    assert legacy.count() == 450
