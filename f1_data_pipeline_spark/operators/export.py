@@ -67,7 +67,9 @@ def shard_assign(
     the O(sqrt) drift of independent hash-mod assignment. ``token_col``
     None balances by row count.
 
-    Returns the input columns plus ``shard`` (int) and ``__h`` dropped.
+    Returns the input columns plus ``shard`` (int) and ``__h`` (the
+    shuffle key — kept so downstream writers can sort by it; drop it if
+    not needed).
     Plan: one scan for the 256-row bucket-total table (driver-bounded),
     then one bucket-partitioned window — no single-partition exchange
     (plan-gated in tests/test_operators.py)."""
@@ -99,7 +101,9 @@ def shard_assign(
     totals = {r["__b"]: r["t"] for r in stats}
     total = sum(totals.values())
     if total == 0:
-        return df.withColumn("shard", F.lit(0))
+        # empty input: keep the contract shape (__h + shard) so writers
+        # composing on the output still resolve their columns
+        return keyed.drop("__w", "__b").withColumn("shard", F.lit(0).cast("int"))
     offsets, acc = {}, 0
     for b in sorted(totals):
         offsets[b] = acc

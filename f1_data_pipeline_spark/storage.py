@@ -1797,7 +1797,11 @@ def snapshot_delete(
         }
         if manifest.get("bloom_spec"):
             payload["bloom_spec"] = manifest["bloom_spec"]
-        _commit_record(spark, table_dir, version, payload)
+        try:
+            _commit_record(spark, table_dir, version, payload)
+        except SnapshotConflictError:
+            fs.delete(_snap_path(jvm, vdir), True)  # never committed
+            raise
         return version, deleted_now
     keep = ~F.coalesce(_where_expr(where), F.lit(False))
     # manifest schema = read contract: after a schema evolution the
