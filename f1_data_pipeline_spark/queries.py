@@ -1836,8 +1836,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_multimodal_features, x_triangles, x_outliers, x_funnel,
     # x_pack_assign, x_ppl2, x_mixture_sample, x_dedup_spans (reasons per
     # entry in SWEEP_ONLY).
-    "x_pmi", "x_length_buckets", "x_winsorize",
-    "x_ttr", "x_source_kl", "x_source_overlap",
+    "x_source_kl",
     "f1_lap_table", "f1_positions_latest",
     "f1_session_report", "f1_race_control",
     # ---- round-9 rotation ----
@@ -1856,6 +1855,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_cms_freq", "x_kmv_distinct", "x_kmv_jaccard", "x_kmv_setops",
     "x_editdist_join", "x_editdist_clusters",
     "x_bottomk_sample", "x_temp_mixture", "x_source_drift",
+    # ---- round-10 rotation ----
+    # The 5 oracle-bearing queries built in round 9 after the r9 rotation
+    # was already full (the deletion-vector / exactly-once-replication /
+    # shard-export / upsampling / OHLC wave) — every one was marked
+    # "rotate next round" in SWEEP_ONLY, and the entire r9 lakehouse
+    # DV/replication/export wave had zero external hash verification
+    # until this window (r9 verdict ask #1). Displaced: 5 entries
+    # hash-green in BOTH the r8 and r9 driver windows whose families stay
+    # densely in-window — x_pmi, x_length_buckets, x_winsorize, x_ttr,
+    # x_source_overlap (reasons per entry in SWEEP_ONLY).
+    "x_snapshot_dv", "x_snapshot_replica",
+    "x_shard_assign", "x_epoch_upsample", "x_resample",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -1966,12 +1977,14 @@ SWEEP_ONLY: dict[str, str] = {
     "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_urls/x_curation",
     "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_bottomk_sample",
     "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
-    # built round 9 after the r9 rotation was already full — rotate next round
-    "x_snapshot_dv": "deletion-vector merge-on-read delete round-trip (new r9); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_changes",
-    "x_shard_assign": "token-balanced deterministic shard export (new r9); rotate next round; sampling/assignment family in-window via x_bottomk_sample/x_temp_mixture",
-    "x_epoch_upsample": "fractional repeat-factor materialization (new r9); rotate next round; mixture family in-window via x_temp_mixture",
-    "x_resample": "OHLC time-series downsampling (new r9); rotate next round; time-bucket family in-window via q_t1, time-series kin x_asof_join",
-    "x_snapshot_replica": "exactly-once CDF table replication round-trip (new r9); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_changes",
+    # displaced in the round-10 rotation (hash-green in BOTH the r8 and
+    # r9 driver windows) to make room for the 5 r9 DV/replication/export
+    # oracle queries (r9 verdict ask #1)
+    "x_pmi": "PMI collocation stats; retrieval-stats geometry in-window via x_invindex — displaced r10, r8+r9 hash-green",
+    "x_length_buckets": "length-bucket histogram; agg family in-window via q_a1 — displaced r10, r8+r9 hash-green",
+    "x_winsorize": "percentile winsorization; frame-stats family in-window via x_rolling_scaled and q_w4 — displaced r10, r8+r9 hash-green",
+    "x_ttr": "type-token ratio; corpus-health family in-window via x_source_kl/x_source_drift — displaced r10, r8+r9 hash-green",
+    "x_source_overlap": "cross-source vocab overlap; corpus-health family in-window via x_source_kl/x_source_drift — displaced r10, r8+r9 hash-green",
 }
 
 

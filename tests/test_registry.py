@@ -116,6 +116,20 @@ def test_round9_rotation_inside_window():
     assert wire <= window, f"f1 wire oracles outside the window: {wire - window}"
 
 
+def test_round10_rotation_inside_window():
+    """Round-10 rotation (r9 judge ask #1): the 5 oracle-bearing queries
+    built in round 9 after that round's rotation was full — the entire
+    deletion-vector / exactly-once-replication / shard-export /
+    upsampling / OHLC wave — must sit inside the independently-verified
+    window; until this rotation that wave had zero external hash
+    verification."""
+    window = set(DRIVER_PRIORITY)
+    rotated = {"x_snapshot_dv", "x_snapshot_replica", "x_shard_assign",
+               "x_epoch_upsample", "x_resample"}
+    missing = rotated - window
+    assert not missing, f"round-10 rotations outside the driver window: {missing}"
+
+
 def test_every_oracle_query_windowed_or_sweep_only():
     """Round-5 registry guard (judge ask #8): every registered query with a
     DuckDB oracle must appear either in DRIVER_PRIORITY (driver-hashed) or
