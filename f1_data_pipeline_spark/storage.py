@@ -532,6 +532,16 @@ def _apply_blooms(
             e["bloom"] = bl[name]
 
 
+def _publish_by_link(jvm, record, tmp) -> None:
+    """``link(tmp, record)`` — the single atomic syscall that IS the
+    commit on ``file:`` paths. Module-level so failure-injection tests
+    can substitute a non-EEXIST error."""
+    jvm.java.nio.file.Files.createLink(
+        jvm.java.io.File(record.toUri().getPath()).toPath(),
+        jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+    )
+
+
 def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: dict) -> None:
     """Step 3 of the protocol: atomically create the immutable commit
     record ``_manifests/N.json`` (create-no-overwrite IS the commit).
@@ -568,12 +578,22 @@ def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: d
         finally:
             out.close()
         try:
-            jvm.java.nio.file.Files.createLink(
-                jvm.java.io.File(record.toUri().getPath()).toPath(),
-                jvm.java.io.File(tmp.toUri().getPath()).toPath(),
-            )
+            _publish_by_link(jvm, record, tmp)
         except Exception as e:
-            raise conflict from e
+            # only a LOST RACE is a conflict (retryable); permissions,
+            # cross-device links, or a filesystem without hard links are
+            # real failures — mapping them to SnapshotConflictError would
+            # burn snapshot_write(retries=N) on a hopeless retry loop and
+            # let stream maintainers swallow a persistent IO error forever.
+            # The race check is the record itself: if the name now exists,
+            # someone committed first.
+            if fs.exists(record):
+                raise conflict from e
+            raise RuntimeError(
+                f"snapshot_write: publishing commit record {record} failed "
+                f"for a non-conflict reason (permissions? cross-device "
+                f"tmp? no hard-link support?): {e}"
+            ) from e
         finally:
             fs.delete(tmp, False)
         return
@@ -994,6 +1014,13 @@ def _dv_key(entry_path: str) -> str:
     return "/".join(entry_path.rstrip("/").split("/")[-2:])
 
 
+def _dv_deleted(manifest: dict) -> int | None:
+    """The manifest's total deleted-position count (None when the version
+    carries no deletion vector) — the broadcast-gate input."""
+    dv = manifest.get("dv")
+    return dv.get("deleted") if dv else None
+
+
 def _dv_read(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame | None:
     """The (path, pos) deleted-positions dataset of a committed version,
     or None when the version carries no deletion vector."""
@@ -1005,19 +1032,44 @@ def _dv_read(spark: SparkSession, table_dir: str, manifest: dict) -> DataFrame |
     )
 
 
-def _apply_dv(df: DataFrame, dvdf: DataFrame | None) -> DataFrame:
-    """Subtract deleted positions from a parquet scan: one broadcast
-    anti-join on (relative path, row index). The scan must come straight
-    from ``spark.read.parquet`` so ``_metadata`` is still addressable."""
+# Broadcasting the deletion vector is right only while it is small (the
+# scattered right-to-erasure shape). A mass DV delete makes the position
+# table a real dataset that grows with the deleted-row count; forcing it
+# through a broadcast would ship every position to every task and OOM the
+# driver/executors at exactly the scale merge-on-read targets. The manifest
+# carries the exact total (``dv.deleted``), so readers gate on it: at or
+# below this many positions the DV broadcasts, above it the subtraction
+# runs as a plain (shuffled) anti-join. Tests may lower this to force the
+# large path on small fixtures.
+DV_BROADCAST_MAX_POSITIONS = 1_000_000
+
+
+def _dv_side(dvdf: DataFrame, deleted: int | None) -> DataFrame:
+    """The DV join side under the broadcast gate: ``deleted`` is the
+    manifest's position count (None = unknown → broadcast, the pre-gate
+    behavior every in-package caller avoids by passing the manifest
+    total)."""
+    dv = dvdf.select(F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos"))
+    if deleted is not None and deleted > DV_BROADCAST_MAX_POSITIONS:
+        return dv
+    return F.broadcast(dv)
+
+
+def _apply_dv(
+    df: DataFrame, dvdf: DataFrame | None, deleted: int | None = None
+) -> DataFrame:
+    """Subtract deleted positions from a parquet scan: one anti-join on
+    (relative path, row index) — broadcast while the DV is small, plain
+    shuffle above ``DV_BROADCAST_MAX_POSITIONS`` (pass the manifest's
+    ``dv.deleted`` as ``deleted``). The scan must come straight from
+    ``spark.read.parquet`` so ``_metadata`` is still addressable."""
     if dvdf is None:
         return df
     marked = df.withColumn(
         "__dv_path", F.regexp_extract(F.col("_metadata.file_path"), _DV_RELPATH_RE, 1)
     ).withColumn("__dv_pos", F.col("_metadata.row_index"))
     return marked.join(
-        F.broadcast(
-            dvdf.select(F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos"))
-        ),
+        _dv_side(dvdf, deleted),
         ["__dv_path", "__dv_pos"],
         "left_anti",
     ).drop("__dv_path", "__dv_pos")
@@ -1096,7 +1148,7 @@ def snapshot_read(
             f"snapshot version {v} in {table_dir} references missing data "
             f"files (vacuumed?): {e}"
         ) from e
-    df = _apply_dv(df, _dv_read(spark, table_dir, manifest))
+    df = _apply_dv(df, _dv_read(spark, table_dir, manifest), _dv_deleted(manifest))
     return df.where(_where_expr(where)) if where else df
 
 
@@ -1329,6 +1381,7 @@ def _merge_into_snapshot(
                 *[_entry_uri(base, p) for p in sorted(touched)]
             ),
             old_dv,
+            _dv_deleted(manifest),
         )
         for c in extra:
             existing = existing.withColumn(
@@ -1472,13 +1525,13 @@ def snapshot_changes(
     dv_from = _dv_read(spark, table_dir, m_from)
     dv_to = _dv_read(spark, table_dir, m_to)
 
-    def _read_live(paths: set[str], dv) -> DataFrame:
+    def _read_live(paths: set[str], dv, deleted) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], schema)
-        return _apply_dv(_read(paths), dv).select(cols)
+        return _apply_dv(_read(paths), dv, deleted).select(cols)
 
-    old_df = _read_live(from_paths - to_paths, dv_from)
-    new_df = _read_live(to_paths - from_paths, dv_to)
+    old_df = _read_live(from_paths - to_paths, dv_from, _dv_deleted(m_from))
+    new_df = _read_live(to_paths - from_paths, dv_to, _dv_deleted(m_to))
     if dv_from is not None or dv_to is not None:
         # DV delta over SHARED files: positions deleted between the
         # endpoints are live-at-from rows (they surface as deletes); a
@@ -1510,13 +1563,11 @@ def snapshot_changes(
                 )
                 .withColumn("__dv_pos", F.col("_metadata.row_index"))
             )
+            # the delta is bounded by the larger endpoint's DV — gate the
+            # broadcast on that bound like every other DV join
+            bound = max(_dv_deleted(m_from) or 0, _dv_deleted(m_to) or 0)
             return rows.join(
-                F.broadcast(
-                    delta.select(
-                        F.col("path").alias("__dv_path"),
-                        F.col("pos").alias("__dv_pos"),
-                    )
-                ),
+                _dv_side(delta, bound),
                 ["__dv_path", "__dv_pos"],
                 "semi",
             ).select(cols)
@@ -1767,8 +1818,13 @@ def snapshot_delete(
             .select("path", "pos")
         )
         if old_dv is not None:
-            # already-deleted rows must not double-count (or re-match)
-            matches = matches.join(F.broadcast(old_dv), ["path", "pos"], "left_anti")
+            # already-deleted rows must not double-count (or re-match);
+            # same broadcast gate as the readers — the accumulated DV can
+            # itself be past broadcast size
+            side = old_dv
+            if (_dv_deleted(manifest) or 0) <= DV_BROADCAST_MAX_POSITIONS:
+                side = F.broadcast(old_dv)
+            matches = matches.join(side, ["path", "pos"], "left_anti")
         new_dv = matches if old_dv is None else old_dv.unionByName(matches)
         fs, jvm = _snap_fs(spark, table_dir)
         version = current + 1
@@ -1812,6 +1868,7 @@ def snapshot_delete(
             *[_entry_uri(base, e["path"]) for e in candidates]
         ),
         old_dv,
+        _dv_deleted(manifest),
     ).where(keep)
     version, _ = _stage_version(survivors, table_dir)
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
@@ -2182,6 +2239,7 @@ def snapshot_optimize(
             *[_entry_uri(base, e["path"]) for e in small]
         ),
         old_dv,
+        _dv_deleted(manifest),
     )
     if zorder_by:
         # OPTIMIZE ... ZORDER BY: the packed tail is re-clustered on the
@@ -2198,19 +2256,27 @@ def snapshot_optimize(
             *[F.min(c).cast("double").alias(f"__lo_{c}") for c in zorder_by],
             *[F.max(c).cast("double").alias(f"__hi_{c}") for c in zorder_by],
         ).head()
-        zkey = interleave_bits(
-            [
-                bucketize(
-                    F.col(c).cast("double"),
-                    bounds[f"__lo_{c}"],
-                    max(bounds[f"__hi_{c}"], bounds[f"__lo_{c}"] + 1e-12),
-                )
-                for c in zorder_by
-            ]
-        )
-        # drop the helper AFTER the range-shuffle + local sort (a plain
-        # projection — keeps the clustered order, keeps the table schema)
-        packed = zorder_layout(packed, zkey, n).drop("__z")
+        # a column that is all-NULL in the packed tail (or a tail emptied
+        # by deletion-vector subtraction) has NULL bounds — it carries no
+        # clustering signal, so its interleave term is skipped rather than
+        # crashing on None arithmetic; with no usable column left, fall
+        # back to plain coalesce packing
+        terms = [
+            bucketize(
+                F.col(c).cast("double"),
+                bounds[f"__lo_{c}"],
+                max(bounds[f"__hi_{c}"], bounds[f"__lo_{c}"] + 1e-12),
+            )
+            for c in zorder_by
+            if bounds[f"__lo_{c}"] is not None and bounds[f"__hi_{c}"] is not None
+        ]
+        if terms:
+            zkey = interleave_bits(terms)
+            # drop the helper AFTER the range-shuffle + local sort (a plain
+            # projection — keeps the clustered order, keeps the table schema)
+            packed = zorder_layout(packed, zkey, n).drop("__z")
+        else:
+            packed = packed.coalesce(n)
     else:
         packed = packed.coalesce(n)
     version, _ = _stage_version(packed, table_dir)

@@ -1922,3 +1922,122 @@ def test_snapshot_null_count_stats_prune_is_null_reads(spark, tmp_path):
     legacy = snapshot_read(spark, tdir, where=[("v", "is_null", None)])
     assert len(legacy.inputFiles()) == n_files
     assert legacy.count() == 450
+
+
+def test_snapshot_dv_broadcast_gate(spark, tmp_path, monkeypatch):
+    """The DV anti-join broadcasts only while the manifest's deleted
+    total stays under DV_BROADCAST_MAX_POSITIONS; a mass DV (forced here
+    by lowering the gate) must fall back to a plain shuffled anti-join —
+    a 50M-position DV forced through a broadcast would OOM the driver at
+    exactly the scale merge-on-read targets. Results are identical on
+    both paths."""
+    import f1_data_pipeline_spark.storage as S
+    from f1_data_pipeline_spark.storage import snapshot_delete, snapshot_read
+
+    tdir = _dv_table(spark, tmp_path)
+    snapshot_delete(spark, tdir, [("g", "=", "3")], mode="dv")
+    gone = {i for i in range(100) if i % 7 == 3}
+
+    # emulate "DV past the stats-based broadcast size": with auto-broadcast
+    # off, ONLY the explicit hint can force a BroadcastExchange — exactly
+    # the planner state a 50M-position DV would produce
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # under the gate: the hint is applied, the subtraction broadcasts
+        plan_small = (
+            snapshot_read(spark, tdir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_small or "BroadcastExchange" in plan_small
+
+        # above the gate (forced by lowering it below the manifest's
+        # deleted total): the hint must be withheld — plain shuffled join
+        monkeypatch.setattr(S, "DV_BROADCAST_MAX_POSITIONS", 1)
+        big = snapshot_read(spark, tdir)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+        assert "BroadcastExchange" not in plan_big
+        assert {r["k"] for r in big.collect()} == set(range(100)) - gone
+        # the delete path's dedupe anti-join honors the same gate
+        v, n = snapshot_delete(spark, tdir, [("k", "<", 5)], mode="dv")
+        assert n == len([i for i in range(5) if i % 7 != 3])
+        assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == {
+            i for i in range(5, 100) if i % 7 != 3
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_snapshot_optimize_zorder_null_bounds(spark, tmp_path):
+    """ZORDER columns with NULL min/max in the packed tail (all-NULL
+    column, or a tail fully emptied by deletion-vector subtraction) must
+    not crash the interleave on None arithmetic: the dead column's term
+    is skipped, and with no usable column the pack degrades to plain
+    coalesce — both still commit a correct version."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    # all-NULL zorder column across many small files
+    tdir = str(tmp_path / "znull")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("double").alias("dead"),
+        (F.col("id") % 5).alias("grp"),
+    ).repartition(8)
+    snapshot_write(df, tdir, stats_cols=["k"])
+    v, rewritten, carried = snapshot_optimize(
+        spark, tdir, target_file_bytes=1 << 30, zorder_by=["dead", "k"]
+    )
+    assert rewritten == 8 and snapshot_read(spark, tdir).count() == 40
+
+    # packed tail emptied by a DV: every small-file row deleted
+    tdir2 = str(tmp_path / "zempty")
+    snapshot_write(
+        spark.range(40).select(F.col("id").alias("k")).repartition(4),
+        tdir2,
+        stats_cols=["k"],
+    )
+    snapshot_delete(spark, tdir2, [("k", ">=", 0)], mode="dv")
+    v2, _, _ = snapshot_optimize(
+        spark, tdir2, target_file_bytes=1 << 30, zorder_by=["k"]
+    )
+    assert snapshot_read(spark, tdir2).count() == 0
+
+
+def test_commit_nonconflict_link_failure_fails_loudly(spark, tmp_path, monkeypatch):
+    """Only a LOST RACE maps to SnapshotConflictError; an IO/config
+    failure publishing the commit record (permissions, cross-device tmp,
+    no hard-link support) must surface as a plain RuntimeError so
+    retries aren't burned and maintainers don't swallow it forever."""
+    import pytest
+
+    import f1_data_pipeline_spark.storage as S
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "linkfail")
+    df = spark.range(10).select(F.col("id").alias("k"))
+
+    def broken_link(jvm, record, tmp):
+        raise OSError("Invalid cross-device link")
+
+    monkeypatch.setattr(S, "_publish_by_link", broken_link)
+    with pytest.raises(RuntimeError) as ei:
+        snapshot_write(df, tdir, retries=3)
+    assert not isinstance(ei.value, SnapshotConflictError)
+    assert "non-conflict" in str(ei.value)
+    monkeypatch.undo()
+    # the failure left a never-committed orphan stage; per the staging
+    # error's own instruction it is safe to delete, after which the
+    # table is writable again
+    assert snapshot_version(spark, tdir) == 0
+    import shutil
+
+    shutil.rmtree(f"{tdir}/v=1")
+    assert snapshot_write(df, tdir) == 1
