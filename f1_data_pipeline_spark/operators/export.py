@@ -167,7 +167,15 @@ def epoch_upsample(
     repeat index; trainers that decay repeated data key off it).
 
     Scan-local: broadcast factor join + explode(sequence) — zero corpus
-    shuffle; output volume is Σ n_g·f_g by construction."""
+    shuffle; output volume is Σ n_g·f_g by construction.
+
+    Every group present in ``df`` MUST have a factor: a LEFT join with an
+    executor-side raise on a NULL ``sample_factor`` replaces the silent
+    inner-join drop — a hand-built factor table missing a source would
+    otherwise silently delete that source from the corpus, the one
+    failure mode a training-data pipeline must never have silently
+    (matches ``temperature_mixture_weights``' non-positive-mass guard).
+    To intentionally drop a group, give it factor 0."""
     u16 = F.expr(
         "("
         + " + ".join(
@@ -177,13 +185,23 @@ def epoch_upsample(
         )
         + ")"
     )
-    f_col = F.col("sample_factor").cast("double")
+    f_col = F.when(
+        F.col("sample_factor").isNotNull(), F.col("sample_factor").cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"epoch_upsample: no sample_factor for group {by}="),
+                F.col(by).cast("string"),
+                F.lit(" — factors must cover every group (use 0 to drop one)"),
+            )
+        ).cast("double")
+    )
     n_copies = (
         F.floor(f_col)
         + (u16 < F.floor((f_col - F.floor(f_col)) * 65536)).cast("long")
     ).cast("int")
     return (
-        df.join(F.broadcast(factors.select(by, "sample_factor")), by)
+        df.join(F.broadcast(factors.select(by, "sample_factor")), by, "left")
         .withColumn("__n", n_copies)
         .drop("sample_factor")
         .where(F.col("__n") > 0)

@@ -279,16 +279,29 @@ def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int
     """The version committed at-or-before unix time ``ts`` (Delta's
     ``TIMESTAMP AS OF``): commit records carry their wall-clock commit
     time, so this is a pure manifest scan. Raises if the table's first
-    commit is later than ``ts``. Pre-``ts``-era records (no stamp) are
-    treated as infinitely old — they satisfy any as-of."""
+    commit is later than ``ts``.
+
+    Clock skew between writers is handled the way Delta handles
+    non-monotonic commit times — each version's EFFECTIVE time is
+    clamped to the running maximum of all earlier commits, so versions
+    never travel back in time and the answer is always a version that
+    was genuinely current at ``ts``. Under clamping the qualifying set
+    is exactly every version BEFORE the first commit stamped after
+    ``ts``, so the scan stops at that first late record instead of
+    reading every manifest (O(answer) reads for an old as-of).
+    Pre-stamp-era records (no ``ts`` field) are treated as infinitely
+    old: they never terminate the scan and any as-of reaches past them."""
     best = 0
     for v in range(1, snapshot_version(spark, table_dir) + 1):
         try:
             m = _read_manifest(spark, table_dir, v)
         except FileNotFoundError:
             continue
-        if m.get("ts") is None or float(m["ts"]) <= ts:
-            best = v
+        if m.get("ts") is not None and float(m["ts"]) > ts:
+            # clamped times are monotone: every later version's effective
+            # time is at least this one's — nothing further can qualify
+            break
+        best = v
     if best < 1:
         raise FileNotFoundError(
             f"no snapshot committed at or before ts={ts} in {table_dir}"
@@ -2193,6 +2206,7 @@ def snapshot_optimize(
     small_file_bytes: int | None = None,
     stats_cols: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    dv_fraction: float | None = None,
 ) -> tuple[int, int, int]:
     """Bin-packing OPTIMIZE (the Delta shape): coalesce ONLY the
     current version's small files into ~target-sized ones and carry
@@ -2204,12 +2218,22 @@ def snapshot_optimize(
     ``small_file_bytes`` (default target/2) never move — their bytes,
     stats, and Bloom entries ride into the new manifest verbatim.
 
+    ``dv_fraction`` (0–1) additionally rewrites any file whose
+    DELETION-VECTOR debt exceeds that fraction of its rows — the
+    tombstone-compaction lever: merge-on-read deletes cost nothing at
+    commit time but tax every subsequent read with the anti-join, so a
+    maintenance policy (not incidental small-file packing) must bound
+    the debt. The per-file deleted counts already live in the manifest,
+    so the trigger reads zero data; rewriting the file materializes its
+    survivors and PURGES its DV entries. Under-threshold files are
+    carried untouched, entries intact.
+
     Returns ``(version, files_rewritten, files_carried)``; a no-op
-    (fewer than 2 small files) commits nothing and returns the current
-    version. Stats and Bloom filters are re-derived for the packed
-    files from the manifest's own spec, so skipping power survives,
-    and the rewritten-over version stays time-travelable until
-    vacuumed."""
+    (fewer than 2 small files and no DV-debt trigger) commits nothing
+    and returns the current version. Stats and Bloom filters are
+    re-derived for the packed files from the manifest's own spec, so
+    skipping power survives, and the rewritten-over version stays
+    time-travelable until vacuumed."""
     import math
 
     v = snapshot_version(spark, table_dir)
@@ -2223,9 +2247,19 @@ def snapshot_optimize(
             "with snapshot_write (v1-era record found)"
         )
     cutoff = small_file_bytes if small_file_bytes is not None else target_file_bytes // 2
-    small = [e for e in entries if e.get("bytes", 0) < cutoff]
-    carried = [e for e in entries if e.get("bytes", 0) >= cutoff]
-    if len(small) < 2:
+    dv_counts = (manifest.get("dv") or {}).get("files", {})
+
+    def _dv_heavy(e: dict) -> bool:
+        if dv_fraction is None or not dv_counts:
+            return False
+        rows = e.get("rows") or 0
+        return rows > 0 and dv_counts.get(_dv_key(e["path"]), 0) / rows >= dv_fraction
+
+    small = [e for e in entries if e.get("bytes", 0) < cutoff or _dv_heavy(e)]
+    carried = [e for e in entries if e.get("bytes", 0) >= cutoff and not _dv_heavy(e)]
+    # DV debt past policy is reason enough to rewrite even ONE file;
+    # plain size-packing still needs >= 2 small files to be worth a commit
+    if len(small) < 2 and not any(_dv_heavy(e) for e in small):
         return v, 0, len(entries)
     if stats_cols is None:
         with_stats = next((e for e in entries if e.get("stats")), None)

@@ -2703,3 +2703,36 @@ def test_epoch_upsample_exact_fractional_repeats(spark):
     n_a = sum(n for i, n in expect.items() if i % 2 == 0)
     n_b = sum(n for i, n in expect.items() if i % 2 == 1)
     assert 2.0 * 200 < n_a < 2.5 * 200 and 0.35 * 200 < n_b < 0.65 * 200
+
+def test_epoch_upsample_missing_factor_raises(spark):
+    """A group present in the corpus but absent from the factor table
+    must raise executor-side, never silently vanish from the output —
+    silent corpus loss is the one unacceptable failure mode of a
+    training-data materializer. Factor 0 stays the explicit drop."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from f1_data_pipeline_spark.operators.export import epoch_upsample
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("orphan")
+        .alias("source"),
+    )
+    factors = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0)], "source string, sample_factor double"
+    )
+    with pytest.raises(Exception) as ei:
+        epoch_upsample(docs, factors, salt="t-v1").count()
+    assert "no sample_factor for group source=orphan" in str(ei.value)
+
+    # explicit drop: factor 0 removes the group without raising
+    factors0 = spark.createDataFrame(
+        [("a", 2.0), ("b", 1.0), ("orphan", 0.0)],
+        "source string, sample_factor double",
+    )
+    out = epoch_upsample(docs, factors0, salt="t-v1")
+    assert out.where(F.col("source") == "orphan").count() == 0
+    assert out.where(F.col("source") == "b").count() == 10

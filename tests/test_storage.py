@@ -2041,3 +2041,107 @@ def test_commit_nonconflict_link_failure_fails_loudly(spark, tmp_path, monkeypat
 
     shutil.rmtree(f"{tdir}/v=1")
     assert snapshot_write(df, tdir) == 1
+
+
+def test_snapshot_optimize_dv_fraction_trigger(spark, tmp_path):
+    """OPTIMIZE with dv_fraction bounds deletion-vector debt by POLICY:
+    a well-sized file whose deleted fraction exceeds the threshold is
+    rewritten (survivors materialized, its DV entries purged) even
+    though size-packing would never touch it; under-threshold files are
+    carried untouched with their entries intact."""
+    from f1_data_pipeline_spark.storage import (
+        _dv_key,
+        _read_manifest,
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "dvopt")
+    # 4 range-clustered files of 25 rows each, all "well-sized" for the
+    # tiny target used below
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("g")
+    ).repartitionByRange(4, "k")
+    snapshot_write(df, tdir, stats_cols=["k"])
+    # heavy debt in file 0 (k<20 → 20/25 deleted), light debt in file 3
+    snapshot_delete(spark, tdir, [("k", "<", 20)], mode="dv")
+    snapshot_delete(spark, tdir, [("k", "=", 90)], mode="dv")
+    v0 = 3
+    m0 = _read_manifest(spark, tdir, v0)
+    by_key = {_dv_key(e["path"]): e for e in m0["files"]}
+    heavy = [k for k, c in m0["dv"]["files"].items() if c / by_key[k]["rows"] >= 0.5]
+    light = [k for k, c in m0["dv"]["files"].items() if c / by_key[k]["rows"] < 0.5]
+    assert heavy and light
+
+    # without the trigger: nothing small enough to pack → no-op
+    v, rewritten, carried = snapshot_optimize(spark, tdir, small_file_bytes=1)
+    assert (v, rewritten) == (v0, 0)
+
+    # with the trigger: ONLY the heavy file rewrites; its entries purge
+    v, rewritten, carried = snapshot_optimize(
+        spark, tdir, small_file_bytes=1, dv_fraction=0.5
+    )
+    assert v == v0 + 1 and rewritten == len(heavy) and carried == 3
+    m = _read_manifest(spark, tdir, v)
+    paths = {_dv_key(e["path"]) for e in m["files"]}
+    assert not set(heavy) & paths  # heavy file replaced by its survivors
+    assert set(light) <= paths  # light file carried by reference
+    assert set(m["dv"]["files"]) == set(light)  # debt purged, light entries kept
+    assert {r["k"] for r in snapshot_read(spark, tdir).collect()} == (
+        set(range(20, 100)) - {90}
+    )
+    # time travel still sees the pre-optimize state
+    assert snapshot_read(spark, tdir, version=1).count() == 100
+
+
+def test_snapshot_version_asof_clamps_clock_skew(spark, tmp_path):
+    """Writer clock skew must not resolve an as-of to a version that was
+    never current at that time: commit times are clamped to the running
+    maximum (Delta's monotonicity enforcement), so a version stamped
+    EARLIER than its predecessor inherits the predecessor's effective
+    time. Unstamped pre-stamp-era records stay infinitely old."""
+    import json
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_version_asof,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "skew")
+    for i in range(3):
+        snapshot_write(
+            spark.range(5).select((F.col("id") + i).alias("k")), tdir
+        )
+
+    def restamp(v, ts):
+        p = os.path.join(tdir, "_manifests", f"{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        if ts is None:
+            m.pop("ts", None)
+        else:
+            m["ts"] = ts
+        os.replace(p + ".tmp", p) if False else None
+        with open(p, "w") as f:
+            json.dump(m, f)
+
+    # v1@1000, v2@2000, v3@1500 (skewed writer stamped v3 in the past)
+    restamp(1, 1000.0)
+    restamp(2, 2000.0)
+    restamp(3, 1500.0)
+    # at t=1700 the table's visible state was v1 (v2 committed at 2000,
+    # and v3 — whatever its skewed stamp says — committed after v2);
+    # unclamped resolution would wrongly return v3 (1500 <= 1700)
+    assert snapshot_version_asof(spark, tdir, 1700.0) == 1
+    # at the clamped time (v3 inherits v2's 2000) both v2 and v3
+    # qualify; the latest wins
+    assert snapshot_version_asof(spark, tdir, 2000.0) == 3
+    assert snapshot_version_asof(spark, tdir, 1000.0) == 1
+
+    # unstamped records are infinitely old: they never block the scan
+    restamp(1, None)
+    assert snapshot_version_asof(spark, tdir, 999.0) == 1
+    assert snapshot_version_asof(spark, tdir, 1700.0) == 1
