@@ -1933,11 +1933,17 @@ def snapshot_clone(
     source's files (reachability only sweeps under the clone's own
     directory). The dev/test-against-prod and experiment-branch shape.
 
-    The inherited caveat, stated not hidden (Delta documents the same):
-    the SOURCE's vacuum does not know about clones — vacuuming the
-    source past the cloned version breaks the clone's unrewritten
-    entries exactly like time-traveling past a vacuum. Pin the source's
-    ``keep_last`` or deep-clone before reclaiming.
+    A shallow clone REGISTERS itself under the source's ``_clones/``
+    directory (one small JSON per clone: clone path + pinned source
+    version). ``snapshot_vacuum`` on the source reads the registry and
+    protects every live registered clone's pinned version — files a
+    clone still depends on survive reclamation, closing the
+    vacuum-breaks-clones hole Delta merely documents. The narrowed
+    residual caveat: a clone whose directory was deleted out-of-band is
+    detected and its registration dropped, but a clone REACHED ONLY
+    through a deleted intermediate clone (grandclone chains) loses its
+    protection with the intermediate; ``snapshot_vacuum(force=True)``
+    ignores registrations entirely (the old behavior).
 
     ``shallow=False`` copies the data: one ``snapshot_read`` →
     ``snapshot_write`` with the source's stats/bloom spec re-derived —
@@ -1982,6 +1988,26 @@ def snapshot_clone(
         dv = manifest["dv"]
         payload["dv"] = {**dv, "dir": _entry_uri(src_base, dv["dir"])}
     _commit_record(spark, clone_dir, 1, payload)
+    # register with the source so ITS vacuum can protect the pinned
+    # version (idempotent create; registration loss only reopens the
+    # documented keep_last caveat, never corrupts either table)
+    import json
+    import uuid
+
+    fs, jvm = _snap_fs(spark, source_dir)
+    fs.mkdirs(_snap_path(jvm, src_base, "_clones"))
+    reg = _snap_path(jvm, src_base, "_clones", f"{uuid.uuid4().hex}.json")
+    out = fs.create(reg, False)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"clone": clone_dir.rstrip("/"), "source_version": current}
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
     return 1
 
 
@@ -2077,13 +2103,25 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
 
 
 def snapshot_vacuum(
-    spark: SparkSession, table_dir: str, keep_last: int = 2, dry_run: bool = False
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    dry_run: bool = False,
+    force: bool = False,
 ) -> list[int]:
     """Reclaim data not reachable from the newest ``keep_last`` versions;
     returns the versions whose directories were removed or emptied.
     ``dry_run=True`` reports the same list without deleting anything —
-    the look-before-you-reclaim step (vital around shallow clones, whose
-    sources this vacuum cannot see).
+    the look-before-you-reclaim step.
+
+    Shallow clones made from this table (registered under ``_clones/``
+    at clone time) are PROTECTED: each live clone's pinned source
+    version counts as reachable, so reclaiming can never break a
+    registered clone's unrewritten entries. Registrations whose clone
+    table no longer exists are stale — dropped during a real run, kept
+    (and still honored) under ``dry_run``. ``force=True`` ignores the
+    registry and reclaims as if no clones existed — the explicit
+    I-know-better flag for abandoned clones on unreachable storage.
 
     Reachability, not age, decides: copy-on-write upserts make newer
     manifests reference files living in OLDER version directories, so an
@@ -2117,6 +2155,39 @@ def snapshot_vacuum(
             # dataset may live in an OLDER version's dir (carried by a
             # restore), so protect it by name like any reachable file
             dv_dirs.add(m["dv"]["dir"])
+    if not force:
+        # live registered shallow clones pin their cloned source version
+        import json
+
+        cdir = _snap_path(jvm, table_dir, "_clones")
+        regs = fs.listStatus(cdir) if fs.exists(cdir) else []
+        for rst in regs:
+            stream = fs.open(rst.getPath())
+            try:
+                reg = json.loads(
+                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+                )
+            finally:
+                stream.close()
+            try:
+                alive = snapshot_version(spark, reg["clone"]) >= 1
+            except Exception:
+                alive = False  # unreachable storage: assume gone
+            if not alive:
+                if not dry_run:
+                    fs.delete(rst.getPath(), False)  # stale registration
+                continue
+            try:
+                m = _read_manifest(spark, table_dir, reg["source_version"])
+            except FileNotFoundError:
+                continue
+            files = m.get("files")
+            if files is None:
+                whole_dirs.add(f"v={reg['source_version']}")
+            else:
+                reachable.update(e["path"] for e in files)
+            if m.get("dv"):
+                dv_dirs.add(m["dv"]["dir"])
     removed = []
     for st in fs.listStatus(_snap_path(jvm, table_dir)):
         name = st.getPath().getName()

@@ -2145,3 +2145,52 @@ def test_snapshot_version_asof_clamps_clock_skew(spark, tmp_path):
     restamp(1, None)
     assert snapshot_version_asof(spark, tdir, 999.0) == 1
     assert snapshot_version_asof(spark, tdir, 1700.0) == 1
+
+
+def test_snapshot_vacuum_protects_registered_clones(spark, tmp_path):
+    """Source-side vacuum honors the clone registry: a live shallow
+    clone's pinned source version stays reachable (its files survive
+    reclamation and the clone keeps reading), force=True restores the
+    old reclaim-everything behavior, and a registration whose clone was
+    deleted out-of-band is dropped as stale."""
+    import os
+    import shutil
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_clone,
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    src = str(tmp_path / "src")
+    cl = str(tmp_path / "clone")
+    snapshot_write(spark.range(50).withColumnRenamed("id", "k"), src)  # v1
+    snapshot_clone(spark, src, cl)  # pins source v1
+    # two full rewrites: v1's files become unreachable from keep_last=1
+    snapshot_write(spark.range(50, 60).withColumnRenamed("id", "k"), src)
+    snapshot_write(spark.range(60, 70).withColumnRenamed("id", "k"), src)
+
+    # dry run reports nothing to reclaim from v=1 (clone pins it); the
+    # middle version is reclaimable either way
+    removed = snapshot_vacuum(spark, src, keep_last=1, dry_run=True)
+    assert 1 not in removed
+    removed = snapshot_vacuum(spark, src, keep_last=1)
+    assert 1 not in removed and 2 in removed
+    assert snapshot_read(spark, cl).count() == 50  # clone still whole
+
+    # force ignores the registry — the clone's entries break, as before
+    removed = snapshot_vacuum(spark, src, keep_last=1, force=True)
+    assert 1 in removed
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        snapshot_read(spark, cl).count()
+
+    # stale registration: clone dir deleted out-of-band → dropped on a
+    # real run, and vacuum proceeds as if unregistered
+    shutil.rmtree(cl)
+    regs = os.listdir(os.path.join(src, "_clones"))
+    assert regs
+    snapshot_vacuum(spark, src, keep_last=1)
+    assert os.listdir(os.path.join(src, "_clones")) == []
