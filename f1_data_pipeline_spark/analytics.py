@@ -465,6 +465,13 @@ def sync_replica_from_changes(
     if last == src_ver:
         return rep_ver, src_ver  # caught up: no empty commit
     feed = snapshot_changes(spark, source_dir, key, last, src_ver)
+    # PERSIST the folded span: the merge core evaluates its input three
+    # times (duplicate-key gate, envelope join, staged write), and the
+    # CDF plan above it (endpoint diff + full-outer net + DV delta) is
+    # the expensive part of a sync — re-running it per evaluation
+    # triples the sync cost. The cached set is at most one row per
+    # changed key (disk-spillable), exactly the working set a replicator
+    # must hold anyway.
     ops = (
         feed.where(F.col("_change_type") != "update_preimage")
         .withColumn(
@@ -474,18 +481,21 @@ def sync_replica_from_changes(
             ),
         )
         .drop("_change_type")
-    )
-    v = snapshot_apply_cdc(
-        spark,
-        replica_dir,
-        ops,
-        key=key,
-        op_col="op",
-        stats_cols=[key],
-        cluster_files=cluster_files,
-        properties={"source_version": src_ver},
-        expected_version=rep_ver,
-    )
+    ).persist()
+    try:
+        v = snapshot_apply_cdc(
+            spark,
+            replica_dir,
+            ops,
+            key=key,
+            op_col="op",
+            stats_cols=[key],
+            cluster_files=cluster_files,
+            properties={"source_version": src_ver},
+            expected_version=rep_ver,
+        )
+    finally:
+        ops.unpersist()
     if v == rep_ver:
         # the span netted to zero applied change (e.g. restore round-trip,
         # or deletes of keys the replica never held): the stamp must still

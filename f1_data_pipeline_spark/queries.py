@@ -1720,7 +1720,15 @@ def x_snapshot_replica(t: Tables) -> DataFrame:
     source version (exactly-once position, atomic with the data), the
     second sync must be exactly ONE replica commit (per-span net apply,
     not per-source-commit replay), and a third sync must be a
-    version-preserving no-op (caught up)."""
+    version-preserving no-op (caught up).
+
+    Bench note: the invocation cost is ~7 COMMITS of fixed protocol
+    overhead (two bootstraps, an upsert, a DV delete, a CDC apply, plus
+    two stamp checks) on a constant 300-row slice — it measures the
+    commit path, not data volume, so the harness keeps every table at
+    2 files (r9 verdict ask #5; the multi-file geometry of the same
+    machinery is covered by x_snapshot_dv and test_storage/
+    test_analytics)."""
     import shutil
     import tempfile
     import uuid
@@ -1747,13 +1755,13 @@ def x_snapshot_replica(t: Tables) -> DataFrame:
             shutil.rmtree(d, ignore_errors=True)
     _SNAP_REPL_DIRS[t.sf_dir] = (src, rep)
     snapshot_write(
-        base.repartitionByRange(8, "event_id"), src, stats_cols=["event_id"]
+        base.repartitionByRange(2, "event_id"), src, stats_cols=["event_id"]
     )
-    sync_replica_from_changes(spark, src, "event_id", rep, cluster_files=4)
+    sync_replica_from_changes(spark, src, "event_id", rep, cluster_files=2)
     updates = base.where(F.col("event_id").between(100, 149)).withColumn(
         "val", F.col("val") + 1000
     )
-    snapshot_upsert(spark, src, updates, key="event_id", cluster_files=2)
+    snapshot_upsert(spark, src, updates, key="event_id", cluster_files=1)
     snapshot_delete(
         spark, src, [("event_id", ">=", 200), ("event_id", "<=", 209)], mode="dv"
     )
