@@ -1695,6 +1695,80 @@ def x_snapshot_dv(t: Tables) -> DataFrame:
     return snapshot_read(spark, tdir).orderBy("event_id")
 
 
+# scratch table dir of x_merge_into's previous invocation per sf_dir
+_MERGE_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_merge_into",
+    """WITH t AS (SELECT event_id, user_id, ROUND(value, 4) AS val
+                  FROM events WHERE event_id BETWEEN 0 AND 399),
+          s AS (SELECT event_id, user_id, ROUND(value, 4) * 2 AS val
+                  FROM events WHERE event_id BETWEEN 200 AND 499)
+       SELECT COALESCE(t.event_id, s.event_id) AS event_id,
+              CASE WHEN t.event_id IS NULL THEN s.user_id
+                   ELSE t.user_id END AS user_id,
+              CASE WHEN t.event_id IS NULL THEN s.val
+                   WHEN s.event_id IS NOT NULL AND s.val > t.val THEN s.val
+                   ELSE t.val END AS val
+       FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+       WHERE NOT (s.event_id IS NULL AND t.event_id < 50)
+       ORDER BY event_id""",
+)
+def x_merge_into(t: Tables) -> DataFrame:
+    """Tri-clause MERGE INTO round-trip, externally hash-verified: commit
+    an events slice as a snapshot table, merge a shifted source slice
+    with WHEN MATCHED AND s.val > t.val THEN UPDATE SET val (unmentioned
+    columns keep their target values), WHEN NOT MATCHED THEN INSERT, and
+    WHEN NOT MATCHED BY SOURCE AND t.event_id < 50 THEN DELETE — the
+    Delta/ANSI MERGE surface (storage.snapshot_merge) — then read the
+    table back. The final rows are a pure function of the events table;
+    the oracle replays the same full-outer-join CASE logic in SQL. The
+    builder self-asserts the observed merge metrics against the
+    manifest-free arithmetic the result can't show (updates + inserts +
+    carried = final row count)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    spark = t.spark
+    tgt = t.events.where(F.col("event_id") <= 399).select(
+        F.col("event_id"), "user_id", F.round("value", 4).alias("val")
+    )
+    src = t.events.where(F.col("event_id").between(200, 499)).select(
+        F.col("event_id"), "user_id", (F.round("value", 4) * 2).alias("val")
+    )
+    tdir = tempfile.gettempdir() + f"/f1dp_merge_{uuid.uuid4().hex}"
+    prev = _MERGE_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _MERGE_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        tgt.repartitionByRange(2, "event_id"), tdir, stats_cols=["event_id"]
+    )
+    v, m = snapshot_merge(
+        spark, tdir, src, key="event_id",
+        matched_condition="s.val > t.val",
+        update_set={"val": "s.val"},
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.event_id < 50",
+        cluster_files=2,
+    )
+    out = snapshot_read(spark, tdir)
+    n = out.count()
+    if m["updated"] + m["inserted"] + m["copied"] != n:
+        raise RuntimeError(
+            f"merge metrics drifted: {m} does not account for {n} final rows"
+        )
+    return out.orderBy("event_id")
+
+
 # scratch dirs of x_snapshot_replica's previous invocation per sf_dir
 _SNAP_REPL_DIRS: dict[str, tuple[str, str]] = {}
 
@@ -1985,6 +2059,8 @@ SWEEP_ONLY: dict[str, str] = {
     "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_urls/x_curation",
     "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_bottomk_sample",
     "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
+    # built round 10 after the r10 rotation was already full — rotate next round
+    "x_merge_into": "tri-clause MERGE INTO round-trip (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)

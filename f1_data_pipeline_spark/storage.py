@@ -1472,6 +1472,285 @@ def _merge_into_snapshot(
     return version
 
 
+def snapshot_merge(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    when_matched: str | None = "update",
+    matched_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition: str | None = None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_files: int | None = None,
+    properties: dict | None = None,
+    expected_version: int | None = None,
+) -> tuple[int, dict]:
+    """Full tri-clause MERGE INTO (the Delta/ANSI shape), one
+    copy-on-write commit; returns ``(version, metrics)`` with metrics
+    ``{"updated", "deleted", "inserted", "copied"}``.
+
+    Clauses (each optional, each with an optional SQL condition over the
+    aliases ``s`` = source row, ``t`` = target row):
+
+    - ``when_matched="update"`` rewrites the matched target row.
+      ``update_set`` maps column → SQL expression (``{"val": "t.val +
+      s.delta"}``); unmentioned columns keep their target value. Default
+      (None) = replace every column from the source (``UPDATE SET *``).
+      ``when_matched="delete"`` removes the matched row instead
+      (condition-gated, like ``WHEN MATCHED AND cond THEN DELETE``);
+      ``None`` carries matched rows unchanged.
+    - ``when_not_matched="insert"`` inserts source rows with no match
+      (``INSERT *``; table columns the source lacks are null-filled).
+    - ``when_not_matched_by_source="delete"`` removes target rows with
+      no source match — the full-sync clause (``WHEN NOT MATCHED BY
+      SOURCE THEN DELETE``). This clause forces EVERY data file into the
+      rewrite (any file may hold an unmatched row); without it the merge
+      keeps the upsert cost model — only envelope-touched files rewrite,
+      everything else carries by reference, O(touched files + source).
+
+    Mechanics shared with the upsert core: one full-outer join on the
+    touched files' live rows (deletion vectors applied — DV'd rows can
+    neither match nor resurrect), row counts observed inside the staging
+    write (``Observation`` — no second pass), rewritten files' DV entries
+    purged / carried files' entries ride along, ``expected_version`` CAS
+    and ``properties`` stamp as on ``snapshot_write``. Duplicate or NULL
+    source keys raise (a target row must match at most one source row —
+    the ANSI MERGE cardinality rule).
+
+    Re-expresses (and generalizes) the reference's ON CONFLICT upsert
+    loaders (reference loader.py:165-193, supabase_loader.py:140-172) as
+    a declarative lakehouse commit."""
+    from pyspark.sql import Observation
+
+    if when_matched not in ("update", "delete", None):
+        raise ValueError(f"snapshot_merge: when_matched={when_matched!r}")
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"snapshot_merge: when_not_matched={when_not_matched!r}")
+    if when_not_matched_by_source not in ("delete", None):
+        raise ValueError(
+            f"snapshot_merge: when_not_matched_by_source="
+            f"{when_not_matched_by_source!r}"
+        )
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if expected_version is not None and current != expected_version:
+        raise SnapshotConflictError(
+            f"snapshot_merge: table {table_dir} is at version {current}, "
+            f"caller expected {expected_version}"
+        )
+    manifest = _read_manifest(spark, table_dir, current)
+    entries = manifest.get("files")
+    if entries is None or any(
+        "stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0
+    ):
+        raise ValueError(
+            f"snapshot_merge needs per-file {key!r} stats in the current "
+            f"manifest — rewrite the table once with "
+            f"snapshot_write(df, table_dir, stats_cols=[{key!r}, ...])"
+        )
+    if stats_cols is None:
+        with_stats = next((e for e in entries if e.get("stats")), None)
+        stats_cols = sorted(with_stats["stats"]) if with_stats else [key]
+    tschema = _manifest_schema(manifest)
+    cols = [f.name for f in tschema.fields]
+    extra = [c for c in source.columns if c not in cols]
+    if key not in source.columns or extra:
+        raise ValueError(
+            f"snapshot_merge: source columns {sorted(source.columns)} must "
+            f"be a subset of the table schema {sorted(cols)} and include "
+            f"{key!r} (extra: {extra})"
+        )
+    # ANSI MERGE cardinality: at most one source row per key, keys non-null
+    dup = source.agg(
+        F.count(key).alias("n"),
+        F.count_distinct(F.col(key)).alias("d"),
+        F.count(F.lit(1)).alias("all"),
+    ).head()
+    if dup["all"] != dup["n"]:
+        raise ValueError(f"snapshot_merge: source has NULL {key!r} keys")
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"snapshot_merge: source has duplicate {key!r} keys — a target "
+            f"row must match at most one source row; fold the source first"
+        )
+
+    base = table_dir.rstrip("/")
+    if when_not_matched_by_source:
+        # any file may hold a not-matched-by-source row: full rewrite set
+        touched = {e["path"] for e in entries}
+    else:
+        env_rows = [
+            (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+            for e in entries
+            if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
+        ]
+        touched = set()
+        if env_rows:
+            env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
+            touched = {
+                r["__path"]
+                for r in (
+                    source.select(F.col(key).alias("__k"))
+                    .distinct()
+                    .join(
+                        F.broadcast(env),
+                        (F.col("__k") >= F.col("__min"))
+                        & (F.col("__k") <= F.col("__max")),
+                    )
+                    .select("__path")
+                    .distinct()
+                    .collect()
+                )
+            }
+    carried = [e for e in entries if e["path"] not in touched]
+
+    src = source
+    for f in tschema.fields:
+        if f.name not in source.columns:
+            src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+    src = src.select(cols)
+    if touched:
+        tgt = _apply_dv(
+            _manifest_reader(spark, manifest).parquet(
+                *[_entry_uri(base, p) for p in sorted(touched)]
+            ),
+            _dv_read(spark, table_dir, manifest),
+            _dv_deleted(manifest),
+        ).select(cols)
+        j = tgt.alias("t").join(
+            src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        )
+    else:
+        # no file can hold a source key: every source row is unmatched
+        j = (
+            spark.createDataFrame([], tschema)
+            .alias("t")
+            .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+        )
+
+    t_k, s_k = F.col(f"t.{key}"), F.col(f"s.{key}")
+    true_ = F.lit(True)
+    m_cond = F.expr(matched_condition) if matched_condition else true_
+    i_cond = F.expr(not_matched_condition) if not_matched_condition else true_
+    d_cond = (
+        F.expr(not_matched_by_source_condition)
+        if not_matched_by_source_condition
+        else true_
+    )
+    action = (
+        F.when(
+            t_k.isNull(),
+            F.when(
+                F.lit(when_not_matched == "insert") & F.coalesce(i_cond, F.lit(False)),
+                F.lit("I"),
+            ).otherwise(F.lit("skip")),
+        )
+        .when(
+            s_k.isNull(),
+            F.when(
+                F.lit(when_not_matched_by_source == "delete")
+                & F.coalesce(d_cond, F.lit(False)),
+                F.lit("D"),
+            ).otherwise(F.lit("C")),
+        )
+        .otherwise(
+            F.when(
+                F.lit(when_matched == "update") & F.coalesce(m_cond, F.lit(False)),
+                F.lit("U"),
+            )
+            .when(
+                F.lit(when_matched == "delete") & F.coalesce(m_cond, F.lit(False)),
+                F.lit("MD"),
+            )
+            .otherwise(F.lit("C"))
+        )
+    )
+
+    def _value(c: str):
+        if update_set is None:
+            upd = F.col(f"s.{c}")  # UPDATE SET *: replace from the source
+        elif c in update_set:
+            upd = F.expr(update_set[c])
+        else:
+            upd = F.col(f"t.{c}")  # explicit SET: unmentioned cols keep target
+        return (
+            F.when(F.col("__action") == "I", F.col(f"s.{c}"))
+            .when(F.col("__action") == "U", upd)
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+        )
+
+    obs = Observation()
+    tagged = j.withColumn("__action", action).observe(
+        obs,
+        F.sum((F.col("__action") == "U").cast("long")).alias("updated"),
+        F.sum(F.col("__action").isin("D", "MD").cast("long")).alias("deleted"),
+        F.sum((F.col("__action") == "I").cast("long")).alias("inserted"),
+        F.sum((F.col("__action") == "C").cast("long")).alias("copied"),
+    )
+    staged_df = (
+        tagged.where(~F.col("__action").isin("skip", "D", "MD"))
+        .select(
+            F.coalesce(t_k, s_k).alias(key),
+            *[_value(c) for c in cols if c != key],
+        )
+        .select(cols)
+    )
+    cached = None
+    if cluster_files:
+        # repartitionByRange SAMPLES its input (a second full evaluation)
+        # — without this persist the CollectMetrics node would fire twice
+        # and every observed count would double
+        cached = staged_df.persist()
+        staged_df = cached.repartitionByRange(cluster_files, key)
+    try:
+        version, vdir = _stage_version(staged_df, table_dir)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    metrics = {k: int(v or 0) for k, v in obs.get.items()}
+    if not (metrics["updated"] or metrics["deleted"] or metrics["inserted"]):
+        # pure no-op merge: don't commit a version that only re-copies
+        fs, jvm = _snap_fs(spark, table_dir)
+        fs.delete(_snap_path(jvm, vdir), True)
+        return current, metrics
+    staged = _staged_file_entries(spark, table_dir, version, stats_cols)
+    bloom_spec = manifest.get("bloom_spec")
+    new_entries = staged + carried
+    _apply_blooms(spark, table_dir, version, new_entries, bloom_spec)
+    payload = {
+        "version": version,
+        "dir": f"v={version}",
+        "files": new_entries,
+        "schema": manifest.get("schema") or staged_df.schema.json(),
+    }
+    old_dv = _dv_read(spark, table_dir, manifest)
+    if old_dv is not None:
+        carried_keys = sorted({_dv_key(e["path"]) for e in carried})
+        dv_block = _write_dv(
+            spark, table_dir, version,
+            old_dv.where(F.col("path").isin(carried_keys)) if carried_keys else None,
+        )
+        if dv_block:
+            payload["dv"] = dv_block
+    if properties:
+        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
+    if bloom_spec:
+        payload["bloom_spec"] = bloom_spec
+    try:
+        _commit_record(spark, table_dir, version, payload)
+    except SnapshotConflictError:
+        fs, jvm = _snap_fs(spark, table_dir)
+        fs.delete(_snap_path(jvm, vdir), True)  # never committed
+        raise
+    return version, metrics
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_dir: str,

@@ -2194,3 +2194,178 @@ def test_snapshot_vacuum_protects_registered_clones(spark, tmp_path):
     assert regs
     snapshot_vacuum(spark, src, keep_last=1)
     assert os.listdir(os.path.join(src, "_clones")) == []
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (tri-clause)
+# ---------------------------------------------------------------------------
+
+
+def _merge_table(spark, tmp_path, name="mrg"):
+    from f1_data_pipeline_spark.storage import snapshot_write
+
+    tdir = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(k, "old", float(k)) for k in range(1, 9)], "k long, tag string, val double"
+    ).repartitionByRange(2, "k")
+    snapshot_write(df, tdir, stats_cols=["k"])
+    return tdir
+
+
+def test_snapshot_merge_update_insert_defaults(spark, tmp_path):
+    """Default clauses = UPSERT: matched rows replaced from the source,
+    unmatched source rows inserted (null-filling table columns the
+    source lacks), untouched target rows carried; metrics observed
+    inside the single staging pass."""
+    from f1_data_pipeline_spark.storage import snapshot_merge, snapshot_read
+
+    tdir = _merge_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "new", 20.0), (9, "new", 90.0)], "k long, tag string, val double"
+    )
+    v, m = snapshot_merge(spark, tdir, src, key="k")
+    assert v == 2
+    assert m == {"updated": 1, "deleted": 0, "inserted": 1, "copied": 3}
+    rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    assert set(rows) == set(range(1, 9)) | {9}
+    assert rows[2]["tag"] == "new" and rows[2]["val"] == 20.0
+    assert rows[1]["tag"] == "old"
+    # source missing a column: inserted rows null-fill it
+    src2 = spark.createDataFrame([(10, 100.0)], "k long, val double")
+    v2, m2 = snapshot_merge(spark, tdir, src2, key="k")
+    got = snapshot_read(spark, tdir).where("k = 10").head()
+    assert got["tag"] is None and got["val"] == 100.0
+    # matched update from a narrow source keeps... (replace-all semantics
+    # would null tag; use update_set to touch only val)
+    src3 = spark.createDataFrame([(1, 111.0)], "k long, val double")
+    v3, m3 = snapshot_merge(
+        spark, tdir, src3, key="k", update_set={"val": "s.val"}
+    )
+    got1 = snapshot_read(spark, tdir).where("k = 1").head()
+    assert got1["val"] == 111.0 and got1["tag"] == "old"
+
+
+def test_snapshot_merge_conditions_and_delete_clauses(spark, tmp_path):
+    """Conditional clauses: WHEN MATCHED AND cond THEN UPDATE/DELETE,
+    WHEN NOT MATCHED AND cond THEN INSERT, WHEN NOT MATCHED BY SOURCE
+    AND cond THEN DELETE (the full-sync clause)."""
+    from f1_data_pipeline_spark.storage import snapshot_merge, snapshot_read
+
+    tdir = _merge_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(1, "s", 0.5), (2, "s", 99.0), (20, "s", 1.0), (21, "s", 99.0)],
+        "k long, tag string, val double",
+    )
+    # update only when source val beats target; insert only big vals
+    v, m = snapshot_merge(
+        spark, tdir, src, key="k",
+        matched_condition="s.val > t.val",
+        update_set={"val": "s.val", "tag": "s.tag"},
+        not_matched_condition="s.val > 50",
+    )
+    assert m["updated"] == 1 and m["inserted"] == 1
+    rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    assert rows[1]["val"] == 1.0 and rows[1]["tag"] == "old"  # cond false
+    assert rows[2]["val"] == 99.0 and rows[2]["tag"] == "s"
+    assert 20 not in rows and rows[21]["val"] == 99.0
+
+    # matched delete + not-matched-by-source delete = exact mirror sync
+    mirror = spark.createDataFrame(
+        [(2, "m", 2.0), (21, "m", 21.0), (5, "m", 5.0)],
+        "k long, tag string, val double",
+    )
+    v2, m2 = snapshot_merge(
+        spark, tdir, mirror, key="k",
+        when_matched="delete", matched_condition="t.val > 50",
+        when_not_matched="insert",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.k > 6",
+    )
+    rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    # matched with t.val > 50: 2 and 21 (both at val 99) deleted; 5 carried
+    assert 2 not in rows and 21 not in rows and 5 in rows
+    assert m2["deleted"] == 4  # 2, 21 (matched) + 7, 8 (by source)
+    # not matched by source with t.k > 6: 7, 8 deleted; 1,3,4,6 carried
+    assert 7 not in rows and 8 not in rows
+    assert {1, 3, 4, 5, 6} == set(rows)
+
+
+def test_snapshot_merge_cost_model_and_guards(spark, tmp_path):
+    """Without the by-source clause only envelope-touched files rewrite
+    (the upsert cost model); with it every file joins the rewrite. ANSI
+    cardinality: duplicate or NULL source keys raise; extra source
+    columns raise; a no-op merge commits nothing."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_version,
+    )
+
+    tdir = _merge_table(spark, tmp_path)  # 2 range files: k 1-4, 5-8
+    low = spark.createDataFrame([(1, "x", -1.0)], "k long, tag string, val double")
+    v, m = snapshot_merge(spark, tdir, low, key="k")
+    m2 = _read_manifest(spark, tdir, v)
+    carried = [e for e in m2["files"] if e["path"].startswith("v=1/")]
+    assert len(carried) == 1  # high file untouched, carried by reference
+
+    full = spark.createDataFrame([(1, "y", -2.0)], "k long, tag string, val double")
+    v3, _ = snapshot_merge(
+        spark, tdir, full, key="k", when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.k > 100",
+    )
+    m3 = _read_manifest(spark, tdir, v3)
+    assert not [e for e in m3["files"] if not e["path"].startswith(f"v={v3}/")]
+
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_merge(
+            spark, tdir,
+            spark.createDataFrame([(1, "a", 0.0), (1, "b", 0.0)],
+                                  "k long, tag string, val double"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_merge(
+            spark, tdir,
+            spark.createDataFrame([(None, "a", 0.0)],
+                                  "k long, tag string, val double"),
+            key="k",
+        )
+    with pytest.raises(ValueError, match="subset"):
+        snapshot_merge(
+            spark, tdir,
+            spark.createDataFrame([(1, 1)], "k long, bogus int"),
+            key="k",
+        )
+    # no-op: nothing matched, nothing inserted, nothing deleted
+    cur = snapshot_version(spark, tdir)
+    v4, m4 = snapshot_merge(
+        spark, tdir,
+        spark.createDataFrame([(50, "z", 0.0)], "k long, tag string, val double"),
+        key="k", when_not_matched=None,
+    )
+    assert v4 == cur and m4["inserted"] == 0
+    assert snapshot_version(spark, tdir) == cur
+
+
+def test_snapshot_merge_respects_deletion_vectors(spark, tmp_path):
+    """A DV'd row can neither match (its key merges as not-matched →
+    insert) nor resurrect through the rewrite; rewritten files purge
+    their DV entries, carried files keep theirs."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    tdir = _merge_table(spark, tmp_path)
+    snapshot_delete(spark, tdir, [("k", "=", 2)], mode="dv")
+    src = spark.createDataFrame(
+        [(2, "back", 2.5), (3, "upd", 3.5)], "k long, tag string, val double"
+    )
+    v, m = snapshot_merge(spark, tdir, src, key="k")
+    assert m["updated"] == 1 and m["inserted"] == 1  # k=2 is NOT a match
+    rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    assert rows[2]["tag"] == "back" and rows[3]["tag"] == "upd"
+    assert len(rows) == 8
