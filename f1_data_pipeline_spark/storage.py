@@ -250,6 +250,53 @@ class SnapshotConflictError(RuntimeError):
     must re-read first (which ``expected_version`` enforces)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A PERSISTENT table CHECK constraint (``snapshot_add_constraint``)
+    rejected rows a write tried to stage. Nothing was committed — the
+    orphan stage is removed before raising."""
+
+
+def _constraint_observation(staged_df: DataFrame, constraints: dict):
+    """Attach one violation counter per stored constraint to the staging
+    plan (a single ``Observation`` — counted DURING the write itself, no
+    extra table pass). NULL rule results count as violations, matching
+    ``check_expectations``. Returns ``(df, observation, names)``."""
+    from pyspark.sql import Observation
+
+    names = sorted(constraints)
+    obs = Observation()
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(constraints[n]), F.lit(False))).cast("long")
+        ).alias(f"c{i}")
+        for i, n in enumerate(names)
+    ]
+    return staged_df.observe(obs, *aggs), obs, names
+
+
+def _enforce_constraints(
+    spark: SparkSession, table_dir: str, vdir: str, obs, names: list[str], what: str
+) -> None:
+    """Read the staging write's violation counters; on any violation,
+    remove the (never-committed) stage and raise typed with per-rule
+    counts. Called between staging and the commit record, so a bad batch
+    can never become a committed version."""
+    got = obs.get
+    bad = {
+        n: int(got[f"c{i}"] or 0)
+        for i, n in enumerate(names)
+        if int(got[f"c{i}"] or 0)
+    }
+    if bad:
+        fs, jvm = _snap_fs(spark, table_dir)
+        fs.delete(_snap_path(jvm, vdir), True)
+        raise ConstraintViolationError(
+            f"{what}: table CHECK constraint violations {bad} under "
+            f"{table_dir} — nothing was committed; fix the batch or "
+            f"snapshot_drop_constraint first"
+        )
+
+
 def _snap_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -694,6 +741,7 @@ def snapshot_write(
     properties: dict | None = None,
     expected_version: int | None = None,
     retries: int = 0,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` as the next table version and return it.
 
@@ -820,11 +868,32 @@ def snapshot_write(
                 )
         vdir = None
         try:
-            version, vdir = _stage_version(df, table_dir)
+            # persistent CHECK constraints survive a full-replace write
+            # (Delta semantics: constraints live on the TABLE until
+            # dropped); ``constraints`` adds/declares rules at write time
+            # (the fresh-table and deep-clone path). Both sets gate the
+            # new rows INSIDE the staging write — no extra pass.
+            cur = snapshot_version(spark, table_dir)
+            prior = (
+                _read_manifest(spark, table_dir, cur).get("constraints")
+                if cur >= 1
+                else None
+            )
+            effective = {**(prior or {}), **(constraints or {})} or None
+            staged_df, c_obs, c_names = (
+                _constraint_observation(df, effective)
+                if effective
+                else (df, None, [])
+            )
+            version, vdir = _stage_version(staged_df, table_dir)
             if expected_version is not None and version != expected_version + 1:
                 raise SnapshotConflictError(
                     f"snapshot_write: staged v={version} but the CAS expects "
                     f"v={expected_version + 1} under {table_dir}"
+                )
+            if c_obs is not None:
+                _enforce_constraints(
+                    spark, table_dir, vdir, c_obs, c_names, "snapshot_write"
                 )
             entries = _staged_file_entries(spark, table_dir, version, stats_cols)
             _apply_blooms(spark, table_dir, version, entries, bloom_spec)
@@ -834,6 +903,8 @@ def snapshot_write(
                 "files": entries,
                 "schema": df.schema.json(),
             }
+            if effective:
+                payload["constraints"] = effective
             if bloom_spec:
                 payload["bloom_spec"] = bloom_spec
             if properties:
@@ -1432,9 +1503,25 @@ def _merge_into_snapshot(
         return current  # pure delete of absent keys: nothing to commit
     else:
         staged_df = upserts
+    constraints = manifest.get("constraints")
+    c_obs, c_names = None, []
+    if constraints:
+        staged_df, c_obs, c_names = _constraint_observation(staged_df, constraints)
+    cached = None
     if cluster_files:
+        if constraints:
+            # repartitionByRange samples its input (a second evaluation);
+            # the persist keeps the violation counters single-fire
+            cached = staged_df.persist()
+            staged_df = cached
         staged_df = staged_df.repartitionByRange(cluster_files, key)
-    version, _ = _stage_version(staged_df, table_dir)
+    try:
+        version, vdir = _stage_version(staged_df, table_dir)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    if c_obs is not None:
+        _enforce_constraints(spark, table_dir, vdir, c_obs, c_names, what)
     new_entries = _staged_file_entries(spark, table_dir, version, stats_cols) + carried
     bloom_spec = manifest.get("bloom_spec")
     _apply_blooms(spark, table_dir, version, new_entries, bloom_spec)
@@ -1464,6 +1551,8 @@ def _merge_into_snapshot(
             else manifest.get("schema") or staged_df.schema.json()
         ),
     })
+    if constraints:
+        payload["constraints"] = constraints
     if properties:
         payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
     if bloom_spec:
@@ -1701,10 +1790,14 @@ def snapshot_merge(
         )
         .select(cols)
     )
+    constraints = manifest.get("constraints")
+    c_obs, c_names = None, []
+    if constraints:
+        staged_df, c_obs, c_names = _constraint_observation(staged_df, constraints)
     cached = None
     if cluster_files:
         # repartitionByRange SAMPLES its input (a second full evaluation)
-        # — without this persist the CollectMetrics node would fire twice
+        # — without this persist the CollectMetrics nodes would fire twice
         # and every observed count would double
         cached = staged_df.persist()
         staged_df = cached.repartitionByRange(cluster_files, key)
@@ -1713,6 +1806,8 @@ def snapshot_merge(
     finally:
         if cached is not None:
             cached.unpersist()
+    if c_obs is not None:
+        _enforce_constraints(spark, table_dir, vdir, c_obs, c_names, "snapshot_merge")
     metrics = {k: int(v or 0) for k, v in obs.get.items()}
     if not (metrics["updated"] or metrics["deleted"] or metrics["inserted"]):
         # pure no-op merge: don't commit a version that only re-copies
@@ -1738,6 +1833,8 @@ def snapshot_merge(
         )
         if dv_block:
             payload["dv"] = dv_block
+    if constraints:
+        payload["constraints"] = constraints
     if properties:
         payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
     if bloom_spec:
@@ -2143,8 +2240,9 @@ def snapshot_delete(
             "schema": manifest.get("schema"),
             "dv": dv_block,
         }
-        if manifest.get("bloom_spec"):
-            payload["bloom_spec"] = manifest["bloom_spec"]
+        for carry in ("bloom_spec", "constraints"):
+            if manifest.get(carry):
+                payload[carry] = manifest[carry]
         try:
             _commit_record(spark, table_dir, version, payload)
         except SnapshotConflictError:
@@ -2190,6 +2288,9 @@ def snapshot_delete(
             payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("constraints"):
+        # deletes cannot create violating rows: carry, don't re-check
+        payload["constraints"] = manifest["constraints"]
     _commit_record(spark, table_dir, version, payload)
     return version, deleted
 
@@ -2249,6 +2350,7 @@ def snapshot_clone(
             bloom_cols=spec.get("cols"),
             bloom_bits=spec.get("m", 16384),
             bloom_hashes=spec.get("h", 5),
+            constraints=manifest.get("constraints"),
         )
     src_base = source_dir.rstrip("/")
     # _entry_uri keeps a clone-of-a-clone from double-prefixing entries
@@ -2261,8 +2363,9 @@ def snapshot_clone(
         "schema": manifest.get("schema"),
         "cloned_from": {"table": src_base, "version": current},
     }
-    if manifest.get("bloom_spec"):
-        payload["bloom_spec"] = manifest["bloom_spec"]
+    for carry in ("bloom_spec", "constraints"):
+        if manifest.get(carry):
+            payload[carry] = manifest[carry]
     if manifest.get("dv"):
         dv = manifest["dv"]
         payload["dv"] = {**dv, "dir": _entry_uri(src_base, dv["dir"])}
@@ -2319,7 +2422,96 @@ def snapshot_restamp(
         "properties": {k: _json_safe(v) for k, v in properties.items()},
         "restamped_from": current,
     }
-    for carry in ("bloom_spec", "dv"):
+    for carry in ("bloom_spec", "dv", "constraints"):
+        if manifest.get(carry):
+            payload[carry] = manifest[carry]
+    _commit_record(spark, table_dir, current + 1, payload)
+    return current + 1
+
+
+def snapshot_constraints(spark: SparkSession, table_dir: str) -> dict:
+    """The table's persistent CHECK constraints (``name -> SQL boolean
+    expression``), empty when none were ever added."""
+    v = snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    return dict(_read_manifest(spark, table_dir, v).get("constraints") or {})
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (the Delta shape): validate that every
+    CURRENT row satisfies ``expr`` (one aggregate scan — adding a
+    constraint a table already violates must fail, not lie), then commit
+    a metadata-only version carrying the file list verbatim plus the new
+    rule. From that version on, EVERY write path — ``snapshot_write``
+    (full replace), ``snapshot_upsert`` / ``snapshot_apply_cdc`` (and
+    the streaming maintainer built on them), ``snapshot_merge`` —
+    enforces the rule on the rows it stages, counting violations inside
+    the staging write itself (an ``Observation``, no extra pass) and
+    aborting the commit typed (``ConstraintViolationError``) before the
+    record is published. Maintenance that moves rows without changing
+    them (delete, optimize, compact, restore, clones, restamp) carries
+    the constraint set; enforcement on staged rows is therefore
+    inductive over the whole history. NULL rule results count as
+    violations, as in ``check_expectations``."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, current)
+    if manifest.get("files") is None:
+        raise ValueError("snapshot_add_constraint needs a file-list manifest")
+    existing = dict(manifest.get("constraints") or {})
+    if existing.get(name) == expr:
+        return current  # idempotent re-add: nothing to commit
+    if name in existing:
+        raise ValueError(
+            f"snapshot_add_constraint: {name!r} already exists with a "
+            f"different expression ({existing[name]!r}) — drop it first"
+        )
+    check_expectations(snapshot_read(spark, table_dir), {name: expr})
+    payload = {
+        "version": current + 1,
+        "dir": f"v={current + 1}",
+        "files": manifest["files"],
+        "schema": manifest.get("schema"),
+        "constraints": {**existing, name: expr},
+        "constraint_added": name,
+    }
+    for carry in ("bloom_spec", "dv", "properties"):
+        if manifest.get(carry):
+            payload[carry] = manifest[carry]
+    _commit_record(spark, table_dir, current + 1, payload)
+    return current + 1
+
+
+def snapshot_drop_constraint(
+    spark: SparkSession, table_dir: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit without the
+    named rule. Raises KeyError if the constraint does not exist (a
+    typo'd drop must not silently succeed)."""
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, current)
+    existing = dict(manifest.get("constraints") or {})
+    if name not in existing:
+        raise KeyError(
+            f"snapshot_drop_constraint: no constraint {name!r} on {table_dir}"
+        )
+    del existing[name]
+    payload = {
+        "version": current + 1,
+        "dir": f"v={current + 1}",
+        "files": manifest["files"],
+        "schema": manifest.get("schema"),
+        "constraint_dropped": name,
+    }
+    if existing:
+        payload["constraints"] = existing
+    for carry in ("bloom_spec", "dv", "properties"):
         if manifest.get(carry):
             payload[carry] = manifest[carry]
     _commit_record(spark, table_dir, current + 1, payload)
@@ -2374,6 +2566,10 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         payload["dv"] = manifest["dv"]
     if manifest.get("bloom_spec"):
         payload["bloom_spec"] = manifest["bloom_spec"]
+    if manifest.get("constraints"):
+        # the restored version's rows passed ITS constraint set; that set
+        # (not a later one) travels with the restored state
+        payload["constraints"] = manifest["constraints"]
     if manifest.get("properties"):
         # the restored content IS the target version's: its stamp applies
         payload["properties"] = manifest["properties"]
@@ -2687,6 +2883,9 @@ def snapshot_optimize(
             payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("constraints"):
+        # packing moves rows, never changes them: carry, don't re-check
+        payload["constraints"] = manifest["constraints"]
     if manifest.get("properties"):
         # content-preserving: carry the exactly-once consumer stamp
         payload["properties"] = manifest["properties"]

@@ -2369,3 +2369,147 @@ def test_snapshot_merge_respects_deletion_vectors(spark, tmp_path):
     rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
     assert rows[2]["tag"] == "back" and rows[3]["tag"] == "upd"
     assert len(rows) == 8
+
+
+# ---------------------------------------------------------------------------
+# persistent CHECK constraints
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_constraints_lifecycle_and_enforcement(spark, tmp_path):
+    """ADD CONSTRAINT validates the existing table, then every write
+    path enforces the rule on the rows it stages (violation = typed
+    abort, nothing committed, table still writable); maintenance carries
+    the set; DROP removes enforcement."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        ConstraintViolationError,
+        snapshot_add_constraint,
+        snapshot_apply_cdc,
+        snapshot_constraints,
+        snapshot_drop_constraint,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "cons")
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(1, 9)], "k long, val double"
+    ).repartitionByRange(2, "k")
+    snapshot_write(df, tdir, stats_cols=["k"])
+
+    # adding a rule the table violates fails and commits nothing
+    with pytest.raises(ValueError, match="val_big"):
+        snapshot_add_constraint(spark, tdir, "val_big", "val > 100")
+    assert snapshot_version(spark, tdir) == 1
+
+    v = snapshot_add_constraint(spark, tdir, "val_pos", "val >= 0")
+    assert v == 2 and snapshot_constraints(spark, tdir) == {"val_pos": "val >= 0"}
+    assert snapshot_add_constraint(spark, tdir, "val_pos", "val >= 0") == 2  # idempotent
+    with pytest.raises(ValueError, match="drop it first"):
+        snapshot_add_constraint(spark, tdir, "val_pos", "val > 1")
+
+    # upsert: clean batch commits, violating batch aborts typed
+    ok = spark.createDataFrame([(1, 10.0)], "k long, val double")
+    v = snapshot_upsert(spark, tdir, ok, key="k", cluster_files=1)
+    with pytest.raises(ConstraintViolationError, match="val_pos"):
+        snapshot_upsert(
+            spark, tdir,
+            spark.createDataFrame([(2, -5.0)], "k long, val double"),
+            key="k", cluster_files=1,
+        )
+    assert snapshot_version(spark, tdir) == v  # aborted commit left no version
+    # ... and no orphan stage blocks the next writer
+    v2 = snapshot_upsert(
+        spark, tdir, spark.createDataFrame([(2, 5.5)], "k long, val double"),
+        key="k", cluster_files=1,
+    )
+    assert v2 == v + 1
+
+    # apply_cdc and merge enforce the same set
+    with pytest.raises(ConstraintViolationError, match="val_pos"):
+        snapshot_apply_cdc(
+            spark, tdir,
+            spark.createDataFrame([(3, -1.0, "U")], "k long, val double, op string"),
+            key="k",
+        )
+    with pytest.raises(ConstraintViolationError, match="val_pos"):
+        snapshot_merge(
+            spark, tdir,
+            spark.createDataFrame([(3, -1.0)], "k long, val double"),
+            key="k",
+        )
+    # full-replace write enforces AND carries the set
+    with pytest.raises(ConstraintViolationError, match="val_pos"):
+        snapshot_write(
+            spark.createDataFrame([(1, -9.0)], "k long, val double"), tdir
+        )
+    v3 = snapshot_write(
+        spark.createDataFrame([(1, 9.0)], "k long, val double"), tdir,
+        stats_cols=["k"],
+    )
+    assert snapshot_constraints(spark, tdir) == {"val_pos": "val >= 0"}
+
+    # drop: enforcement ends; unknown name raises
+    snapshot_drop_constraint(spark, tdir, "val_pos")
+    assert snapshot_constraints(spark, tdir) == {}
+    with pytest.raises(KeyError):
+        snapshot_drop_constraint(spark, tdir, "val_pos")
+    snapshot_upsert(
+        spark, tdir, spark.createDataFrame([(2, -5.0)], "k long, val double"),
+        key="k", cluster_files=1,
+    )
+    assert snapshot_read(spark, tdir).where("val < 0").count() == 1
+
+
+def test_snapshot_constraints_carried_by_maintenance(spark, tmp_path):
+    """Delete / optimize / restore / clones / fresh-write declaration all
+    preserve the constraint set; a restored version travels with ITS
+    constraint set."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        ConstraintViolationError,
+        snapshot_add_constraint,
+        snapshot_clone,
+        snapshot_constraints,
+        snapshot_delete,
+        snapshot_optimize,
+        snapshot_restore,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "consm")
+    snapshot_write(
+        spark.createDataFrame([(k, float(k)) for k in range(20)],
+                              "k long, val double").repartition(4),
+        tdir, stats_cols=["k"],
+        constraints={"val_pos": "val >= 0"},  # declared at creation
+    )
+    assert snapshot_constraints(spark, tdir) == {"val_pos": "val >= 0"}
+    pre = snapshot_add_constraint(spark, tdir, "k_small", "k < 1000") - 1
+    snapshot_delete(spark, tdir, [("k", "=", 3)], mode="dv")
+    snapshot_delete(spark, tdir, [("k", "=", 4)])
+    snapshot_optimize(spark, tdir, target_file_bytes=1 << 30)
+    assert set(snapshot_constraints(spark, tdir)) == {"val_pos", "k_small"}
+
+    # clones inherit (shallow and deep)
+    for shallow, name in ((True, "sh"), (False, "dp")):
+        cdir = str(tmp_path / f"cl_{name}")
+        snapshot_clone(spark, tdir, cdir, shallow=shallow)
+        assert set(snapshot_constraints(spark, cdir)) == {"val_pos", "k_small"}
+        with pytest.raises(ConstraintViolationError):
+            snapshot_upsert(
+                spark, cdir,
+                spark.createDataFrame([(1, -1.0)], "k long, val double"),
+                key="k", cluster_files=1,
+            )
+
+    # restore to the pre-k_small version: only val_pos travels back
+    snapshot_restore(spark, tdir, pre)
+    assert snapshot_constraints(spark, tdir) == {"val_pos": "val >= 0"}
