@@ -745,6 +745,15 @@ def stream_snapshot_upsert(
     re-appends its bad rows) — quarantine is an investigation feed, not
     a keyed table; dedup on read if exact counts matter.
 
+    PERSISTENT table constraints (``storage.snapshot_add_constraint``)
+    compose differently from ``expectations``: expectations DIVERT bad
+    rows to quarantine and keep the stream alive (the DLT policy shape),
+    while a committed CHECK constraint ABORTS the violating batch typed
+    (``ConstraintViolationError`` surfaces as the stream's exception) —
+    an invariant the table's owner declared must stop the pipeline, not
+    leak past it. Use both: expectations for per-deployment hygiene
+    rules, constraints for table-contract invariants.
+
     ``op_col`` names a changelog op column: after the per-key fold, a key
     whose LATEST row is a tombstone (op in ``delete_ops``) is removed
     from the table instead of upserted — a Debezium-style keyed change

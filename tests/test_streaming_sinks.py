@@ -1168,3 +1168,62 @@ def test_stream_snapshot_upsert_mid_stream_schema_evolution(spark, tmp_path):
     with pytest.raises(Exception, match="evolve_schema"):
         q.awaitTermination(180)
     assert "region" not in snapshot_read(spark, tdir2).columns
+
+
+def test_stream_snapshot_upsert_aborts_on_table_constraint(spark, tmp_path):
+    """Persistent table CHECK constraints compose with the streaming
+    maintainer the opposite way from expectations: a batch violating a
+    committed constraint ABORTS the stream typed (the table owner's
+    invariant must stop the pipeline), no violating version is
+    committed, and after fixing the data the same checkpoint resumes and
+    replays the batch."""
+    import os
+
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from f1_data_pipeline_spark.storage import (
+        ConstraintViolationError,
+        snapshot_add_constraint,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    src = tmp_path / "changes"
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src)
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    spark.createDataFrame(
+        [(i, f"a-{i}") for i in range(10)], schema
+    ).write.parquet(str(src / "d1"))
+    q = strm.stream_snapshot_upsert(
+        spark, str(src) + "/*", str(tmp_path / "ck"), tdir, key="k", schema=schema
+    )
+    assert q.awaitTermination(180)
+    snapshot_add_constraint(spark, tdir, "v_present", "v IS NOT NULL")
+    v0 = snapshot_version(spark, tdir)
+
+    # a violating drop kills the stream with the typed error
+    bad = str(src / "d2")
+    spark.createDataFrame([(3, None), (20, "b-20")], schema).write.parquet(bad)
+    q = strm.stream_snapshot_upsert(
+        spark, str(src) + "/*", str(tmp_path / "ck"), tdir, key="k", schema=schema
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(180)
+    assert "v_present" in str(ei.value)
+    assert snapshot_version(spark, tdir) == v0  # nothing committed
+
+    # fix the data in place; the SAME checkpoint replays the batch
+    import shutil
+
+    shutil.rmtree(bad)
+    spark.createDataFrame([(3, "fixed"), (20, "b-20")], schema).write.parquet(bad)
+    q = strm.stream_snapshot_upsert(
+        spark, str(src) + "/*", str(tmp_path / "ck"), tdir, key="k", schema=schema
+    )
+    assert q.awaitTermination(180)
+    table = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert table[3] == "fixed" and table[20] == "b-20" and len(table) == 11
