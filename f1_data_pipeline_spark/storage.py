@@ -1577,10 +1577,17 @@ def snapshot_merge(
     cluster_files: int | None = None,
     properties: dict | None = None,
     expected_version: int | None = None,
+    evolve_schema: bool = False,
 ) -> tuple[int, dict]:
     """Full tri-clause MERGE INTO (the Delta/ANSI shape), one
     copy-on-write commit; returns ``(version, metrics)`` with metrics
     ``{"updated", "deleted", "inserted", "copied"}``.
+
+    ``evolve_schema=True`` accepts source columns the table lacks
+    (Delta's ``withSchemaEvolution``): they are ADDED to the committed
+    schema — rows in carried files read them as NULL through the
+    manifest read contract, no carried file is rewritten — and flow into
+    inserted/updated rows; without it an extra source column raises.
 
     Clauses (each optional, each with an optional SQL condition over the
     aliases ``s`` = source row, ``t`` = target row):
@@ -1648,12 +1655,14 @@ def snapshot_merge(
     tschema = _manifest_schema(manifest)
     cols = [f.name for f in tschema.fields]
     extra = [c for c in source.columns if c not in cols]
-    if key not in source.columns or extra:
+    if key not in source.columns or (extra and not evolve_schema):
         raise ValueError(
             f"snapshot_merge: source columns {sorted(source.columns)} must "
             f"be a subset of the table schema {sorted(cols)} and include "
-            f"{key!r} (extra: {extra})"
+            f"{key!r} (extra: {extra}) — pass evolve_schema=True to add "
+            f"new columns"
         )
+    cols = cols + extra
     # ANSI MERGE cardinality: at most one source row per key, keys non-null
     dup = source.agg(
         F.count(key).alias("n"),
@@ -1704,20 +1713,25 @@ def snapshot_merge(
             src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
     src = src.select(cols)
     if touched:
+        # committed read contract: carried/touched files cannot hold
+        # evolved columns — null-fill them with the SOURCE's types
         tgt = _apply_dv(
             _manifest_reader(spark, manifest).parquet(
                 *[_entry_uri(base, p) for p in sorted(touched)]
             ),
             _dv_read(spark, table_dir, manifest),
             _dv_deleted(manifest),
-        ).select(cols)
+        )
+        for c in extra:
+            tgt = tgt.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
+        tgt = tgt.select(cols)
         j = tgt.alias("t").join(
             src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
         )
     else:
         # no file can hold a source key: every source row is unmatched
         j = (
-            spark.createDataFrame([], tschema)
+            spark.createDataFrame([], src.schema)
             .alias("t")
             .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
         )
@@ -1822,7 +1836,13 @@ def snapshot_merge(
         "version": version,
         "dir": f"v={version}",
         "files": new_entries,
-        "schema": manifest.get("schema") or staged_df.schema.json(),
+        # an evolved merge commits the WIDENED schema (carried files
+        # null-fill the new columns through the read contract)
+        "schema": (
+            staged_df.schema.json()
+            if extra
+            else manifest.get("schema") or staged_df.schema.json()
+        ),
     }
     old_dv = _dv_read(spark, table_dir, manifest)
     if old_dv is not None:
@@ -2427,6 +2447,51 @@ def snapshot_restamp(
             payload[carry] = manifest[carry]
     _commit_record(spark, table_dir, current + 1, payload)
     return current + 1
+
+
+def snapshot_clean_orphans(
+    spark: SparkSession, table_dir: str, dry_run: bool = False
+) -> list[int]:
+    """Remove CRASHED-WRITER orphan stages: ``v=N`` directories carrying
+    a ``_CLAIM`` marker but no ``_manifests/N.json`` commit record. Such
+    a directory was never visible to any reader (readers only follow
+    committed records) but blocks the next writer's staging claim for
+    version N — the commit-protocol errors tell the operator to delete
+    it; this is that remedy as a safe API. Returns the versions removed
+    (``dry_run=True`` reports without deleting).
+
+    Safety: only UNCOMMITTED stages above the current version qualify.
+    A claimed-but-uncommitted stage at or below the current version is
+    impossible under the protocol (the version number was consumed by
+    whoever committed it); directories without a _CLAIM marker are
+    pre-protocol data and are left alone. NOTE: a LIVE writer's stage
+    looks identical to a crashed one mid-write — run this only when no
+    writer is active, exactly like VACUUM's single-operator assumption."""
+    import re
+
+    fs, jvm = _snap_fs(spark, table_dir)
+    if not fs.exists(_snap_path(jvm, table_dir)):
+        return []
+    current = snapshot_version(spark, table_dir)
+    removed = []
+    for st in fs.listStatus(_snap_path(jvm, table_dir)):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v <= current:
+            continue
+        if not fs.exists(_snap_path(jvm, table_dir, name, "_CLAIM")):
+            continue
+        if fs.exists(
+            _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")
+        ):
+            continue  # committed between the version read and here
+        if not dry_run:
+            fs.delete(st.getPath(), True)
+        removed.append(v)
+    return sorted(removed)
 
 
 def snapshot_constraints(spark: SparkSession, table_dir: str) -> dict:

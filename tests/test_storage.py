@@ -2513,3 +2513,73 @@ def test_snapshot_constraints_carried_by_maintenance(spark, tmp_path):
     # restore to the pre-k_small version: only val_pos travels back
     snapshot_restore(spark, tdir, pre)
     assert snapshot_constraints(spark, tdir) == {"val_pos": "val >= 0"}
+
+
+def test_snapshot_clean_orphans(spark, tmp_path):
+    """A crashed writer's claimed-but-uncommitted stage blocks the next
+    claim for that version; snapshot_clean_orphans removes exactly those
+    (dry_run reports them), never committed versions or their data."""
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        snapshot_clean_orphans,
+        snapshot_read,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "orph")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    snapshot_write(df, tdir)
+    # simulate a crash: stage v=2 (claim + data) without a commit record
+    os.makedirs(f"{tdir}/v=2")
+    open(f"{tdir}/v=2/_CLAIM", "w").close()
+    open(f"{tdir}/v=2/part-crashed.parquet", "w").close()
+
+    import pytest
+
+    with pytest.raises(SnapshotConflictError, match="orphan"):
+        snapshot_write(df, tdir)
+    assert snapshot_clean_orphans(spark, tdir, dry_run=True) == [2]
+    assert os.path.exists(f"{tdir}/v=2")  # dry run deletes nothing
+    assert snapshot_clean_orphans(spark, tdir) == [2]
+    assert not os.path.exists(f"{tdir}/v=2")
+    # committed state untouched, and the blocked writer proceeds
+    assert snapshot_version(spark, tdir) == 1
+    assert snapshot_write(df, tdir) == 2
+    assert snapshot_read(spark, tdir).count() == 10
+    assert snapshot_clean_orphans(spark, tdir) == []
+
+
+def test_snapshot_merge_schema_evolution(spark, tmp_path):
+    """MERGE withSchemaEvolution: extra source columns widen the table
+    additively — carried files read NULL, updated/inserted rows carry
+    values, no carried file is rewritten; without the flag they raise."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    tdir = _merge_table(spark, tmp_path)  # k 1-8 in 2 range files
+    src = spark.createDataFrame(
+        [(1, "n", 1.5, "fr"), (9, "n", 9.0, "de")],
+        "k long, tag string, val double, lang string",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_merge(spark, tdir, src, key="k")
+    v, m = snapshot_merge(spark, tdir, src, key="k", evolve_schema=True)
+    assert m["updated"] == 1 and m["inserted"] == 1
+    m2 = _read_manifest(spark, tdir, v)
+    assert [e for e in m2["files"] if e["path"].startswith("v=1/")]  # carried
+    rows = {r["k"]: r for r in snapshot_read(spark, tdir).collect()}
+    assert rows[1]["lang"] == "fr" and rows[9]["lang"] == "de"
+    assert rows[5]["lang"] is None  # carried file reads NULL
+    # explicit SET on an evolved column keeps others target-valued
+    src2 = spark.createDataFrame([(2, "pt")], "k long, lang string")
+    snapshot_merge(spark, tdir, src2, key="k", update_set={"lang": "s.lang"})
+    got = snapshot_read(spark, tdir).where("k = 2").head()
+    assert got["lang"] == "pt" and got["tag"] == "old"
