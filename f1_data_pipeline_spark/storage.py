@@ -2121,7 +2121,8 @@ def snapshot_history(
         rec: dict = {"version": v}
         if m.get("ts") is not None:
             rec["ts"] = m["ts"]
-        for k in ("restored_from", "optimized_from", "restamped_from", "cloned_from"):
+        for k in ("restored_from", "optimized_from", "restamped_from",
+                  "cloned_from", "constraint_added", "constraint_dropped"):
             if k in m:
                 rec[k] = m[k]
         files = m.get("files")
