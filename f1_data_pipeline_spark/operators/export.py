@@ -150,6 +150,43 @@ def export_shards(
     )
 
 
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+    compression: str | None = "gzip",
+) -> None:
+    """The trainer-facing twin of ``export_shards``: same deterministic
+    token-balanced assignment and in-shard shuffle order, materialized
+    as line-delimited JSON (one ``shard=K/`` directory per shard,
+    gzip-compressed by default — the common web-corpus drop format).
+    Spark's JSON writer streams executor-side; nothing collects. Column
+    types must be JSON-representable (binary columns should be
+    base64-encoded or dropped by the caller first)."""
+    from pyspark.sql.types import BinaryType
+
+    bin_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, BinaryType)]
+    if bin_cols:
+        raise ValueError(
+            f"export_jsonl: binary columns {bin_cols} are not JSON-"
+            f"representable — base64() or drop them first"
+        )
+    assigned = shard_assign(df, n_shards, token_col, id_col, salt)
+    writer = (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def epoch_upsample(
     df: DataFrame,
     factors: DataFrame,

@@ -2736,3 +2736,44 @@ def test_epoch_upsample_missing_factor_raises(spark):
     out = epoch_upsample(docs, factors0, salt="t-v1")
     assert out.where(F.col("source") == "orphan").count() == 0
     assert out.where(F.col("source") == "b").count() == 10
+
+def test_export_jsonl_round_trip_and_balance(spark, tmp_path):
+    """JSONL export: same deterministic balanced assignment as the
+    parquet form, readable back as line-JSON with identical content;
+    binary columns are rejected loudly."""
+    import glob
+    import gzip
+    import json
+
+    import pytest
+
+    from f1_data_pipeline_spark.operators.export import export_jsonl, shard_assign
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        (F.col("id") % 97 + 10).alias("n_chars"),
+    )
+    path = str(tmp_path / "jsonl")
+    export_jsonl(docs, path, 4, token_col="n_chars")
+
+    back = spark.read.json(path + "/shard=*")
+    assert back.count() == 200
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {i: f"text-{i}" for i in range(200)}
+    # assignment identical to the parquet form's
+    expect = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(docs, 4, token_col="n_chars").collect()
+    }
+    for d in sorted(glob.glob(path + "/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        for f in glob.glob(d + "/*.json.gz"):
+            with gzip.open(f, "rt") as fh:
+                for line in fh:
+                    assert expect[json.loads(line)["doc_id"]] == shard
+
+    with pytest.raises(ValueError, match="binary"):
+        export_jsonl(
+            docs.withColumn("blob", F.col("text").cast("binary")), path, 2,
+        )

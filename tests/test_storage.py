@@ -2583,3 +2583,51 @@ def test_snapshot_merge_schema_evolution(spark, tmp_path):
     snapshot_merge(spark, tdir, src2, key="k", update_set={"lang": "s.lang"})
     got = snapshot_read(spark, tdir).where("k = 2").head()
     assert got["lang"] == "pt" and got["tag"] == "old"
+
+
+def test_snapshot_merge_cas_and_change_feed_composition(spark, tmp_path):
+    """MERGE composes with the rest of the lakehouse: expected_version
+    applies the usual CAS (a stale derivation raises typed, commits
+    nothing), and a merge commit flows through the change feed — an
+    exactly-once replica sync converges to the merged state without
+    special-casing the commit type."""
+    import pytest
+
+    from f1_data_pipeline_spark.analytics import sync_replica_from_changes
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        snapshot_changes,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    tdir = _merge_table(spark, tmp_path)  # k 1-8
+    rep = str(tmp_path / "rep")
+    sync_replica_from_changes(spark, tdir, "k", rep, cluster_files=1)
+
+    src = spark.createDataFrame(
+        [(2, "m", 22.0), (9, "m", 99.0)], "k long, tag string, val double"
+    )
+    with pytest.raises(SnapshotConflictError):
+        snapshot_merge(spark, tdir, src, key="k", expected_version=99)
+    assert snapshot_version(spark, tdir) == 1
+
+    v, _ = snapshot_merge(
+        spark, tdir, src, key="k",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.k = 8",
+        expected_version=1,
+    )
+    feed = snapshot_changes(spark, tdir, "k", 1, v)
+    by_type = {
+        r["k"]: r["_change_type"]
+        for r in feed.where("_change_type != 'update_preimage'").collect()
+    }
+    assert by_type[9] == "insert" and by_type[8] == "delete"
+    assert by_type[2] == "update_postimage"
+
+    sync_replica_from_changes(spark, tdir, "k", rep)
+    assert sorted(
+        (r["k"], r["tag"]) for r in snapshot_read(spark, rep).collect()
+    ) == sorted((r["k"], r["tag"]) for r in snapshot_read(spark, tdir).collect())
