@@ -1048,24 +1048,29 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
     return False
 
 
-def _where_expr(where: list[tuple]):
+def _where_expr(where: list[tuple], qualify: str | None = None):
     """The same conjunction as a real Column predicate — applied to the
     surviving files so the result is exact regardless of how much the
     manifest level could prune (pruning is a superset guarantee, the
-    filter is the semantics)."""
+    filter is the semantics). ``qualify`` prefixes column references
+    with a dataframe alias (``"t"`` → ``t.col``) so the predicate
+    resolves unambiguously inside a join."""
     import operator as _op
+
+    def _c(col: str):
+        return F.col(f"{qualify}.{col}") if qualify else F.col(col)
 
     ops = {"=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
     expr = F.lit(True)
     for col, op, val in where:
         if op == "is_null":
-            expr = expr & F.col(col).isNull()
+            expr = expr & _c(col).isNull()
         elif op == "is_not_null":
-            expr = expr & F.col(col).isNotNull()
+            expr = expr & _c(col).isNotNull()
         elif op not in ops:
             raise ValueError(f"snapshot_read: unsupported where op {op!r} (use one of {_WHERE_OPS})")
         else:
-            expr = expr & ops[op](F.col(col), F.lit(val))
+            expr = expr & ops[op](_c(col), F.lit(val))
     return expr
 
 
@@ -1572,7 +1577,7 @@ def snapshot_merge(
     when_not_matched: str | None = "insert",
     not_matched_condition: str | None = None,
     when_not_matched_by_source: str | None = None,
-    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_condition: str | list[tuple] | None = None,
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
     properties: dict | None = None,
@@ -1603,10 +1608,18 @@ def snapshot_merge(
       (``INSERT *``; table columns the source lacks are null-filled).
     - ``when_not_matched_by_source="delete"`` removes target rows with
       no source match — the full-sync clause (``WHEN NOT MATCHED BY
-      SOURCE THEN DELETE``). This clause forces EVERY data file into the
-      rewrite (any file may hold an unmatched row); without it the merge
-      keeps the upsert cost model — only envelope-touched files rewrite,
+      SOURCE THEN DELETE``). With a free-form SQL condition (or none)
+      this clause forces EVERY data file into the rewrite (any file may
+      hold an unmatched row); without the clause the merge keeps the
+      upsert cost model — only envelope-touched files rewrite,
       everything else carries by reference, O(touched files + source).
+      Pass ``not_matched_by_source_condition`` as WHERE-TRIPLES (the
+      ``snapshot_read(where=...)`` format, e.g. ``[("ts", "<",
+      cutoff)]``) and the clause is additionally PRUNED at the manifest
+      level: files whose stats envelope proves no row satisfies the
+      condition are carried, not rewritten — the "delete stale rows not
+      in today's feed" pattern then costs O(stale files + touched
+      files), not O(table).
 
     Mechanics shared with the upsert core: one full-outer join on the
     touched files' live rows (deletion vectors applied — DV'd rows can
@@ -1677,34 +1690,46 @@ def snapshot_merge(
             f"row must match at most one source row; fold the source first"
         )
 
+    nbs_triples = (
+        not_matched_by_source_condition
+        if isinstance(not_matched_by_source_condition, list)
+        else None
+    )
     base = table_dir.rstrip("/")
-    if when_not_matched_by_source:
-        # any file may hold a not-matched-by-source row: full rewrite set
-        touched = {e["path"] for e in entries}
-    else:
-        env_rows = [
-            (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
-            for e in entries
-            if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
-        ]
-        touched = set()
-        if env_rows:
-            env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
-            touched = {
-                r["__path"]
-                for r in (
-                    source.select(F.col(key).alias("__k"))
-                    .distinct()
-                    .join(
-                        F.broadcast(env),
-                        (F.col("__k") >= F.col("__min"))
-                        & (F.col("__k") <= F.col("__max")),
-                    )
-                    .select("__path")
-                    .distinct()
-                    .collect()
+    env_rows = [
+        (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+        for e in entries
+        if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
+    ]
+    touched = set()
+    if env_rows:
+        env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
+        touched = {
+            r["__path"]
+            for r in (
+                source.select(F.col(key).alias("__k"))
+                .distinct()
+                .join(
+                    F.broadcast(env),
+                    (F.col("__k") >= F.col("__min"))
+                    & (F.col("__k") <= F.col("__max")),
                 )
+                .select("__path")
+                .distinct()
+                .collect()
+            )
+        }
+    if when_not_matched_by_source:
+        if nbs_triples is not None:
+            # a file whose envelope PROVES no row satisfies the by-source
+            # condition cannot lose a row to this clause: it joins the
+            # rewrite only if the source's keys touch it
+            touched |= {
+                e["path"] for e in entries if not _entry_prunable(e, nbs_triples)
             }
+        else:
+            # free-form SQL condition: any file may hold an unmatched row
+            touched = {e["path"] for e in entries}
     carried = [e for e in entries if e["path"] not in touched]
 
     src = source
@@ -1740,11 +1765,12 @@ def snapshot_merge(
     true_ = F.lit(True)
     m_cond = F.expr(matched_condition) if matched_condition else true_
     i_cond = F.expr(not_matched_condition) if not_matched_condition else true_
-    d_cond = (
-        F.expr(not_matched_by_source_condition)
-        if not_matched_by_source_condition
-        else true_
-    )
+    if nbs_triples is not None:
+        d_cond = _where_expr(nbs_triples, qualify="t")
+    elif not_matched_by_source_condition:
+        d_cond = F.expr(not_matched_by_source_condition)
+    else:
+        d_cond = true_
     action = (
         F.when(
             t_k.isNull(),

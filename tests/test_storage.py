@@ -2631,3 +2631,38 @@ def test_snapshot_merge_cas_and_change_feed_composition(spark, tmp_path):
     assert sorted(
         (r["k"], r["tag"]) for r in snapshot_read(spark, rep).collect()
     ) == sorted((r["k"], r["tag"]) for r in snapshot_read(spark, tdir).collect())
+
+
+def test_snapshot_merge_by_source_triple_condition_prunes(spark, tmp_path):
+    """The by-source clause with a WHERE-TRIPLE condition prunes at the
+    manifest level: files whose envelope proves no stale row are carried
+    (not rewritten) while results stay exactly the full-pass answer."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "nbs")
+    df = spark.createDataFrame(
+        [(k, float(k)) for k in range(40)], "k long, ts double"
+    ).repartitionByRange(4, "k")  # 4 range files over ts too (ts == k)
+    snapshot_write(df, tdir, stats_cols=["k", "ts"])
+
+    # source keeps keys 0,1 fresh; stale = ts < 10 and not in source
+    src = spark.createDataFrame([(0, 100.0), (1, 101.0)], "k long, ts double")
+    v, m = snapshot_merge(
+        spark, tdir, src, key="k",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=[("ts", "<", 10.0)],
+    )
+    mf = _read_manifest(spark, tdir, v)
+    carried = [e for e in mf["files"] if e["path"].startswith("v=1/")]
+    # only the low file (ts 0-9, holding both the matches and the stale
+    # rows) rewrites; the three high files are envelope-carried
+    assert len(carried) == 3
+    rows = {r["k"]: r["ts"] for r in snapshot_read(spark, tdir).collect()}
+    assert rows[0] == 100.0 and rows[1] == 101.0
+    assert set(rows) == {0, 1} | set(range(10, 40))
+    assert m["deleted"] == 8  # 2..9 stale, 0 and 1 freshened
