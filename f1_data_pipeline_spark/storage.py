@@ -1245,7 +1245,7 @@ def snapshot_upsert(
     spark: SparkSession,
     table_dir: str,
     updates: DataFrame,
-    key: str,
+    key: str | list[str],
     stats_cols: list[str] | None = None,
     cluster_files: int | None = None,
     merge_mode: str = "replace",
@@ -1299,6 +1299,12 @@ def snapshot_upsert(
     twin). ``stats_cols`` defaults to the columns the current manifest
     tracks, so skipping power survives round after round of upserts.
 
+    ``key`` may be a LIST of columns (composite key): the touched-file
+    envelope intersects every key column's [min,max] (per-column
+    conjunction — the multi-column pruning Delta/Iceberg stats give),
+    uniqueness/non-null applies to the tuple, and clustering ranges over
+    the columns in order. Everything below reads "key" as "key tuple".
+
     ``cluster_files`` range-partitions the staged (rewritten) rows by
     ``key`` into that many files. Without it the staged files inherit
     whatever layout the update batch arrived in — after a hash shuffle
@@ -1309,7 +1315,8 @@ def snapshot_upsert(
     should cluster."""
     if expectations:
         check_expectations(updates, expectations)
-    delete_keys = updates.select(F.col(key)).limit(0)
+    keys = [key] if isinstance(key, str) else list(key)
+    delete_keys = updates.select(*keys).limit(0)
     return _merge_into_snapshot(
         spark, table_dir, updates, delete_keys, key, stats_cols, cluster_files,
         what="snapshot_upsert", merge_mode=merge_mode, evolve_schema=evolve_schema,
@@ -1321,7 +1328,7 @@ def snapshot_apply_cdc(
     spark: SparkSession,
     table_dir: str,
     changes: DataFrame,
-    key: str,
+    key: str | list[str],
     op_col: str = "op",
     delete_ops: tuple[str, ...] = ("D", "d", "delete"),
     stats_cols: list[str] | None = None,
@@ -1349,7 +1356,8 @@ def snapshot_apply_cdc(
         # gate the UPSERT rows only: a delete tombstone carries no
         # payload for a CHECK constraint to hold over
         check_expectations(ups, expectations)
-    delete_keys = changes.where(is_delete).select(F.col(key))
+    keys = [key] if isinstance(key, str) else list(key)
+    delete_keys = changes.where(is_delete).select(*keys)
     return _merge_into_snapshot(
         spark, table_dir, ups, delete_keys, key, stats_cols, cluster_files,
         what="snapshot_apply_cdc", evolve_schema=evolve_schema,
@@ -1362,7 +1370,7 @@ def _merge_into_snapshot(
     table_dir: str,
     upserts: DataFrame,
     delete_keys: DataFrame,
-    key: str,
+    key: str | list[str],
     stats_cols: list[str] | None,
     cluster_files: int | None,
     what: str,
@@ -1376,6 +1384,7 @@ def _merge_into_snapshot(
     envelope join selects the files any change key could live in; those
     files' rows are anti-joined against ALL change keys and re-staged
     together with the upserts; everything else is carried by reference."""
+    keys = [key] if isinstance(key, str) else list(key)
     current = snapshot_version(spark, table_dir)
     if current < 1:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
@@ -1387,47 +1396,68 @@ def _merge_into_snapshot(
         )
     manifest = _read_manifest(spark, table_dir, current)
     entries = manifest.get("files")
-    if entries is None or any("stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0):
+    if entries is None or any(
+        "stats" not in e or any(k not in e["stats"] for k in keys)
+        for e in entries
+        if e.get("rows", 0) > 0
+    ):
         raise ValueError(
-            f"{what} needs per-file {key!r} stats in the current "
+            f"{what} needs per-file stats for {keys!r} in the current "
             f"manifest — rewrite the table once with "
-            f"snapshot_write(df, table_dir, stats_cols=[{key!r}, ...])"
+            f"snapshot_write(df, table_dir, stats_cols={keys!r} + ...)"
         )
     if stats_cols is None:
         with_stats = next((e for e in entries if e.get("stats")), None)
-        stats_cols = sorted(with_stats["stats"]) if with_stats else [key]
+        stats_cols = sorted(with_stats["stats"]) if with_stats else list(keys)
 
-    all_keys = upserts.select(F.col(key)).unionByName(delete_keys.select(F.col(key)))
+    all_keys = upserts.select(*keys).unionByName(delete_keys.select(*keys))
+    nonnull = F.lit(True)
+    for k in keys:
+        nonnull = nonnull & F.col(k).isNotNull()
     dup = all_keys.agg(
-        F.count(key).alias("n"),
-        F.count_distinct(F.col(key)).alias("d"),
+        F.count(F.when(nonnull, 1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
         F.count(F.lit(1)).alias("all"),
     ).head()
     if dup["all"] != dup["n"]:
-        raise ValueError(f"{what}: change batch has NULL {key!r} keys")
+        raise ValueError(f"{what}: change batch has NULL {keys!r} keys")
     if dup["n"] != dup["d"]:
         raise ValueError(
-            f"{what}: change batch has duplicate {key!r} keys — fold the "
+            f"{what}: change batch has duplicate {keys!r} keys — fold the "
             f"batch to one row per key (e.g. merge.cdc_apply) first"
         )
 
+    # composite envelope: a file can hold a key TUPLE only if EVERY key
+    # column's [min,max] admits its component (per-column conjunction —
+    # exactly the multi-column pruning Delta/Iceberg stats give)
     env_rows = [
-        (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+        tuple(
+            [e["path"]]
+            + [v for k in keys for v in (e["stats"][k]["min"], e["stats"][k]["max"])]
+        )
         for e in entries
-        if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
+        if e.get("rows", 0) > 0
+        and all(e["stats"][k]["min"] is not None for k in keys)
     ]
     touched: set[str] = set()
     if env_rows:
-        env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
+        env_cols = ["__path"] + [
+            n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
+        ]
+        env = spark.createDataFrame(env_rows, env_cols)
+        probe = all_keys.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
+        ).distinct()
+        cond = F.lit(True)
+        for i in range(len(keys)):
+            cond = cond & (
+                (F.col(f"__k{i}") >= F.col(f"__min{i}"))
+                & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
+            )
         touched = {
             r["__path"]
             for r in (
-                all_keys.select(F.col(key).alias("__k"))
-                .distinct()
-                .join(
-                    F.broadcast(env),
-                    (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
-                )
+                probe.join(F.broadcast(env), cond)
                 .select("__path")
                 .distinct()
                 .collect()  # bounded by the FILE count, not the change count
@@ -1476,21 +1506,21 @@ def _merge_into_snapshot(
             existing = existing.withColumn(
                 c, F.lit(None).cast(upserts.schema[c].dataType)
             )
-        survivors = existing.select(cols).join(all_keys, key, "left_anti")
+        survivors = existing.select(cols).join(all_keys, keys, "left_anti")
         if merge_mode == "coalesce":
             # column-wise K5 merge: matched rows keep stored values where
             # the update is NULL; update keys absent from the touched
             # files are pure inserts (the envelopes prove they exist
             # nowhere else)
-            val_cols = [c for c in cols if c != key]
+            val_cols = [c for c in cols if c not in keys]
             renamed = upserts.select(
-                F.col(key), *[F.col(c).alias(f"__new_{c}") for c in val_cols]
+                *keys, *[F.col(c).alias(f"__new_{c}") for c in val_cols]
             )
             matched = (
                 existing.select(cols)
-                .join(renamed, key)
+                .join(renamed, keys)
                 .select(
-                    F.col(key),
+                    *keys,
                     *[
                         F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
                         for c in val_cols
@@ -1499,7 +1529,7 @@ def _merge_into_snapshot(
                 .select(cols)
             )
             inserts = upserts.join(
-                existing.select(F.col(key)), key, "left_anti"
+                existing.select(*keys), keys, "left_anti"
             )
             staged_df = survivors.unionByName(matched).unionByName(inserts)
         else:
@@ -1519,7 +1549,7 @@ def _merge_into_snapshot(
             # the persist keeps the violation counters single-fire
             cached = staged_df.persist()
             staged_df = cached
-        staged_df = staged_df.repartitionByRange(cluster_files, key)
+        staged_df = staged_df.repartitionByRange(cluster_files, *keys)
     try:
         version, vdir = _stage_version(staged_df, table_dir)
     finally:
@@ -1570,7 +1600,7 @@ def snapshot_merge(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
-    key: str,
+    key: str | list[str],
     when_matched: str | None = "update",
     matched_condition: str | None = None,
     update_set: dict[str, str] | None = None,
@@ -1621,6 +1651,11 @@ def snapshot_merge(
       in today's feed" pattern then costs O(stale files + touched
       files), not O(table).
 
+    ``key`` may be a LIST of columns (composite equality merge — ``ON
+    t.k1 = s.k1 AND t.k2 = s.k2``): envelope pruning intersects every
+    key column's [min,max], and the cardinality rule applies to the
+    tuple.
+
     Mechanics shared with the upsert core: one full-outer join on the
     touched files' live rows (deletion vectors applied — DV'd rows can
     neither match nor resurrect), row counts observed inside the staging
@@ -1652,41 +1687,47 @@ def snapshot_merge(
             f"snapshot_merge: table {table_dir} is at version {current}, "
             f"caller expected {expected_version}"
         )
+    keys = [key] if isinstance(key, str) else list(key)
     manifest = _read_manifest(spark, table_dir, current)
     entries = manifest.get("files")
     if entries is None or any(
-        "stats" not in e or key not in e["stats"] for e in entries if e.get("rows", 0) > 0
+        "stats" not in e or any(k not in e["stats"] for k in keys)
+        for e in entries
+        if e.get("rows", 0) > 0
     ):
         raise ValueError(
-            f"snapshot_merge needs per-file {key!r} stats in the current "
-            f"manifest — rewrite the table once with "
-            f"snapshot_write(df, table_dir, stats_cols=[{key!r}, ...])"
+            f"snapshot_merge needs per-file stats for {keys!r} in the "
+            f"current manifest — rewrite the table once with "
+            f"snapshot_write(df, table_dir, stats_cols={keys!r} + ...)"
         )
     if stats_cols is None:
         with_stats = next((e for e in entries if e.get("stats")), None)
-        stats_cols = sorted(with_stats["stats"]) if with_stats else [key]
+        stats_cols = sorted(with_stats["stats"]) if with_stats else list(keys)
     tschema = _manifest_schema(manifest)
     cols = [f.name for f in tschema.fields]
     extra = [c for c in source.columns if c not in cols]
-    if key not in source.columns or (extra and not evolve_schema):
+    if any(k not in source.columns for k in keys) or (extra and not evolve_schema):
         raise ValueError(
             f"snapshot_merge: source columns {sorted(source.columns)} must "
             f"be a subset of the table schema {sorted(cols)} and include "
-            f"{key!r} (extra: {extra}) — pass evolve_schema=True to add "
+            f"{keys!r} (extra: {extra}) — pass evolve_schema=True to add "
             f"new columns"
         )
     cols = cols + extra
     # ANSI MERGE cardinality: at most one source row per key, keys non-null
+    nonnull = F.lit(True)
+    for k in keys:
+        nonnull = nonnull & F.col(k).isNotNull()
     dup = source.agg(
-        F.count(key).alias("n"),
-        F.count_distinct(F.col(key)).alias("d"),
+        F.count(F.when(nonnull, 1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
         F.count(F.lit(1)).alias("all"),
     ).head()
     if dup["all"] != dup["n"]:
-        raise ValueError(f"snapshot_merge: source has NULL {key!r} keys")
+        raise ValueError(f"snapshot_merge: source has NULL {keys!r} keys")
     if dup["n"] != dup["d"]:
         raise ValueError(
-            f"snapshot_merge: source has duplicate {key!r} keys — a target "
+            f"snapshot_merge: source has duplicate {keys!r} keys — a target "
             f"row must match at most one source row; fold the source first"
         )
 
@@ -1697,27 +1738,35 @@ def snapshot_merge(
     )
     base = table_dir.rstrip("/")
     env_rows = [
-        (e["path"], e["stats"][key]["min"], e["stats"][key]["max"])
+        tuple(
+            [e["path"]]
+            + [v for k in keys for v in (e["stats"][k]["min"], e["stats"][k]["max"])]
+        )
         for e in entries
-        if e.get("rows", 0) > 0 and e["stats"][key]["min"] is not None
+        if e.get("rows", 0) > 0
+        and all(e["stats"][k]["min"] is not None for k in keys)
     ]
     touched = set()
     if env_rows:
-        env = spark.createDataFrame(env_rows, ["__path", "__min", "__max"])
+        env_cols = ["__path"] + [
+            n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
+        ]
+        env = spark.createDataFrame(env_rows, env_cols)
+        probe = source.select(
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
+        ).distinct()
+        cond = F.lit(True)
+        for i in range(len(keys)):
+            cond = cond & (
+                (F.col(f"__k{i}") >= F.col(f"__min{i}"))
+                & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
+            )
         touched = {
             r["__path"]
-            for r in (
-                source.select(F.col(key).alias("__k"))
-                .distinct()
-                .join(
-                    F.broadcast(env),
-                    (F.col("__k") >= F.col("__min"))
-                    & (F.col("__k") <= F.col("__max")),
-                )
-                .select("__path")
-                .distinct()
-                .collect()
-            )
+            for r in probe.join(F.broadcast(env), cond)
+            .select("__path")
+            .distinct()
+            .collect()
         }
     if when_not_matched_by_source:
         if nbs_triples is not None:
@@ -1737,6 +1786,9 @@ def snapshot_merge(
         if f.name not in source.columns:
             src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
     src = src.select(cols)
+    join_cond = F.lit(True)
+    for k in keys:
+        join_cond = join_cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
     if touched:
         # committed read contract: carried/touched files cannot hold
         # evolved columns — null-fill them with the SOURCE's types
@@ -1750,18 +1802,16 @@ def snapshot_merge(
         for c in extra:
             tgt = tgt.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
         tgt = tgt.select(cols)
-        j = tgt.alias("t").join(
-            src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
-        )
+        j = tgt.alias("t").join(src.alias("s"), join_cond, "full_outer")
     else:
         # no file can hold a source key: every source row is unmatched
         j = (
             spark.createDataFrame([], src.schema)
             .alias("t")
-            .join(src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+            .join(src.alias("s"), join_cond, "full_outer")
         )
 
-    t_k, s_k = F.col(f"t.{key}"), F.col(f"s.{key}")
+    t_k, s_k = F.col(f"t.{keys[0]}"), F.col(f"s.{keys[0]}")
     true_ = F.lit(True)
     m_cond = F.expr(matched_condition) if matched_condition else true_
     i_cond = F.expr(not_matched_condition) if not_matched_condition else true_
@@ -1825,8 +1875,11 @@ def snapshot_merge(
     staged_df = (
         tagged.where(~F.col("__action").isin("skip", "D", "MD"))
         .select(
-            F.coalesce(t_k, s_k).alias(key),
-            *[_value(c) for c in cols if c != key],
+            *[
+                F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k)
+                for k in keys
+            ],
+            *[_value(c) for c in cols if c not in keys],
         )
         .select(cols)
     )
@@ -1840,7 +1893,7 @@ def snapshot_merge(
         # — without this persist the CollectMetrics nodes would fire twice
         # and every observed count would double
         cached = staged_df.persist()
-        staged_df = cached.repartitionByRange(cluster_files, key)
+        staged_df = cached.repartitionByRange(cluster_files, *keys)
     try:
         version, vdir = _stage_version(staged_df, table_dir)
     finally:

@@ -701,7 +701,7 @@ def stream_snapshot_upsert(
     source_dir: str,
     checkpoint: str,
     table_dir: str,
-    key: str,
+    key: str | list[str],
     schema,
     stats_cols: list[str] | None = None,
     cluster_files: int = 4,
@@ -781,7 +781,8 @@ def stream_snapshot_upsert(
         snapshot_write,
     )
 
-    scols = stats_cols or [key]
+    keys = [key] if isinstance(key, str) else list(key)
+    scols = stats_cols or list(keys)
     if expectations and not quarantine_dir:
         raise ValueError("expectations need a quarantine_dir to divert violations to")
 
@@ -806,12 +807,12 @@ def stream_snapshot_upsert(
             batch_df = tagged.where(ok).drop("__failed")
             if batch_df.isEmpty():
                 return
-        others = [c for c in batch_df.columns if c != key]
+        others = [c for c in batch_df.columns if c not in keys]
         folded = (
             batch_df.withColumn("__ord", F.monotonically_increasing_id())
-            .groupBy(key)
+            .groupBy(*keys)
             .agg(F.max_by(F.struct(*others), F.col("__ord")).alias("__s"))
-            .select(key, "__s.*")
+            .select(*keys, "__s.*")
         )
         if snapshot_version(b, table_dir) < 1:
             if op_col:
@@ -824,7 +825,7 @@ def stream_snapshot_upsert(
             # the commit record and every later upsert/CDC commit
             # rebuilds filters for the files it stages
             snapshot_write(
-                folded.repartitionByRange(cluster_files, key),
+                folded.repartitionByRange(cluster_files, *keys),
                 table_dir,
                 stats_cols=scols,
                 bloom_cols=bloom_cols,

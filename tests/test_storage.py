@@ -2666,3 +2666,84 @@ def test_snapshot_merge_by_source_triple_condition_prunes(spark, tmp_path):
     assert rows[0] == 100.0 and rows[1] == 101.0
     assert set(rows) == {0, 1} | set(range(10, 40))
     assert m["deleted"] == 8  # 2..9 stale, 0 and 1 freshened
+
+
+# ---------------------------------------------------------------------------
+# composite keys
+# ---------------------------------------------------------------------------
+
+
+def test_composite_key_upsert_cdc_and_merge(spark, tmp_path):
+    """key=[...] drives the whole merge family: the touched-file
+    envelope intersects EVERY key column's [min,max] (a batch touching
+    one (driver, lap) band carries the rest), tuple uniqueness/non-null
+    raise, tombstones delete by tuple, and MERGE joins on the composite
+    equality."""
+    import pytest
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_apply_cdc,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "comp")
+    # 4 files clustered on (driver, lap): drivers 0-3, laps 0-9
+    df = spark.createDataFrame(
+        [(d, l, float(d * 10 + l)) for d in range(4) for l in range(10)],
+        "driver long, lap long, t double",
+    ).repartitionByRange(4, "driver", "lap")
+    snapshot_write(df, tdir, stats_cols=["driver", "lap"])
+
+    ups = spark.createDataFrame([(1, 3, 99.0)], "driver long, lap long, t double")
+    v = snapshot_upsert(spark, tdir, ups, key=["driver", "lap"], cluster_files=1)
+    m = _read_manifest(spark, tdir, v)
+    assert len([e for e in m["files"] if e["path"].startswith("v=1/")]) == 3
+    rows = {(r["driver"], r["lap"]): r["t"] for r in snapshot_read(spark, tdir).collect()}
+    assert rows[(1, 3)] == 99.0 and rows[(1, 4)] == 14.0 and len(rows) == 40
+
+    # tuple-duplicate and NULL-component batches raise
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_upsert(
+            spark, tdir,
+            spark.createDataFrame(
+                [(1, 3, 1.0), (1, 3, 2.0)], "driver long, lap long, t double"
+            ),
+            key=["driver", "lap"],
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        snapshot_upsert(
+            spark, tdir,
+            spark.createDataFrame([(1, None, 1.0)], "driver long, lap long, t double"),
+            key=["driver", "lap"],
+        )
+
+    # CDC tombstone deletes by tuple
+    snapshot_apply_cdc(
+        spark, tdir,
+        spark.createDataFrame(
+            [(2, 5, None, "D"), (0, 0, 0.5, "U")],
+            "driver long, lap long, t double, op string",
+        ),
+        key=["driver", "lap"], cluster_files=1,
+    )
+    rows = {(r["driver"], r["lap"]): r["t"] for r in snapshot_read(spark, tdir).collect()}
+    assert (2, 5) not in rows and rows[(0, 0)] == 0.5 and len(rows) == 39
+
+    # composite MERGE: conditional update + insert + by-source delete
+    src = spark.createDataFrame(
+        [(1, 3, 0.0), (3, 99, 42.0)], "driver long, lap long, t double"
+    )
+    v2, mm = snapshot_merge(
+        spark, tdir, src, key=["driver", "lap"],
+        matched_condition="s.t < t.t", update_set={"t": "s.t"},
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=[("driver", "=", 0), ("lap", ">=", 8)],
+    )
+    rows = {(r["driver"], r["lap"]): r["t"] for r in snapshot_read(spark, tdir).collect()}
+    assert rows[(1, 3)] == 0.0 and rows[(3, 99)] == 42.0
+    assert (0, 8) not in rows and (0, 9) not in rows
+    assert mm["updated"] == 1 and mm["inserted"] == 1 and mm["deleted"] == 2
