@@ -1769,6 +1769,108 @@ def x_merge_into(t: Tables) -> DataFrame:
     return out.orderBy("event_id")
 
 
+# scratch table dir of x_merge_composite's previous invocation per sf_dir
+_MERGE_COMP_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_merge_composite",
+    """WITH t AS (SELECT user_id, event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         MIN(ROUND(value, 4)) AS mn, MAX(ROUND(value, 4)) AS mx
+                  FROM events
+                  WHERE event_id BETWEEN 0 AND 1999
+                    AND user_id IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2),
+          s AS (SELECT user_id, event_type,
+                         CAST(count(*) AS BIGINT) AS n,
+                         MIN(ROUND(value, 4)) AS mn, MAX(ROUND(value, 4)) AS mx
+                  FROM events
+                  WHERE event_id BETWEEN 1000 AND 2999
+                    AND user_id IS NOT NULL AND event_type IS NOT NULL
+                  GROUP BY 1, 2)
+       SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+              COALESCE(t.event_type, s.event_type) AS event_type,
+              CASE WHEN t.user_id IS NULL THEN s.n
+                   WHEN s.user_id IS NOT NULL AND s.n > t.n THEN s.n
+                   ELSE t.n END AS n,
+              CASE WHEN t.user_id IS NULL THEN s.mn
+                   WHEN s.user_id IS NOT NULL AND s.n > t.n
+                        THEN LEAST(t.mn, s.mn)
+                   ELSE t.mn END AS mn,
+              CASE WHEN t.user_id IS NULL THEN s.mx
+                   WHEN s.user_id IS NOT NULL AND s.n > t.n
+                        THEN GREATEST(t.mx, s.mx)
+                   ELSE t.mx END AS mx
+       FROM t FULL OUTER JOIN s
+         ON t.user_id = s.user_id AND t.event_type = s.event_type
+       WHERE NOT (s.user_id IS NULL AND t.user_id >= 8)
+       ORDER BY user_id, event_type""",
+)
+def x_merge_composite(t: Tables) -> DataFrame:
+    """COMPOSITE-key MERGE INTO round-trip, externally hash-verified:
+    commit a (user_id, event_type)-keyed aggregate of one events window
+    as a snapshot table, merge the same aggregate over a SHIFTED window
+    — WHEN MATCHED AND s.n > t.n THEN UPDATE SET n/mn/mx (expression
+    SET: mn/mx fold with LEAST/GREATEST), WHEN NOT MATCHED INSERT, WHEN
+    NOT MATCHED BY SOURCE AND user_id >= 8 DELETE (where-triple form, so
+    the clause prunes at the manifest level) — then read the table back.
+    The oracle replays the identical full-outer CASE logic; aggregates
+    are count/min/max only (order-independent across engines). Exercises
+    every composite-key code path: per-column envelope intersection,
+    tuple cardinality, composite join, multi-column clustering."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    spark = t.spark
+
+    def agg_slice(lo: int, hi: int) -> DataFrame:
+        return (
+            t.events.where(F.col("event_id").between(lo, hi))
+            .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+            .groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min(F.round("value", 4)).alias("mn"),
+                F.max(F.round("value", 4)).alias("mx"),
+            )
+        )
+
+    tdir = tempfile.gettempdir() + f"/f1dp_merge_comp_{uuid.uuid4().hex}"
+    prev = _MERGE_COMP_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _MERGE_COMP_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        agg_slice(0, 1999).repartitionByRange(2, "user_id", "event_type"),
+        tdir,
+        stats_cols=["user_id", "event_type"],
+    )
+    v, m = snapshot_merge(
+        spark, tdir, agg_slice(1000, 2999), key=["user_id", "event_type"],
+        matched_condition="s.n > t.n",
+        update_set={"n": "s.n", "mn": "least(t.mn, s.mn)",
+                    "mx": "greatest(t.mx, s.mx)"},
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition=[("user_id", ">=", 8)],
+        cluster_files=2,
+    )
+    out = snapshot_read(spark, tdir)
+    n = out.count()
+    if m["updated"] + m["inserted"] + m["copied"] != n:
+        raise RuntimeError(
+            f"composite merge metrics drifted: {m} vs {n} final rows"
+        )
+    return out.orderBy("user_id", "event_type")
+
+
 # scratch dirs of x_snapshot_replica's previous invocation per sf_dir
 _SNAP_REPL_DIRS: dict[str, tuple[str, str]] = {}
 
@@ -2061,6 +2163,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
     # built round 10 after the r10 rotation was already full — rotate next round
     "x_merge_into": "tri-clause MERGE INTO round-trip (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
+    "x_merge_composite": "composite-key MERGE with envelope-pruned by-source delete (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)
