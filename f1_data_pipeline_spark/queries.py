@@ -1779,15 +1779,17 @@ _MERGE_COMP_DIRS: dict[str, str] = {}
                          CAST(count(*) AS BIGINT) AS n,
                          MIN(ROUND(value, 4)) AS mn, MAX(ROUND(value, 4)) AS mx
                   FROM events
-                  WHERE event_id BETWEEN 0 AND 1999
+                  WHERE event_id BETWEEN 0 AND 599
                     AND user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND user_id <= 12
                   GROUP BY 1, 2),
           s AS (SELECT user_id, event_type,
                          CAST(count(*) AS BIGINT) AS n,
                          MIN(ROUND(value, 4)) AS mn, MAX(ROUND(value, 4)) AS mx
                   FROM events
-                  WHERE event_id BETWEEN 1000 AND 2999
+                  WHERE event_id BETWEEN 300 AND 899
                     AND user_id IS NOT NULL AND event_type IS NOT NULL
+                    AND event_type <> 'view'
                   GROUP BY 1, 2)
        SELECT COALESCE(t.user_id, s.user_id) AS user_id,
               COALESCE(t.event_type, s.event_type) AS event_type,
@@ -1818,7 +1820,12 @@ def x_merge_composite(t: Tables) -> DataFrame:
     The oracle replays the identical full-outer CASE logic; aggregates
     are count/min/max only (order-independent across engines). Exercises
     every composite-key code path: per-column envelope intersection,
-    tuple cardinality, composite join, multi-column clustering."""
+    tuple cardinality, composite join, multi-column clustering. The
+    window/filter choice (t: event_id 0-599 & user_id<=12; s: 300-899 &
+    type<>'view') makes ALL THREE clauses fire at EVERY sf — event_id
+    spans only [0,1000·sf·1000), so wider windows would leave the source
+    empty at sf0.001 and the merge degenerate (the r10 bug this replaced:
+    windows 0-1999 vs 1000-2999 gave s zero groups)."""
     import shutil
     import tempfile
     import uuid
@@ -1831,10 +1838,11 @@ def x_merge_composite(t: Tables) -> DataFrame:
 
     spark = t.spark
 
-    def agg_slice(lo: int, hi: int) -> DataFrame:
+    def agg_slice(lo: int, hi: int, extra) -> DataFrame:
         return (
             t.events.where(F.col("event_id").between(lo, hi))
             .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+            .where(extra)
             .groupBy("user_id", "event_type")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n"),
@@ -1848,13 +1856,16 @@ def x_merge_composite(t: Tables) -> DataFrame:
     if prev:
         shutil.rmtree(prev, ignore_errors=True)
     _MERGE_COMP_DIRS[t.sf_dir] = tdir
+    target = agg_slice(0, 599, F.col("user_id") <= 12)
+    source = agg_slice(300, 899, F.col("event_type") != "view")
     snapshot_write(
-        agg_slice(0, 1999).repartitionByRange(2, "user_id", "event_type"),
+        target.repartitionByRange(2, "user_id", "event_type"),
         tdir,
         stats_cols=["user_id", "event_type"],
     )
+    n_before = snapshot_read(spark, tdir).count()
     v, m = snapshot_merge(
-        spark, tdir, agg_slice(1000, 2999), key=["user_id", "event_type"],
+        spark, tdir, source, key=["user_id", "event_type"],
         matched_condition="s.n > t.n",
         update_set={"n": "s.n", "mn": "least(t.mn, s.mn)",
                     "mx": "greatest(t.mx, s.mx)"},
@@ -1862,11 +1873,19 @@ def x_merge_composite(t: Tables) -> DataFrame:
         not_matched_by_source_condition=[("user_id", ">=", 8)],
         cluster_files=2,
     )
+    if not (m["updated"] and m["inserted"] and m["deleted"]):
+        raise RuntimeError(
+            f"composite merge degenerated — a clause never fired: {m}"
+        )
     out = snapshot_read(spark, tdir)
     n = out.count()
-    if m["updated"] + m["inserted"] + m["copied"] != n:
+    # row-count conservation: copied counts only REWRITTEN-file copies,
+    # so the invariant must be stated against the pre-merge live count
+    # (carried files ride by reference, outside every counter)
+    if n_before - m["deleted"] + m["inserted"] != n:
         raise RuntimeError(
-            f"composite merge metrics drifted: {m} vs {n} final rows"
+            f"composite merge metrics drifted: {m} with {n_before} prior "
+            f"rows vs {n} final rows"
         )
     return out.orderBy("user_id", "event_type")
 
