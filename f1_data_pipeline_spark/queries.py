@@ -2183,6 +2183,8 @@ SWEEP_ONLY: dict[str, str] = {
     # built round 10 after the r10 rotation was already full — rotate next round
     "x_merge_into": "tri-clause MERGE INTO round-trip (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
     "x_merge_composite": "composite-key MERGE with envelope-pruned by-source delete (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
+    "x_meta_agg": "metadata-only COUNT/MIN/MAX from manifest stats, DV-aware (new r10); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_bloom",
+    "x_snapshot_append": "append-only commit with schema evolution, carried-by-reference asserts (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)
@@ -2257,3 +2259,153 @@ def q_j9(t: Tables) -> DataFrame:
         .orderBy("k")
         .limit(200)
     )
+
+
+# scratch table dir of x_meta_agg's previous invocation per sf_dir
+_META_AGG_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_meta_agg",
+    """WITH live AS (
+         SELECT event_id, user_id, ROUND(value, 4) AS val FROM events
+         WHERE event_id <= 3999
+           AND NOT (event_id BETWEEN 500 AND 699)
+           AND user_id IS DISTINCT FROM 3)
+       SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+              CAST(count(*) - count(event_id) AS BIGINT) AS nulls_event_id,
+              min(user_id) AS min_user_id, max(user_id) AS max_user_id,
+              CAST(count(*) - count(user_id) AS BIGINT) AS nulls_user_id,
+              min(val) AS min_val, max(val) AS max_val,
+              CAST(count(*) - count(val) AS BIGINT) AS nulls_val
+       FROM live""",
+)
+def x_meta_agg(t: Tables) -> DataFrame:
+    """METADATA-ONLY aggregate round-trip, externally hash-verified:
+    commit an events slice as a range-clustered snapshot table, tombstone
+    two bands through deletion-vector deletes, then answer COUNT / MIN /
+    MAX / null-counts via ``snapshot_stats_agg`` — manifest stats for the
+    clean files, a scan of ONLY the DV-dirty files for the rest. The
+    oracle recomputes the same aggregates from the raw slice, so the
+    manifest-stat fold and the dirty-file recombination are value-checked
+    end to end (the lakehouse "SELECT count(*) answered from metadata"
+    fast path, Delta's metadata-only query / Iceberg manifest stats).
+
+    The builder self-asserts what the result can't show: BEFORE any DV
+    debt exists the returned plan must read ZERO data files (pure
+    metadata — ``inputFiles() == []``). At 100 TB that is the difference
+    between a KB-scale manifest fold and a full table scan."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_delete,
+        snapshot_stats_agg,
+        snapshot_write,
+    )
+
+    spark = t.spark
+    base = t.events.where(F.col("event_id") <= 3999).select(
+        "event_id", "user_id", F.round("value", 4).alias("val")
+    )
+    tdir = tempfile.gettempdir() + f"/f1dp_meta_agg_{uuid.uuid4().hex}"
+    prev = _META_AGG_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _META_AGG_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        base.repartitionByRange(6, "event_id"),
+        tdir,
+        stats_cols=["event_id", "user_id", "val"],
+    )
+    clean = snapshot_stats_agg(spark, tdir, ["event_id", "user_id", "val"])
+    if clean.inputFiles():
+        raise RuntimeError(
+            "metadata-only aggregate opened data files on a clean table — "
+            "the manifest fast path regressed to a scan"
+        )
+    snapshot_delete(
+        spark, tdir, [("event_id", ">=", 500), ("event_id", "<=", 699)], mode="dv"
+    )
+    snapshot_delete(spark, tdir, [("user_id", "=", 3)], mode="dv")
+    return snapshot_stats_agg(spark, tdir, ["event_id", "user_id", "val"])
+
+
+# scratch table dir of x_snapshot_append's previous invocation per sf_dir
+_SNAP_APPEND_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_snapshot_append",
+    """SELECT event_id, user_id, ROUND(value, 4) AS val,
+              CAST(NULL AS BIGINT) AS tag
+       FROM events WHERE event_id BETWEEN 0 AND 299
+       UNION ALL
+       SELECT event_id, user_id, ROUND(value, 4) AS val,
+              CAST(NULL AS BIGINT) AS tag
+       FROM events WHERE event_id BETWEEN 300 AND 499
+       UNION ALL
+       SELECT event_id, user_id, ROUND(value, 4) AS val,
+              user_id * 2 AS tag
+       FROM events WHERE event_id BETWEEN 500 AND 599
+       ORDER BY event_id""",
+)
+def x_snapshot_append(t: Tables) -> DataFrame:
+    """Append-only commit round-trip, externally hash-verified: create a
+    snapshot table from one events slice, ``snapshot_append`` a second
+    slice, then a third with a NEW column (``evolve_schema=True`` — the
+    widened schema null-fills earlier files through the read contract),
+    and read the table back. The oracle is the plain UNION ALL of the
+    slices with NULL for the pre-evolution rows' new column.
+
+    The builder self-asserts the storage mechanics the result can't
+    show: every append must carry ALL prior files BY REFERENCE (the
+    O(new rows) commit-cost claim — nothing is rewritten, the ingest
+    shape for a 100 TB event log) and be op-labelled ``append`` (what
+    the ``snapshotfeed`` streaming source tails natively)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    spark = t.spark
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return t.events.where(F.col("event_id").between(lo, hi)).select(
+            "event_id", "user_id", F.round("value", 4).alias("val")
+        )
+
+    tdir = tempfile.gettempdir() + f"/f1dp_snap_append_{uuid.uuid4().hex}"
+    prev = _SNAP_APPEND_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SNAP_APPEND_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        sl(0, 299).repartitionByRange(4, "event_id"), tdir,
+        stats_cols=["event_id"],
+    )
+    snapshot_append(sl(300, 499), tdir)
+    snapshot_append(
+        sl(500, 599).withColumn("tag", F.col("user_id") * 2),
+        tdir,
+        evolve_schema=True,
+    )
+    for v in (2, 3):
+        m = _read_manifest(spark, tdir, v)
+        if m.get("op") != "append":
+            raise RuntimeError(f"v{v} lost its append op label: {m.get('op')}")
+        prior = {e["path"] for e in _read_manifest(spark, tdir, v - 1)["files"]}
+        if not prior <= {e["path"] for e in m["files"]}:
+            raise RuntimeError(
+                f"append v{v} rewrote prior files — the O(new rows) "
+                f"commit regressed to a table rewrite"
+            )
+    return snapshot_read(spark, tdir).orderBy("event_id")

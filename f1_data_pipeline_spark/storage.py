@@ -742,8 +742,16 @@ def snapshot_write(
     expected_version: int | None = None,
     retries: int = 0,
     constraints: dict[str, str] | None = None,
+    _op: str = "write",
 ) -> int:
     """Commit ``df`` as the next table version and return it.
+
+    Every commit record carries an ``op`` label (the Delta
+    ``commitInfo.operation`` shape) so history and the ``snapshotfeed``
+    streaming source can tell CONTENT-PRESERVING maintenance (optimize /
+    compact / restamp / constraint DDL) from data changes without
+    guessing structurally. ``_op`` is internal plumbing for the
+    maintenance wrappers that stage through this function.
 
     Concurrency controls (optimistic, Delta-style):
 
@@ -902,6 +910,7 @@ def snapshot_write(
                 "dir": f"v={version}",
                 "files": entries,
                 "schema": df.schema.json(),
+                "op": _op,
             }
             if effective:
                 payload["constraints"] = effective
@@ -916,6 +925,183 @@ def snapshot_write(
         except SnapshotConflictError:
             # our stage (if we got that far) was never committed — remove
             # the orphan so it can't trip the next claimant's exists-check
+            if vdir is not None:
+                fs, jvm = _snap_fs(spark, table_dir)
+                fs.delete(_snap_path(jvm, vdir), True)
+            if attempt + 1 >= attempts or expected_version is not None:
+                raise
+            import time
+
+            time.sleep(0.05 * (attempt + 1))
+    raise AssertionError("unreachable")
+
+
+def snapshot_append(
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    properties: dict | None = None,
+    expected_version: int | None = None,
+    retries: int = 0,
+    evolve_schema: bool = False,
+) -> int:
+    """APPEND-ONLY commit: stage ``df``'s rows as new files and commit a
+    version that carries every existing file (and the current deletion
+    vector) by reference, verbatim. Nothing is rewritten or re-scanned —
+    the commit costs O(new rows) regardless of table size, which is the
+    ingest shape for event logs and training-data corpora (the
+    reference's K1/K2 bulk appends, loader.py:64-116, land here when the
+    sink is the lakehouse instead of Postgres). Until now every lakehouse
+    write was replace (``snapshot_write``) or keyed merge
+    (``snapshot_upsert``/``snapshot_merge``); a plain append needed
+    neither keys nor a rewrite and had no API.
+
+    Appends are also the ONLY commit kind the ``snapshotfeed`` streaming
+    source tails natively (Delta's exact contract: appended files stream
+    as new rows; anything that removes or tombstones rows is a "change
+    commit").
+
+    Contract details, all matching the write/upsert family:
+    - the batch must match the committed schema; ``evolve_schema=True``
+      widens the table with new columns and NULL-fills omitted ones
+      (the commit records the merged schema; carried files null-fill
+      through the read contract).
+    - persistent CHECK constraints gate the NEW rows only (existing rows
+      already passed at their own commit time) via one Observation inside
+      the staging write — no extra pass.
+    - per-file stats (default: the same columns the current manifest
+      tracks) and Bloom filters (the table's spec) are built for the new
+      files only, so skipping power is uniform across the table.
+    - ``expected_version`` is the usual CAS; ``retries`` auto-retries a
+      lost staging/commit race — safe for appends even though they are
+      not blind writes, because the staged rows do not depend on the
+      version they land on. On a table with NO commit yet the first
+      append creates it (one atomic v1 commit).
+    """
+    spark = df.sparkSession
+    if expected_version is not None and retries:
+        raise ValueError(
+            "snapshot_append: expected_version and retries are mutually "
+            "exclusive — a CAS loser must re-read before re-deriving"
+        )
+    attempts = 1 + max(0, int(retries))
+    for attempt in range(attempts):
+        if expected_version is not None:
+            cur0 = snapshot_version(spark, table_dir)
+            if cur0 != expected_version:
+                raise SnapshotConflictError(
+                    f"snapshot_append: table {table_dir} is at version "
+                    f"{cur0}, caller expected {expected_version}"
+                )
+        vdir = None
+        try:
+            cur = snapshot_version(spark, table_dir)
+            if cur < 1:
+                # first commit IS table creation (structurally a pure
+                # append); no retries inside — a lost race here must fall
+                # through to the APPEND path, not a full replace
+                return snapshot_write(
+                    df,
+                    table_dir,
+                    stats_cols=stats_cols,
+                    properties=properties,
+                    expected_version=expected_version,
+                    _op="append",
+                )
+            manifest = _read_manifest(spark, table_dir, cur)
+            entries = manifest.get("files")
+            if entries is None:
+                raise ValueError(
+                    "snapshot_append needs a file-list manifest — rewrite "
+                    "the table once with snapshot_write (v1-era record)"
+                )
+            tschema = _manifest_schema(manifest)
+            table_cols = (
+                [f.name for f in tschema.fields]
+                if tschema is not None
+                else list(df.columns)
+            )
+            extra = [c for c in df.columns if c not in table_cols]
+            missing = [c for c in table_cols if c not in df.columns]
+            if (extra or missing) and not evolve_schema:
+                raise ValueError(
+                    f"snapshot_append: batch columns {sorted(df.columns)} "
+                    f"do not match the table schema {sorted(table_cols)} "
+                    f"(extra {extra}, missing {missing}) — pass "
+                    f"evolve_schema=True to widen / null-fill"
+                )
+            appended = df
+            if missing and tschema is not None:
+                for f in tschema.fields:
+                    if f.name in missing:
+                        appended = appended.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+            appended = appended.select(table_cols + extra)
+            constraints = manifest.get("constraints")
+            staged_df, c_obs, c_names = (
+                _constraint_observation(appended, constraints)
+                if constraints
+                else (appended, None, [])
+            )
+            version, vdir = _stage_version(staged_df, table_dir)
+            if expected_version is not None and version != expected_version + 1:
+                raise SnapshotConflictError(
+                    f"snapshot_append: staged v={version} but the CAS "
+                    f"expects v={expected_version + 1} under {table_dir}"
+                )
+            if c_obs is not None:
+                _enforce_constraints(
+                    spark, table_dir, vdir, c_obs, c_names, "snapshot_append"
+                )
+            scols = stats_cols
+            if scols is None:
+                with_stats = next((e for e in entries if e.get("stats")), None)
+                scols = sorted(with_stats["stats"]) if with_stats else None
+            new_entries = _staged_file_entries(spark, table_dir, version, scols)
+            bloom_spec = manifest.get("bloom_spec")
+            _apply_blooms(spark, table_dir, version, new_entries, bloom_spec)
+            if extra:
+                # evolved columns are NULLABLE by definition — every
+                # pre-evolution row reads NULL for them, whatever the
+                # batch's own nullability was (F.lit() is non-null)
+                from pyspark.sql.types import StructField, StructType
+
+                merged = StructType(
+                    [
+                        StructField(f.name, f.dataType, True, f.metadata)
+                        if f.name in extra
+                        else f
+                        for f in appended.schema.fields
+                    ]
+                )
+            payload = {
+                "version": version,
+                "dir": f"v={version}",
+                # chronological: carried files first, this batch's last
+                "files": entries + new_entries,
+                "schema": (
+                    merged.json()
+                    if extra
+                    else manifest.get("schema") or appended.schema.json()
+                ),
+                "op": "append",
+            }
+            if constraints:
+                payload["constraints"] = constraints
+            if manifest.get("dv"):
+                # untouched files keep their deletion-vector entries; the
+                # new files have none by construction
+                payload["dv"] = manifest["dv"]
+            if bloom_spec:
+                payload["bloom_spec"] = bloom_spec
+            if properties:
+                payload["properties"] = {
+                    k: _json_safe(v) for k, v in properties.items()
+                }
+            _commit_record(spark, table_dir, version, payload)
+            return version
+        except SnapshotConflictError:
             if vdir is not None:
                 fs, jvm = _snap_fs(spark, table_dir)
                 fs.delete(_snap_path(jvm, vdir), True)
@@ -1564,6 +1750,9 @@ def _merge_into_snapshot(
         "version": version,
         "dir": f"v={version}",
         "files": new_entries,
+        "op": {"snapshot_upsert": "upsert", "snapshot_apply_cdc": "cdc"}.get(
+            what, what
+        ),
     }
     # touched files were rewritten with their deletion vectors applied,
     # so their DV entries are purged; carried files' entries ride along
@@ -1915,6 +2104,7 @@ def snapshot_merge(
         "version": version,
         "dir": f"v={version}",
         "files": new_entries,
+        "op": "merge",
         # an evolved merge commits the WIDENED schema (carried files
         # null-fill the new columns through the read contract)
         "schema": (
@@ -2200,6 +2390,8 @@ def snapshot_history(
         rec: dict = {"version": v}
         if m.get("ts") is not None:
             rec["ts"] = m["ts"]
+        if m.get("op"):
+            rec["op"] = m["op"]
         for k in ("restored_from", "optimized_from", "restamped_from",
                   "cloned_from", "constraint_added", "constraint_dropped"):
             if k in m:
@@ -2231,6 +2423,122 @@ def snapshot_history(
                 )
         out.append(rec)
     return out
+
+
+def snapshot_stats_agg(
+    spark: SparkSession,
+    table_dir: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """METADATA-ONLY aggregates: exact ``COUNT(*)``, ``MIN``/``MAX`` and
+    null counts answered from the commit manifest's per-file stats
+    instead of scanning data — the lakehouse fast path Delta/Iceberg
+    expose for ``SELECT count(*) FROM t`` (Delta's metadata-only query,
+    Iceberg's manifest stats). On a 100 TB table this is KBs of JSON
+    versus a full scan; the answer is EXACT, never approximate, because
+    the same write paths that maintain skipping stats maintain these.
+
+    Returns a ONE-ROW DataFrame: ``n_rows`` (bigint) plus, per requested
+    column, ``min_<c>``/``max_<c>`` (the column's own type) and
+    ``nulls_<c>`` (bigint).
+
+    Correctness under merge-on-read: a file with deletion-vector debt has
+    stale stats (the min might be a tombstoned row), so its contribution
+    is recomputed by scanning ONLY the DV'd files with the vector applied
+    — exact at the cost of O(dirty files), never O(table). Row counts
+    stay pure metadata even then (the manifest carries exact per-file
+    deleted counts). Files lacking recorded stats for a requested column
+    are likewise scanned (and only them). With no DV and full stats the
+    plan touches ZERO data files — ``result.inputFiles() == []``,
+    test-pinned."""
+    v = version if version is not None else snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, v)
+    entries = manifest.get("files")
+    if entries is None:
+        raise ValueError(
+            "snapshot_stats_agg needs a file-list manifest — rewrite the "
+            "table once with snapshot_write (v1-era record found)"
+        )
+    schema = _manifest_schema(manifest)
+    if schema is None:
+        raise ValueError(
+            "snapshot_stats_agg: the version carries no schema (v1-era "
+            "record) — rewrite the table once with snapshot_write"
+        )
+    cols = list(cols or [])
+    types = {f.name: f.dataType for f in schema.fields}
+    unknown = [c for c in cols if c not in types]
+    if unknown:
+        raise ValueError(
+            f"snapshot_stats_agg: columns {unknown} not in the table "
+            f"schema {sorted(types)}"
+        )
+    dv_counts = (manifest.get("dv") or {}).get("files", {})
+    total = sum(e.get("rows", 0) for e in entries) - (_dv_deleted(manifest) or 0)
+
+    def _dirty(e: dict) -> bool:
+        if e.get("rows", 0) == 0:
+            return False  # nothing to contribute either way
+        if dv_counts.get(_dv_key(e["path"]), 0) > 0:
+            return True  # stats may describe tombstoned rows
+        st = e.get("stats") or {}
+        return any(c not in st for c in cols)
+
+    dirty = [e for e in entries if _dirty(e)]
+    clean = [e for e in entries if not _dirty(e) and e.get("rows", 0) > 0]
+
+    # driver-side fold over the clean files' recorded stats; values are
+    # JSON-safe (_json_safe) where ISO timestamp strings order
+    # chronologically, so min/max comparison is plain Python
+    mins: dict[str, object] = {c: None for c in cols}
+    maxs: dict[str, object] = {c: None for c in cols}
+    nulls: dict[str, int] = {c: 0 for c in cols}
+    for e in clean:
+        for c in cols:
+            s = e["stats"][c]
+            nulls[c] += int(s.get("nulls", 0))
+            for v_, acc, better in ((s["min"], mins, min), (s["max"], maxs, max)):
+                if v_ is None:
+                    continue  # all-NULL file for this column
+                acc[c] = v_ if acc[c] is None else better(acc[c], v_)
+
+    if dirty:
+        base = table_dir.rstrip("/")
+        dirty_keys = sorted({_dv_key(e["path"]) for e in dirty})
+        dv = _dv_read(spark, table_dir, manifest)
+        scanned = _apply_dv(
+            _manifest_reader(spark, manifest).parquet(
+                *[_entry_uri(base, e["path"]) for e in dirty]
+            ),
+            dv.where(F.col("path").isin(dirty_keys)) if dv is not None else None,
+            _dv_deleted(manifest),
+        )
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        row = scanned.agg(*aggs).head() if cols else None
+        for c in cols:
+            nulls[c] += int(row[f"__nulls_{c}"] or 0)
+            for v_, acc, better in (
+                (_json_safe(row[f"__min_{c}"]), mins, min),
+                (_json_safe(row[f"__max_{c}"]), maxs, max),
+            ):
+                if v_ is None:
+                    continue
+                acc[c] = v_ if acc[c] is None else better(acc[c], v_)
+
+    out = [F.lit(int(total)).cast("long").alias("n_rows")]
+    for c in cols:
+        t = types[c]
+        out.append(F.lit(mins[c]).cast(t).alias(f"min_{c}"))
+        out.append(F.lit(maxs[c]).cast(t).alias(f"max_{c}"))
+        out.append(F.lit(int(nulls[c])).cast("long").alias(f"nulls_{c}"))
+    return spark.range(1).select(*out)
 
 
 def snapshot_delete(
@@ -2339,6 +2647,7 @@ def snapshot_delete(
             "files": entries,  # every data file carried by reference
             "schema": manifest.get("schema"),
             "dv": dv_block,
+            "op": "delete",
         }
         for carry in ("bloom_spec", "constraints"):
             if manifest.get(carry):
@@ -2374,6 +2683,7 @@ def snapshot_delete(
         "dir": f"v={version}",
         "files": staged + carried,
         "schema": manifest.get("schema") or survivors.schema.json(),
+        "op": "delete",
     }
     # rewritten candidates physically drop their deleted rows; only the
     # carried files' deletion-vector entries survive (two-segment key:
@@ -2462,6 +2772,7 @@ def snapshot_clone(
         "files": abs_entries,
         "schema": manifest.get("schema"),
         "cloned_from": {"table": src_base, "version": current},
+        "op": "clone",
     }
     for carry in ("bloom_spec", "constraints"):
         if manifest.get(carry):
@@ -2521,6 +2832,7 @@ def snapshot_restamp(
         "schema": manifest.get("schema"),
         "properties": {k: _json_safe(v) for k, v in properties.items()},
         "restamped_from": current,
+        "op": "restamp",
     }
     for carry in ("bloom_spec", "dv", "constraints"):
         if manifest.get(carry):
@@ -2623,6 +2935,7 @@ def snapshot_add_constraint(
         "schema": manifest.get("schema"),
         "constraints": {**existing, name: expr},
         "constraint_added": name,
+        "op": "add-constraint",
     }
     for carry in ("bloom_spec", "dv", "properties"):
         if manifest.get(carry):
@@ -2653,6 +2966,7 @@ def snapshot_drop_constraint(
         "files": manifest["files"],
         "schema": manifest.get("schema"),
         "constraint_dropped": name,
+        "op": "drop-constraint",
     }
     if existing:
         payload["constraints"] = existing
@@ -2704,6 +3018,7 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         "files": files,
         "schema": manifest.get("schema"),
         "restored_from": to_version,
+        "op": "restore",
     }
     if manifest.get("dv"):
         # the restored state's deletion vector IS part of that state; the
@@ -2885,6 +3200,7 @@ def snapshot_compact(
             # whatever its properties claimed (exactly-once consumers
             # must survive an operator compacting their rollup)
             properties=manifest.get("properties"),
+            _op="compact",
         ),
         n,
     )
@@ -3014,6 +3330,7 @@ def snapshot_optimize(
         "files": staged + carried,
         "schema": manifest.get("schema") or packed.schema.json(),
         "optimized_from": v,
+        "op": "optimize",
     }
     # packed files drop their deletion-vector debt physically; only the
     # carried (already well-sized) files' entries survive (two-segment

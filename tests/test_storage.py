@@ -2747,3 +2747,170 @@ def test_composite_key_upsert_cdc_and_merge(spark, tmp_path):
     assert rows[(1, 3)] == 0.0 and rows[(3, 99)] == 42.0
     assert (0, 8) not in rows and (0, 9) not in rows
     assert mm["updated"] == 1 and mm["inserted"] == 1 and mm["deleted"] == 2
+
+
+def test_snapshot_append_carries_files_untouched(spark, tmp_path):
+    """Append-only commits: prior files ride by reference (zero rewrite),
+    stats/blooms build for the new files only, the deletion vector
+    carries verbatim, and every commit is op-labelled."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_delete,
+        snapshot_history,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    # first append CREATES the table (one atomic v1 commit)
+    assert snapshot_append(b(0, 100), tdir, stats_cols=["k"]) == 1
+    assert snapshot_append(b(100, 150), tdir) == 2
+    m2 = _read_manifest(spark, tdir, 2)
+    assert m2["op"] == "append"
+    v1_files = {e["path"] for e in _read_manifest(spark, tdir, 1)["files"]}
+    # every v1 file carried BY REFERENCE — the O(new rows) commit claim
+    assert v1_files <= {e["path"] for e in m2["files"]}
+    # stats inherited for the new files without re-passing stats_cols
+    staged = [e for e in m2["files"] if e["path"].startswith("v=2/")]
+    assert staged and all("k" in (e.get("stats") or {}) for e in staged)
+    assert snapshot_read(spark, tdir).count() == 150
+
+    # DV carried verbatim: tombstoned rows stay dead through an append
+    snapshot_delete(spark, tdir, [("k", "<", 10)], mode="dv")
+    snapshot_append(b(200, 210), tdir)
+    out = snapshot_read(spark, tdir)
+    assert out.count() == 150
+    assert out.agg(F.min("k")).head()[0] == 10
+
+    ops = [h.get("op") for h in snapshot_history(spark, tdir)]
+    assert ops == ["append", "append", "delete", "append"]
+
+
+def test_snapshot_append_schema_and_constraints(spark, tmp_path):
+    from f1_data_pipeline_spark.storage import (
+        ConstraintViolationError,
+        snapshot_add_constraint,
+        snapshot_append,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_append(
+        spark.createDataFrame([(1, "a")], "k long, s string"), tdir
+    )
+    # column mismatch refuses without evolve_schema
+    with pytest.raises(ValueError, match="evolve_schema"):
+        snapshot_append(spark.createDataFrame([(2,)], "k long"), tdir)
+    # evolution: widen with a new column; omitted column null-fills
+    snapshot_append(
+        spark.createDataFrame([(2, 1.5)], "k long, w double"),
+        tdir,
+        evolve_schema=True,
+    )
+    rows = {r["k"]: (r["s"], r["w"]) for r in snapshot_read(spark, tdir).collect()}
+    assert rows == {1: ("a", None), 2: (None, 1.5)}
+
+    # persistent CHECK constraints gate the NEW rows; nothing commits
+    snapshot_add_constraint(spark, tdir, "k_pos", "k >= 0")
+    v = snapshot_version(spark, tdir)
+    with pytest.raises(ConstraintViolationError):
+        snapshot_append(
+            spark.createDataFrame([(-5, None, None)], "k long, s string, w double"),
+            tdir,
+        )
+    assert snapshot_version(spark, tdir) == v
+
+    # CAS: a stale expected_version refuses
+    from f1_data_pipeline_spark.storage import SnapshotConflictError
+
+    with pytest.raises(SnapshotConflictError):
+        snapshot_append(
+            spark.createDataFrame([(9, None, None)], "k long, s string, w double"),
+            tdir,
+            expected_version=1,
+        )
+    with pytest.raises(ValueError, match="mutually"):
+        snapshot_append(
+            spark.createDataFrame([(9, None, None)], "k long, s string, w double"),
+            tdir,
+            expected_version=v,
+            retries=2,
+        )
+
+
+def test_snapshot_stats_agg_metadata_only(spark, tmp_path):
+    """COUNT/MIN/MAX/nulls from the manifest: zero data files opened on a
+    clean table; deletion-vector debt recomputes ONLY the dirty files."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_append,
+        snapshot_delete,
+        snapshot_stats_agg,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 1.5).alias("v"),
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ).alias("base_ts"),
+    ).withColumn("ts", F.col("base_ts") + F.make_interval(secs=F.col("k"))).drop("base_ts")
+    snapshot_write(
+        df.repartitionByRange(4, "k"), tdir, stats_cols=["k", "v", "ts"]
+    )
+    out = snapshot_stats_agg(spark, tdir, ["k", "v", "ts"])
+    # pure metadata: the result plan reads NO data file
+    assert out.inputFiles() == []
+    r = out.head()
+    assert r["n_rows"] == 1000
+    assert r["min_k"] == 0 and r["max_k"] == 999 and r["nulls_k"] == 0
+    assert r["nulls_v"] == 100 and r["min_v"] == 1.5
+    assert str(r["min_ts"]) == "2024-01-01 00:00:00"
+    assert str(r["max_ts"]) == "2024-01-01 00:16:39"
+    # typed output: the column's own type, not strings
+    assert dict(out.dtypes)["min_ts"] == "timestamp"
+
+    # DV debt: counts stay metadata-exact; min/max recompute dirty files
+    snapshot_delete(spark, tdir, [("k", "<", 5)], mode="dv")
+    snapshot_delete(spark, tdir, [("k", ">=", 990)], mode="dv")
+    # pin the scan bound PHYSICALLY: remove the clean files from disk —
+    # the aggregate must still succeed because it opens ONLY DV'd files
+    import os
+
+    from f1_data_pipeline_spark.storage import _dv_key, _read_manifest
+
+    m = _read_manifest(spark, tdir, 3)
+    dirty_keys = set((m.get("dv") or {}).get("files", {}))
+    clean = [e["path"] for e in m["files"] if _dv_key(e["path"]) not in dirty_keys]
+    assert clean  # the band deletes must not have touched every file
+    for p in clean:
+        os.rename(f"{tdir}/{p}", f"{tdir}/{p}.hidden")
+    try:
+        out = snapshot_stats_agg(spark, tdir, ["k", "v"])
+        r = out.head()
+    finally:
+        for p in clean:
+            os.rename(f"{tdir}/{p}.hidden", f"{tdir}/{p}")
+    assert r["n_rows"] == 985
+    assert r["min_k"] == 5 and r["max_k"] == 989
+    assert r["nulls_v"] == 100 - 1 - 1  # k=0 and k=990 were null v rows
+
+    # appended files with NO stats for a column: scanned, still exact
+    snapshot_append(
+        spark.range(2000, 2010).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("double").alias("v"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+        ),
+        tdir,
+        stats_cols=[],
+    )
+    r = snapshot_stats_agg(spark, tdir, ["k"]).head()
+    assert r["n_rows"] == 995 and r["max_k"] == 2009
+    with pytest.raises(ValueError, match="not in the table schema"):
+        snapshot_stats_agg(spark, tdir, ["nope"])
