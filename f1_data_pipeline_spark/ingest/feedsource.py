@@ -1,0 +1,330 @@
+"""`snapshotfeed` — a Structured Streaming SOURCE over lakehouse snapshot
+tables (the Delta table-streaming shape: ``spark.readStream.format(
+"delta")``, re-expressed for this repo's commit protocol).
+
+``spark.readStream.format("snapshotfeed").load(table_dir)`` turns a
+snapshot table (storage.py's ``_manifests/N.json`` commit protocol) into
+a streaming source:
+
+* **Offsets ARE table versions.** Each microbatch covers a committed
+  version span ``(start, end]`` — deterministic, so checkpoint recovery
+  replays the exact same rows and the engine's offset log gives
+  end-to-end exactly-once into an idempotent sink (T4).
+* **The first batch is the full current snapshot** (deletion-vector
+  aware), then the stream TAILS the log: each later batch reads ONLY the
+  files appended in its version span — O(new data) per batch on a 100 TB
+  table, never O(table). ``startingVersion=N`` skips the initial
+  snapshot and replays commits from version N instead.
+* **Append commits stream natively; change commits are explicit.** A
+  version that removes files or touches the deletion vector (upsert /
+  delete / merge / restore / full replace) cannot be expressed as a pure
+  row tail; the source fails with a clear message — or skips the commit
+  under ``skipChangeCommits=true`` — exactly Delta's streaming contract.
+  Content-preserving maintenance (OPTIMIZE / compact / restamp /
+  constraint DDL, identified by the commit's ``op`` label) is always
+  skipped silently: the rows did not change, so the stream must not
+  re-emit them.
+* **maxVersionsPerBatch=N** rate-limits steady-state reads (the
+  ``maxFilesPerTrigger`` admission-control analog, in commit units).
+  The FIRST batch of a reader's lifetime is uncapped: the engine asks
+  for ``latestOffset`` before anything reveals the committed offset
+  (observed call order — no admission-control hook exists in the Python
+  source API), and capping against a GUESSED floor could return an
+  offset behind the checkpoint, which the engine would commit and then
+  re-deliver the gap — a duplicate bug. So the cap binds from the
+  second batch of a continuous run onward (exactly-once always holds;
+  only the first batch's sizing is coarse).
+
+Why a first-class source instead of the batch consumer
+(``snapshot_changes_since`` + ``snapshot_ack``): the batch consumer is
+at-least-once with a caller-managed two-phase ack; this source rides the
+engine's own offset log and watermark/trigger machinery, so a downstream
+``stream_snapshot_upsert`` or windowed aggregate gets checkpointed
+exactly-once semantics with zero consumer bookkeeping — the reference's
+continuous extract→load loop (extractor.py:21-58 feeding loader.py)
+becomes one ``readStream``/``writeStream`` pair end to end.
+
+Scale/deployment note: offset planning reads ONLY manifest JSON (KBs per
+version); executors read their one parquet file each via Arrow and yield
+RecordBatches (zero row-at-a-time Python). Manifest access here uses
+plain file IO, so the source currently requires a locally-mountable
+table dir (local disk / NFS / FUSE); an object-store deployment would
+swap ``_read_json``/``_list_versions`` for fsspec — the protocol itself
+is already URI-capable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_MANIFEST_DIR = "_manifests"
+
+# commit ops that never change table CONTENT — the stream skips them
+# silently (re-emitting rows a rewrite merely moved would duplicate the
+# feed). Pre-op-era manifests are recognized by their marker keys.
+_MAINTENANCE_OPS = {
+    "optimize",
+    "compact",
+    "restamp",
+    "add-constraint",
+    "drop-constraint",
+}
+_MAINTENANCE_KEYS = (
+    "optimized_from",
+    "restamped_from",
+    "constraint_added",
+    "constraint_dropped",
+)
+
+
+def _local_dir(path: str) -> str:
+    if path.startswith("file://"):
+        path = path[len("file://") :]
+    elif path.startswith("file:"):
+        path = path[len("file:") :]
+    return path.rstrip("/")
+
+
+def _list_versions(table_dir: str) -> list[int]:
+    mdir = os.path.join(table_dir, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_json(table_dir: str, version: int) -> dict:
+    p = os.path.join(table_dir, _MANIFEST_DIR, f"{version}.json")
+    try:
+        with open(p, "rb") as f:
+            return json.loads(f.read())
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshotfeed: version {version} was never committed (or was "
+            f"removed) under {table_dir} — cannot plan the batch"
+        ) from None
+
+
+def _abs_entry(table_dir: str, path: str) -> str:
+    # shallow-clone manifests hold ABSOLUTE entry paths; regular entries
+    # are table-relative (same resolution rule as storage._entry_uri)
+    if path.startswith("/") or "://" in path or path.startswith("file:"):
+        return _local_dir(path) if path.startswith("file:") else path
+    return f"{table_dir}/{path}"
+
+
+def _dv_key(entry_path: str) -> str:
+    return "/".join(entry_path.rstrip("/").split("/")[-2:])
+
+
+class _FeedFile(InputPartition):
+    """One appended (or initial-snapshot) data file; ``dv_dir`` names the
+    version's deletion-vector dataset when positions must be subtracted."""
+
+    def __init__(self, path: str | None, dv_dir: str | None = None, dv_key: str | None = None):
+        self.path = path
+        self.dv_dir = dv_dir
+        self.dv_key = dv_key
+
+
+class SnapshotFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .load('/path/to/table')"
+            )
+        self._dir = _local_dir(path)
+        self._schema_json = schema.json()
+        sv = options.get("startingversion", options.get("startingVersion"))
+        self._starting = int(sv) if sv is not None else None
+        self._skip_changes = str(
+            options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
+        ).lower() in ("true", "1")
+        mv = options.get("maxversionsperbatch", options.get("maxVersionsPerBatch"))
+        self._max_versions = int(mv) if mv else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("snapshotfeed: maxVersionsPerBatch must be >= 1")
+        self._last_end: int | None = None
+
+    # -- driver-side planning (manifest JSON only, no data IO) ----------
+
+    def initialOffset(self) -> dict:
+        versions = _list_versions(self._dir)
+        if not versions:
+            raise FileNotFoundError(
+                f"snapshotfeed: no committed snapshot in {self._dir}"
+            )
+        if self._starting is not None:
+            if self._starting < 1:
+                raise ValueError(
+                    "snapshotfeed: startingVersion must be >= 1 (omit it "
+                    "for the initial-snapshot-then-tail default)"
+                )
+            return {"version": self._starting - 1, "mode": "replay"}
+        return {"version": 0, "mode": "snapshot"}
+
+    def latestOffset(self) -> dict:
+        versions = _list_versions(self._dir)
+        cur = versions[-1] if versions else 0
+        # cap only against a KNOWN cursor (set by this run's previous
+        # partitions() call). Guessing a floor here could return an
+        # offset BEHIND the engine's committed checkpoint, which it
+        # would commit and then re-deliver the gap — never regress.
+        if self._max_versions is not None and self._last_end is not None:
+            cur = min(cur, self._last_end + self._max_versions)
+        return {"version": cur, "mode": "replay"}
+
+    def partitions(self, start: dict, end: dict) -> list[_FeedFile]:
+        s, e = int(start["version"]), int(end["version"])
+        self._last_end = e
+        parts: list[_FeedFile] = []
+        if start.get("mode") == "snapshot":
+            # initial batch: the FULL live table at version e (DV-aware)
+            m = _read_json(self._dir, e)
+            if m.get("files") is None:
+                raise ValueError(
+                    "snapshotfeed needs file-list manifests — rewrite the "
+                    "table once with snapshot_write (v1-era record found)"
+                )
+            dv = m.get("dv")
+            dv_files = (dv or {}).get("files", {})
+            dv_dir = _abs_entry(self._dir, dv["dir"]) if dv else None
+            for entry in m["files"]:
+                if not entry.get("rows", 0):
+                    continue
+                key = _dv_key(entry["path"])
+                parts.append(
+                    _FeedFile(
+                        _abs_entry(self._dir, entry["path"]),
+                        dv_dir if dv_files.get(key) else None,
+                        key,
+                    )
+                )
+        else:
+            for v in range(s + 1, e + 1):
+                m = _read_json(self._dir, v)
+                op = m.get("op")
+                if op in _MAINTENANCE_OPS or (
+                    op is None and any(k in m for k in _MAINTENANCE_KEYS)
+                ):
+                    continue  # content-preserving: nothing to emit
+                # v=1 is table birth: its predecessor is the empty table
+                prev = _read_json(self._dir, v - 1) if v > 1 else {"files": []}
+                if m.get("files") is None or prev.get("files") is None:
+                    raise ValueError(
+                        "snapshotfeed needs file-list manifests on both "
+                        "span endpoints (v1-era record found)"
+                    )
+                prev_paths = {x["path"] for x in prev["files"]}
+                added = [x for x in m["files"] if x["path"] not in prev_paths]
+                removed = prev_paths - {x["path"] for x in m["files"]}
+                dv_changed = (m.get("dv") or None) != (prev.get("dv") or None)
+                if removed or dv_changed:
+                    if self._skip_changes:
+                        continue
+                    raise ValueError(
+                        f"snapshotfeed: version {v} of {self._dir} is a "
+                        f"CHANGE commit (op={op or 'unknown'}; "
+                        f"{len(removed)} file(s) removed"
+                        f"{', deletion vector changed' if dv_changed else ''}) "
+                        f"— a streaming tail can only replay appends. "
+                        f"Restart the stream with a fresh checkpoint (the "
+                        f"initial snapshot re-baselines), or set "
+                        f"skipChangeCommits=true to skip such commits."
+                    )
+                for entry in added:
+                    if entry.get("rows", 0):
+                        parts.append(
+                            _FeedFile(_abs_entry(self._dir, entry["path"]))
+                        )
+        if not parts:
+            # an all-maintenance (or empty-append) span still runs as a
+            # zero-row batch; a sentinel keeps the planner satisfied
+            parts.append(_FeedFile(None))
+        return parts
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint; nothing to clean
+
+    # -- executor-side read: one parquet file -> Arrow batches ----------
+
+    def read(self, part: _FeedFile):
+        if part.path is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        target = to_arrow_schema(StructType.fromJson(json.loads(self._schema_json)))
+        # nullability-tolerant cast: pre-evolution files null-fill added
+        # columns, and Spark treats arrow nullability as advisory here
+        target = pa.schema([f.with_nullable(True) for f in target])
+        tbl = pq.read_table(part.path)
+        if part.dv_dir:
+            import pyarrow.compute as pc
+
+            dv = pq.read_table(part.dv_dir)
+            pos = dv.filter(pc.equal(dv["path"], part.dv_key))["pos"].to_pylist()
+            if pos:
+                drop = {int(p) for p in pos}
+                keep = [i for i in range(tbl.num_rows) if i not in drop]
+                # explicit index type: an empty keep-list (fully-deleted
+                # file) would otherwise infer a null-typed indices array
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
+        cols = {}
+        for field in target:
+            if field.name in tbl.column_names:
+                cols[field.name] = tbl.column(field.name)
+            else:
+                # pre-evolution file: fill columns added later with NULL
+                cols[field.name] = pa.nulls(tbl.num_rows, field.type)
+        out = pa.table(cols).cast(target)
+        yield from out.to_batches()
+
+
+class SnapshotFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "snapshotfeed"
+
+    def schema(self):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .load('/path/to/table')"
+            )
+        tdir = _local_dir(path)
+        versions = _list_versions(tdir)
+        if not versions:
+            raise FileNotFoundError(f"snapshotfeed: no committed snapshot in {tdir}")
+        m = _read_json(tdir, versions[-1])
+        sch = m.get("schema")
+        if not sch:
+            raise ValueError(
+                "snapshotfeed: the table carries no committed schema "
+                "(v1-era record) — rewrite it once with snapshot_write"
+            )
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(sch))
+
+    def streamReader(self, schema) -> SnapshotFeedStreamReader:
+        return SnapshotFeedStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the format on a session:
+    ``spark.readStream.format('snapshotfeed').load(table_dir)``."""
+    spark.dataSource.register(SnapshotFeedDataSource)

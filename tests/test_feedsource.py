@@ -1,0 +1,197 @@
+"""`snapshotfeed` streaming-source tests: a snapshot table tailed as a
+Structured Streaming source must deliver the initial snapshot (deletion-
+vector aware) exactly once, tail appended commits across checkpoint
+restarts without re-emission, skip content-preserving maintenance, and
+fail loudly (or skip, under the option) on change commits — the Delta
+table-streaming contract re-expressed for the repo's commit protocol."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_pipeline_spark.ingest import feedsource
+from f1_data_pipeline_spark.storage import (
+    snapshot_append,
+    snapshot_delete,
+    snapshot_optimize,
+    snapshot_restamp,
+    snapshot_upsert,
+    snapshot_write,
+)
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+
+
+def _run(spark, tdir, out, ckpt, **options):
+    feedsource.register(spark)
+    reader = spark.readStream.format("snapshotfeed")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load(str(tdir))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.schema("k long, v double").parquet(str(out))
+
+
+def test_snapshot_then_tail_exactly_once(spark, tmp_path):
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_write(_batch(spark, 0, 100).repartition(4), str(tdir), stats_cols=["k"])
+    snapshot_append(_batch(spark, 100, 150), str(tdir))
+    # DV-delete BEFORE the stream starts: the initial snapshot must
+    # already exclude tombstoned rows
+    snapshot_delete(spark, str(tdir), [("k", ">=", 140)], mode="dv")
+
+    got = _run(spark, tdir, out, ckpt)
+    assert got.count() == 140
+    assert got.agg(F.max("k")).head()[0] == 139
+
+    # tail: two appends with content-preserving maintenance in between —
+    # the stream must deliver ONLY the appended rows, exactly once
+    snapshot_append(_batch(spark, 200, 210), str(tdir))
+    snapshot_optimize(spark, str(tdir), target_file_bytes=1 << 30)
+    snapshot_restamp(spark, str(tdir), {"note": "maintenance"})
+    snapshot_append(_batch(spark, 300, 305), str(tdir))
+    got = _run(spark, tdir, out, ckpt)
+    assert got.count() == 140 + 10 + 5
+    assert got.where((F.col("k") >= 200) & (F.col("k") < 210)).count() == 10
+
+    # idempotent restart with nothing new: zero re-emission
+    got = _run(spark, tdir, out, ckpt)
+    assert got.count() == 155
+
+
+def test_change_commit_fails_unless_skipped(spark, tmp_path):
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_write(_batch(spark, 0, 50), str(tdir), stats_cols=["k"])
+    _run(spark, tdir, out, ckpt)
+
+    # an upsert rewrites a file: not expressible as a row tail
+    snapshot_upsert(
+        spark,
+        str(tdir),
+        _batch(spark, 0, 1).withColumn("v", F.lit(-1.0)),
+        key="k",
+    )
+    feedsource.register(spark)
+    q = (
+        spark.readStream.format("snapshotfeed")
+        .load(str(tdir))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="CHANGE commit|STREAM_FAILED"):
+        q.awaitTermination(180)
+
+    # skipChangeCommits: the failed WAL batch replays first, skipping the
+    # upsert (zero rows); the engine's single-batch fallback for Python
+    # sources processes one batch per run, so the later append lands on
+    # the NEXT run — exactly-once across both
+    snapshot_append(_batch(spark, 500, 503), str(tdir))
+    got = _run(spark, tdir, out, ckpt, skipChangeCommits="true")
+    assert got.count() == 50  # the replayed span nets to zero new rows
+    got = _run(spark, tdir, out, ckpt, skipChangeCommits="true")
+    assert got.count() == 53  # 50 initial + 3 appended; upsert skipped
+
+
+def test_starting_version_replays_appends_only(spark, tmp_path):
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 20), str(tdir))  # v1 = table birth
+    snapshot_append(_batch(spark, 20, 30), str(tdir))
+    snapshot_delete(spark, str(tdir), [("k", "<", 5)], mode="dv")
+    snapshot_append(_batch(spark, 30, 35), str(tdir))
+
+    # replay from v1 with change commits skipped: every APPENDED row
+    # streams — including rows a later DV delete tombstoned (Delta's
+    # documented skipChangeCommits semantics)
+    got = _run(spark, tdir, out, ckpt, startingVersion=1, skipChangeCommits="true")
+    assert got.count() == 35
+
+    # snapshot mode on a fresh checkpoint sees the LIVE table instead
+    out2, ck2 = tmp_path / "out2", tmp_path / "ck2"
+    got = _run(spark, tdir, out2, ck2)
+    assert got.count() == 30
+
+
+def test_max_versions_per_batch_paces_steady_state(spark, tmp_path):
+    """Unit-test the offset protocol directly (the engine calls
+    latestOffset BEFORE initialOffset — observed — so first-batch capping
+    is impossible without risking an offset regression; the cap must bind
+    from the second batch of a run onward)."""
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+
+    tdir = tmp_path / "tbl"
+    for i in range(4):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    schema = spark.read.schema("k long, v double").parquet(
+        str(tdir / "v=1")
+    ).schema
+    r = SnapshotFeedStreamReader(
+        schema, {"path": str(tdir), "startingversion": "1", "maxversionsperbatch": "1"}
+    )
+    # engine order on a fresh start: latestOffset first — uncapped (no
+    # cursor yet; guessing could regress behind a restart's checkpoint)
+    assert r.latestOffset() == {"version": 4, "mode": "replay"}
+    start = r.initialOffset()
+    assert start == {"version": 0, "mode": "replay"}
+    parts = r.partitions(start, {"version": 4, "mode": "replay"})
+    staged_versions = {
+        p.path.rsplit("/", 2)[-2] for p in parts if p.path is not None
+    }
+    assert staged_versions == {"v=1", "v=2", "v=3", "v=4"}
+    # steady state: new commits arrive; the NEXT batch is capped to one
+    for i in range(4, 7):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    assert r.latestOffset() == {"version": 5, "mode": "replay"}
+    r.partitions({"version": 4, "mode": "replay"}, {"version": 5, "mode": "replay"})
+    assert r.latestOffset() == {"version": 6, "mode": "replay"}
+
+
+def test_catchup_delivers_everything_exactly_once(spark, tmp_path):
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    for i in range(4):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    got = _run(spark, tdir, out, ckpt, startingVersion=1, maxVersionsPerBatch=1)
+    assert got.count() == 40  # first batch of a run is uncapped
+    got = _run(spark, tdir, out, ckpt, startingVersion=1, maxVersionsPerBatch=1)
+    assert got.count() == 40  # no re-emission across restarts
+
+
+def test_schema_evolution_null_fills_old_files(spark, tmp_path):
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 10), str(tdir))
+    snapshot_append(
+        _batch(spark, 10, 15).withColumn("w", F.lit("x")),
+        str(tdir),
+        evolve_schema=True,
+    )
+    feedsource.register(spark)
+    q = (
+        spark.readStream.format("snapshotfeed")
+        .load(str(tdir))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.schema("k long, v double, w string").parquet(str(out))
+    assert got.count() == 15
+    # pre-evolution files surface NULL for the added column; evolved
+    # files carry their value — the manifest read contract, streamed
+    assert got.where(F.col("w").isNull()).count() == 10
+    assert got.where(F.col("w") == "x").count() == 5
