@@ -386,6 +386,38 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     return version, vdir
 
 
+def _merge_txn(manifest: dict, properties: dict | None) -> dict | None:
+    """SetTransaction-style stamp retention (the Delta ``txn`` action):
+    the ``txn`` sub-map of commit properties — streaming writers'
+    ``{app_id: last_applied_batch}`` idempotence stamps — must survive
+    every data-changing commit or a crash-replayed micro-batch would
+    re-apply after an unrelated writer touched the table. Every keyed
+    write path merges the PREVIOUS manifest's ``txn`` map under any
+    stamps the new write carries (new wins per app_id). Content-
+    preserving maintenance already carries ``properties`` wholesale;
+    ``snapshot_write`` (full replace) deliberately resets — replacing a
+    table's content invalidates what the stamps attest."""
+    prev = (manifest.get("properties") or {}).get("txn") or {}
+    out = dict(properties or {})
+    merged = {**prev, **(out.get("txn") or {})}
+    if merged:
+        out["txn"] = merged
+    return out or None
+
+
+def _props_payload(props: dict) -> dict:
+    """JSON-safe commit properties; one level of dict nesting (the
+    ``txn`` stamp map) keeps its structure instead of stringifying."""
+    return {
+        k: (
+            {kk: _json_safe(vv) for kk, vv in v.items()}
+            if isinstance(v, dict)
+            else _json_safe(v)
+        )
+        for k, v in props.items()
+    }
+
+
 def _json_safe(v):
     """Stats values must survive a JSON round-trip AND order the same way
     afterwards: numbers/strings/bools pass through; date/timestamp become
@@ -917,9 +949,7 @@ def snapshot_write(
             if bloom_spec:
                 payload["bloom_spec"] = bloom_spec
             if properties:
-                payload["properties"] = {
-                    k: _json_safe(v) for k, v in properties.items()
-                }
+                payload["properties"] = _props_payload(properties)
             _commit_record(spark, table_dir, version, payload)
             return version
         except SnapshotConflictError:
@@ -1095,10 +1125,9 @@ def snapshot_append(
                 payload["dv"] = manifest["dv"]
             if bloom_spec:
                 payload["bloom_spec"] = bloom_spec
-            if properties:
-                payload["properties"] = {
-                    k: _json_safe(v) for k, v in properties.items()
-                }
+            props = _merge_txn(manifest, properties)
+            if props:
+                payload["properties"] = _props_payload(props)
             _commit_record(spark, table_dir, version, payload)
             return version
         except SnapshotConflictError:
@@ -1777,8 +1806,9 @@ def _merge_into_snapshot(
     })
     if constraints:
         payload["constraints"] = constraints
-    if properties:
-        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
+    props = _merge_txn(manifest, properties)
+    if props:
+        payload["properties"] = _props_payload(props)
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
     _commit_record(spark, table_dir, version, payload)
@@ -2124,8 +2154,9 @@ def snapshot_merge(
             payload["dv"] = dv_block
     if constraints:
         payload["constraints"] = constraints
-    if properties:
-        payload["properties"] = {k: _json_safe(v) for k, v in properties.items()}
+    props = _merge_txn(manifest, properties)
+    if props:
+        payload["properties"] = _props_payload(props)
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
     try:
@@ -2652,6 +2683,10 @@ def snapshot_delete(
         for carry in ("bloom_spec", "constraints"):
             if manifest.get(carry):
                 payload[carry] = manifest[carry]
+        txn = _merge_txn(manifest, None)
+        if txn:
+            # streaming writers' idempotence stamps survive a delete
+            payload["properties"] = _props_payload(txn)
         try:
             _commit_record(spark, table_dir, version, payload)
         except SnapshotConflictError:
@@ -2701,6 +2736,10 @@ def snapshot_delete(
     if manifest.get("constraints"):
         # deletes cannot create violating rows: carry, don't re-check
         payload["constraints"] = manifest["constraints"]
+    txn = _merge_txn(manifest, None)
+    if txn:
+        # streaming writers' idempotence stamps survive a delete
+        payload["properties"] = _props_payload(txn)
     _commit_record(spark, table_dir, version, payload)
     return version, deleted
 

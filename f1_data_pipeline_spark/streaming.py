@@ -851,6 +851,79 @@ def stream_snapshot_upsert(
     )
 
 
+def stream_snapshot_append(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    txn_app_id: str | None = None,
+    stats_cols: list[str] | None = None,
+    trigger: dict | None = None,
+    evolve_schema: bool = False,
+):
+    """EXACTLY-ONCE streaming append into a snapshot table — the ingest
+    sink for append-shaped streams (event logs, training-data shards,
+    and the output half of lakehouse-to-lakehouse replication when the
+    input half is the ``snapshotfeed`` source).
+
+    Takes any STREAMING DataFrame (so it composes with every source this
+    repo ships — file streams, the socket/`f1wire` feed, `snapshotfeed`)
+    and commits each micro-batch through ``storage.snapshot_append``:
+    O(batch rows) per trigger, prior files carried by reference, one
+    atomic version per batch.
+
+    Exactly once, not just effectively once: `foreachBatch` re-delivers
+    a batch after a crash between the table commit and the checkpoint
+    advance, and an APPEND is not idempotent by content the way a keyed
+    upsert is — replaying it would duplicate rows. The sink therefore
+    stamps ``{txn: {app_id: batch_id}}`` into the commit properties
+    ATOMICALLY with the data (Delta's txnAppId/txnVersion idiom) and
+    skips any batch whose id is already at-or-below the stamp. Every
+    data-changing write path carries the ``txn`` map forward
+    (``storage._merge_txn``), so interleaved deletes/upserts/merges by
+    other writers cannot erase the stamp; ``snapshot_write`` full
+    replace deliberately resets it. Each append commits under a CAS
+    (``expected_version``) so a concurrent writer makes the batch fail
+    and replay against fresh state rather than double-commit.
+
+    ``txn_app_id`` defaults to the checkpoint path — one logical writer
+    per checkpoint, the engine's own identity unit. Returns the
+    ``StreamingQuery``."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_append,
+        snapshot_properties,
+        snapshot_version,
+    )
+
+    app_id = txn_app_id or checkpoint.rstrip("/")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        cur = snapshot_version(b, table_dir)
+        if cur >= 1:
+            done = (snapshot_properties(b, table_dir).get("txn") or {}).get(
+                app_id
+            )
+            if done is not None and int(done) >= batch_id:
+                return  # crash-replayed batch: already committed, skip
+        if batch_df.isEmpty():
+            return
+        snapshot_append(
+            batch_df,
+            table_dir,
+            stats_cols=stats_cols,
+            properties={"txn": {app_id: batch_id}},
+            expected_version=cur if cur >= 1 else None,
+            evolve_schema=evolve_schema,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_table_maintainer(
     spark: SparkSession,
     step,

@@ -195,3 +195,41 @@ def test_schema_evolution_null_fills_old_files(spark, tmp_path):
     # files carry their value — the manifest read contract, streamed
     assert got.where(F.col("w").isNull()).count() == 10
     assert got.where(F.col("w") == "x").count() == 5
+
+
+def test_table_to_table_streaming_replication(spark, tmp_path):
+    """The full loop: a snapshot table tailed by `snapshotfeed`, written
+    into another snapshot table by the exactly-once append sink — engine-
+    checkpointed lakehouse-to-lakehouse replication with zero consumer
+    bookkeeping (the streaming twin of sync_replica_from_changes)."""
+    from f1_data_pipeline_spark.storage import snapshot_history, snapshot_read
+    from f1_data_pipeline_spark.streaming import stream_snapshot_append
+
+    src, rep, ckpt = tmp_path / "src", tmp_path / "rep", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 100), str(src), stats_cols=["k"])
+    snapshot_append(_batch(spark, 100, 120), str(src))
+    feedsource.register(spark)
+
+    def replicate():
+        q = stream_snapshot_append(
+            spark.readStream.format("snapshotfeed").load(str(src)),
+            str(rep),
+            str(ckpt),
+            txn_app_id="replica",
+            stats_cols=["k"],
+        )
+        q.awaitTermination(180)
+
+    replicate()
+    assert sorted(
+        r["k"] for r in snapshot_read(spark, rep.as_posix()).collect()
+    ) == sorted(r["k"] for r in snapshot_read(spark, src.as_posix()).collect())
+
+    # tail new source commits; replica converges, appends only
+    snapshot_append(_batch(spark, 500, 510), str(src))
+    replicate()
+    assert snapshot_read(spark, str(rep)).count() == 130
+    replicate()  # caught up: nothing re-emitted, nothing re-committed
+    assert snapshot_read(spark, str(rep)).count() == 130
+    ops = {h.get("op") for h in snapshot_history(spark, str(rep))}
+    assert ops == {"append"}

@@ -1227,3 +1227,89 @@ def test_stream_snapshot_upsert_aborts_on_table_constraint(spark, tmp_path):
     assert q.awaitTermination(180)
     table = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
     assert table[3] == "fixed" and table[20] == "b-20" and len(table) == 11
+
+
+def test_stream_snapshot_append_exactly_once(spark, tmp_path):
+    """The append sink's txn stamp must turn foreachBatch's at-least-once
+    re-delivery into exactly-once: crash-replaying the last batch (a
+    checkpoint image missing its last commit marker) re-invokes the sink
+    with the same batch id, which the committed stamp skips — zero
+    duplicate rows. The stamp must also survive other writers' commits."""
+    import os
+    import shutil
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_properties,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_version,
+    )
+    from f1_data_pipeline_spark.streaming import stream_snapshot_append
+
+    src_dir = str(tmp_path / "in")
+    tdir = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string").write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def run(ckpt):
+        q = stream_snapshot_append(
+            spark.readStream.schema("k long, s string").parquet(src_dir),
+            tdir,
+            ckpt,
+            txn_app_id="ingest",  # stable identity, not the ckpt path
+            stats_cols=["k"],
+        )
+        q.awaitTermination(120)
+
+    ck1 = str(tmp_path / "ck")
+    run(ck1)
+    assert snapshot_read(spark, tdir).count() == 2
+    spark.createDataFrame([(3, "c")], "k long, s string").write.mode(
+        "append"
+    ).parquet(src_dir)
+    run(ck1)
+    assert snapshot_read(spark, tdir).count() == 3
+    v = snapshot_version(spark, tdir)
+    assert _read_manifest(spark, tdir, v)["op"] == "append"
+    stamp = snapshot_properties(spark, tdir)["txn"]
+    assert stamp == {"ingest": 1}  # batch 1 was the last applied
+
+    # crash replay: restart from a checkpoint IMAGE whose last commit
+    # marker is missing (the crash window between the table commit and
+    # the checkpoint advance) — the engine re-runs the batch with the
+    # same id; the committed stamp must skip it. A copy sidesteps the
+    # same-JVM concurrent-checkpoint guard an in-place delete trips.
+    ck2 = str(tmp_path / "ck_crash")
+    shutil.copytree(ck1, ck2)
+    commits = sorted(
+        c for c in os.listdir(f"{ck2}/commits") if not c.startswith(".")
+    )
+    os.remove(f"{ck2}/commits/{commits[-1]}")
+    crc = f"{ck2}/commits/.{commits[-1]}.crc"  # 4.1 checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    # fresh query id: the engine caches commit-log state per query id in
+    # the JVM and would flag the image as concurrent use of the original
+    import json
+    import uuid
+
+    meta = json.loads(open(f"{ck2}/metadata").read())
+    meta["id"] = str(uuid.uuid4())
+    open(f"{ck2}/metadata", "w").write(json.dumps(meta))
+    run(ck2)
+    assert snapshot_read(spark, tdir).count() == 3  # no duplicates
+    assert snapshot_version(spark, tdir) == v  # and no empty re-commit
+
+    # the stamp survives other writers' data-changing commits
+    snapshot_upsert(
+        spark,
+        tdir,
+        spark.createDataFrame([(2, "B")], "k long, s string"),
+        key="k",
+    )
+    snapshot_delete(spark, tdir, [("k", "=", 1)], mode="dv")
+    assert snapshot_properties(spark, tdir)["txn"] == stamp
