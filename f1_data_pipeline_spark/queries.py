@@ -1781,7 +1781,7 @@ _MERGE_COMP_DIRS: dict[str, str] = {}
                   FROM events
                   WHERE event_id BETWEEN 0 AND 599
                     AND user_id IS NOT NULL AND event_type IS NOT NULL
-                    AND user_id <= 12
+                    AND user_id % 7 <> 3
                   GROUP BY 1, 2),
           s AS (SELECT user_id, event_type,
                          CAST(count(*) AS BIGINT) AS n,
@@ -1794,14 +1794,14 @@ _MERGE_COMP_DIRS: dict[str, str] = {}
        SELECT COALESCE(t.user_id, s.user_id) AS user_id,
               COALESCE(t.event_type, s.event_type) AS event_type,
               CASE WHEN t.user_id IS NULL THEN s.n
-                   WHEN s.user_id IS NOT NULL AND s.n > t.n THEN s.n
+                   WHEN s.user_id IS NOT NULL AND s.n >= t.n THEN s.n
                    ELSE t.n END AS n,
               CASE WHEN t.user_id IS NULL THEN s.mn
-                   WHEN s.user_id IS NOT NULL AND s.n > t.n
+                   WHEN s.user_id IS NOT NULL AND s.n >= t.n
                         THEN LEAST(t.mn, s.mn)
                    ELSE t.mn END AS mn,
               CASE WHEN t.user_id IS NULL THEN s.mx
-                   WHEN s.user_id IS NOT NULL AND s.n > t.n
+                   WHEN s.user_id IS NOT NULL AND s.n >= t.n
                         THEN GREATEST(t.mx, s.mx)
                    ELSE t.mx END AS mx
        FROM t FULL OUTER JOIN s
@@ -1820,12 +1820,20 @@ def x_merge_composite(t: Tables) -> DataFrame:
     The oracle replays the identical full-outer CASE logic; aggregates
     are count/min/max only (order-independent across engines). Exercises
     every composite-key code path: per-column envelope intersection,
-    tuple cardinality, composite join, multi-column clustering. The
-    window/filter choice (t: event_id 0-599 & user_id<=12; s: 300-899 &
-    type<>'view') makes ALL THREE clauses fire at EVERY sf — event_id
-    spans only [0,1000·sf·1000), so wider windows would leave the source
-    empty at sf0.001 and the merge degenerate (the r10 bug this replaced:
-    windows 0-1999 vs 1000-2999 gave s zero groups)."""
+    tuple cardinality, composite join, multi-column clustering.
+
+    The window/filter choice makes ALL THREE clauses fire at EVERY sf
+    (self-asserted), which needs care because BOTH the event_id domain
+    ([0, 1000·sf·1000)) and the user_id domain grow with sf:
+    - updates: the windows share events 300-599, so every shared-window
+      non-view group is matched with s.n >= t.n — guaranteed regardless
+      of how sparse (user, type) groups get at high sf (an absolute
+      user filter plus a strict s.n > t.n starved this to zero at
+      sf0.1; windows past 999 starved the source at sf0.001);
+    - inserts: t drops user_id % 7 == 3, so s always holds groups t
+      cannot match, at every domain size;
+    - by-source deletes: 'view'-type groups are always t-only (s
+      excludes the type), and users >= 8 exist at every sf."""
     import shutil
     import tempfile
     import uuid
@@ -1856,7 +1864,7 @@ def x_merge_composite(t: Tables) -> DataFrame:
     if prev:
         shutil.rmtree(prev, ignore_errors=True)
     _MERGE_COMP_DIRS[t.sf_dir] = tdir
-    target = agg_slice(0, 599, F.col("user_id") <= 12)
+    target = agg_slice(0, 599, F.col("user_id") % 7 != 3)
     source = agg_slice(300, 899, F.col("event_type") != "view")
     snapshot_write(
         target.repartitionByRange(2, "user_id", "event_type"),
@@ -1866,7 +1874,7 @@ def x_merge_composite(t: Tables) -> DataFrame:
     n_before = snapshot_read(spark, tdir).count()
     v, m = snapshot_merge(
         spark, tdir, source, key=["user_id", "event_type"],
-        matched_condition="s.n > t.n",
+        matched_condition="s.n >= t.n",
         update_set={"n": "s.n", "mn": "least(t.mn, s.mn)",
                     "mx": "greatest(t.mx, s.mx)"},
         when_not_matched_by_source="delete",

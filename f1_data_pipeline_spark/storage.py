@@ -974,6 +974,8 @@ def snapshot_append(
     expected_version: int | None = None,
     retries: int = 0,
     evolve_schema: bool = False,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """APPEND-ONLY commit: stage ``df``'s rows as new files and commit a
     version that carries every existing file (and the current deletion
@@ -1007,6 +1009,14 @@ def snapshot_append(
       not blind writes, because the staged rows do not depend on the
       version they land on. On a table with NO commit yet the first
       append creates it (one atomic v1 commit).
+    - ``cluster_by`` range-clusters THIS batch's files on the given
+      columns (into ``cluster_files`` files, default one per shuffle
+      partition): stats skipping is only as good as the physical
+      clustering under it, and an unclustered append gives every new
+      file a full-range envelope that later upserts/reads can never
+      prune. Clustering is per batch — cheap (one range shuffle over
+      the batch, never the table) and exactly what a time-keyed ingest
+      needs, since batches arrive roughly time-ordered anyway.
     """
     spark = df.sparkSession
     if expected_version is not None and retries:
@@ -1030,8 +1040,15 @@ def snapshot_append(
                 # first commit IS table creation (structurally a pure
                 # append); no retries inside — a lost race here must fall
                 # through to the APPEND path, not a full replace
+                first = df
+                if cluster_by:
+                    first = (
+                        df.repartitionByRange(cluster_files, *cluster_by)
+                        if cluster_files
+                        else df.repartitionByRange(*cluster_by)
+                    )
                 return snapshot_write(
-                    df,
+                    first,
                     table_dir,
                     stats_cols=stats_cols,
                     properties=properties,
@@ -1074,7 +1091,24 @@ def snapshot_append(
                 if constraints
                 else (appended, None, [])
             )
-            version, vdir = _stage_version(staged_df, table_dir)
+            cached = None
+            if cluster_by:
+                if constraints:
+                    # repartitionByRange samples its input (a second
+                    # evaluation); the persist keeps the violation
+                    # counters single-fire
+                    cached = staged_df.persist()
+                    staged_df = cached
+                staged_df = (
+                    staged_df.repartitionByRange(cluster_files, *cluster_by)
+                    if cluster_files
+                    else staged_df.repartitionByRange(*cluster_by)
+                )
+            try:
+                version, vdir = _stage_version(staged_df, table_dir)
+            finally:
+                if cached is not None:
+                    cached.unpersist()
             if expected_version is not None and version != expected_version + 1:
                 raise SnapshotConflictError(
                     f"snapshot_append: staged v={version} but the CAS "

@@ -859,6 +859,8 @@ def stream_snapshot_append(
     stats_cols: list[str] | None = None,
     trigger: dict | None = None,
     evolve_schema: bool = False,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ):
     """EXACTLY-ONCE streaming append into a snapshot table — the ingest
     sink for append-shaped streams (event logs, training-data shards,
@@ -914,6 +916,8 @@ def stream_snapshot_append(
             properties={"txn": {app_id: batch_id}},
             expected_version=cur if cur >= 1 else None,
             evolve_schema=evolve_schema,
+            cluster_by=cluster_by,
+            cluster_files=cluster_files,
         )
 
     return (

@@ -2788,6 +2788,21 @@ def test_snapshot_append_carries_files_untouched(spark, tmp_path):
     ops = [h.get("op") for h in snapshot_history(spark, tdir)]
     assert ops == ["append", "append", "delete", "append"]
 
+    # cluster_by: the batch's files get TIGHT disjoint key envelopes
+    # (an unclustered append gives every file a full-range envelope that
+    # later upserts/reads could never prune)
+    v = snapshot_append(
+        b(1000, 1200), tdir, cluster_by=["k"], cluster_files=4
+    )
+    m = _read_manifest(spark, tdir, v)
+    own = [e for e in m["files"] if e["path"].startswith(f"v={v}/")]
+    spans = sorted(
+        (e["stats"]["k"]["min"], e["stats"]["k"]["max"]) for e in own
+    )
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges: range clustering worked
+
 
 def test_snapshot_append_schema_and_constraints(spark, tmp_path):
     from f1_data_pipeline_spark.storage import (
