@@ -888,37 +888,56 @@ def stream_snapshot_append(
     and replay against fresh state rather than double-commit.
 
     ``txn_app_id`` defaults to the checkpoint path — one logical writer
-    per checkpoint, the engine's own identity unit. Returns the
-    ``StreamingQuery``."""
+    per checkpoint, the engine's own identity unit. MULTIPLE append
+    streams (distinct app_ids) may share one table: appends compose (no
+    lost update is possible — every loser's rows still land), so a lost
+    CAS race re-reads the stamp and version and retries the batch
+    in-sink up to ``conflict_retries`` times instead of failing the
+    stream; the per-app stamp keeps each stream's own replay
+    exactly-once throughout. Returns the ``StreamingQuery``."""
     from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
         snapshot_append,
         snapshot_properties,
         snapshot_version,
     )
 
     app_id = txn_app_id or checkpoint.rstrip("/")
+    conflict_retries = 5
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
-        cur = snapshot_version(b, table_dir)
-        if cur >= 1:
-            done = (snapshot_properties(b, table_dir).get("txn") or {}).get(
-                app_id
-            )
-            if done is not None and int(done) >= batch_id:
-                return  # crash-replayed batch: already committed, skip
-        if batch_df.isEmpty():
-            return
-        snapshot_append(
-            batch_df,
-            table_dir,
-            stats_cols=stats_cols,
-            properties={"txn": {app_id: batch_id}},
-            expected_version=cur if cur >= 1 else None,
-            evolve_schema=evolve_schema,
-            cluster_by=cluster_by,
-            cluster_files=cluster_files,
-        )
+        for attempt in range(conflict_retries + 1):
+            cur = snapshot_version(b, table_dir)
+            if cur >= 1:
+                done = (snapshot_properties(b, table_dir).get("txn") or {}).get(
+                    app_id
+                )
+                if done is not None and int(done) >= batch_id:
+                    return  # crash-replayed batch: already committed, skip
+            if batch_df.isEmpty():
+                return
+            try:
+                snapshot_append(
+                    batch_df,
+                    table_dir,
+                    stats_cols=stats_cols,
+                    properties={"txn": {app_id: batch_id}},
+                    expected_version=cur if cur >= 1 else None,
+                    evolve_schema=evolve_schema,
+                    cluster_by=cluster_by,
+                    cluster_files=cluster_files,
+                )
+                return
+            except SnapshotConflictError:
+                # a concurrent writer committed between our read and our
+                # commit: safe to retry an APPEND after re-reading the
+                # stamp (it may even prove our own replay already landed)
+                if attempt >= conflict_retries:
+                    raise
+                import time
+
+                time.sleep(0.05 * (attempt + 1))
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -1313,3 +1313,70 @@ def test_stream_snapshot_append_exactly_once(spark, tmp_path):
     )
     snapshot_delete(spark, tdir, [("k", "=", 1)], mode="dv")
     assert snapshot_properties(spark, tdir)["txn"] == stamp
+
+
+def test_stream_snapshot_append_multi_writer(spark, tmp_path, monkeypatch):
+    """Two append streams (distinct app ids) share one table: stamps
+    coexist through interleaved commits, and a lost CAS race retries
+    in-sink instead of failing the stream (appends compose — no lost
+    update is possible)."""
+    import os
+
+    from f1_data_pipeline_spark import storage as stg
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        snapshot_properties,
+        snapshot_read,
+    )
+    from f1_data_pipeline_spark.streaming import stream_snapshot_append
+
+    tdir = str(tmp_path / "tbl")
+    srcs = {}
+    for name in ("a", "b"):
+        d = str(tmp_path / f"in_{name}")
+        os.makedirs(d)
+        srcs[name] = d
+
+    def feed(name, rows):
+        spark.createDataFrame(rows, "k long, s string").write.mode(
+            "append"
+        ).parquet(srcs[name])
+
+    def run(name):
+        q = stream_snapshot_append(
+            spark.readStream.schema("k long, s string").parquet(srcs[name]),
+            tdir,
+            str(tmp_path / f"ck_{name}"),
+            txn_app_id=name,
+            stats_cols=["k"],
+        )
+        q.awaitTermination(120)
+
+    feed("a", [(1, "a1")])
+    run("a")
+    feed("b", [(100, "b1")])
+    run("b")
+    feed("a", [(2, "a2")])
+    run("a")
+    assert snapshot_read(spark, tdir).count() == 3
+    stamps = snapshot_properties(spark, tdir)["txn"]
+    # both writers' stamps coexist (txn carry across each other's commits)
+    assert stamps == {"a": 1, "b": 0}
+
+    # injected CAS race: first commit attempt loses, the sink must retry
+    # and converge rather than fail the stream
+    real = stg.snapshot_append
+    state = {"failures": 2}
+
+    def flaky(*args, **kwargs):
+        if state["failures"]:
+            state["failures"] -= 1
+            raise SnapshotConflictError("injected concurrent commit")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(stg, "snapshot_append", flaky)
+    feed("b", [(101, "b2")])
+    run("b")
+    assert state["failures"] == 0  # the injection actually fired
+    assert snapshot_read(spark, tdir).count() == 4
+    assert snapshot_properties(spark, tdir)["txn"] == {"a": 1, "b": 1}
