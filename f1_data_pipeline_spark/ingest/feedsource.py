@@ -20,6 +20,20 @@ a streaming source:
   delete / merge / restore / full replace) cannot be expressed as a pure
   row tail; the source fails with a clear message — or skips the commit
   under ``skipChangeCommits=true`` — exactly Delta's streaming contract.
+* **``changeFeed=true`` streams CDC rows instead** (Delta's
+  ``readChangeFeed``): every row carries ``_change_type`` and
+  ``_commit_version``. Appends and the initial snapshot emit
+  ``insert``; DELETION-VECTOR commits emit the tombstoned rows as
+  ``delete`` — the DV delta is file-local (new positions per file), so
+  each executor diffs the two position sets for its one file and takes
+  exactly those rows: an append + DV-delete table (the GDPR-capable
+  event-log shape this storage targets) is fully streamable INCLUDING
+  deletes, with no precomputed change files. Rewrite commits
+  (upsert/merge/cow-delete/restore) remain explicit failures/skips —
+  the same boundary Delta solves only by persisting change files at
+  write time. A downstream keyed apply (``snapshot_apply_cdc`` with
+  ``op_col='_change_type'``, folding by ``_commit_version``) turns the
+  feed into an exactly-once maintained replica.
   Content-preserving maintenance (OPTIMIZE / compact / restamp /
   constraint DDL, identified by the commit's ``op`` label) is always
   skipped silently: the rows did not change, so the stream must not
@@ -129,12 +143,30 @@ def _dv_key(entry_path: str) -> str:
 
 class _FeedFile(InputPartition):
     """One appended (or initial-snapshot) data file; ``dv_dir`` names the
-    version's deletion-vector dataset when positions must be subtracted."""
+    version's deletion-vector dataset when positions must be subtracted.
 
-    def __init__(self, path: str | None, dv_dir: str | None = None, dv_key: str | None = None):
+    Change-feed delta partitions set ``delta_from``: the rows to emit are
+    the file positions present in ``dv_dir`` but NOT in ``delta_from``
+    (new tombstones → ``change='delete'``; with the dirs swapped, a
+    restore's resurrected positions → ``change='insert'``)."""
+
+    def __init__(
+        self,
+        path: str | None,
+        dv_dir: str | None = None,
+        dv_key: str | None = None,
+        version: int | None = None,
+        change: str = "insert",
+        delta_from: str | None = None,
+        delta: bool = False,
+    ):
         self.path = path
         self.dv_dir = dv_dir
         self.dv_key = dv_key
+        self.version = version
+        self.change = change
+        self.delta_from = delta_from
+        self.delta = delta
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -155,6 +187,17 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._max_versions = int(mv) if mv else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("snapshotfeed: maxVersionsPerBatch must be >= 1")
+        self._change_feed = str(
+            options.get("changefeed", options.get("changeFeed", "false"))
+        ).lower() in ("true", "1")
+        if self._change_feed:
+            names = [f.name for f in schema.fields]
+            if "_change_type" not in names or "_commit_version" not in names:
+                raise ValueError(
+                    "snapshotfeed: changeFeed=true needs _change_type and "
+                    "_commit_version in the schema (omit .schema() — the "
+                    "source declares them itself)"
+                )
         self._last_end: int | None = None
 
     # -- driver-side planning (manifest JSON only, no data IO) ----------
@@ -209,6 +252,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         _abs_entry(self._dir, entry["path"]),
                         dv_dir if dv_files.get(key) else None,
                         key,
+                        version=e,
                     )
                 )
         else:
@@ -230,6 +274,51 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 added = [x for x in m["files"] if x["path"] not in prev_paths]
                 removed = prev_paths - {x["path"] for x in m["files"]}
                 dv_changed = (m.get("dv") or None) != (prev.get("dv") or None)
+                if self._change_feed and dv_changed and not removed:
+                    # deletion-vector-only commit: the change IS file-local
+                    # (new tombstoned positions per file), so it streams as
+                    # delete rows — no rewrite to reconcile. One partition
+                    # per affected file; the executor diffs the two DV
+                    # datasets for its file and emits both directions
+                    # (delete for new tombstones; a restore that shrank a
+                    # DV resurfaces those rows as inserts).
+                    cur_dv, prev_dv = m.get("dv"), prev.get("dv")
+                    cur_counts = (cur_dv or {}).get("files", {})
+                    prev_counts = (prev_dv or {}).get("files", {})
+                    by_key = {
+                        _dv_key(x["path"]): x["path"] for x in m["files"]
+                    }
+                    cur_dir = (
+                        _abs_entry(self._dir, cur_dv["dir"]) if cur_dv else None
+                    )
+                    prev_dir = (
+                        _abs_entry(self._dir, prev_dv["dir"]) if prev_dv else None
+                    )
+                    for key in sorted(set(cur_counts) | set(prev_counts)):
+                        if cur_counts.get(key, 0) == prev_counts.get(key, 0):
+                            continue  # same count ⇒ same positions (DVs only grow per commit)
+                        if key not in by_key:
+                            continue  # file left the table in an earlier commit
+                        parts.append(
+                            _FeedFile(
+                                _abs_entry(self._dir, by_key[key]),
+                                cur_dir,
+                                key,
+                                version=v,
+                                change="delete",
+                                delta_from=prev_dir,
+                                delta=True,
+                            )
+                        )
+                    for entry in added:
+                        if entry.get("rows", 0):
+                            parts.append(
+                                _FeedFile(
+                                    _abs_entry(self._dir, entry["path"]),
+                                    version=v,
+                                )
+                            )
+                    continue
                 if removed or dv_changed:
                     if self._skip_changes:
                         continue
@@ -246,7 +335,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 for entry in added:
                     if entry.get("rows", 0):
                         parts.append(
-                            _FeedFile(_abs_entry(self._dir, entry["path"]))
+                            _FeedFile(
+                                _abs_entry(self._dir, entry["path"]), version=v
+                            )
                         )
         if not parts:
             # an all-maintenance (or empty-append) span still runs as a
@@ -267,30 +358,75 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
-        target = to_arrow_schema(StructType.fromJson(json.loads(self._schema_json)))
+        declared = StructType.fromJson(json.loads(self._schema_json))
+        meta_cols = (
+            {"_change_type", "_commit_version"} if self._change_feed else set()
+        )
+        data_fields = StructType(
+            [f for f in declared.fields if f.name not in meta_cols]
+        )
+        target = to_arrow_schema(data_fields)
         # nullability-tolerant cast: pre-evolution files null-fill added
         # columns, and Spark treats arrow nullability as advisory here
         target = pa.schema([f.with_nullable(True) for f in target])
         tbl = pq.read_table(part.path)
-        if part.dv_dir:
+
+        def _positions(dv_dir: str | None) -> set[int]:
+            if not dv_dir:
+                return set()
             import pyarrow.compute as pc
 
-            dv = pq.read_table(part.dv_dir)
-            pos = dv.filter(pc.equal(dv["path"], part.dv_key))["pos"].to_pylist()
+            dv = pq.read_table(dv_dir)
+            return {
+                int(p)
+                for p in dv.filter(pc.equal(dv["path"], part.dv_key))[
+                    "pos"
+                ].to_pylist()
+            }
+
+        if part.delta:
+            # change-feed delta over one file: new tombstones stream as
+            # deletes; positions a restore removed from the DV resurface
+            # as inserts — both exact set differences of the two datasets
+            cur, prev = _positions(part.dv_dir), _positions(part.delta_from)
+            chunks = [
+                (sorted(cur - prev), "delete"),
+                (sorted(prev - cur), "insert"),
+            ]
+            for positions, change in chunks:
+                if not positions:
+                    continue
+                sub = tbl.take(pa.array(positions, type=pa.int64()))
+                yield from self._project(pa, sub, target, change, part.version)
+            return
+        if part.dv_dir:
+            pos = _positions(part.dv_dir)
             if pos:
-                drop = {int(p) for p in pos}
-                keep = [i for i in range(tbl.num_rows) if i not in drop]
+                keep = [i for i in range(tbl.num_rows) if i not in pos]
                 # explicit index type: an empty keep-list (fully-deleted
                 # file) would otherwise infer a null-typed indices array
                 tbl = tbl.take(pa.array(keep, type=pa.int64()))
+        yield from self._project(pa, tbl, target, part.change, part.version)
+
+    def _project(self, pa, tbl, target, change: str, version):
+        """Project a file's Arrow table onto the declared data schema
+        (pre-evolution files fill columns added later with NULL), then
+        append the change-feed metadata columns when enabled."""
         cols = {}
         for field in target:
             if field.name in tbl.column_names:
                 cols[field.name] = tbl.column(field.name)
             else:
-                # pre-evolution file: fill columns added later with NULL
                 cols[field.name] = pa.nulls(tbl.num_rows, field.type)
         out = pa.table(cols).cast(target)
+        if self._change_feed:
+            n = out.num_rows
+            out = out.append_column(
+                "_change_type", pa.array([change] * n, pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([int(version or 0)] * n, pa.int64()),
+            )
         yield from out.to_batches()
 
 
@@ -316,9 +452,20 @@ class SnapshotFeedDataSource(DataSource):
                 "snapshotfeed: the table carries no committed schema "
                 "(v1-era record) — rewrite it once with snapshot_write"
             )
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-        return StructType.fromJson(json.loads(sch))
+        base = StructType.fromJson(json.loads(sch))
+        if str(
+            self.options.get("changefeed", self.options.get("changeFeed", "false"))
+        ).lower() in ("true", "1"):
+            return StructType(
+                base.fields
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", LongType(), False),
+                ]
+            )
+        return base
 
     def streamReader(self, schema) -> SnapshotFeedStreamReader:
         return SnapshotFeedStreamReader(schema, self.options)

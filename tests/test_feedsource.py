@@ -233,3 +233,105 @@ def test_table_to_table_streaming_replication(spark, tmp_path):
     assert snapshot_read(spark, str(rep)).count() == 130
     ops = {h.get("op") for h in snapshot_history(spark, str(rep))}
     assert ops == {"append"}
+
+
+def test_change_feed_streams_dv_deletes(spark, tmp_path):
+    """changeFeed=true: appends and the initial snapshot stream as
+    inserts, deletion-vector commits stream the tombstoned rows as
+    deletes (file-local position diffs — no rewrite, no precomputed
+    change files), every row stamped with _change_type/_commit_version,
+    and the feed replays a correct live-table reconstruction."""
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_version
+
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_write(_batch(spark, 0, 50).repartition(2), str(tdir), stats_cols=["k"])
+    snapshot_append(_batch(spark, 50, 60), str(tdir))
+    snapshot_delete(spark, str(tdir), [("k", "<", 5)], mode="dv")
+
+    def run():
+        feedsource.register(spark)
+        q = (
+            spark.readStream.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .load(str(tdir))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.schema(
+            "k long, v double, _change_type string, _commit_version long"
+        ).parquet(str(out))
+
+    got = run()
+    v0 = snapshot_version(spark, str(tdir))
+    # initial snapshot: pre-stream deletes never appear; all inserts at
+    # the snapshot version
+    assert got.count() == 55
+    assert got.where(F.col("_change_type") != "insert").count() == 0
+    assert got.agg(F.min("_commit_version")).head()[0] == v0
+
+    # tail: a DV delete streams its tombstoned rows as deletes; a later
+    # append streams as inserts — each stamped with its own commit
+    snapshot_delete(
+        spark, str(tdir), [("k", ">=", 50), ("k", "<=", 52)], mode="dv"
+    )
+    snapshot_append(_batch(spark, 100, 103), str(tdir))
+    got = run()
+    dels = got.where(F.col("_change_type") == "delete")
+    assert sorted(r["k"] for r in dels.collect()) == [50, 51, 52]
+    assert dels.select("_commit_version").distinct().head()[0] == v0 + 1
+    ins = got.where(
+        (F.col("_change_type") == "insert") & (F.col("_commit_version") == v0 + 2)
+    )
+    assert sorted(r["k"] for r in ins.collect()) == [100, 101, 102]
+
+    # the feed reconstructs the live table: last change per key wins
+    last = (
+        got.groupBy("k")
+        .agg(F.max_by("_change_type", "_commit_version").alias("c"))
+        .where(F.col("c") == "insert")
+    )
+    live = snapshot_read(spark, str(tdir))
+    assert sorted(r["k"] for r in last.collect()) == sorted(
+        r["k"] for r in live.collect()
+    )
+
+
+def test_change_feed_restore_resurrects(spark, tmp_path):
+    """A restore that only shrinks the deletion vector (files identical)
+    streams the resurrected positions as inserts — the exact inverse of
+    the DV-delete delta, same file-local diff."""
+    from f1_data_pipeline_spark.storage import snapshot_restore
+
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 30), str(tdir))  # v1
+    snapshot_delete(spark, str(tdir), [("k", "<", 3)], mode="dv")  # v2
+    feedsource.register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .load(str(tdir))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.schema(
+            "k long, v double, _change_type string, _commit_version long"
+        ).parquet(str(out))
+
+    got = run()
+    assert got.count() == 27  # live snapshot at v2
+
+    snapshot_restore(spark, str(tdir), 1)  # v3: same files, DV dropped
+    got = run()
+    res = got.where(F.col("_commit_version") == 3)
+    assert sorted(r["k"] for r in res.collect()) == [0, 1, 2]
+    assert res.select("_change_type").distinct().head()[0] == "insert"
