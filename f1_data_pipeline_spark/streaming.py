@@ -947,6 +947,96 @@ def stream_snapshot_append(
     )
 
 
+def stream_snapshot_cdc_apply(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    key: str | list[str],
+    stats_cols: list[str] | None = None,
+    cluster_files: int = 4,
+    trigger: dict | None = None,
+    op_col: str = "_change_type",
+    version_col: str = "_commit_version",
+    delete_ops: tuple[str, ...] = ("delete",),
+    evolve_schema: bool = False,
+):
+    """Maintain a snapshot-table REPLICA from a change-data stream — the
+    consuming half of ``snapshotfeed``'s ``changeFeed=true`` (and any
+    stream shaped like it: rows + ``_change_type`` + a monotone
+    ``_commit_version``). Together they close the loop the append sink
+    can't: a source table maintained by appends AND deletion-vector
+    deletes replicates end-to-end, deletes included, with only engine
+    checkpoints for state.
+
+    Per micro-batch: drop ``update_preimage`` rows (the postimage is the
+    content; preimages only matter to auditors), fold to ONE row per key
+    by (commit version, arrival order) — so a delete-then-reinsert
+    across commits inside one batch resolves by version, not luck — and
+    apply through ``storage.snapshot_apply_cdc``: one copy-on-write
+    commit per batch, touched files only. The version column is stripped
+    before the write (a replica stores content, not feed bookkeeping).
+
+    Delivery: at-least-once batches × key-idempotent CDC apply =
+    effectively-once CONTENT (replaying a batch re-asserts the same
+    key → latest-state mapping), the same contract as
+    ``stream_snapshot_upsert`` — no txn stamp needed, unlike the append
+    sink, because keyed applies converge under replay by construction."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_apply_cdc,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    keys = [key] if isinstance(key, str) else list(key)
+    scols = stats_cols or list(keys)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        batch_df = batch_df.where(F.col(op_col) != F.lit("update_preimage"))
+        if batch_df.isEmpty():
+            return
+        others = [c for c in batch_df.columns if c not in keys and c != version_col]
+        folded = (
+            batch_df.withColumn("__ord", F.monotonically_increasing_id())
+            .groupBy(*keys)
+            .agg(
+                F.max_by(
+                    F.struct(*others),
+                    F.struct(F.col(version_col), F.col("__ord")),
+                ).alias("__s")
+            )
+            .select(*keys, "__s.*")
+        )
+        if snapshot_version(b, table_dir) < 1:
+            inserts = folded.where(
+                ~F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False))
+            ).drop(op_col)
+            snapshot_write(
+                inserts.repartitionByRange(cluster_files, *keys),
+                table_dir,
+                stats_cols=scols,
+            )
+        else:
+            snapshot_apply_cdc(
+                b,
+                table_dir,
+                folded,
+                key=key,
+                op_col=op_col,
+                delete_ops=delete_ops,
+                stats_cols=scols,
+                cluster_files=cluster_files,
+                evolve_schema=evolve_schema,
+            )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def stream_table_maintainer(
     spark: SparkSession,
     step,

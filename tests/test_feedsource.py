@@ -335,3 +335,58 @@ def test_change_feed_restore_resurrects(spark, tmp_path):
     res = got.where(F.col("_commit_version") == 3)
     assert sorted(r["k"] for r in res.collect()) == [0, 1, 2]
     assert res.select("_change_type").distinct().head()[0] == "insert"
+
+
+def test_change_feed_maintains_replica_with_deletes(spark, tmp_path):
+    """The full CDC loop: source table (appends + DV deletes) →
+    changeFeed stream → stream_snapshot_cdc_apply replica. The replica
+    must track the source's LIVE rows — deletes included, which the
+    plain append sink cannot express — across restarts, idempotently."""
+    from f1_data_pipeline_spark.storage import snapshot_read
+    from f1_data_pipeline_spark.streaming import stream_snapshot_cdc_apply
+
+    src, rep, ckpt = tmp_path / "src", tmp_path / "rep", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 50), str(src), stats_cols=["k"])
+    snapshot_delete(spark, str(src), [("k", "<", 3)], mode="dv")
+    feedsource.register(spark)
+
+    def sync():
+        q = stream_snapshot_cdc_apply(
+            spark.readStream.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .load(str(src)),
+            str(rep),
+            str(ckpt),
+            key="k",
+        )
+        q.awaitTermination(180)
+
+    def live(tdir):
+        return sorted(r["k"] for r in snapshot_read(spark, str(tdir)).collect())
+
+    sync()
+    assert live(rep) == live(src)  # 47 rows; pre-stream deletes absent
+
+    # tail: deletes AND appends replicate (single-batch fallback: one
+    # commit span per run is fine — the feed batches by version span)
+    snapshot_delete(spark, str(src), [("k", ">=", 40), ("k", "<=", 44)], mode="dv")
+    snapshot_append(_batch(spark, 100, 105), str(src))
+    sync()
+    assert live(rep) == live(src)
+    assert 40 not in set(live(rep)) and 100 in set(live(rep))
+
+    # idempotent: nothing new → replica untouched
+    v = snapshot_read(spark, str(rep)).count()
+    sync()
+    assert snapshot_read(spark, str(rep)).count() == v
+
+    # delete-then-reappend of the same key across commits in ONE span
+    # must resolve by commit version (the fold's ordering contract)
+    snapshot_delete(spark, str(src), [("k", "=", 100)], mode="dv")
+    snapshot_append(
+        spark.createDataFrame([(100, -1.0)], "k long, v double"), str(src)
+    )
+    sync()
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, str(rep)).collect()}
+    assert rows[100] == -1.0
+    assert live(rep) == live(src)
