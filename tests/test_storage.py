@@ -2929,3 +2929,136 @@ def test_snapshot_stats_agg_metadata_only(spark, tmp_path):
     assert r["n_rows"] == 995 and r["max_k"] == 2009
     with pytest.raises(ValueError, match="not in the table schema"):
         snapshot_stats_agg(spark, tdir, ["nope"])
+
+
+def test_snapshot_model_fuzz(spark, tmp_path):
+    """Model-based check of the WHOLE write surface: a seeded random
+    interleaving of appends, upserts, CDC batches, DV and copy-on-write
+    deletes, merges, optimize/compact/restamp maintenance, and restores
+    — after every commit the table must equal a plain Python dict model,
+    and at the end every committed version must time-travel back to
+    exactly the model state that produced it. This is the invariant no
+    single-path test can pin: the write paths COMPOSE (DV entries carried
+    through appends, purged by rewrites; stats/blooms re-derived; txn
+    properties riding along) without ever disagreeing about the rows."""
+    import random
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_append,
+        snapshot_apply_cdc,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_merge,
+        snapshot_optimize,
+        snapshot_read,
+        snapshot_restamp,
+        snapshot_restore,
+        snapshot_stats_agg,
+        snapshot_upsert,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    rng = random.Random(7)
+    tdir = str(tmp_path / "tbl")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, float(v)) for k, v in rows], "k long, v double"
+        )
+
+    model: dict[int, float] = {k: float(k) for k in range(60)}
+    snapshot_write(
+        df_of(model.items()).repartitionByRange(3, "k"), tdir, stats_cols=["k"]
+    )
+    by_version: dict[int, dict[int, float]] = {1: dict(model)}
+
+    def check():
+        got = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+        assert got == model, (
+            f"table diverged from model: extra={set(got) - set(model)} "
+            f"missing={set(model) - set(got)} "
+            f"changed={ {k for k in got.keys() & model.keys() if got[k] != model[k]} }"
+        )
+        by_version[snapshot_version(spark, tdir)] = dict(model)
+
+    next_key = 1000
+    for step in range(16):
+        op = rng.choice(
+            ["append", "upsert", "cdc", "dv", "cow", "merge",
+             "optimize", "compact", "restamp", "restore"]
+        )
+        if op == "append":
+            rows = [(next_key + i, next_key + i) for i in range(rng.randint(1, 8))]
+            next_key += 10
+            snapshot_append(df_of(rows), tdir, cluster_by=["k"], cluster_files=2)
+            model.update({k: float(v) for k, v in rows})
+        elif op == "upsert":
+            ks = rng.sample(sorted(model), min(5, len(model)))
+            rows = [(k, -k - step) for k in ks] + [(next_key, next_key)]
+            next_key += 10
+            snapshot_upsert(spark, tdir, df_of(rows), key="k", cluster_files=2)
+            model.update({k: float(v) for k, v in rows})
+        elif op == "cdc":
+            ks = rng.sample(sorted(model), min(3, len(model)))
+            batch = df_of([(k, 7000 + k) for k in ks]).withColumn(
+                "op", F.lit("U")
+            )
+            dead = rng.sample(sorted(model), min(2, len(model)))
+            dead = [k for k in dead if k not in ks]
+            batch = batch.unionByName(
+                df_of([(k, 0) for k in dead]).withColumn("op", F.lit("D"))
+            )
+            snapshot_apply_cdc(spark, tdir, batch, key="k", cluster_files=2)
+            model.update({k: float(7000 + k) for k in ks})
+            for k in dead:
+                model.pop(k, None)
+        elif op in ("dv", "cow"):
+            lo = rng.choice(sorted(model))
+            hi = lo + rng.randint(0, 30)
+            snapshot_delete(
+                spark, tdir, [("k", ">=", lo), ("k", "<=", hi)], mode=op
+            )
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+            if not model:  # keep the table non-empty for later samplers
+                rows = [(next_key, next_key)]
+                next_key += 10
+                snapshot_append(df_of(rows), tdir)
+                model.update({k: float(v) for k, v in rows})
+        elif op == "merge":
+            ks = rng.sample(sorted(model), min(4, len(model)))
+            src = df_of([(k, 9000 + k) for k in ks] + [(next_key, next_key)])
+            next_key += 10
+            snapshot_merge(
+                spark, tdir, src, key="k",
+                matched_condition="s.v > t.v", cluster_files=2,
+            )
+            for k in ks:
+                if 9000 + k > model[k]:
+                    model[k] = float(9000 + k)
+            model[next_key - 10] = float(next_key - 10)
+        elif op == "optimize":
+            snapshot_optimize(spark, tdir, target_file_bytes=1 << 20, dv_fraction=0.5)
+        elif op == "compact":
+            snapshot_compact(spark, tdir, target_file_bytes=1 << 20)
+        elif op == "restamp":
+            snapshot_restamp(spark, tdir, {"step": step})
+        elif op == "restore":
+            vs = sorted(by_version)
+            target = rng.choice(vs)
+            snapshot_restore(spark, tdir, target)
+            model = dict(by_version[target])
+        check()
+        # the metadata-only count must agree at every step, DV debt or not
+        assert (
+            snapshot_stats_agg(spark, tdir).head()["n_rows"] == len(model)
+        ), f"metadata count diverged at step {step} ({op})"
+
+    # every committed content version time-travels back to ITS model
+    for v, want in by_version.items():
+        got = {
+            r["k"]: r["v"]
+            for r in snapshot_read(spark, tdir, version=v).collect()
+        }
+        assert got == want, f"time travel to v{v} diverged"
