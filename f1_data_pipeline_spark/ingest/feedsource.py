@@ -295,8 +295,16 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         _abs_entry(self._dir, prev_dv["dir"]) if prev_dv else None
                     )
                     for key in sorted(set(cur_counts) | set(prev_counts)):
-                        if cur_counts.get(key, 0) == prev_counts.get(key, 0):
-                            continue  # same count ⇒ same positions (DVs only grow per commit)
+                        if (
+                            op == "delete"
+                            and cur_counts.get(key, 0) == prev_counts.get(key, 0)
+                        ):
+                            # a DELETE commit only ADDS positions, so an
+                            # unchanged count proves unchanged positions.
+                            # A restore swaps the whole DV dataset and can
+                            # preserve a count while changing positions —
+                            # those files must be diffed, not skipped.
+                            continue
                         if key not in by_key:
                             continue  # file left the table in an earlier commit
                         parts.append(

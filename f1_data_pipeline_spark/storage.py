@@ -356,6 +356,95 @@ def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int
     return best
 
 
+def _require_unique_keys(df: DataFrame, keys: list[str], what: str) -> None:
+    """ANSI MERGE cardinality gate, shared by the whole merge family: at
+    most one change row per key tuple, keys non-null (one aggregate)."""
+    nonnull = F.lit(True)
+    for k in keys:
+        nonnull = nonnull & F.col(k).isNotNull()
+    dup = df.agg(
+        F.count(F.when(nonnull, 1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
+        F.count(F.lit(1)).alias("all"),
+    ).head()
+    if dup["all"] != dup["n"]:
+        raise ValueError(f"{what}: change batch has NULL {keys!r} keys")
+    if dup["n"] != dup["d"]:
+        raise ValueError(
+            f"{what}: change batch has duplicate {keys!r} keys — a target "
+            f"row must match at most one change row; fold the batch to one "
+            f"row per key (e.g. merge.cdc_apply) first"
+        )
+
+
+def _envelope_touched(
+    spark: SparkSession, entries: list[dict], keys: list[str], probe_df: DataFrame
+) -> set[str]:
+    """The manifest-level pruning shared by the merge family: the set of
+    file paths whose composite [min,max] envelope admits at least one of
+    ``probe_df``'s key tuples — a file can hold a tuple only if EVERY key
+    column's envelope admits its component (per-column conjunction,
+    exactly the multi-column pruning Delta/Iceberg stats give). The probe
+    is a broadcast join against the (file-count-bounded) envelope table;
+    the result is collected driver-side because it IS the rewrite plan."""
+    env_rows = [
+        tuple(
+            [e["path"]]
+            + [v for k in keys for v in (e["stats"][k]["min"], e["stats"][k]["max"])]
+        )
+        for e in entries
+        if e.get("rows", 0) > 0
+        and all(e["stats"][k]["min"] is not None for k in keys)
+    ]
+    if not env_rows:
+        return set()
+    env_cols = ["__path"] + [
+        n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
+    ]
+    env = spark.createDataFrame(env_rows, env_cols)
+    probe = probe_df.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
+    ).distinct()
+    cond = F.lit(True)
+    for i in range(len(keys)):
+        cond = cond & (
+            (F.col(f"__k{i}") >= F.col(f"__min{i}"))
+            & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
+        )
+    return {
+        r["__path"]
+        for r in (
+            probe.join(F.broadcast(env), cond)
+            .select("__path")
+            .distinct()
+            .collect()  # bounded by the FILE count, not the change count
+        )
+    }
+
+
+def _check_staged_against(
+    spark: SparkSession, table_dir: str, vdir: str, version: int,
+    derived_from: int, what: str,
+) -> None:
+    """Read-modify-write staleness gate, applied AFTER staging: a commit
+    derived from version N must stage as N+1. If a concurrent writer
+    committed in the window between the caller's manifest read and its
+    staging claim, the staged version is higher and the carried file
+    list is STALE — committing it would silently erase the concurrent
+    commit's files (a lost update the create-no-overwrite commit record
+    cannot catch, because the versions differ). The orphan stage is
+    removed and a retryable conflict raised instead. Blind full-replace
+    writes (``snapshot_write``) don't need this — they carry nothing."""
+    if version != derived_from + 1:
+        fs, jvm = _snap_fs(spark, table_dir)
+        fs.delete(_snap_path(jvm, vdir), True)
+        raise SnapshotConflictError(
+            f"{what}: staged v={version} but the write was derived from "
+            f"v={derived_from} — a concurrent writer committed in between "
+            f"and the carried file list is stale; re-read and re-derive"
+        )
+
+
 def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     """CLAIM and write the next version's staging dir (steps 1–2 of the
     commit protocol); returns ``(version, staging_dir)``. See
@@ -1077,6 +1166,23 @@ def snapshot_append(
                     f"(extra {extra}, missing {missing}) — pass "
                     f"evolve_schema=True to widen / null-fill"
                 )
+            if tschema is not None:
+                # name-only matching would let a type-drifted batch commit
+                # under the old manifest schema and poison every later read
+                # ("Parquet column cannot be converted") — reject it here
+                batch_types = dict(df.dtypes)
+                drift = {
+                    f.name: (f.dataType.simpleString(), batch_types[f.name])
+                    for f in tschema.fields
+                    if f.name in batch_types
+                    and f.dataType.simpleString() != batch_types[f.name]
+                }
+                if drift:
+                    raise ValueError(
+                        f"snapshot_append: batch column types diverge from "
+                        f"the table schema (column: (table, batch)): {drift} "
+                        f"— cast the batch before appending"
+                    )
             appended = df
             if missing and tschema is not None:
                 for f in tschema.fields:
@@ -1109,11 +1215,12 @@ def snapshot_append(
             finally:
                 if cached is not None:
                     cached.unpersist()
-            if expected_version is not None and version != expected_version + 1:
-                raise SnapshotConflictError(
-                    f"snapshot_append: staged v={version} but the CAS "
-                    f"expects v={expected_version + 1} under {table_dir}"
-                )
+            # unconditional (CAS subsumed): the carried file list came
+            # from `cur`'s manifest — a concurrent commit in between
+            # would be erased by committing it
+            _check_staged_against(
+                spark, table_dir, vdir, version, cur, "snapshot_append"
+            )
             if c_obs is not None:
                 _enforce_constraints(
                     spark, table_dir, vdir, c_obs, c_names, "snapshot_append"
@@ -1660,58 +1767,8 @@ def _merge_into_snapshot(
         stats_cols = sorted(with_stats["stats"]) if with_stats else list(keys)
 
     all_keys = upserts.select(*keys).unionByName(delete_keys.select(*keys))
-    nonnull = F.lit(True)
-    for k in keys:
-        nonnull = nonnull & F.col(k).isNotNull()
-    dup = all_keys.agg(
-        F.count(F.when(nonnull, 1)).alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
-        F.count(F.lit(1)).alias("all"),
-    ).head()
-    if dup["all"] != dup["n"]:
-        raise ValueError(f"{what}: change batch has NULL {keys!r} keys")
-    if dup["n"] != dup["d"]:
-        raise ValueError(
-            f"{what}: change batch has duplicate {keys!r} keys — fold the "
-            f"batch to one row per key (e.g. merge.cdc_apply) first"
-        )
-
-    # composite envelope: a file can hold a key TUPLE only if EVERY key
-    # column's [min,max] admits its component (per-column conjunction —
-    # exactly the multi-column pruning Delta/Iceberg stats give)
-    env_rows = [
-        tuple(
-            [e["path"]]
-            + [v for k in keys for v in (e["stats"][k]["min"], e["stats"][k]["max"])]
-        )
-        for e in entries
-        if e.get("rows", 0) > 0
-        and all(e["stats"][k]["min"] is not None for k in keys)
-    ]
-    touched: set[str] = set()
-    if env_rows:
-        env_cols = ["__path"] + [
-            n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
-        ]
-        env = spark.createDataFrame(env_rows, env_cols)
-        probe = all_keys.select(
-            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
-        ).distinct()
-        cond = F.lit(True)
-        for i in range(len(keys)):
-            cond = cond & (
-                (F.col(f"__k{i}") >= F.col(f"__min{i}"))
-                & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
-            )
-        touched = {
-            r["__path"]
-            for r in (
-                probe.join(F.broadcast(env), cond)
-                .select("__path")
-                .distinct()
-                .collect()  # bounded by the FILE count, not the change count
-            )
-        }
+    _require_unique_keys(all_keys, keys, what)
+    touched = _envelope_touched(spark, entries, keys, all_keys)
     carried = [e for e in entries if e["path"] not in touched]
 
     if merge_mode not in ("replace", "coalesce"):
@@ -1804,6 +1861,7 @@ def _merge_into_snapshot(
     finally:
         if cached is not None:
             cached.unpersist()
+    _check_staged_against(spark, table_dir, vdir, version, current, what)
     if c_obs is not None:
         _enforce_constraints(spark, table_dir, vdir, c_obs, c_names, what)
     new_entries = _staged_file_entries(spark, table_dir, version, stats_cols) + carried
@@ -1967,22 +2025,7 @@ def snapshot_merge(
             f"new columns"
         )
     cols = cols + extra
-    # ANSI MERGE cardinality: at most one source row per key, keys non-null
-    nonnull = F.lit(True)
-    for k in keys:
-        nonnull = nonnull & F.col(k).isNotNull()
-    dup = source.agg(
-        F.count(F.when(nonnull, 1)).alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
-        F.count(F.lit(1)).alias("all"),
-    ).head()
-    if dup["all"] != dup["n"]:
-        raise ValueError(f"snapshot_merge: source has NULL {keys!r} keys")
-    if dup["n"] != dup["d"]:
-        raise ValueError(
-            f"snapshot_merge: source has duplicate {keys!r} keys — a target "
-            f"row must match at most one source row; fold the source first"
-        )
+    _require_unique_keys(source, keys, "snapshot_merge")
 
     nbs_triples = (
         not_matched_by_source_condition
@@ -1990,37 +2033,7 @@ def snapshot_merge(
         else None
     )
     base = table_dir.rstrip("/")
-    env_rows = [
-        tuple(
-            [e["path"]]
-            + [v for k in keys for v in (e["stats"][k]["min"], e["stats"][k]["max"])]
-        )
-        for e in entries
-        if e.get("rows", 0) > 0
-        and all(e["stats"][k]["min"] is not None for k in keys)
-    ]
-    touched = set()
-    if env_rows:
-        env_cols = ["__path"] + [
-            n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
-        ]
-        env = spark.createDataFrame(env_rows, env_cols)
-        probe = source.select(
-            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
-        ).distinct()
-        cond = F.lit(True)
-        for i in range(len(keys)):
-            cond = cond & (
-                (F.col(f"__k{i}") >= F.col(f"__min{i}"))
-                & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
-            )
-        touched = {
-            r["__path"]
-            for r in probe.join(F.broadcast(env), cond)
-            .select("__path")
-            .distinct()
-            .collect()
-        }
+    touched = _envelope_touched(spark, entries, keys, source)
     if when_not_matched_by_source:
         if nbs_triples is not None:
             # a file whose envelope PROVES no row satisfies the by-source
@@ -2055,16 +2068,25 @@ def snapshot_merge(
         for c in extra:
             tgt = tgt.withColumn(c, F.lit(None).cast(src.schema[c].dataType))
         tgt = tgt.select(cols)
-        j = tgt.alias("t").join(src.alias("s"), join_cond, "full_outer")
     else:
         # no file can hold a source key: every source row is unmatched
-        j = (
-            spark.createDataFrame([], src.schema)
-            .alias("t")
-            .join(src.alias("s"), join_cond, "full_outer")
+        tgt = spark.createDataFrame([], src.schema)
+    # side-presence MARKERS, not key nullability: a target row whose key
+    # column is NULL (legal in the table — only the SOURCE is validated
+    # non-null) never equi-matches, and classifying it by t.key IS NULL
+    # would mistake it for a source-only row and insert/skip it away;
+    # the marker identifies the side regardless of key content
+    j = (
+        tgt.withColumn("__t", F.lit(True))
+        .alias("t")
+        .join(
+            src.withColumn("__s", F.lit(True)).alias("s"),
+            join_cond,
+            "full_outer",
         )
+    )
 
-    t_k, s_k = F.col(f"t.{keys[0]}"), F.col(f"s.{keys[0]}")
+    t_k, s_k = F.col("t.__t"), F.col("s.__s")
     true_ = F.lit(True)
     m_cond = F.expr(matched_condition) if matched_condition else true_
     i_cond = F.expr(not_matched_condition) if not_matched_condition else true_
@@ -2152,6 +2174,9 @@ def snapshot_merge(
     finally:
         if cached is not None:
             cached.unpersist()
+    _check_staged_against(
+        spark, table_dir, vdir, version, current, "snapshot_merge"
+    )
     if c_obs is not None:
         _enforce_constraints(spark, table_dir, vdir, c_obs, c_names, "snapshot_merge")
     metrics = {k: int(v or 0) for k, v in obs.get.items()}
@@ -2738,7 +2763,10 @@ def snapshot_delete(
         old_dv,
         _dv_deleted(manifest),
     ).where(keep)
-    version, _ = _stage_version(survivors, table_dir)
+    version, vdir_cow = _stage_version(survivors, table_dir)
+    _check_staged_against(
+        spark, table_dir, vdir_cow, version, current, "snapshot_delete"
+    )
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     dv_counts = (manifest.get("dv") or {}).get("files", {})
     live_candidates = sum(
@@ -2862,8 +2890,13 @@ def snapshot_clone(
 
     fs, jvm = _snap_fs(spark, source_dir)
     fs.mkdirs(_snap_path(jvm, src_base, "_clones"))
-    reg = _snap_path(jvm, src_base, "_clones", f"{uuid.uuid4().hex}.json")
-    out = fs.create(reg, False)
+    token = uuid.uuid4().hex
+    reg = _snap_path(jvm, src_base, "_clones", f"{token}.json")
+    # write-then-rename: a crash mid-write leaves only a dot-hidden tmp
+    # (invisible to vacuum's registry scan), never a torn .json that
+    # would block every future non-force vacuum on the source
+    tmp = _snap_path(jvm, src_base, "_clones", f".{token}.tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(
             bytearray(
@@ -2874,6 +2907,13 @@ def snapshot_clone(
         )
     finally:
         out.close()
+    if not fs.rename(tmp, reg):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"snapshot_clone: failed to publish clone registration {reg} — "
+            f"the clone is committed but unprotected from the source's "
+            f"vacuum; re-run registration or vacuum with care"
+        )
     return 1
 
 
@@ -2903,7 +2943,11 @@ def snapshot_restamp(
         "dir": f"v={current + 1}",
         "files": manifest["files"],
         "schema": manifest.get("schema"),
-        "properties": {k: _json_safe(v) for k, v in properties.items()},
+        # the NEW properties replace the old wholesale (that is what a
+        # restamp is) — except streaming writers' txn idempotence
+        # stamps, which must survive every commit or a crash-replayed
+        # micro-batch would re-append after an interleaved restamp
+        "properties": _props_payload(_merge_txn(manifest, properties) or {}),
         "restamped_from": current,
         "op": "restamp",
     }
@@ -3168,15 +3212,35 @@ def snapshot_vacuum(
         import json
 
         cdir = _snap_path(jvm, table_dir, "_clones")
-        regs = fs.listStatus(cdir) if fs.exists(cdir) else []
+        regs = [
+            r
+            for r in (fs.listStatus(cdir) if fs.exists(cdir) else [])
+            # dot-hidden names are in-flight registration tmps
+            if r.getPath().getName().endswith(".json")
+            and not r.getPath().getName().startswith(".")
+        ]
         for rst in regs:
             stream = fs.open(rst.getPath())
             try:
-                reg = json.loads(
-                    jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-                )
+                txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
             finally:
                 stream.close()
+            try:
+                reg = json.loads(txt)
+                reg["clone"], reg["source_version"]
+            except (ValueError, KeyError) as e:
+                # a torn registration (clone writer crashed mid-write on a
+                # pre-atomic-rename layout) is indistinguishable from a
+                # LIVE clone's protection record — silently skipping it
+                # could reclaim files that clone still reads, and crashing
+                # with a bare JSONDecodeError bricked vacuum; fail typed
+                # and actionable instead (force=True ignores registrations)
+                raise ValueError(
+                    f"snapshot_vacuum: unreadable clone registration "
+                    f"{rst.getPath()} — if no live clone references this "
+                    f"table, delete the file (or run force=True, which "
+                    f"ignores clone protection entirely): {e}"
+                ) from e
             try:
                 alive = snapshot_version(spark, reg["clone"]) >= 1
             except Exception:
@@ -3273,6 +3337,9 @@ def snapshot_compact(
             # whatever its properties claimed (exactly-once consumers
             # must survive an operator compacting their rollup)
             properties=manifest.get("properties"),
+            # the rewritten content was READ from version v — a commit
+            # that isn't v+1 would erase a concurrent writer's changes
+            expected_version=v,
             _op="compact",
         ),
         n,
@@ -3393,7 +3460,10 @@ def snapshot_optimize(
             packed = packed.coalesce(n)
     else:
         packed = packed.coalesce(n)
-    version, _ = _stage_version(packed, table_dir)
+    version, vdir_opt = _stage_version(packed, table_dir)
+    _check_staged_against(
+        spark, table_dir, vdir_opt, version, v, "snapshot_optimize"
+    )
     staged = _staged_file_entries(spark, table_dir, version, stats_cols)
     bloom_spec = manifest.get("bloom_spec")
     _apply_blooms(spark, table_dir, version, staged, bloom_spec)

@@ -390,3 +390,56 @@ def test_change_feed_maintains_replica_with_deletes(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in snapshot_read(spark, str(rep)).collect()}
     assert rows[100] == -1.0
     assert live(rep) == live(src)
+
+
+def test_change_feed_restore_with_equal_dv_counts(spark, tmp_path):
+    """A restore can swap the deletion-vector dataset while preserving a
+    file's POSITION COUNT (different rows, same count). The equal-count
+    fast path is only sound for delete commits (which strictly add
+    positions); a restore must diff every DV'd file — or the feed would
+    silently drop both the delete and the resurrection."""
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_restore
+
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 10).coalesce(1), str(tdir))  # v1, one file
+    snapshot_delete(spark, str(tdir), [("k", "=", 0)], mode="dv")  # v2: {0}
+    snapshot_restore(spark, str(tdir), 1)  # v3: DV cleared
+    snapshot_delete(spark, str(tdir), [("k", "=", 5)], mode="dv")  # v4: {5}
+    feedsource.register(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .load(str(tdir))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.schema(
+            "k long, v double, _change_type string, _commit_version long"
+        ).parquet(str(out))
+
+    got = run()
+    assert got.count() == 9  # live at v4: k=5 dead, k=0 alive
+
+    # v5: restore to v2 — the file's DV count stays 1 but the position
+    # set flips {5}→{0}: the feed must emit delete k=0 AND insert k=5
+    snapshot_restore(spark, str(tdir), 2)
+    got = run()
+    v5 = got.where(F.col("_commit_version") == 5)
+    assert {(r["k"], r["_change_type"]) for r in v5.collect()} == {
+        (0, "delete"),
+        (5, "insert"),
+    }
+    last = (
+        got.groupBy("k")
+        .agg(F.max_by("_change_type", "_commit_version").alias("c"))
+        .where(F.col("c") == "insert")
+    )
+    assert sorted(r["k"] for r in last.collect()) == sorted(
+        r["k"] for r in snapshot_read(spark, str(tdir)).collect()
+    )

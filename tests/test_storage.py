@@ -3062,3 +3062,179 @@ def test_snapshot_model_fuzz(spark, tmp_path):
             for r in snapshot_read(spark, tdir, version=v).collect()
         }
         assert got == want, f"time travel to v{v} diverged"
+
+
+def test_merge_preserves_null_key_target_rows(spark, tmp_path):
+    """A target row whose key is NULL never equi-matches, but it is a
+    TARGET row: the classifier must treat it as not-matched-by-source
+    (carry/conditional-delete), never as a source-only insert — key
+    nullability is not side identity."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (None, 99.0)], "k long, v double"
+        ),
+        tdir,
+        stats_cols=["k"],
+    )
+    v, m = snapshot_merge(
+        spark,
+        tdir,
+        spark.createDataFrame([(2, 21.0), (3, 30.0)], "k long, v double"),
+        key="k",
+        # full-sync clause forces every file (incl. the NULL-key row's)
+        # into the rewrite — the misclassification trigger
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.k > 100",
+    )
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert rows == {1: 10.0, 2: 21.0, 3: 30.0, None: 99.0}
+    assert m["deleted"] == 0 and m["inserted"] == 1 and m["updated"] == 1
+
+    # and the conditional delete CAN reach it when the predicate says so
+    snapshot_merge(
+        spark,
+        tdir,
+        spark.createDataFrame([(1, 10.0)], "k long, v double"),
+        key="k",
+        when_matched=None,
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="t.k IS NULL",
+    )
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert None not in rows and set(rows) == {1, 2, 3}
+
+
+def test_read_modify_write_detects_interleaved_commit(spark, tmp_path, monkeypatch):
+    """Lost-update gate: a commit derived from version N must stage as
+    N+1 — a concurrent commit landing between the manifest read and the
+    staging claim makes the carried file list stale, and committing it
+    would silently erase the concurrent writer's files. Every
+    read-modify-write path must raise a retryable conflict instead."""
+    from f1_data_pipeline_spark import storage as stg
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        snapshot_append,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        tdir,
+        stats_cols=["k"],
+    )
+
+    real_stage = stg._stage_version
+    state = {"armed": True}
+
+    def racing_stage(df, table_dir):
+        if state["armed"]:
+            state["armed"] = False
+            # a concurrent writer slips in a commit first
+            snapshot_append(
+                spark.createDataFrame([(500, 500.0)], "k long, v double"),
+                table_dir,
+            )
+        return real_stage(df, table_dir)
+
+    monkeypatch.setattr(stg, "_stage_version", racing_stage)
+    with pytest.raises(SnapshotConflictError, match="derived from"):
+        snapshot_upsert(
+            spark,
+            tdir,
+            spark.createDataFrame([(1, -1.0)], "k long, v double"),
+            key="k",
+        )
+    monkeypatch.setattr(stg, "_stage_version", real_stage)
+    # the interleaved append survived untouched; the upsert can re-run
+    assert snapshot_read(spark, tdir).count() == 21
+    snapshot_upsert(
+        spark,
+        tdir,
+        spark.createDataFrame([(1, -1.0)], "k long, v double"),
+        key="k",
+    )
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, tdir).collect()}
+    assert rows[1] == -1.0 and rows[500] == 500.0
+
+
+def test_append_rejects_type_drift(spark, tmp_path):
+    from f1_data_pipeline_spark.storage import snapshot_append, snapshot_read
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_append(
+        spark.createDataFrame([(1, 1.5)], "k long, v double"), tdir
+    )
+    with pytest.raises(ValueError, match="types diverge"):
+        snapshot_append(
+            spark.createDataFrame([(2, "oops")], "k long, v string"), tdir
+        )
+    # the table is still readable (nothing poisoned it)
+    assert snapshot_read(spark, tdir).count() == 1
+
+
+def test_restamp_carries_txn_stamps(spark, tmp_path):
+    """A restamp replaces properties wholesale EXCEPT streaming writers'
+    txn idempotence stamps — erasing those would re-append a crash-
+    replayed micro-batch after any zero-net replica sync."""
+    from f1_data_pipeline_spark.storage import (
+        snapshot_append,
+        snapshot_properties,
+        snapshot_restamp,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_append(
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        tdir,
+        properties={"txn": {"ingest": 4}},
+    )
+    snapshot_restamp(spark, tdir, {"source_version": 9})
+    props = snapshot_properties(spark, tdir)
+    assert props["source_version"] == 9
+    assert props["txn"] == {"ingest": 4}
+
+
+def test_vacuum_survives_clone_registration_states(spark, tmp_path):
+    """Clone registrations publish by write-then-rename (a crash leaves
+    only a dot-hidden tmp that vacuum ignores); a legacy TORN .json
+    fails vacuum typed and actionable instead of a bare JSONDecodeError,
+    and force=True still reclaims."""
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_clone,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    snapshot_write(df, tdir, stats_cols=["k"])
+    snapshot_clone(spark, tdir, str(tmp_path / "clone"))
+    regs = [r for r in os.listdir(f"{tdir}/_clones") if not r.startswith(".")]
+    assert regs and all(r.endswith(".json") for r in regs)
+
+    # in-flight tmp from a crashed registration: ignored by vacuum
+    open(f"{tdir}/_clones/.deadbeef.tmp", "w").write("{half")
+    snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
+
+    # legacy torn registration: typed, actionable, force bypasses
+    open(f"{tdir}/_clones/torn.json", "w").write("")
+    with pytest.raises(ValueError, match="unreadable clone registration"):
+        snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
+    snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True, force=True)
+    os.remove(f"{tdir}/_clones/torn.json")
+    snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
