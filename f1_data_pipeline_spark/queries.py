@@ -2193,6 +2193,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_merge_composite": "composite-key MERGE with envelope-pruned by-source delete (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
     "x_meta_agg": "metadata-only COUNT/MIN/MAX from manifest stats, DV-aware (new r10); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_bloom",
     "x_snapshot_append": "append-only commit with schema evolution, carried-by-reference asserts (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv",
+    "x_meta_count": "predicate-pushed metadata COUNT — all-match files counted without opening (new r10); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_bloom",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)
@@ -2417,3 +2418,67 @@ def x_snapshot_append(t: Tables) -> DataFrame:
                 f"commit regressed to a table rewrite"
             )
     return snapshot_read(spark, tdir).orderBy("event_id")
+
+
+# scratch table dir of x_meta_count's previous invocation per sf_dir
+_META_COUNT_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_meta_count",
+    """WITH live AS (SELECT event_id, user_id FROM events
+                     WHERE event_id <= 3999
+                       AND NOT (event_id BETWEEN 1000 AND 1099))
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM live) AS n_all,
+              (SELECT CAST(count(*) AS BIGINT) FROM live
+                WHERE event_id BETWEEN 500 AND 3200) AS n_band,
+              (SELECT CAST(count(*) AS BIGINT) FROM live
+                WHERE user_id IS NOT NULL) AS n_user""",
+)
+def x_meta_count(t: Tables) -> DataFrame:
+    """Predicate-pushed metadata COUNT, externally hash-verified: commit
+    an events slice range-clustered on event_id, tombstone a band with a
+    deletion-vector delete, then answer three counts via
+    ``snapshot_count`` — per file the envelope either proves zero
+    matches (skipped), proves ALL rows match (counted from the manifest
+    without opening the file), or is undecided (scanned with the
+    residual filter and DV applied). The oracle recomputes every count
+    from the raw slice. On a 100 TB range-clustered event log a windowed
+    count opens only the window's boundary files — the interior
+    contributes pure manifest arithmetic (physically pinned in
+    test_storage.py by deleting interior files and counting anyway)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_count,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    spark = t.spark
+    base = t.events.where(F.col("event_id") <= 3999).select("event_id", "user_id")
+    tdir = tempfile.gettempdir() + f"/f1dp_meta_count_{uuid.uuid4().hex}"
+    prev = _META_COUNT_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _META_COUNT_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        base.repartitionByRange(8, "event_id"), tdir, stats_cols=["event_id"]
+    )
+    snapshot_delete(
+        spark, tdir, [("event_id", ">=", 1000), ("event_id", "<=", 1099)],
+        mode="dv",
+    )
+    return spark.range(1).select(
+        F.lit(snapshot_count(spark, tdir)).cast("long").alias("n_all"),
+        F.lit(
+            snapshot_count(
+                spark, tdir, [("event_id", ">=", 500), ("event_id", "<=", 3200)]
+            )
+        ).cast("long").alias("n_band"),
+        F.lit(
+            snapshot_count(spark, tdir, [("user_id", "is_not_null", None)])
+        ).cast("long").alias("n_user"),
+    )

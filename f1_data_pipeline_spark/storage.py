@@ -1297,6 +1297,53 @@ def snapshot_properties(
 _WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
 
 
+def _entry_all_match(entry: dict, where: list[tuple]) -> bool:
+    """True when the file's stats PROVE every live row satisfies the
+    conjunction — the inverse of ``_entry_prunable``: then the file's
+    manifest row count IS its contribution to a filtered COUNT, no scan.
+    NULL rows fail every comparison, so any nulls in a compared column
+    disprove all-match. Missing stats, unknown ops, or incomparable
+    types never prove (safe fallback: the file gets scanned)."""
+    stats = entry.get("stats") or {}
+    rows = entry.get("rows", 0)
+    if rows <= 0:
+        return False
+    for col, op, val in where:
+        s = stats.get(col)
+        if s is None:
+            return False
+        mn, mx, nulls = s.get("min"), s.get("max"), s.get("nulls")
+        if op == "is_null":
+            if not (nulls is not None and nulls == rows):
+                return False
+            continue
+        if op == "is_not_null":
+            if nulls != 0:
+                return False
+            continue
+        if (
+            nulls != 0
+            or mn is None
+            or mx is None
+            or not _stats_comparable(mn, val)
+            or not _stats_comparable(mx, val)
+        ):
+            return False
+        if op == "=" and not (mn == val and mx == val):
+            return False
+        if op == "<" and not (mx < val):
+            return False
+        if op == "<=" and not (mx <= val):
+            return False
+        if op == ">" and not (mn > val):
+            return False
+        if op == ">=" and not (mn >= val):
+            return False
+        if op not in _WHERE_OPS:
+            return False
+    return True
+
+
 def _stats_comparable(a, b) -> bool:
     """Only prune when the stats value and the literal share a total
     order we can evaluate driver-side: both numeric (bool excluded —
@@ -2629,6 +2676,71 @@ def snapshot_stats_agg(
         out.append(F.lit(maxs[c]).cast(t).alias(f"max_{c}"))
         out.append(F.lit(int(nulls[c])).cast("long").alias(f"nulls_{c}"))
     return spark.range(1).select(*out)
+
+
+def snapshot_count(
+    spark: SparkSession,
+    table_dir: str,
+    where: list[tuple] | None = None,
+    version: int | None = None,
+) -> int:
+    """Exact FILTERED count with manifest-level evaluation: each file is
+    classified by its stats envelope — provably zero matching rows
+    (``_entry_prunable``: skipped), provably ALL rows matching
+    (``_entry_all_match``: counted from the manifest, minus nothing —
+    all-match is only provable on DV-clean files), or undecided (scanned
+    with the residual filter and deletion vector applied).
+
+    On a range-clustered event log, ``where=[("ts", ">=", a), ("ts",
+    "<=", b)]`` opens only the (at most two) BOUNDARY files the window
+    partially covers — interior files contribute their manifest row
+    counts without being listed or opened, which at 100 TB is the
+    difference between a windowed count and a windowed scan. Without
+    ``where`` this is the pure metadata count (exact under DV debt: the
+    manifest carries per-file deleted totals)."""
+    v = version if version is not None else snapshot_version(spark, table_dir)
+    if v < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    manifest = _read_manifest(spark, table_dir, v)
+    entries = manifest.get("files")
+    if entries is None:
+        raise ValueError(
+            "snapshot_count needs a file-list manifest — rewrite the "
+            "table once with snapshot_write (v1-era record found)"
+        )
+    dv_counts = (manifest.get("dv") or {}).get("files", {})
+    if not where:
+        return sum(e.get("rows", 0) for e in entries) - (
+            _dv_deleted(manifest) or 0
+        )
+    total = 0
+    partial: list[dict] = []
+    for e in entries:
+        if e.get("rows", 0) <= 0:
+            continue
+        if _entry_prunable(e, where):
+            continue  # proves zero matching rows — contributes nothing
+        if not dv_counts.get(_dv_key(e["path"]), 0) and _entry_all_match(
+            e, where
+        ):
+            total += e["rows"]  # proves every row matches — no scan
+        else:
+            partial.append(e)
+    if partial:
+        base = table_dir.rstrip("/")
+        dirty_keys = sorted({_dv_key(e["path"]) for e in partial})
+        dv = _dv_read(spark, table_dir, manifest)
+        scanned = _apply_dv(
+            _manifest_reader(spark, manifest).parquet(
+                *[_entry_uri(base, e["path"]) for e in partial]
+            ),
+            dv.where(F.col("path").isin(dirty_keys)) if dv is not None else None,
+            _dv_deleted(manifest),
+        )
+        total += scanned.where(
+            F.coalesce(_where_expr(where), F.lit(False))
+        ).count()
+    return total
 
 
 def snapshot_delete(

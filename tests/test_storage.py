@@ -3238,3 +3238,48 @@ def test_vacuum_survives_clone_registration_states(spark, tmp_path):
     snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True, force=True)
     os.remove(f"{tdir}/_clones/torn.json")
     snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
+
+
+def test_snapshot_count_opens_only_boundary_files(spark, tmp_path):
+    """Predicate-pushed metadata count: files whose envelope proves
+    all-rows-match are counted from the manifest — pinned physically by
+    REMOVING them from disk and counting anyway; only the window's
+    boundary files (and DV-dirty ones) are opened."""
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        _dv_key,
+        _entry_all_match,
+        _entry_prunable,
+        _read_manifest,
+        snapshot_count,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    snapshot_write(df.repartitionByRange(5, "k"), tdir, stats_cols=["k"])
+    where = [("k", ">=", 150), ("k", "<=", 750)]
+    assert snapshot_count(spark, tdir) == 1000
+    assert snapshot_count(spark, tdir, where) == 601
+
+    m = _read_manifest(spark, tdir, 1)
+    interior = [
+        e["path"]
+        for e in m["files"]
+        if _entry_all_match(e, where) and not _entry_prunable(e, where)
+    ]
+    assert interior  # the window must span whole files for the claim
+    for p in interior:
+        os.rename(f"{tdir}/{p}", f"{tdir}/{p}.hidden")
+    try:
+        assert snapshot_count(spark, tdir, where) == 601
+    finally:
+        for p in interior:
+            os.rename(f"{tdir}/{p}.hidden", f"{tdir}/{p}")
+
+    # DV debt disproves all-match for its file: still exact, via scan
+    snapshot_delete(spark, tdir, [("k", ">=", 300), ("k", "<=", 309)], mode="dv")
+    assert snapshot_count(spark, tdir, where) == 591
+    assert snapshot_count(spark, tdir) == 990
