@@ -74,6 +74,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -169,6 +170,191 @@ class _FeedFile(InputPartition):
         self.delta = delta
 
 
+def _read_file(part: _FeedFile, schema_json: str, change_feed: bool):
+    """Executor-side read of one partition — shared by the batch and
+    stream readers: open the parquet file with Arrow, subtract (or diff)
+    deletion-vector positions, project onto the declared data schema
+    (pre-evolution files null-fill later columns), append change-feed
+    metadata columns when enabled, and yield RecordBatches."""
+    if part.path is None:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    declared = StructType.fromJson(json.loads(schema_json))
+    meta_cols = {"_change_type", "_commit_version"} if change_feed else set()
+    data_fields = StructType(
+        [f for f in declared.fields if f.name not in meta_cols]
+    )
+    target = to_arrow_schema(data_fields)
+    # nullability-tolerant cast: pre-evolution files null-fill added
+    # columns, and Spark treats arrow nullability as advisory here
+    target = pa.schema([f.with_nullable(True) for f in target])
+    tbl = pq.read_table(part.path)
+
+    def _positions(dv_dir: str | None) -> set[int]:
+        if not dv_dir:
+            return set()
+        import pyarrow.compute as pc
+
+        dv = pq.read_table(dv_dir)
+        return {
+            int(p)
+            for p in dv.filter(pc.equal(dv["path"], part.dv_key))["pos"].to_pylist()
+        }
+
+    def _project(sub, change):
+        cols = {}
+        for field in target:
+            if field.name in sub.column_names:
+                cols[field.name] = sub.column(field.name)
+            else:
+                cols[field.name] = pa.nulls(sub.num_rows, field.type)
+        out = pa.table(cols).cast(target)
+        if change_feed:
+            n = out.num_rows
+            out = out.append_column(
+                "_change_type", pa.array([change] * n, pa.string())
+            ).append_column(
+                "_commit_version",
+                pa.array([int(part.version or 0)] * n, pa.int64()),
+            )
+        yield from out.to_batches()
+
+    if part.delta:
+        # change-feed delta over one file: new tombstones stream as
+        # deletes; positions a restore removed from the DV resurface
+        # as inserts — both exact set differences of the two datasets
+        cur, prev = _positions(part.dv_dir), _positions(part.delta_from)
+        for positions, change in (
+            (sorted(cur - prev), "delete"),
+            (sorted(prev - cur), "insert"),
+        ):
+            if not positions:
+                continue
+            yield from _project(
+                tbl.take(pa.array(positions, type=pa.int64())), change
+            )
+        return
+    if part.dv_dir:
+        pos = _positions(part.dv_dir)
+        if pos:
+            keep = [i for i in range(tbl.num_rows) if i not in pos]
+            # explicit index type: an empty keep-list (fully-deleted
+            # file) would otherwise infer a null-typed indices array
+            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+    yield from _project(tbl, part.change)
+
+
+def _live_file_partitions(
+    table_dir: str, version: int, where: list[tuple] | None = None
+) -> list[_FeedFile]:
+    """One partition per LIVE data file of a committed version (DV
+    attached where positions must be subtracted), optionally pruned by
+    the manifest envelope/Bloom stats against pushed-down where-triples
+    — a superset guarantee (pruning never drops a matching row; the
+    engine still applies the exact filters to the surviving rows)."""
+    m = _read_json(table_dir, version)
+    if m.get("files") is None:
+        raise ValueError(
+            "snapshotfeed needs file-list manifests — rewrite the table "
+            "once with snapshot_write (v1-era record found)"
+        )
+    dv = m.get("dv")
+    dv_files = (dv or {}).get("files", {})
+    dv_dir = _abs_entry(table_dir, dv["dir"]) if dv else None
+    parts: list[_FeedFile] = []
+    if where:
+        from f1_data_pipeline_spark.storage import _entry_prunable
+    for entry in m["files"]:
+        if not entry.get("rows", 0):
+            continue
+        if where and _entry_prunable(entry, where):
+            continue
+        key = _dv_key(entry["path"])
+        parts.append(
+            _FeedFile(
+                _abs_entry(table_dir, entry["path"]),
+                dv_dir if dv_files.get(key) else None,
+                key,
+                version=version,
+            )
+        )
+    if not parts:
+        parts.append(_FeedFile(None))  # zero-row scan, planner satisfied
+    return parts
+
+
+class SnapshotFeedBatchReader(DataSourceReader):
+    """BATCH reader for snapshot tables through the standard source API:
+    ``spark.read.format("snapshotfeed").load(dir)`` (and therefore plain
+    SQL: ``CREATE TEMPORARY VIEW t USING snapshotfeed OPTIONS (path
+    ...)``) — the same live-row semantics as ``storage.snapshot_read``,
+    with ``version=N`` time travel and pushed-down filters pruned at the
+    MANIFEST level (min/max envelopes + per-file Bloom probes) before
+    any file is listed or opened. Pruning is a superset guarantee, so
+    every pushed filter is returned to the engine for exact re-apply —
+    the same contract parquet's PushedFilters carry."""
+
+    def __init__(self, schema, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .load('/path/to/table')"
+            )
+        self._dir = _local_dir(path)
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        self._schema_json = schema.json()
+        self._where: list[tuple] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if isinstance(attr, tuple) and len(attr) == 1 else None
+            if col is not None:
+                if type(f) in ops:
+                    self._where.append((col, ops[type(f)], f.value))
+                elif isinstance(f, IsNull):
+                    self._where.append((col, "is_null", None))
+                elif isinstance(f, IsNotNull):
+                    self._where.append((col, "is_not_null", None))
+            # ALL filters go back to the engine: manifest pruning is a
+            # superset guarantee, never an exact evaluation
+            yield f
+
+    def partitions(self):
+        versions = _list_versions(self._dir)
+        if not versions:
+            raise FileNotFoundError(
+                f"snapshotfeed: no committed snapshot in {self._dir}"
+            )
+        v = self._version if self._version is not None else versions[-1]
+        return _live_file_partitions(self._dir, v, self._where)
+
+    def read(self, part: _FeedFile):
+        yield from _read_file(part, self._schema_json, False)
+
+
 class SnapshotFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema, options):
         path = options.get("path")
@@ -234,27 +420,11 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         parts: list[_FeedFile] = []
         if start.get("mode") == "snapshot":
             # initial batch: the FULL live table at version e (DV-aware)
-            m = _read_json(self._dir, e)
-            if m.get("files") is None:
-                raise ValueError(
-                    "snapshotfeed needs file-list manifests — rewrite the "
-                    "table once with snapshot_write (v1-era record found)"
-                )
-            dv = m.get("dv")
-            dv_files = (dv or {}).get("files", {})
-            dv_dir = _abs_entry(self._dir, dv["dir"]) if dv else None
-            for entry in m["files"]:
-                if not entry.get("rows", 0):
-                    continue
-                key = _dv_key(entry["path"])
-                parts.append(
-                    _FeedFile(
-                        _abs_entry(self._dir, entry["path"]),
-                        dv_dir if dv_files.get(key) else None,
-                        key,
-                        version=e,
-                    )
-                )
+            parts.extend(
+                p
+                for p in _live_file_partitions(self._dir, e)
+                if p.path is not None
+            )
         else:
             for v in range(s + 1, e + 1):
                 m = _read_json(self._dir, v)
@@ -359,83 +529,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
     # -- executor-side read: one parquet file -> Arrow batches ----------
 
     def read(self, part: _FeedFile):
-        if part.path is None:
-            return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-        from pyspark.sql.types import StructType
-
-        declared = StructType.fromJson(json.loads(self._schema_json))
-        meta_cols = (
-            {"_change_type", "_commit_version"} if self._change_feed else set()
-        )
-        data_fields = StructType(
-            [f for f in declared.fields if f.name not in meta_cols]
-        )
-        target = to_arrow_schema(data_fields)
-        # nullability-tolerant cast: pre-evolution files null-fill added
-        # columns, and Spark treats arrow nullability as advisory here
-        target = pa.schema([f.with_nullable(True) for f in target])
-        tbl = pq.read_table(part.path)
-
-        def _positions(dv_dir: str | None) -> set[int]:
-            if not dv_dir:
-                return set()
-            import pyarrow.compute as pc
-
-            dv = pq.read_table(dv_dir)
-            return {
-                int(p)
-                for p in dv.filter(pc.equal(dv["path"], part.dv_key))[
-                    "pos"
-                ].to_pylist()
-            }
-
-        if part.delta:
-            # change-feed delta over one file: new tombstones stream as
-            # deletes; positions a restore removed from the DV resurface
-            # as inserts — both exact set differences of the two datasets
-            cur, prev = _positions(part.dv_dir), _positions(part.delta_from)
-            chunks = [
-                (sorted(cur - prev), "delete"),
-                (sorted(prev - cur), "insert"),
-            ]
-            for positions, change in chunks:
-                if not positions:
-                    continue
-                sub = tbl.take(pa.array(positions, type=pa.int64()))
-                yield from self._project(pa, sub, target, change, part.version)
-            return
-        if part.dv_dir:
-            pos = _positions(part.dv_dir)
-            if pos:
-                keep = [i for i in range(tbl.num_rows) if i not in pos]
-                # explicit index type: an empty keep-list (fully-deleted
-                # file) would otherwise infer a null-typed indices array
-                tbl = tbl.take(pa.array(keep, type=pa.int64()))
-        yield from self._project(pa, tbl, target, part.change, part.version)
-
-    def _project(self, pa, tbl, target, change: str, version):
-        """Project a file's Arrow table onto the declared data schema
-        (pre-evolution files fill columns added later with NULL), then
-        append the change-feed metadata columns when enabled."""
-        cols = {}
-        for field in target:
-            if field.name in tbl.column_names:
-                cols[field.name] = tbl.column(field.name)
-            else:
-                cols[field.name] = pa.nulls(tbl.num_rows, field.type)
-        out = pa.table(cols).cast(target)
-        if self._change_feed:
-            n = out.num_rows
-            out = out.append_column(
-                "_change_type", pa.array([change] * n, pa.string())
-            ).append_column(
-                "_commit_version",
-                pa.array([int(version or 0)] * n, pa.int64()),
-            )
-        yield from out.to_batches()
+        yield from _read_file(part, self._schema_json, self._change_feed)
 
 
 class SnapshotFeedDataSource(DataSource):
@@ -453,7 +547,10 @@ class SnapshotFeedDataSource(DataSource):
         versions = _list_versions(tdir)
         if not versions:
             raise FileNotFoundError(f"snapshotfeed: no committed snapshot in {tdir}")
-        m = _read_json(tdir, versions[-1])
+        # batch time travel reads the TARGET version's committed schema
+        # (a later evolution must not leak columns into an old snapshot)
+        v = self.options.get("version")
+        m = _read_json(tdir, int(v) if v is not None else versions[-1])
         sch = m.get("schema")
         if not sch:
             raise ValueError(
@@ -475,11 +572,29 @@ class SnapshotFeedDataSource(DataSource):
             )
         return base
 
+    def reader(self, schema) -> SnapshotFeedBatchReader:
+        if str(
+            self.options.get("changefeed", self.options.get("changeFeed", "false"))
+        ).lower() in ("true", "1"):
+            raise ValueError(
+                "snapshotfeed: changeFeed is a STREAMING option (a batch "
+                "read of a snapshot is all inserts by definition) — use "
+                "spark.readStream, or storage.snapshot_changes for a "
+                "batch change feed between two versions"
+            )
+        return SnapshotFeedBatchReader(schema, self.options)
+
     def streamReader(self, schema) -> SnapshotFeedStreamReader:
         return SnapshotFeedStreamReader(schema, self.options)
 
 
 def register(spark) -> None:
     """Idempotently register the format on a session:
-    ``spark.readStream.format('snapshotfeed').load(table_dir)``."""
+    ``spark.readStream.format('snapshotfeed').load(table_dir)`` /
+    ``spark.read.format('snapshotfeed').load(table_dir)``. The batch
+    reader implements ``pushFilters`` (manifest-level pruning), which
+    Spark refuses to even initialize unless the runtime conf
+    ``spark.sql.python.filterPushdown.enabled`` is on — enable it here
+    so a registered session can always read the format."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotFeedDataSource)

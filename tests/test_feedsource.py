@@ -443,3 +443,76 @@ def test_change_feed_restore_with_equal_dv_counts(spark, tmp_path):
     assert sorted(r["k"] for r in last.collect()) == sorted(
         r["k"] for r in snapshot_read(spark, str(tdir)).collect()
     )
+
+
+def test_batch_reader_matches_snapshot_read(spark, tmp_path):
+    """spark.read.format('snapshotfeed') is the batch face of the table
+    format: live-row semantics equal snapshot_read (DV-aware), version=N
+    time-travels with THAT version's schema, and SQL DDL works."""
+    from f1_data_pipeline_spark.storage import snapshot_read
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(_batch(spark, 0, 100).repartition(3), tdir, stats_cols=["k"])
+    snapshot_append(_batch(spark, 100, 120), tdir)
+    snapshot_delete(spark, tdir, [("k", "<", 5)], mode="dv")
+    snapshot_append(
+        _batch(spark, 200, 205).withColumn("w", F.lit("x")),
+        tdir,
+        evolve_schema=True,
+    )
+    feedsource.register(spark)
+
+    got = spark.read.format("snapshotfeed").load(tdir)
+    want = snapshot_read(spark, tdir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # time travel: v2's rows AND v2's (pre-evolution) schema
+    v2 = spark.read.format("snapshotfeed").option("version", 2).load(tdir)
+    assert v2.columns == ["k", "v"]
+    assert v2.count() == 120  # the DV delete came later
+
+    # plain-SQL surface
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_t USING snapshotfeed "
+        f"OPTIONS (path '{tdir}')"
+    )
+    assert spark.sql("SELECT count(*) FROM snap_t").head()[0] == want.count()
+
+    with pytest.raises(Exception, match="STREAMING option|changeFeed"):
+        spark.read.format("snapshotfeed").option("changeFeed", "true").load(
+            tdir
+        ).collect()
+
+
+def test_batch_reader_pushes_filters_to_manifest(spark, tmp_path):
+    """Pushed-down filters prune at the MANIFEST level before any file
+    is opened — pinned physically: delete the pruned files from disk and
+    the filtered read still succeeds (and stays exact); the unfiltered
+    read fails."""
+    import os
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _batch(spark, 0, 1000).repartitionByRange(5, "k"), tdir, stats_cols=["k"]
+    )
+    feedsource.register(spark)
+    from f1_data_pipeline_spark.storage import _entry_prunable, _read_manifest
+
+    where = [("k", ">=", 0), ("k", "<", 150)]
+    m = _read_manifest(spark, tdir, 1)
+    pruned = [e["path"] for e in m["files"] if _entry_prunable(e, where)]
+    assert pruned  # the range clustering must make some files prunable
+    for p in pruned:
+        os.rename(f"{tdir}/{p}", f"{tdir}/{p}.hidden")
+    try:
+        got = (
+            spark.read.format("snapshotfeed")
+            .load(tdir)
+            .where((F.col("k") >= 0) & (F.col("k") < 150))
+        )
+        assert got.count() == 150
+        with pytest.raises(Exception):
+            spark.read.format("snapshotfeed").load(tdir).count()
+    finally:
+        for p in pruned:
+            os.rename(f"{tdir}/{p}.hidden", f"{tdir}/{p}")
