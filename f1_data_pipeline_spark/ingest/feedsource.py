@@ -60,26 +60,34 @@ becomes one ``readStream``/``writeStream`` pair end to end.
 
 Scale/deployment note: offset planning reads ONLY manifest JSON (KBs per
 version); executors read their one parquet file each via Arrow and yield
-RecordBatches (zero row-at-a-time Python). Manifest access here uses
-plain file IO, so the source currently requires a locally-mountable
-table dir (local disk / NFS / FUSE); an object-store deployment would
-swap ``_read_json``/``_list_versions`` for fsspec — the protocol itself
-is already URI-capable.
+RecordBatches (zero row-at-a-time Python). Manifest access goes through
+``pyarrow.fs`` resolved from the table dir's own URI — the stream
+reader's driver process has no JVM/SparkSession, so Hadoop's FileSystem
+(the route ``storage.py`` takes) is out of reach, but ``pyarrow.fs``
+gives the same capability: plain paths, ``file:`` URIs and any
+object-store scheme pyarrow's filesystem registry resolves (s3/gcs/hdfs
+where the native bindings exist) all work for BOTH the manifest JSON and
+the data files (``pq.read_table`` resolves the identical URIs).
 """
 
 from __future__ import annotations
 
 import json
-import os
+
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _MANIFEST_DIR = "_manifests"
+_CKPT_POINTER = "_last_checkpoint"
 
 # commit ops that never change table CONTENT — the stream skips them
 # silently (re-emitting rows a rewrite merely moved would duplicate the
@@ -99,30 +107,69 @@ _MAINTENANCE_KEYS = (
 )
 
 
-def _local_dir(path: str) -> str:
-    if path.startswith("file://"):
-        path = path[len("file://") :]
-    elif path.startswith("file:"):
-        path = path[len("file:") :]
+def _norm_dir(path: str) -> str:
+    """Normalize a table-dir string, KEEPING its scheme: plain paths and
+    URIs both flow through pyarrow's filesystem resolution unchanged."""
     return path.rstrip("/")
 
 
+def _fs(path: str):
+    """``(pyarrow FileSystem, fs-internal path)`` for a table dir — the
+    URI-capable manifest IO (parity with ``storage._read_manifest``'s
+    Hadoop-FS route, minus the JVM the stream reader process lacks)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path or path.startswith("file:"):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
 def _list_versions(table_dir: str) -> list[int]:
-    mdir = os.path.join(table_dir, _MANIFEST_DIR)
-    if not os.path.isdir(mdir):
-        return []
+    from pyarrow import fs as pafs
+
+    f, root = _fs(table_dir)
+    sel = pafs.FileSelector(
+        f"{root.rstrip('/')}/{_MANIFEST_DIR}", allow_not_found=True
+    )
     out = []
-    for name in os.listdir(mdir):
+    for info in f.get_file_info(sel):
+        name = info.base_name
         if name.endswith(".json") and name[:-5].isdigit():
             out.append(int(name[:-5]))
     return sorted(out)
 
 
-def _read_json(table_dir: str, version: int) -> dict:
-    p = os.path.join(table_dir, _MANIFEST_DIR, f"{version}.json")
+def _latest_version(table_dir: str) -> int:
+    """The head version, checkpoint-accelerated (0 = no commit): read the
+    table's ``_last_checkpoint`` pointer and probe FORWARD from it —
+    versions are contiguous by the commit protocol — instead of listing
+    the whole manifest directory. ``latestOffset`` runs on EVERY trigger,
+    so on a long-lived table (100k+ commits) the listing is the hot cost
+    this avoids. Any pointer problem falls back to the full listing."""
+    from pyarrow import fs as pafs
+
+    f, root = _fs(table_dir)
+    mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+    v = None
     try:
-        with open(p, "rb") as f:
-            return json.loads(f.read())
+        with f.open_input_stream(f"{mdir}/{_CKPT_POINTER}") as s:
+            v = int(json.loads(s.read())["version"])
+    except Exception:
+        v = None
+    if v is None:
+        versions = _list_versions(table_dir)
+        return versions[-1] if versions else 0
+    while f.get_file_info(f"{mdir}/{v + 1}.json").type != pafs.FileType.NotFound:
+        v += 1
+    return v
+
+
+def _read_json(table_dir: str, version: int) -> dict:
+    f, root = _fs(table_dir)
+    p = f"{root.rstrip('/')}/{_MANIFEST_DIR}/{version}.json"
+    try:
+        with f.open_input_stream(p) as s:
+            return json.loads(s.read())
     except FileNotFoundError:
         raise FileNotFoundError(
             f"snapshotfeed: version {version} was never committed (or was "
@@ -132,9 +179,11 @@ def _read_json(table_dir: str, version: int) -> dict:
 
 def _abs_entry(table_dir: str, path: str) -> str:
     # shallow-clone manifests hold ABSOLUTE entry paths; regular entries
-    # are table-relative (same resolution rule as storage._entry_uri)
+    # are table-relative (same resolution rule as storage._entry_uri).
+    # Either form is handed to pq.read_table verbatim — it resolves
+    # plain paths, file: URIs and object-store URIs alike.
     if path.startswith("/") or "://" in path or path.startswith("file:"):
-        return _local_dir(path) if path.startswith("file:") else path
+        return path
     return f"{table_dir}/{path}"
 
 
@@ -170,14 +219,49 @@ class _FeedFile(InputPartition):
         self.delta = delta
 
 
-def _read_file(part: _FeedFile, schema_json: str, change_feed: bool):
+def _arrow_where(tbl, where: list[tuple]):
+    """EXACT predicate evaluation over one Arrow table — the executor
+    half of the ``where`` option (manifest pruning is only a superset
+    guarantee; the rows of surviving files still need the real filter,
+    and unlike engine-pushed filters the engine never re-applies a
+    source OPTION). NULL comparisons drop the row — SQL semantics."""
+    import pyarrow.compute as pc
+
+    fns = {
+        "=": pc.equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    mask = None
+    for col, op, val in where:
+        c = tbl[col]
+        if op == "is_null":
+            m = pc.is_null(c)
+        elif op == "is_not_null":
+            m = pc.is_valid(c)
+        else:
+            m = fns[op](c, val)
+        mask = m if mask is None else pc.and_(mask, m)
+    return tbl.filter(mask) if mask is not None else tbl
+
+
+def _read_file(
+    part: _FeedFile,
+    schema_json: str,
+    change_feed: bool,
+    where: list[tuple] | None = None,
+):
     """Executor-side read of one partition — shared by the batch and
     stream readers: open the parquet file with Arrow, subtract (or diff)
     deletion-vector positions, project onto the declared data schema
-    (pre-evolution files null-fill later columns), append change-feed
-    metadata columns when enabled, and yield RecordBatches."""
+    (pre-evolution files null-fill later columns), apply the exact
+    ``where`` filter, append change-feed metadata columns when enabled,
+    and yield RecordBatches."""
     if part.path is None:
         return
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -213,6 +297,8 @@ def _read_file(part: _FeedFile, schema_json: str, change_feed: bool):
             else:
                 cols[field.name] = pa.nulls(sub.num_rows, field.type)
         out = pa.table(cols).cast(target)
+        if where:
+            out = _arrow_where(out, where)
         if change_feed:
             n = out.num_rows
             out = out.append_column(
@@ -241,10 +327,13 @@ def _read_file(part: _FeedFile, schema_json: str, change_feed: bool):
     if part.dv_dir:
         pos = _positions(part.dv_dir)
         if pos:
-            keep = [i for i in range(tbl.num_rows) if i not in pos]
-            # explicit index type: an empty keep-list (fully-deleted
-            # file) would otherwise infer a null-typed indices array
-            tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            # vectorized boolean mask — NEVER a per-row Python loop: one
+            # tombstone on a 128 MB file would otherwise cost millions of
+            # interpreted set-probes per batch, on exactly the
+            # GDPR-erasure tables the DV feature targets
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[np.fromiter(pos, dtype=np.int64, count=len(pos))] = False
+            tbl = tbl.filter(pa.array(mask))
     yield from _project(tbl, part.change)
 
 
@@ -287,6 +376,46 @@ def _live_file_partitions(
     return parts
 
 
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
+
+
+def _parse_where_option(opt, schema) -> list[tuple]:
+    """Parse the ``where`` OPTION (a JSON array of ``snapshot_read``-style
+    triples, e.g. ``[["event_id", ">=", 100]]``) and validate it against
+    the declared data schema — a typo'd column or op must fail at plan
+    time, not silently prune nothing."""
+    if not opt:
+        return []
+    try:
+        triples = json.loads(opt)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"snapshotfeed: the where option must be a JSON array of "
+            f"[column, op, value] triples (got {opt!r}): {e}"
+        ) from None
+    names = {f.name for f in schema.fields}
+    out = []
+    for t in triples:
+        if not (isinstance(t, (list, tuple)) and len(t) == 3):
+            raise ValueError(
+                f"snapshotfeed: malformed where triple {t!r} — expected "
+                f"[column, op, value]"
+            )
+        col, op, val = t
+        if op not in _WHERE_OPS:
+            raise ValueError(
+                f"snapshotfeed: unsupported where op {op!r} (supported: "
+                f"{_WHERE_OPS})"
+            )
+        if col not in names:
+            raise ValueError(
+                f"snapshotfeed: where references unknown column {col!r} "
+                f"(table columns: {sorted(names)})"
+            )
+        out.append((col, op, val))
+    return out
+
+
 class SnapshotFeedBatchReader(DataSourceReader):
     """BATCH reader for snapshot tables through the standard source API:
     ``spark.read.format("snapshotfeed").load(dir)`` (and therefore plain
@@ -304,11 +433,15 @@ class SnapshotFeedBatchReader(DataSourceReader):
             raise ValueError(
                 "snapshotfeed requires a table dir: .load('/path/to/table')"
             )
-        self._dir = _local_dir(path)
+        self._dir = _norm_dir(path)
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._schema_json = schema.json()
-        self._where: list[tuple] = []
+        # option-where: pruned at the manifest level AND applied exactly
+        # executor-side (the engine re-applies pushed-down filters, but
+        # never a source option)
+        self._exact = _parse_where_option(options.get("where"), schema)
+        self._where: list[tuple] = list(self._exact)
 
     def pushFilters(self, filters):
         from pyspark.sql.datasource import (
@@ -343,16 +476,16 @@ class SnapshotFeedBatchReader(DataSourceReader):
             yield f
 
     def partitions(self):
-        versions = _list_versions(self._dir)
-        if not versions:
+        latest = _latest_version(self._dir)
+        if latest < 1:
             raise FileNotFoundError(
                 f"snapshotfeed: no committed snapshot in {self._dir}"
             )
-        v = self._version if self._version is not None else versions[-1]
+        v = self._version if self._version is not None else latest
         return _live_file_partitions(self._dir, v, self._where)
 
     def read(self, part: _FeedFile):
-        yield from _read_file(part, self._schema_json, False)
+        yield from _read_file(part, self._schema_json, False, self._exact)
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -362,7 +495,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "snapshotfeed requires a table dir: .load('/path/to/table')"
             )
-        self._dir = _local_dir(path)
+        self._dir = _norm_dir(path)
         self._schema_json = schema.json()
         sv = options.get("startingversion", options.get("startingVersion"))
         self._starting = int(sv) if sv is not None else None
@@ -384,13 +517,27 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "_commit_version in the schema (omit .schema() — the "
                     "source declares them itself)"
                 )
+        # where: a FILTERED feed — non-matching files skip at the
+        # manifest level (never opened), surviving files filter exactly
+        # executor-side. Predicates address DATA columns, never the
+        # change-feed metadata (those are appended after filtering).
+        from pyspark.sql.types import StructType
+
+        data_schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        self._exact = _parse_where_option(options.get("where"), data_schema)
         self._last_end: int | None = None
 
     # -- driver-side planning (manifest JSON only, no data IO) ----------
 
     def initialOffset(self) -> dict:
-        versions = _list_versions(self._dir)
-        if not versions:
+        latest = _latest_version(self._dir)
+        if latest < 1:
             raise FileNotFoundError(
                 f"snapshotfeed: no committed snapshot in {self._dir}"
             )
@@ -400,12 +547,21 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     "snapshotfeed: startingVersion must be >= 1 (omit it "
                     "for the initial-snapshot-then-tail default)"
                 )
+            if self._starting > latest + 1:
+                # accepting a future start would commit end=latest on the
+                # first (empty) batch, and the versions between latest+1
+                # and startingVersion-1 would later stream DESPITE being
+                # before the requested start — refuse, like Delta
+                raise ValueError(
+                    f"snapshotfeed: startingVersion={self._starting} is "
+                    f"beyond the table's latest version {latest} "
+                    f"(latest+1 — start-at-next-commit — is the maximum)"
+                )
             return {"version": self._starting - 1, "mode": "replay"}
         return {"version": 0, "mode": "snapshot"}
 
     def latestOffset(self) -> dict:
-        versions = _list_versions(self._dir)
-        cur = versions[-1] if versions else 0
+        cur = _latest_version(self._dir)
         # cap only against a KNOWN cursor (set by this run's previous
         # partitions() call). Guessing a floor here could return an
         # offset BEHIND the engine's committed checkpoint, which it
@@ -418,11 +574,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         self._last_end = e
         parts: list[_FeedFile] = []
+        if self._exact:
+            from f1_data_pipeline_spark.storage import _entry_prunable
         if start.get("mode") == "snapshot":
-            # initial batch: the FULL live table at version e (DV-aware)
+            # initial batch: the FULL live table at version e (DV-aware),
+            # manifest-pruned by the where option when one is set
             parts.extend(
                 p
-                for p in _live_file_partitions(self._dir, e)
+                for p in _live_file_partitions(self._dir, e, self._exact or None)
                 if p.path is not None
             )
         else:
@@ -455,9 +614,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     cur_dv, prev_dv = m.get("dv"), prev.get("dv")
                     cur_counts = (cur_dv or {}).get("files", {})
                     prev_counts = (prev_dv or {}).get("files", {})
-                    by_key = {
-                        _dv_key(x["path"]): x["path"] for x in m["files"]
-                    }
+                    by_key = {_dv_key(x["path"]): x for x in m["files"]}
                     cur_dir = (
                         _abs_entry(self._dir, cur_dv["dir"]) if cur_dv else None
                     )
@@ -477,9 +634,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             continue
                         if key not in by_key:
                             continue  # file left the table in an earlier commit
+                        if self._exact and _entry_prunable(by_key[key], self._exact):
+                            # superset guarantee holds for deltas too: a
+                            # file no row of which can match the predicate
+                            # can emit no matching delete/insert rows
+                            continue
                         parts.append(
                             _FeedFile(
-                                _abs_entry(self._dir, by_key[key]),
+                                _abs_entry(self._dir, by_key[key]["path"]),
                                 cur_dir,
                                 key,
                                 version=v,
@@ -489,7 +651,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                             )
                         )
                     for entry in added:
-                        if entry.get("rows", 0):
+                        if entry.get("rows", 0) and not (
+                            self._exact and _entry_prunable(entry, self._exact)
+                        ):
                             parts.append(
                                 _FeedFile(
                                     _abs_entry(self._dir, entry["path"]),
@@ -511,7 +675,9 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                         f"skipChangeCommits=true to skip such commits."
                     )
                 for entry in added:
-                    if entry.get("rows", 0):
+                    if entry.get("rows", 0) and not (
+                        self._exact and _entry_prunable(entry, self._exact)
+                    ):
                         parts.append(
                             _FeedFile(
                                 _abs_entry(self._dir, entry["path"]), version=v
@@ -529,7 +695,508 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
     # -- executor-side read: one parquet file -> Arrow batches ----------
 
     def read(self, part: _FeedFile):
-        yield from _read_file(part, self._schema_json, self._change_feed)
+        yield from _read_file(
+            part, self._schema_json, self._change_feed, self._exact
+        )
+
+
+# --------------------------------------------------------------------------
+# WRITE surface: the Python DataSource writer protocol, so plain SQL
+# (`INSERT INTO view`, `INSERT OVERWRITE view`), `df.write.format(
+# "snapshotfeed")` and `df.writeStream.format("snapshotfeed")` commit
+# snapshot versions directly — append semantics = storage.snapshot_append
+# (carried files by reference, O(new rows)/commit), overwrite semantics =
+# storage.snapshot_write (full replace). Tasks write one parquet file each
+# into a hidden staging dir (Arrow-side, with per-file min/max/null stats);
+# the driver-side commit moves them under `v=N/` and publishes the
+# manifest with the SAME atomic create-no-overwrite protocol storage.py
+# uses (hard-link publish on local paths; object stores keep the
+# documented single-writer caveat). Tables carrying CHECK constraints or
+# Bloom specs refuse this path loudly — constraints need SQL evaluation
+# and Bloom filters a Spark build, both of which storage.snapshot_append
+# provides — rather than silently committing unvalidated/unindexed files.
+# --------------------------------------------------------------------------
+
+_STAGING = "_staging"
+
+# arrow types whose min/max agree with Spark's ordering semantics (floats
+# excluded when NaN is present — Spark orders NaN above all values, Arrow
+# propagates it — so a NaN file simply omits that column's stats: every
+# stats consumer treats MISSING stats as unprunable/unprovable, never wrong)
+
+
+def _arrow_stats(tbl) -> dict:
+    """Per-column ``{min, max, nulls}`` for one staged Arrow table —
+    JSON-safe (via storage's ``_json_safe`` rules) and only for columns
+    whose Arrow ordering matches Spark's; unsafe columns are omitted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from f1_data_pipeline_spark.storage import _json_safe
+
+    out = {}
+    for name in tbl.column_names:
+        col = tbl[name]
+        t = col.type
+        ok = (
+            pa.types.is_integer(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_date(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_decimal(t)
+            or pa.types.is_floating(t)
+        )
+        if not ok:
+            continue
+        nulls = int(col.null_count)
+        if nulls == len(col):
+            out[name] = {"min": None, "max": None, "nulls": nulls}
+            continue
+        if pa.types.is_floating(t) and pc.any(
+            pc.is_nan(pc.drop_null(col))
+        ).as_py():
+            continue  # NaN breaks min/max parity with Spark: omit, stay safe
+        mm = pc.min_max(col)
+        out[name] = {
+            "min": _json_safe(mm["min"].as_py()),
+            "max": _json_safe(mm["max"].as_py()),
+            "nulls": nulls,
+        }
+    return out
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    # the staging subdir travels IN the message: the engine constructs
+    # writer instances independently on the driver and on each task
+    # process (observed), so instance state like a random uuid does NOT
+    # survive from write() to commit()
+    name: str | None = None
+    subdir: str | None = None
+    rows: int = 0
+    nbytes: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _writer_target_schema(schema_json: str):
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    return pa.schema([f.with_nullable(True) for f in target])
+
+
+def _write_staged_file(table_dir: str, subdir: str, it, schema_json: str):
+    """Executor side: drain one task's RecordBatches into ONE parquet file
+    under the staging dir; returns the commit message (no file for an
+    empty task)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    target = _writer_target_schema(schema_json)
+    batches = []
+    for b in it:
+        if b.num_rows:
+            batches.append(b.cast(target) if b.schema != target else b)
+    if not batches:
+        return _StagedFile()
+    tbl = pa.Table.from_batches(batches, schema=target)
+    f, root = _fs(table_dir)
+    sdir = f"{root.rstrip('/')}/{_STAGING}/{subdir}"
+    f.create_dir(sdir, recursive=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    with f.open_output_stream(f"{sdir}/{name}") as out:
+        pq.write_table(tbl, out)
+    info = f.get_file_info(f"{sdir}/{name}")
+    nbytes = int(info.size) if info.type != pafs.FileType.NotFound else 0
+    return _StagedFile(name, subdir, tbl.num_rows, nbytes, _arrow_stats(tbl))
+
+
+def _publish_record(table_dir: str, version: int, payload: dict) -> bool:
+    """Atomically create ``_manifests/N.json`` (the commit). False = lost
+    the race to a concurrent writer. Local paths publish by hard link
+    (complete-at-visibility + EEXIST atomicity, exactly
+    ``storage._commit_record``); other stores check-then-write with the
+    same single-writer caveat every log-structured format carries there."""
+    import os
+    import time
+    import uuid
+
+    from pyarrow import fs as pafs
+
+    f, root = _fs(table_dir)
+    mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+    rec = f"{mdir}/{version}.json"
+    payload.setdefault("ts", round(time.time(), 3))
+    data = json.dumps(payload).encode()
+    if isinstance(f, pafs.LocalFileSystem):
+        os.makedirs(mdir, exist_ok=True)
+        tmp = f"{mdir}/.{version}.json.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as out:
+            out.write(data)
+        try:
+            os.link(tmp, rec)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        return True
+    if f.get_file_info(rec).type != pafs.FileType.NotFound:
+        return False
+    f.create_dir(mdir, recursive=True)
+    with f.open_output_stream(rec) as out:
+        out.write(data)
+    return True
+
+
+def _commit_staged(
+    table_dir: str,
+    schema_json: str,
+    messages,
+    overwrite: bool,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> int | None:
+    """Driver-side commit of the staged files as one snapshot version;
+    returns the committed version (None when a txn stamp proves this
+    batch already landed — the streaming replay case). Runs in the
+    driver's Python worker, which has no SparkSession — all IO is
+    pyarrow.fs, all decisions manifest JSON."""
+    import os
+    import time
+
+    from pyspark.sql.types import StructType
+
+    files = [m for m in messages if m is not None and m.name]
+    f, root = _fs(table_dir)
+    write_schema = StructType.fromJson(json.loads(schema_json))
+    write_types = {x.name: x.dataType.simpleString() for x in write_schema.fields}
+
+    for attempt in range(25):
+        latest = _latest_version(table_dir)
+        cur = _read_json(table_dir, latest) if latest >= 1 else None
+        if cur is not None:
+            if cur.get("files") is None:
+                raise ValueError(
+                    "snapshotfeed writer needs file-list manifests — "
+                    "rewrite the table once with snapshot_write (v1-era "
+                    "record found)"
+                )
+            if cur.get("constraints"):
+                raise ValueError(
+                    "snapshotfeed writer: the table carries CHECK "
+                    "constraints, which need SQL evaluation at write time "
+                    "— write through storage.snapshot_append / "
+                    "snapshot_write instead"
+                )
+            if not overwrite and cur.get("bloom_spec"):
+                raise ValueError(
+                    "snapshotfeed writer: the table carries a Bloom-filter "
+                    "spec; appending unindexed files would silently break "
+                    "point-lookup skipping — write through "
+                    "storage.snapshot_append instead"
+                )
+            if not overwrite:
+                sch = cur.get("schema")
+                table_types = (
+                    {
+                        x.name: x.dataType.simpleString()
+                        for x in StructType.fromJson(json.loads(sch)).fields
+                    }
+                    if sch
+                    else None
+                )
+                if table_types is not None and table_types != write_types:
+                    raise ValueError(
+                        f"snapshotfeed writer: batch schema {write_types} "
+                        f"does not match the committed table schema "
+                        f"{table_types} — cast/align the batch (the SQL "
+                        f"writer does not evolve schemas; use "
+                        f"storage.snapshot_append(evolve_schema=True))"
+                    )
+            # txn replay gate (SetTransaction semantics): a batchId at or
+            # below the stamped watermark already committed — skip, and
+            # clean our staged files
+            if txn_app is not None and txn_batch is not None:
+                stamped = ((cur.get("properties") or {}).get("txn") or {}).get(
+                    txn_app
+                )
+                if stamped is not None and int(stamped) >= int(txn_batch):
+                    for m in files:
+                        f.delete_file(
+                            f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}"
+                        )
+                    return None
+        version = latest + 1
+        vdir = f"{root.rstrip('/')}/v={version}"
+        from pyarrow import fs as pafs
+
+        if f.get_file_info(vdir).type != pafs.FileType.NotFound:
+            # a concurrent writer is staging this version (or a crashed
+            # one left an orphan): wait for its commit to move `latest`
+            # forward, then retry; persistent orphans surface below
+            if attempt + 1 >= 25:
+                raise RuntimeError(
+                    f"snapshotfeed writer: staging dir v={version} already "
+                    f"exists under {table_dir} — if "
+                    f"_manifests/{version}.json is absent, a crashed "
+                    f"writer's orphan is safe to delete"
+                )
+            time.sleep(0.05 * (attempt + 1))
+            continue
+        claimed = True
+        if isinstance(f, pafs.LocalFileSystem):
+            os.makedirs(vdir, exist_ok=True)
+            try:
+                fd = os.open(f"{vdir}/_CLAIM", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                claimed = False
+        else:
+            f.create_dir(vdir, recursive=True)
+            with f.open_output_stream(f"{vdir}/_CLAIM") as out:
+                out.write(b"")
+        if not claimed:
+            time.sleep(0.05 * (attempt + 1))
+            continue
+        for m in files:
+            f.move(
+                f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}",
+                f"{vdir}/{m.name}",
+            )
+        with f.open_output_stream(f"{vdir}/_SUCCESS") as out:
+            out.write(b"")
+        # stats subset: appends inherit the columns the table tracks
+        # (uniform skipping power, the snapshot_append rule); a full
+        # replace starts fresh with every safely-computable column
+        if not overwrite and cur is not None:
+            with_stats = next(
+                (e for e in cur["files"] if e.get("stats")), None
+            )
+            tracked = sorted(with_stats["stats"]) if with_stats else None
+        else:
+            tracked = None  # None = keep all computed columns
+        entries = []
+        for m in sorted(files, key=lambda m: m.name):
+            e = {"path": f"v={version}/{m.name}", "rows": m.rows, "bytes": m.nbytes}
+            stats = (
+                m.stats
+                if tracked is None
+                else {c: m.stats[c] for c in tracked if c in m.stats}
+            )
+            if stats:
+                e["stats"] = stats
+            entries.append(e)
+        payload: dict = {
+            "version": version,
+            "dir": f"v={version}",
+            "files": (
+                entries if overwrite or cur is None else cur["files"] + entries
+            ),
+            "schema": (
+                schema_json
+                if overwrite or cur is None or not cur.get("schema")
+                else cur["schema"]
+            ),
+            "op": "write" if overwrite else "append",
+        }
+        if not overwrite and cur is not None and cur.get("dv"):
+            payload["dv"] = cur["dv"]
+        prev_txn = (
+            {}
+            if overwrite or cur is None
+            else ((cur.get("properties") or {}).get("txn") or {})
+        )
+        merged_txn = dict(prev_txn)
+        if txn_app is not None and txn_batch is not None:
+            merged_txn[txn_app] = int(txn_batch)
+        if merged_txn:
+            payload["properties"] = {"txn": merged_txn}
+        if _publish_record(table_dir, version, payload):
+            _maybe_checkpoint_pa(table_dir, version, payload)
+            return version
+        # lost the publish race (e.g. a metadata-only commit took N):
+        # move our files back to staging and re-derive against the head
+        for m in files:
+            f.move(
+                f"{vdir}/{m.name}",
+                f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}",
+            )
+        f.delete_dir(vdir)
+        time.sleep(0.05 * (attempt + 1))
+    raise RuntimeError(
+        f"snapshotfeed writer: lost {25} consecutive commit races under "
+        f"{table_dir} — a runaway concurrent writer?"
+    )
+
+
+def _maybe_checkpoint_pa(table_dir: str, version: int, payload: dict) -> None:
+    """Manifest-log checkpoint parity for the writer path: storage.py
+    auto-checkpoints on its interval through Hadoop FS inside
+    ``_commit_record``; commits published HERE (the DataSource writer's
+    Python worker, no JVM) would otherwise skip the cadence, letting the
+    pointer age on writer-only tables. Same format, same interval, same
+    best-effort contract — any failure costs speed, never correctness."""
+    import uuid
+
+    try:
+        from f1_data_pipeline_spark.storage import (
+            SNAPSHOT_CHECKPOINT_INTERVAL as interval,
+        )
+        from f1_data_pipeline_spark.storage import _history_rec
+
+        if not interval or interval < 1 or version % interval:
+            return
+        from pyarrow import fs as pafs
+
+        f, root = _fs(table_dir)
+        mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+        prev = None
+        try:
+            with f.open_input_stream(f"{mdir}/{_CKPT_POINTER}") as s:
+                meta = json.loads(s.read())
+            with f.open_input_stream(f"{mdir}/{meta['path']}") as s:
+                prev = json.loads(s.read())
+            if int(prev["version"]) != int(meta["version"]) or "log" not in prev:
+                prev = None
+        except Exception:
+            prev = None
+        if prev is not None and int(prev["version"]) >= version:
+            return
+        log, start = (
+            ([], 1)
+            if prev is None
+            else (list(prev["log"]), int(prev["version"]) + 1)
+        )
+        for v in range(start, version + 1):
+            if v == version:
+                log.append(_history_rec(v, payload))
+                continue
+            try:
+                log.append(_history_rec(v, _read_json(table_dir, v)))
+            except FileNotFoundError:
+                continue
+        ck = f"{mdir}/{version}.ckpt.json"
+        if f.get_file_info(ck).type == pafs.FileType.NotFound:
+            tmp = f"{mdir}/.{version}.ckpt.{uuid.uuid4().hex}.tmp"
+            with f.open_output_stream(tmp) as out:
+                out.write(json.dumps({"version": version, "log": log}).encode())
+            try:
+                f.move(tmp, ck)
+            except Exception:
+                try:
+                    f.delete_file(tmp)
+                except FileNotFoundError:
+                    pass
+        ptr = f"{mdir}/{_CKPT_POINTER}"
+        tmp2 = f"{mdir}/.{_CKPT_POINTER}.{uuid.uuid4().hex}.tmp"
+        with f.open_output_stream(tmp2) as out:
+            out.write(
+                json.dumps(
+                    {"version": version, "path": f"{version}.ckpt.json"}
+                ).encode()
+            )
+        for stale in (ptr, f"{mdir}/.{_CKPT_POINTER}.crc"):
+            # the pointer may have been written JVM-side last: Hadoop's
+            # local FS keeps a checksum sidecar that would fail the next
+            # JVM read of a pyarrow-rewritten pointer — drop both
+            try:
+                f.delete_file(stale)
+            except FileNotFoundError:
+                pass
+        f.move(tmp2, ptr)
+    except Exception:
+        pass
+
+
+def _abort_staged(table_dir: str, messages) -> None:
+    f, root = _fs(table_dir)
+    for m in messages or []:
+        if m is not None and getattr(m, "name", None):
+            try:
+                f.delete_file(
+                    f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}"
+                )
+            except FileNotFoundError:
+                pass
+
+
+class SnapshotFeedWriter(DataSourceArrowWriter):
+    """Batch writer: ``df.write.format('snapshotfeed').mode('append'|
+    'overwrite').save(dir)`` and SQL ``INSERT INTO`` / ``INSERT
+    OVERWRITE`` on a ``USING snapshotfeed`` view."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .save('/path/to/table')"
+            )
+        self._dir = _norm_dir(path)
+        self._schema_json = schema.json()
+        self._overwrite = overwrite
+        self._subdir = f"dsw-{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        return _write_staged_file(
+            self._dir, self._subdir, iterator, self._schema_json
+        )
+
+    def commit(self, messages):
+        _commit_staged(self._dir, self._schema_json, messages, self._overwrite)
+
+    def abort(self, messages):
+        _abort_staged(self._dir, messages)
+
+
+class SnapshotFeedStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming sink: ``df.writeStream.format('snapshotfeed')`` — one
+    append commit per micro-batch. With ``txnAppId`` set, the batch id is
+    stamped into the commit's ``txn`` properties ATOMICALLY with the data
+    (SetTransaction semantics, interoperable with
+    ``streaming.stream_snapshot_append``'s stamps), so a crash-replayed
+    micro-batch proves itself already applied and skips — exactly-once.
+    Without it, delivery is at-least-once under crash replay (documented
+    Delta-sink behavior without txn tracking)."""
+
+    def __init__(self, schema, options):
+        import uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .start('/path/to/table')"
+            )
+        self._dir = _norm_dir(path)
+        self._schema_json = schema.json()
+        self._subdir = f"dsw-{uuid.uuid4().hex}"
+        self._txn_app = options.get("txnappid", options.get("txnAppId"))
+
+    def write(self, iterator):
+        return _write_staged_file(
+            self._dir, self._subdir, iterator, self._schema_json
+        )
+
+    def commit(self, messages, batchId: int):
+        _commit_staged(
+            self._dir,
+            self._schema_json,
+            messages,
+            False,
+            txn_app=self._txn_app,
+            txn_batch=batchId if self._txn_app else None,
+        )
+
+    def abort(self, messages, batchId: int):
+        _abort_staged(self._dir, messages)
 
 
 class SnapshotFeedDataSource(DataSource):
@@ -543,14 +1210,14 @@ class SnapshotFeedDataSource(DataSource):
             raise ValueError(
                 "snapshotfeed requires a table dir: .load('/path/to/table')"
             )
-        tdir = _local_dir(path)
-        versions = _list_versions(tdir)
-        if not versions:
+        tdir = _norm_dir(path)
+        latest = _latest_version(tdir)
+        if latest < 1:
             raise FileNotFoundError(f"snapshotfeed: no committed snapshot in {tdir}")
         # batch time travel reads the TARGET version's committed schema
         # (a later evolution must not leak columns into an old snapshot)
         v = self.options.get("version")
-        m = _read_json(tdir, int(v) if v is not None else versions[-1])
+        m = _read_json(tdir, int(v) if v is not None else latest)
         sch = m.get("schema")
         if not sch:
             raise ValueError(
@@ -587,14 +1254,90 @@ class SnapshotFeedDataSource(DataSource):
     def streamReader(self, schema) -> SnapshotFeedStreamReader:
         return SnapshotFeedStreamReader(schema, self.options)
 
+    def writer(self, schema, overwrite: bool) -> SnapshotFeedWriter:
+        return SnapshotFeedWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> SnapshotFeedStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "snapshotfeed streaming sink supports APPEND output mode "
+                "only (each micro-batch is one append commit)"
+            )
+        return SnapshotFeedStreamWriter(schema, self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the format on a session:
     ``spark.readStream.format('snapshotfeed').load(table_dir)`` /
-    ``spark.read.format('snapshotfeed').load(table_dir)``. The batch
-    reader implements ``pushFilters`` (manifest-level pruning), which
-    Spark refuses to even initialize unless the runtime conf
-    ``spark.sql.python.filterPushdown.enabled`` is on — enable it here
-    so a registered session can always read the format."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ``spark.read.format('snapshotfeed').load(table_dir)``.
+
+    SESSION-CONF SIDE EFFECT, stated: the batch reader implements
+    ``pushFilters`` (manifest-level pruning), which Spark refuses to even
+    initialize unless the runtime conf
+    ``spark.sql.python.filterPushdown.enabled`` is on — so registration
+    enables it, which changes planning for EVERY Python data source on
+    the session (their filters get pushed too; the API contract still
+    re-applies filters a reader doesn't consume, so plans change, answers
+    don't). The conf is only written when it is not already ``true``
+    (an explicitly configured session is never flipped back and the call
+    stays idempotent).
+
+    The package is also SHIPPED to the cluster (``addPyFile`` of a zip of
+    ``f1_data_pipeline_spark``, once per SparkContext): Python data
+    source classes are pickled BY REFERENCE, so every planning worker and
+    executor must be able to import the module — a session whose workers
+    don't inherit the repo on their path (any cwd, spark-submit, a real
+    cluster) would otherwise fail with ModuleNotFoundError the moment the
+    format plans. Shipping is best-effort: if the zip can't be built the
+    in-repo import path still works."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        cur = spark.conf.get(key)
+    except Exception:
+        cur = None
+    if str(cur).lower() != "true":
+        spark.conf.set(key, "true")
+    sc = spark.sparkContext
+    _ship_package(sc)
     spark.dataSource.register(SnapshotFeedDataSource)
+
+
+_PKG_ZIP = "f1_data_pipeline_spark_pkg.zip"
+
+
+def _ship_package(sc) -> None:
+    """addPyFile a DETERMINISTIC zip of the package (sources only, fixed
+    zip timestamps): byte-identical across builds, so a repeated add —
+    the context flag can't guard every path — compares equal instead of
+    failing executors with 'exists and does not match contents'. The
+    ``listFiles`` registry is the cross-wrapper idempotence check."""
+    try:
+        if getattr(sc, "_f1dp_pkg_shipped", False) or any(
+            f.endswith(_PKG_ZIP) for f in sc.listFiles
+        ):
+            sc._f1dp_pkg_shipped = True
+            return
+        import os
+        import tempfile
+        import zipfile
+
+        import f1_data_pipeline_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        pkg_root = os.path.dirname(pkg_dir)
+        zpath = os.path.join(tempfile.mkdtemp(prefix="f1dp_pkg_"), _PKG_ZIP)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, dirnames, filenames in os.walk(pkg_dir):
+                dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+                for fn in sorted(filenames):
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, pkg_root)
+                    with open(full, "rb") as fh:
+                        # fixed ZipInfo date (1980 epoch) — deterministic bytes
+                        zf.writestr(zipfile.ZipInfo(rel), fh.read())
+        sc.addPyFile(zpath)
+        sc._f1dp_pkg_shipped = True
+    except Exception:
+        pass  # in-repo sessions import from the working dir anyway

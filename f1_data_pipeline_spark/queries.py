@@ -2033,8 +2033,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_gapfill, x_stratified, x_normalize, x_decontam, x_text_repetition,
     # x_mixture, x_pii, x_gopher, x_bm25 (reasons per entry in SWEEP_ONLY).
     "f1_telemetry_by_driver",
-    "x_urls", "x_semdedup", "x_invindex",
-    "x_dedup_incr",
+    "x_semdedup", "x_invindex",
     # ---- round-8 rotation ----
     # The 6 operators built in round 6 and marked "rotate next round" in
     # SWEEP_ONLY (two rounds of debt), the 4 f1 wire queries that gained
@@ -2062,10 +2061,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # — q_a3, q_j6, x_sessionize, x_chunk, x_ppl, x_ngram_spans,
     # x_quantize, x_pps_sample, x_taxonomy, x_split, x_profile (reasons
     # per entry in SWEEP_ONLY).
-    "x_snapshot_cdc", "x_snapshot_changes", "x_snapshot_bloom",
-    "x_cms_freq", "x_kmv_distinct", "x_kmv_jaccard", "x_kmv_setops",
+    "x_snapshot_cdc", "x_snapshot_bloom",
+    "x_cms_freq", "x_kmv_distinct", "x_kmv_setops",
     "x_editdist_join", "x_editdist_clusters",
-    "x_bottomk_sample", "x_temp_mixture", "x_source_drift",
+    "x_bottomk_sample", "x_temp_mixture",
     # ---- round-10 rotation ----
     # The 5 oracle-bearing queries built in round 9 after the r9 rotation
     # was already full (the deletion-vector / exactly-once-replication /
@@ -2078,6 +2077,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_source_overlap (reasons per entry in SWEEP_ONLY).
     "x_snapshot_dv", "x_snapshot_replica",
     "x_shard_assign", "x_epoch_upsample", "x_resample",
+    # ---- round-11 rotation ----
+    # The 5 oracle-bearing queries built in round 10 after the r10
+    # rotation was already full (the MERGE INTO / append-only-commit /
+    # metadata-only-aggregate wave) — every one was marked "rotate next
+    # round" in SWEEP_ONLY, and the entire r10 storage wave had zero
+    # external hash verification until this window (r10 verdict ask #1).
+    # Displaced: 5 multi-round hash-green entries whose families stay
+    # densely in-window — x_urls, x_dedup_incr, x_snapshot_changes,
+    # x_kmv_jaccard, x_source_drift (reasons per entry in SWEEP_ONLY).
+    "x_merge_into", "x_merge_composite", "x_snapshot_append",
+    "x_meta_agg", "x_meta_count",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -2095,10 +2105,10 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a7": "explicit GROUPING SETS; grouping-agg semantics in-window via q_a1",
     "q_u2": "INTERSECT; set-op family represented in-window by q_u1",
     "q_u3": "EXCEPT/anti; semi/anti join kin in-window via q_j3",
-    "x_text_tokens": "whitespace tokens; text family in-window via x_urls/x_curation",
+    "x_text_tokens": "whitespace tokens; text family in-window via x_curation",
     "x_text_quality": "stopword/word-len ratios; text family densely in-window — displaced r5 for x_normalize",
     "x_text_fingerprint": "rolling-hash fp; winnowing twin x_text_winnow in-window",
-    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
+    "x_dedup_exact": "hash-groupBy dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines",
     # long-stable SQL-surface entries displaced in earlier rotations
     "x_percentiles": "percentile_approx surface; displaced round 4",
     "q_sub1": "correlated EXISTS subquery; displaced round 4",
@@ -2129,7 +2139,7 @@ SWEEP_ONLY: dict[str, str] = {
     "q_p2": "1-row existence check; P-family in-window via q_s1",
     "q_j5": "composite-key join variant; join family in-window (q_j3)",
     "q_a2": "1-row distinct cardinality; A-family in-window via q_a1",
-    "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
+    "x_dedup_ngram": "exhaustive Jaccard verifier; dedup family in-window via x_dedup_clusters/x_dedup_lines",
     # displaced in the round-8 rotation (all externally hash-green in the
     # r7-or-earlier driver windows) to make room for the 6 r6 operators,
     # the 4 f1 wire oracles, and the streaming Misra-Gries row
@@ -2143,20 +2153,20 @@ SWEEP_ONLY: dict[str, str] = {
     "x_pack_assign": "first-fit pack assignment; pack family in-window via x_pack_sequences",
     "x_ppl2": "bigram perplexity; LM-scoring family in-window via x_dsir",
     "x_mixture_sample": "mixture materialization; sampling family in-window via x_temp_mixture/x_bottomk_sample",
-    "x_dedup_spans": "span-level n-gram index; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr",
+    "x_dedup_spans": "span-level n-gram index; dedup family in-window via x_dedup_clusters/x_dedup_lines",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
-    "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines/x_dedup_incr, winnow fingerprints via x_text_winnow",
+    "x_dedup_winnow": "deterministic winnow banding; dedup family in-window via x_dedup_clusters/x_dedup_lines, winnow fingerprints via x_text_winnow",
     "x_sim_pairs": "blocked all-pairs cosine; similarity family in-window via x_semdedup (same blocked-GEMM stage + CC tail)",
     "x_tfidf": "corpus TF-IDF term stats; tf/df geometry in-window via x_invindex posting lists",
     "x_scd2": "SCD2 history build; merge family in-window via x_cdc_apply",
     "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_asof_join",
     "x_stratified": "per-group stratified sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
-    "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_urls/x_text_winnow)",
-    "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_incr",
-    "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_urls/x_curation)",
+    "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_curation/x_text_winnow)",
+    "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_clusters",
+    "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_curation/x_text_winnow)",
     "x_mixture": "mixture weight computation; sampling family in-window via x_temp_mixture/x_bottomk_sample",
-    "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_urls/x_curation)",
+    "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_curation/x_text_winnow)",
     "x_gopher": "Gopher quality gate; quality-gate family in-window via x_curation",
     "x_bm25": "BM25 scoring; retrieval-stats geometry in-window via x_invindex",
     # displaced in the second-wave round-5 rotation
@@ -2168,7 +2178,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_sim_neardup": "exact blocked near-dup; similarity family in-window via x_semdedup",
     # displaced in the late-round-5 rotation (new operators driver-hashed
     # the same session they were built)
-    "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation/x_urls)",
+    "x_text_langid": "scan-local text family densely in-window (x_text_winnow/x_curation)",
     "q_j2": "left outer join; join family in-window (q_j3)",
     "q_c3": "coercion surface; C-family in-window via q_c1",
     "q_o1": "global top-k; TakeOrderedAndProject exercised by every LIMIT entry, per-group form in-window via q_w1",
@@ -2180,28 +2190,33 @@ SWEEP_ONLY: dict[str, str] = {
     "q_a3": "first-wins dedup ordinal; first-wins A1 path in-window via f1_race_control, agg family via q_a1",
     "q_j6": "broadcast enrichment join; join family in-window via q_j3, broadcast path via f1_session_report",
     "x_sessionize": "lag-gap sessionization; event-sequence family in-window via x_asof_join",
-    "x_chunk": "doc chunking with overlap; text family in-window via x_urls/x_text_winnow",
+    "x_chunk": "doc chunking with overlap; text family in-window via x_curation/x_text_winnow",
     "x_ppl": "unigram perplexity scoring; LM-scoring family in-window via x_dsir",
     "x_ngram_spans": "n-gram span extraction; span family in-window via x_dedup_lines",
     "x_quantize": "embedding scalar quantization; embedding family in-window via x_semdedup",
     "x_pps_sample": "PPS weighted sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
-    "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_urls/x_curation",
+    "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_curation",
     "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_bottomk_sample",
-    "x_profile": "column profile stats; corpus-health family in-window via x_source_kl/x_source_drift",
-    # built round 10 after the r10 rotation was already full — rotate next round
-    "x_merge_into": "tri-clause MERGE INTO round-trip (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
-    "x_merge_composite": "composite-key MERGE with envelope-pruned by-source delete (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv/x_cdc_apply",
-    "x_meta_agg": "metadata-only COUNT/MIN/MAX from manifest stats, DV-aware (new r10); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_bloom",
-    "x_snapshot_append": "append-only commit with schema evolution, carried-by-reference asserts (new r10); rotate next round; lakehouse family in-window via x_snapshot_cdc/x_snapshot_dv",
-    "x_meta_count": "predicate-pushed metadata COUNT — all-match files counted without opening (new r10); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_bloom",
+    "x_profile": "column profile stats; corpus-health family in-window via x_source_kl",
+    # displaced in the round-11 rotation (all multi-round hash-green in
+    # earlier driver windows) to make room for the 5 r10 MERGE/append/
+    # metadata-aggregate oracle queries (r10 verdict ask #1)
+    "x_urls": "URL extract/dedup; text family in-window via x_curation/x_text_winnow — displaced r11, r6–r10 hash-green",
+    "x_dedup_incr": "incremental shingle dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines — displaced r11, r6–r10 hash-green",
+    "x_snapshot_changes": "batch change-feed consumer; lakehouse CDC family in-window via x_snapshot_cdc/x_cdc_apply/x_merge_into — displaced r11, r9+r10 hash-green",
+    "x_kmv_jaccard": "KMV Jaccard estimate; sketch family in-window via x_kmv_distinct/x_kmv_setops/x_cms_freq — displaced r11, r9+r10 hash-green",
+    "x_source_drift": "KS drift detector; corpus-health family in-window via x_source_kl — displaced r11, r9+r10 hash-green",
+    # built round 11 after the r11 rotation was already full — rotate next round
+    "x_asof_checkpoint": "manifest-log checkpoint + as-of time travel (new r11); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_append",
+    "x_sql_writer": "python-DataSource SQL write surface, INSERT INTO e2e (new r11); rotate next round; lakehouse family in-window via x_snapshot_append/x_merge_into",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)
     "x_pmi": "PMI collocation stats; retrieval-stats geometry in-window via x_invindex — displaced r10, r8+r9 hash-green",
     "x_length_buckets": "length-bucket histogram; agg family in-window via q_a1 — displaced r10, r8+r9 hash-green",
     "x_winsorize": "percentile winsorization; frame-stats family in-window via x_rolling_scaled and q_w4 — displaced r10, r8+r9 hash-green",
-    "x_ttr": "type-token ratio; corpus-health family in-window via x_source_kl/x_source_drift — displaced r10, r8+r9 hash-green",
-    "x_source_overlap": "cross-source vocab overlap; corpus-health family in-window via x_source_kl/x_source_drift — displaced r10, r8+r9 hash-green",
+    "x_ttr": "type-token ratio; corpus-health family in-window via x_source_kl — displaced r10, r8+r9 hash-green",
+    "x_source_overlap": "cross-source vocab overlap; corpus-health family in-window via x_source_kl — displaced r10, r8+r9 hash-green",
 }
 
 
@@ -2482,3 +2497,148 @@ def x_meta_count(t: Tables) -> DataFrame:
             snapshot_count(spark, tdir, [("user_id", "is_not_null", None)])
         ).cast("long").alias("n_user"),
     )
+
+
+# scratch table dir of x_asof_checkpoint's previous invocation per sf_dir
+_ASOF_CKPT_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_asof_checkpoint",
+    """SELECT event_id, user_id, ROUND(value, 4) AS val
+       FROM events WHERE event_id < 480
+       ORDER BY event_id""",
+)
+def x_asof_checkpoint(t: Tables) -> DataFrame:
+    """Manifest-log checkpointing round-trip, externally hash-verified:
+    twelve append commits cross the auto-checkpoint cadence (a compacted
+    ``_last_checkpoint`` log, the Delta shape), then the table is read
+    AS OF the 6th commit's timestamp — version resolution and time travel
+    ride the checkpointed log instead of scanning every manifest (the
+    difference between O(1)+O(tail) and O(100k commits) on a year-old
+    streaming table). The oracle recomputes the first six slices from the
+    raw events table.
+
+    The builder self-asserts what the result can't show: the checkpoint
+    EXISTS and covers v10, ``snapshot_version_asof`` resolves the mid-log
+    timestamp to exactly 6, history through the checkpointed prefix
+    agrees record-for-record with a forced full-manifest scan, and a
+    torn pointer still resolves (fallback correctness)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark import storage as st
+
+    spark = t.spark
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return t.events.where(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).select("event_id", "user_id", F.round("value", 4).alias("val"))
+
+    tdir = tempfile.gettempdir() + f"/f1dp_asof_ckpt_{uuid.uuid4().hex}"
+    prev = _ASOF_CKPT_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _ASOF_CKPT_DIRS[t.sf_dir] = tdir
+    for i in range(12):
+        st.snapshot_append(sl(i * 80, (i + 1) * 80), tdir, stats_cols=["event_id"])
+    ck = st._read_checkpoint(spark, tdir)
+    if ck is None or int(ck["version"]) < 10:
+        raise RuntimeError(
+            f"auto-checkpoint missing after 12 commits (got {ck}) — the "
+            f"interval cadence regressed"
+        )
+    hist = st.snapshot_history(spark, tdir)
+    real = st._read_checkpoint
+    try:
+        st._read_checkpoint = lambda *a: None  # force the full-scan path
+        if st.snapshot_history(spark, tdir) != hist:
+            raise RuntimeError("checkpointed history diverged from the full scan")
+        if st.snapshot_version(spark, tdir) != 12:
+            raise RuntimeError("listing-fallback version resolution broke")
+    finally:
+        st._read_checkpoint = real
+    ts6, ts7 = hist[5]["ts"], hist[6]["ts"]
+    if ts7 > ts6:  # distinct ms-resolution stamps (always, in practice)
+        v = st.snapshot_version_asof(spark, tdir, (ts6 + ts7) / 2)
+        if v != 6:
+            raise RuntimeError(
+                f"as-of over the checkpointed log resolved {v}, not 6"
+            )
+    return st.snapshot_read(spark, tdir, version=6).orderBy("event_id")
+
+
+# scratch table dir of x_sql_writer's previous invocation per sf_dir
+_SQL_WRITER_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_sql_writer",
+    """SELECT * FROM (
+         SELECT event_id, user_id, ROUND(value, 4) AS val
+         FROM events WHERE event_id < 300
+         UNION ALL
+         SELECT CAST(999999 AS BIGINT), CAST(42 AS BIGINT),
+                CAST(1.5 AS DOUBLE))
+       ORDER BY event_id""",
+)
+def x_sql_writer(t: Tables) -> DataFrame:
+    """The SQL WRITE surface of the `snapshotfeed` table format,
+    externally hash-verified: the table is CREATED and APPENDED through
+    ``df.write.format("snapshotfeed")`` (the Python DataSource writer —
+    tasks stage Arrow-written parquet with per-file stats, the driver
+    publishes the manifest with the same atomic create-no-overwrite
+    commit storage.py uses), one row arrives via plain ``INSERT INTO`` on
+    a ``USING snapshotfeed`` view, and the result is read back through
+    the format's batch face. The oracle recomputes the slices plus the
+    inserted literal from the raw events table.
+
+    The builder self-asserts the storage mechanics the result can't
+    show: every writer commit is op-labelled ``append``, carries all
+    prior files BY REFERENCE (O(new rows) per commit), and stages
+    per-file min/max stats — so SQL-written files prune exactly like
+    API-written ones."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.ingest import feedsource
+    from f1_data_pipeline_spark.storage import _read_manifest
+
+    spark = t.spark
+    feedsource.register(spark)
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return t.events.where(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).select("event_id", "user_id", F.round("value", 4).alias("val"))
+
+    tdir = tempfile.gettempdir() + f"/f1dp_sql_writer_{uuid.uuid4().hex}"
+    prev = _SQL_WRITER_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SQL_WRITER_DIRS[t.sf_dir] = tdir
+    sl(0, 200).write.format("snapshotfeed").mode("append").save(tdir)
+    sl(200, 300).write.format("snapshotfeed").mode("append").save(tdir)
+    view = f"x_sqlw_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} USING snapshotfeed "
+        f"OPTIONS (path '{tdir}')"
+    )
+    spark.sql(
+        f"INSERT INTO {view} SELECT CAST(999999 AS BIGINT) AS event_id, "
+        f"CAST(42 AS BIGINT) AS user_id, CAST(1.5 AS DOUBLE) AS val"
+    )
+    for v in (2, 3):
+        m = _read_manifest(spark, tdir, v)
+        if m.get("op") != "append":
+            raise RuntimeError(f"writer v{v} lost its append op label")
+        prior = {e["path"] for e in _read_manifest(spark, tdir, v - 1)["files"]}
+        if not prior <= {e["path"] for e in m["files"]}:
+            raise RuntimeError(f"writer v{v} rewrote prior files")
+        own = [e for e in m["files"] if e["path"].startswith(f"v={v}/")]
+        if not own or any("event_id" not in (e.get("stats") or {}) for e in own):
+            raise RuntimeError(f"writer v{v} staged files without stats")
+    return spark.sql(f"SELECT * FROM {view} ORDER BY event_id")

@@ -308,9 +308,27 @@ def _snap_path(jvm, *parts: str):
 
 
 def snapshot_version(spark: SparkSession, table_dir: str) -> int:
-    """Current committed version (0 = no commit yet): the max N among the
-    immutable ``_manifests/N.json`` commit records."""
+    """Current committed version (0 = no commit yet).
+
+    With a manifest-log checkpoint present (written every
+    ``SNAPSHOT_CHECKPOINT_INTERVAL`` commits — the Delta
+    ``_last_checkpoint`` shape), resolution is O(1) pointer read +
+    O(tail) existence probes: versions are CONTIGUOUS by the staging
+    protocol, so probing forward from the checkpointed version finds the
+    head without listing the whole ``_manifests/`` directory — after a
+    year of streaming appends (100k+ commits) a full listing per version
+    read is the difference between metadata ops and a directory scan.
+    Without a checkpoint (young table, or a torn pointer) it falls back
+    to the full listing — correctness never depends on the checkpoint."""
     fs, jvm = _snap_fs(spark, table_dir)
+    ck = _read_checkpoint(spark, table_dir)
+    if ck is not None:
+        v = int(ck["version"])
+        while fs.exists(
+            _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v + 1}.json")
+        ):
+            v += 1
+        return v
     mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
     if not fs.exists(mdir):
         return 0
@@ -320,6 +338,168 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int:
         if name.endswith(".json") and name[:-5].isdigit():
             versions.append(int(name[:-5]))
     return max(versions, default=0)
+
+
+# Manifest-log checkpointing (the Delta `_last_checkpoint` shape): every
+# N commits the writer compacts the per-version SUMMARY records (version,
+# commit time, op label, file/row/byte totals, lineage markers — exactly
+# the `snapshot_history` row) into an immutable `_manifests/N.ckpt.json`
+# and repoints the overwritable `_manifests/_last_checkpoint` at it.
+# History / as-of / version resolution then read O(1) + O(tail) instead
+# of O(all versions). The checkpoint is an OPTIMIZATION, never a
+# correctness dependency: a missing, torn, or stale pointer falls back to
+# the full manifest scan, and checkpoint writes are best-effort (a failed
+# checkpoint can never fail a commit). Data-bearing manifests are still
+# read individually when file lists are needed — each N.json is already
+# self-contained, so unlike Delta no state reconstruction is involved.
+SNAPSHOT_CHECKPOINT_INTERVAL = 10
+_CKPT_POINTER = "_last_checkpoint"
+
+
+def _history_rec(v: int, m: dict) -> dict:
+    """The per-version summary record shared by ``snapshot_history`` and
+    the manifest-log checkpoint (they must agree byte-for-byte — the
+    checkpoint IS cached history)."""
+    rec: dict = {"version": v}
+    if m.get("ts") is not None:
+        rec["ts"] = m["ts"]
+    if m.get("op"):
+        rec["op"] = m["op"]
+    for k in ("restored_from", "optimized_from", "restamped_from",
+              "cloned_from", "constraint_added", "constraint_dropped"):
+        if k in m:
+            rec[k] = m[k]
+    files = m.get("files")
+    if files is None:
+        rec.update(
+            {"n_files": None, "rows": None, "bytes": None,
+             "n_staged": None, "n_carried": None}
+        )
+    else:
+        own = f"v={v}/"
+        rec.update(
+            {
+                "n_files": len(files),
+                "rows": sum(e.get("rows", 0) for e in files),
+                "bytes": sum(e.get("bytes", 0) for e in files),
+                "n_staged": sum(e["path"].startswith(own) for e in files),
+                "n_carried": sum(not e["path"].startswith(own) for e in files),
+            }
+        )
+    return rec
+
+
+def _read_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
+    """The latest manifest-log checkpoint ``{"version": N, "log":
+    [rec, ...]}`` — or None when absent/torn (callers fall back to the
+    full manifest scan; the pointer is overwritten non-atomically by
+    design, exactly Delta's `_last_checkpoint` contract)."""
+    import json
+
+    fs, jvm = _snap_fs(spark, table_dir)
+
+    def _read(path) -> str:
+        stream = fs.open(path)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    try:
+        ptr = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, _CKPT_POINTER)
+        if not fs.exists(ptr):
+            return None
+        meta = json.loads(_read(ptr))
+        ck = json.loads(
+            _read(_snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, meta["path"]))
+        )
+        if int(ck["version"]) != int(meta["version"]) or "log" not in ck:
+            return None
+        return ck
+    except Exception:
+        return None
+
+
+def snapshot_checkpoint(spark: SparkSession, table_dir: str) -> int:
+    """Force a manifest-log checkpoint at the CURRENT version and return
+    it (the automatic cadence is every ``SNAPSHOT_CHECKPOINT_INTERVAL``
+    commits; this is the explicit lever — e.g. before handing a table to
+    a high-frequency streaming tail). Incremental: only the manifests
+    since the previous checkpoint are read."""
+    version = snapshot_version(spark, table_dir)
+    if version < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    _checkpoint_now(spark, table_dir, version, None)
+    return version
+
+
+def _checkpoint_now(
+    spark: SparkSession, table_dir: str, version: int, payload: dict | None
+) -> None:
+    """Build the compacted log up to ``version`` (previous checkpoint +
+    tail manifest reads; ``payload`` short-circuits the newest read when
+    the caller just committed it) and publish it."""
+    import json
+    import uuid
+
+    prev = _read_checkpoint(spark, table_dir)
+    if prev is not None and int(prev["version"]) >= version:
+        return  # a concurrent writer already checkpointed at-or-past us
+    log, start = ([], 1) if prev is None else (list(prev["log"]), int(prev["version"]) + 1)
+    for v in range(start, version + 1):
+        if v == version and payload is not None:
+            log.append(_history_rec(v, payload))
+            continue
+        try:
+            log.append(_history_rec(v, _read_manifest(spark, table_dir, v)))
+        except FileNotFoundError:
+            continue
+    fs, jvm = _snap_fs(spark, table_dir)
+    mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
+    ck = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{version}.ckpt.json")
+    if not fs.exists(ck):
+        tmp = _snap_path(jvm, str(mdir), f".{version}.ckpt.{uuid.uuid4().hex}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps({"version": version, "log": log}).encode()))
+        finally:
+            out.close()
+        if not fs.rename(tmp, ck):
+            fs.delete(tmp, False)  # lost a duplicate-checkpoint race: fine
+    # repoint: tmp + delete + rename. The pointer is the ONLY overwritten
+    # file in the protocol; a reader hitting the delete/rename window (or
+    # a torn write) falls back to the listing — never a wrong answer.
+    ptr = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, _CKPT_POINTER)
+    tmp2 = _snap_path(jvm, str(mdir), f".{_CKPT_POINTER}.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmp2, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps(
+                    {"version": version, "path": f"{version}.ckpt.json"}
+                ).encode()
+            )
+        )
+    finally:
+        out.close()
+    fs.delete(ptr, False)
+    if not fs.rename(tmp2, ptr):
+        fs.delete(tmp2, False)
+
+
+def _maybe_checkpoint(
+    spark: SparkSession, table_dir: str, version: int, payload: dict
+) -> None:
+    """Auto-checkpoint on the interval cadence, best-effort: called after
+    every successful commit publish; any failure is swallowed (the next
+    interval retries, and readers never depend on checkpoint presence)."""
+    interval = SNAPSHOT_CHECKPOINT_INTERVAL
+    if not interval or interval < 1 or version % interval:
+        return
+    try:
+        _checkpoint_now(spark, table_dir, version, payload)
+    except Exception:
+        pass
 
 
 def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int:
@@ -337,18 +517,33 @@ def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int
     ``ts``, so the scan stops at that first late record instead of
     reading every manifest (O(answer) reads for an old as-of).
     Pre-stamp-era records (no ``ts`` field) are treated as infinitely
-    old: they never terminate the scan and any as-of reaches past them."""
+    old: they never terminate the scan and any as-of reaches past them.
+
+    With a manifest-log checkpoint the scan walks the compacted
+    (version, ts) log first — tiny records, zero manifest reads — and
+    touches real manifests only for the post-checkpoint tail."""
     best = 0
-    for v in range(1, snapshot_version(spark, table_dir) + 1):
-        try:
-            m = _read_manifest(spark, table_dir, v)
-        except FileNotFoundError:
-            continue
-        if m.get("ts") is not None and float(m["ts"]) > ts:
-            # clamped times are monotone: every later version's effective
-            # time is at least this one's — nothing further can qualify
-            break
-        best = v
+    ck = _read_checkpoint(spark, table_dir)
+    start, stopped = 1, False
+    if ck is not None:
+        for rec in ck["log"]:
+            if rec.get("ts") is not None and float(rec["ts"]) > ts:
+                stopped = True
+                break
+            best = int(rec["version"])
+        start = int(ck["version"]) + 1
+    if not stopped:
+        for v in range(start, snapshot_version(spark, table_dir) + 1):
+            try:
+                m = _read_manifest(spark, table_dir, v)
+            except FileNotFoundError:
+                continue
+            if m.get("ts") is not None and float(m["ts"]) > ts:
+                # clamped times are monotone: every later version's
+                # effective time is at least this one's — nothing further
+                # can qualify
+                break
+            best = v
     if best < 1:
         raise FileNotFoundError(
             f"no snapshot committed at or before ts={ts} in {table_dir}"
@@ -777,6 +972,7 @@ def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: d
             ) from e
         finally:
             fs.delete(tmp, False)
+        _maybe_checkpoint(spark, table_dir, version, payload)
         return
     try:
         out = fs.create(record, False)  # create-no-overwrite: THE commit
@@ -786,6 +982,7 @@ def _commit_record(spark: SparkSession, table_dir: str, version: int, payload: d
         out.write(bytearray(json.dumps(payload).encode()))
     finally:
         out.close()
+    _maybe_checkpoint(spark, table_dir, version, payload)
 
 
 def _manifest_schema(manifest: dict):
@@ -1128,7 +1325,14 @@ def snapshot_append(
             if cur < 1:
                 # first commit IS table creation (structurally a pure
                 # append); no retries inside — a lost race here must fall
-                # through to the APPEND path, not a full replace
+                # through to the APPEND path, not a full replace. The CAS
+                # pin is MANDATORY: with expected_version=None a writer
+                # that fully commits v1 between our version read and
+                # snapshot_write's staging would be silently ERASED by
+                # this full replace landing as v2. Pinning 0 makes
+                # snapshot_write's own CAS/staged-version check raise a
+                # retryable SnapshotConflictError instead, and the retry
+                # re-reads cur>=1 and takes the append path.
                 first = df
                 if cluster_by:
                     first = (
@@ -1141,7 +1345,7 @@ def snapshot_append(
                     table_dir,
                     stats_cols=stats_cols,
                     properties=properties,
-                    expected_version=expected_version,
+                    expected_version=0 if expected_version is None else expected_version,
                     _op="append",
                 )
             manifest = _read_manifest(spark, table_dir, cur)
@@ -2514,47 +2718,35 @@ def snapshot_history(
     one record per committed version — file/row/byte totals and how many
     files were newly staged vs carried by reference from older versions.
     Pure manifest reads — no data files are listed or opened, so history
-    on a 100 TB table costs KBs of JSON. ``check_available=True``
+    on a 100 TB table costs KBs of JSON. With a manifest-log checkpoint
+    the checkpointed prefix is served straight from the compacted log
+    (zero manifest reads — the checkpoint stores exactly these records);
+    only the tail reads real manifests. ``check_available=True``
     additionally probes every referenced file's existence (False once
-    vacuum reclaimed any of it) — one FS round-trip per file, so opt-in."""
+    vacuum reclaimed any of it) — one FS round-trip per file, so opt-in;
+    it needs the per-version FILE LISTS and therefore always takes the
+    full manifest-read path."""
     fs, jvm = _snap_fs(spark, table_dir)
     out = []
-    for v in range(1, snapshot_version(spark, table_dir) + 1):
+    start = 1
+    if not check_available:
+        ck = _read_checkpoint(spark, table_dir)
+        if ck is not None:
+            out.extend(dict(rec) for rec in ck["log"])
+            start = int(ck["version"]) + 1
+    for v in range(start, snapshot_version(spark, table_dir) + 1):
         try:
             m = _read_manifest(spark, table_dir, v)
         except FileNotFoundError:
             continue
-        rec: dict = {"version": v}
-        if m.get("ts") is not None:
-            rec["ts"] = m["ts"]
-        if m.get("op"):
-            rec["op"] = m["op"]
-        for k in ("restored_from", "optimized_from", "restamped_from",
-                  "cloned_from", "constraint_added", "constraint_dropped"):
-            if k in m:
-                rec[k] = m[k]
-        files = m.get("files")
-        if files is None:
-            rec.update(
-                {"n_files": None, "rows": None, "bytes": None,
-                 "n_staged": None, "n_carried": None}
-            )
-            if check_available:
+        rec = _history_rec(v, m)
+        if check_available:
+            files = m.get("files")
+            if files is None:
                 rec["available"] = bool(
                     fs.exists(_snap_path(jvm, table_dir, f"v={v}", "_SUCCESS"))
                 )
-        else:
-            own = f"v={v}/"
-            rec.update(
-                {
-                    "n_files": len(files),
-                    "rows": sum(e.get("rows", 0) for e in files),
-                    "bytes": sum(e.get("bytes", 0) for e in files),
-                    "n_staged": sum(e["path"].startswith(own) for e in files),
-                    "n_carried": sum(not e["path"].startswith(own) for e in files),
-                }
-            )
-            if check_available:
+            else:
                 rec["available"] = all(
                     fs.exists(_snap_path(jvm, table_dir, e["path"])) for e in files
                 )
@@ -3264,6 +3456,79 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         payload["properties"] = manifest["properties"]
     _commit_record(spark, table_dir, version, payload)
     return version
+
+
+def snapshot_expire_log(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 100,
+    dry_run: bool = False,
+) -> list[int]:
+    """Bound the commit LOG (Delta's ``logRetentionDuration``, in version
+    units): delete manifest records older than the newest ``keep_last``
+    versions, plus checkpoint files the current pointer no longer needs.
+    Returns the expired version numbers.
+
+    A year of streaming appends leaves 100k+ ``_manifests/N.json``
+    records; version resolution is already O(1)+O(tail) via the
+    manifest-log checkpoint, but the directory itself still grows without
+    bound and every fallback listing pays it. Expiry is SAFE BY
+    CONSTRUCTION in this order:
+
+    1. a fresh checkpoint is forced at the CURRENT version first, so
+       ``snapshot_history`` / ``snapshot_version_asof`` keep serving the
+       expired versions' summaries from the compacted log (better than
+       Delta, which forgets expired history);
+    2. only then are records older than the cut deleted. Data files are
+       NOT touched — carried files stay readable because reachability is
+       decided by ``snapshot_vacuum`` from the KEPT manifests, never by
+       log age.
+
+    What expiry gives up, stated: time travel (``snapshot_read(version=
+    N)`` / ``restore`` / ``snapshotfeed startingVersion=N``) to an
+    expired version raises FileNotFoundError — the same contract every
+    log-structured format has past its retention horizon. ``keep_last``
+    is clamped to >= 1 (the current version is never expirable)."""
+    keep_last = max(1, int(keep_last))
+    current = snapshot_version(spark, table_dir)
+    if current < 1:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    cut = current - keep_last  # expire versions <= cut
+    if cut < 1:
+        return []
+    fs, jvm = _snap_fs(spark, table_dir)
+    expired = [
+        v
+        for v in range(1, cut + 1)
+        if fs.exists(
+            _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")
+        )
+    ]
+    if dry_run or not expired:
+        return expired
+    # checkpoint BEFORE deleting: the compacted log is what keeps
+    # history/as-of whole across the horizon
+    _checkpoint_now(spark, table_dir, current, None)
+    ck = _read_checkpoint(spark, table_dir)
+    if ck is None or int(ck["version"]) < current:
+        raise RuntimeError(
+            f"snapshot_expire_log: could not establish a checkpoint at "
+            f"v{current} under {table_dir} — refusing to delete history "
+            f"the compacted log does not carry"
+        )
+    for v in expired:
+        fs.delete(
+            _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json"), False
+        )
+    # checkpoint files below the live pointer are superseded
+    mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".ckpt.json"):
+            head = name[: -len(".ckpt.json")]
+            if head.isdigit() and int(head) < int(ck["version"]):
+                fs.delete(st.getPath(), False)
+    return expired
 
 
 def snapshot_vacuum(

@@ -996,13 +996,25 @@ def stream_snapshot_cdc_apply(
         if batch_df.isEmpty():
             return
         others = [c for c in batch_df.columns if c not in keys and c != version_col]
+        # tie-break WITHIN one commit version deterministically: a commit
+        # can emit both a delete (new tombstone) and an insert (restored
+        # or newly-appended position) for the same key — e.g. a restore
+        # that swaps the deletion vector — and a key with any live
+        # position at the END of the commit is live, so live ops outrank
+        # deletes. __ord (partition-layout arrival order) only breaks
+        # ties the feed itself never disambiguates (duplicate live rows
+        # for one key in one version — a malformed keyed feed anyway).
+        live_rank = F.when(
+            F.coalesce(F.col(op_col).isin(*delete_ops), F.lit(False)),
+            F.lit(0),
+        ).otherwise(F.lit(1))
         folded = (
             batch_df.withColumn("__ord", F.monotonically_increasing_id())
             .groupBy(*keys)
             .agg(
                 F.max_by(
                     F.struct(*others),
-                    F.struct(F.col(version_col), F.col("__ord")),
+                    F.struct(F.col(version_col), live_rank, F.col("__ord")),
                 ).alias("__s")
             )
             .select(*keys, "__s.*")

@@ -516,3 +516,302 @@ def test_batch_reader_pushes_filters_to_manifest(spark, tmp_path):
     finally:
         for p in pruned:
             os.rename(f"{tdir}/{p}.hidden", f"{tdir}/{p}")
+
+
+def test_dv_read_bit_equality_and_order(spark, tmp_path):
+    """The DV-aware file read must be BIT-IDENTICAL to manual position
+    subtraction — including row order within the file (the vectorized
+    mask path must not reorder or drop the wrong positions)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "tbl")
+    # one file, known in-file order, non-monotone payload
+    rows = [(i, float((i * 37) % 11)) for i in range(1000)]
+    snapshot_write(
+        spark.createDataFrame(rows, "k long, v double").coalesce(1),
+        tdir,
+        stats_cols=["k"],
+    )
+    snapshot_delete(
+        spark, str(tdir), [("k", ">=", 100), ("k", "<", 400)], mode="dv"
+    )
+    snapshot_delete(spark, str(tdir), [("k", "=", 999)], mode="dv")
+    feedsource.register(spark)
+    got = spark.read.format("snapshotfeed").load(tdir).toPandas()
+    got = list(map(tuple, got.itertuples(index=False)))
+
+    from f1_data_pipeline_spark.storage import _read_manifest, snapshot_version
+
+    m = _read_manifest(spark, tdir, snapshot_version(spark, tdir))
+    (entry,) = m["files"]
+    raw = pq.read_table(f"{tdir}/{entry['path']}")
+    dv = pq.read_table(f"{tdir}/{m['dv']['dir']}")
+    import pyarrow.compute as pc
+
+    pos = set(
+        dv.filter(pc.equal(dv["path"], "/".join(entry["path"].split("/")[-2:])))[
+            "pos"
+        ].to_pylist()
+    )
+    want = [
+        (r["k"], r["v"])
+        for i, r in enumerate(raw.to_pylist())
+        if i not in pos
+    ]
+    assert got == want  # exact values AND exact in-file order
+    assert len(got) == 1000 - 301
+
+
+def test_file_uri_round_trip(spark, tmp_path):
+    """The source accepts the same ``file:`` URIs ``snapshot_read``
+    does — batch AND stream — through pyarrow's filesystem resolution."""
+    from f1_data_pipeline_spark.storage import snapshot_read
+
+    tdir = tmp_path / "tbl"
+    snapshot_write(_batch(spark, 0, 50).repartition(2), str(tdir), stats_cols=["k"])
+    snapshot_delete(spark, str(tdir), [("k", "<", 5)], mode="dv")
+    feedsource.register(spark)
+    uri = f"file://{tdir}"
+
+    got = spark.read.format("snapshotfeed").load(uri)
+    want = snapshot_read(spark, str(tdir))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    out, ckpt = tmp_path / "out", tmp_path / "ck"
+    q = (
+        spark.readStream.format("snapshotfeed")
+        .load(uri)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.schema("k long, v double").parquet(str(out))
+    assert streamed.count() == 45
+
+
+def test_starting_version_beyond_latest_refused(spark, tmp_path):
+    """startingVersion past latest+1 must refuse at plan time — accepting
+    it would commit end=latest on an empty first batch and later DELIVER
+    the versions between latest+1 and startingVersion-1, all of which
+    precede the requested start."""
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+
+    tdir = tmp_path / "tbl"
+    snapshot_append(_batch(spark, 0, 10), str(tdir))
+    snapshot_append(_batch(spark, 10, 20), str(tdir))
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+    # latest+1 (start at the NEXT commit) is the maximum accepted
+    r = SnapshotFeedStreamReader(schema, {"path": str(tdir), "startingversion": "3"})
+    assert r.initialOffset() == {"version": 2, "mode": "replay"}
+    r = SnapshotFeedStreamReader(schema, {"path": str(tdir), "startingversion": "7"})
+    with pytest.raises(ValueError, match="beyond the table's latest"):
+        r.initialOffset()
+
+
+def test_stream_where_prunes_at_manifest_level(spark, tmp_path):
+    """A filtered tail (where= option) must skip non-matching appended
+    files WITHOUT opening them — pinned physically: the pruned files are
+    renamed away on disk and the filtered stream still succeeds — and
+    must filter surviving files' rows exactly."""
+    import os
+
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    snapshot_append(
+        _batch(spark, 0, 100).coalesce(1), str(tdir), stats_cols=["k"]
+    )
+    where = '[["k", "<", 200]]'
+    got = _run(spark, tdir, out, ckpt, where=where)
+    assert got.count() == 100
+
+    # two appends: one entirely OUTSIDE the predicate (prunable), one
+    # straddling it (must be opened and exactly filtered)
+    snapshot_append(_batch(spark, 500, 600).coalesce(1), str(tdir))
+    snapshot_append(_batch(spark, 150, 250).coalesce(1), str(tdir))
+    from f1_data_pipeline_spark.storage import _read_manifest
+
+    m = _read_manifest(spark, str(tdir), 3)
+    outside = [e["path"] for e in m["files"] if e["path"].startswith("v=2/")]
+    assert outside
+    for p in outside:
+        os.rename(f"{tdir}/{p}", f"{tdir}/{p}.hidden")
+    try:
+        got = _run(spark, tdir, out, ckpt, where=where)
+    finally:
+        for p in outside:
+            os.rename(f"{tdir}/{p}.hidden", f"{tdir}/{p}")
+    # 100 initial + the straddling append's matching half; the pruned
+    # file contributed nothing and was never opened
+    assert got.count() == 150
+    assert got.agg(F.max("k")).head()[0] == 199
+
+    # batch reader takes the same option (exact, engine-independent)
+    feedsource.register(spark)
+    b = spark.read.format("snapshotfeed").option("where", where).load(str(tdir))
+    assert b.count() == 150
+    with pytest.raises(Exception, match="unknown column|STREAM|where"):
+        spark.read.format("snapshotfeed").option(
+            "where", '[["nope", "<", 1]]'
+        ).load(str(tdir)).count()
+
+
+def test_where_filtered_replica(spark, tmp_path):
+    """A filtered changeFeed stream maintains a PARTIAL replica: only
+    matching rows flow, deletes included."""
+    from f1_data_pipeline_spark.storage import snapshot_read
+    from f1_data_pipeline_spark.streaming import stream_snapshot_cdc_apply
+
+    src, rep, ckpt = tmp_path / "src", tmp_path / "rep", tmp_path / "ck"
+    snapshot_append(_batch(spark, 0, 50).coalesce(1), str(src), stats_cols=["k"])
+    feedsource.register(spark)
+
+    def sync():
+        q = stream_snapshot_cdc_apply(
+            spark.readStream.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .option("where", '[["k", "<", 20]]')
+            .load(str(src)),
+            str(rep),
+            str(ckpt),
+            key="k",
+        )
+        q.awaitTermination(180)
+
+    sync()
+    assert sorted(r["k"] for r in snapshot_read(spark, str(rep)).collect()) == list(
+        range(20)
+    )
+    # a DV delete inside the predicate replicates; one outside is ignored
+    snapshot_delete(spark, str(src), [("k", "=", 5)], mode="dv")
+    sync()
+    snapshot_delete(spark, str(src), [("k", "=", 40)], mode="dv")
+    sync()
+    ks = sorted(r["k"] for r in snapshot_read(spark, str(rep)).collect())
+    assert ks == [k for k in range(20) if k != 5]
+
+
+def test_datasource_writer_batch(spark, tmp_path):
+    """The write face of the format: df.write / SQL INSERT INTO / INSERT
+    OVERWRITE commit real snapshot versions — op-labelled, carried-by-
+    reference appends with per-file stats, atomic manifest publish —
+    interoperable with every storage.py reader."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_add_constraint,
+        snapshot_history,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    _batch(spark, 0, 100).write.format("snapshotfeed").mode("append").save(tdir)
+    assert snapshot_version(spark, tdir) == 1
+    assert snapshot_read(spark, tdir).count() == 100
+
+    _batch(spark, 100, 120).write.format("snapshotfeed").mode("append").save(tdir)
+    m2 = _read_manifest(spark, tdir, 2)
+    assert m2["op"] == "append"
+    v1_files = {e["path"] for e in _read_manifest(spark, tdir, 1)["files"]}
+    assert v1_files <= {e["path"] for e in m2["files"]}  # carried by reference
+    staged = [e for e in m2["files"] if e["path"].startswith("v=2/")]
+    assert staged and all("k" in e["stats"] and "v" in e["stats"] for e in staged)
+    assert min(e["stats"]["k"]["min"] for e in staged) == 100
+    assert max(e["stats"]["k"]["max"] for e in staged) == 119
+
+    # SQL surface: INSERT INTO a USING view commits an append version
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW snap_w USING snapshotfeed "
+        f"OPTIONS (path '{tdir}')"
+    )
+    spark.sql("INSERT INTO snap_w SELECT CAST(777 AS LONG) AS k, 7.0 AS v")
+    assert snapshot_read(spark, tdir).count() == 121
+    assert [h.get("op") for h in snapshot_history(spark, tdir)] == ["append"] * 3
+
+    # schema drift refuses (no silent evolution through SQL writes)
+    with pytest.raises(Exception, match="does not match the committed"):
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).write.format("snapshotfeed").mode("append").save(tdir)
+
+    # INSERT OVERWRITE = full replace, op-labelled "write"
+    spark.sql("INSERT OVERWRITE snap_w SELECT CAST(1 AS LONG) AS k, 2.0 AS v")
+    assert snapshot_read(spark, tdir).count() == 1
+    assert _read_manifest(spark, tdir, 4)["op"] == "write"
+
+    # a table with CHECK constraints refuses the writer path loudly
+    snapshot_add_constraint(spark, tdir, "k_pos", "k >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        _batch(spark, 0, 5).write.format("snapshotfeed").mode("append").save(tdir)
+
+
+def test_datasource_writer_streaming_exactly_once(spark, tmp_path):
+    """writeStream.format('snapshotfeed') with txnAppId: the batch id is
+    stamped atomically with the data, so a replayed micro-batch skips —
+    exactly-once. The replay gate is unit-driven (same batchId committed
+    twice) plus an e2e run."""
+    import pyarrow as pa
+
+    from f1_data_pipeline_spark.ingest.feedsource import (
+        SnapshotFeedStreamWriter,
+        _writer_target_schema,
+    )
+    from f1_data_pipeline_spark.storage import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_version,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    schema = _batch(spark, 0, 1).schema
+
+    w = SnapshotFeedStreamWriter(schema, {"path": tdir, "txnappid": "app1"})
+    target = _writer_target_schema(schema.json())
+
+    def stage(lo, hi):
+        tbl = pa.table(
+            {"k": list(range(lo, hi)), "v": [float(i * 2) for i in range(lo, hi)]}
+        ).cast(target)
+        return [w.write(iter(tbl.to_batches()))]
+
+    w.commit(stage(0, 10), 0)
+    assert snapshot_version(spark, tdir) == 1
+    assert snapshot_properties(spark, tdir)["txn"] == {"app1": 0}
+    # crash replay: the SAME batch id arrives again with identical rows —
+    # the stamp proves it landed; nothing commits, staged files cleaned
+    w.commit(stage(0, 10), 0)
+    assert snapshot_version(spark, tdir) == 1
+    assert snapshot_read(spark, tdir).count() == 10
+    w.commit(stage(10, 15), 1)
+    assert snapshot_version(spark, tdir) == 2
+    assert snapshot_read(spark, tdir).count() == 15
+    import os
+
+    leftovers = os.listdir(f"{tdir}/_staging") and [
+        n
+        for d in os.listdir(f"{tdir}/_staging")
+        for n in os.listdir(f"{tdir}/_staging/{d}")
+    ]
+    assert not leftovers  # replayed/committed stages never accumulate
+
+    # e2e: a real streaming query into the sink
+    src, ckpt = tmp_path / "src", tmp_path / "ck"
+    _batch(spark, 100, 130).write.parquet(str(src))
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .writeStream.format("snapshotfeed")
+        .option("path", tdir)
+        .option("txnAppId", "e2e")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert snapshot_read(spark, tdir).count() == 45
+    props = snapshot_properties(spark, tdir)["txn"]
+    assert props["app1"] == 1 and "e2e" in props  # stamps coexist per app

@@ -65,7 +65,7 @@ def test_every_operator_module_inside_window():
     """Each extension operator family lands at least one query in the window."""
     window = set(DRIVER_PRIORITY)
     families = {
-        "text": {"x_urls", "x_taxonomy", "x_normalize",
+        "text": {"x_urls", "x_taxonomy", "x_normalize", "x_curation",
                  "x_text_repetition", "x_gopher"},
         "text-sampling": {"x_token_budget", "x_mixture_sample"},
         "text-winnow": {"x_text_winnow"},
@@ -91,20 +91,25 @@ def test_every_operator_module_inside_window():
         assert names & window, f"operator family {family!r} has no query in the driver window"
 
 
-def test_round9_rotation_inside_window():
+def test_round9_rotation_verified_then_rotatable():
     """Round-9 rotation (r8 judge ask #1): the 12 oracle-bearing queries
-    built in round 8 after that round's rotation was full (the lakehouse
-    CDC/CDF/Bloom wave, the KMV/CMS sketch family, edit-distance joins,
-    KS drift, temperature mixtures) must all sit inside the
-    independently-verified window; the no-oracle streaming Misra-Gries
-    row must NOT burn a slot."""
+    built in round 8 were rotated into the window in round 9 and held
+    through round 10 (two external hash-green rounds). The standing
+    policy then allows displacement — but ONLY with a SWEEP_ONLY reason
+    recording the multi-round green; silently vanishing from both is the
+    failure mode this guards."""
     window = set(DRIVER_PRIORITY)
     rotated = {"x_snapshot_cdc", "x_snapshot_changes", "x_snapshot_bloom",
                "x_cms_freq", "x_kmv_distinct", "x_kmv_jaccard",
                "x_kmv_setops", "x_editdist_join", "x_editdist_clusters",
                "x_bottomk_sample", "x_temp_mixture", "x_source_drift"}
-    missing = rotated - window
-    assert not missing, f"round-9 rotations outside the driver window: {missing}"
+    for name in rotated:
+        if name in window:
+            continue
+        assert name in SWEEP_ONLY and "hash-green" in SWEEP_ONLY[name], (
+            f"round-9 rotation {name} left the window without a "
+            f"hash-green displacement record in SWEEP_ONLY"
+        )
     assert "x_stream_heavy_hitters" not in window, (
         "rows-only x_stream_heavy_hitters can never hash-verify; it must "
         "not occupy a driver-window slot (r8 verdict ask #1)"
@@ -128,6 +133,19 @@ def test_round10_rotation_inside_window():
                "x_epoch_upsample", "x_resample"}
     missing = rotated - window
     assert not missing, f"round-10 rotations outside the driver window: {missing}"
+
+
+def test_round11_rotation_inside_window():
+    """Round-11 rotation (r10 judge ask #1): the 5 oracle-bearing queries
+    built in round 10 after that round's rotation was full — the entire
+    MERGE INTO / append-only-commit / metadata-only-aggregate wave —
+    must sit inside the independently-verified window; until this
+    rotation that wave had zero external hash verification."""
+    window = set(DRIVER_PRIORITY)
+    rotated = {"x_merge_into", "x_merge_composite", "x_snapshot_append",
+               "x_meta_agg", "x_meta_count"}
+    missing = rotated - window
+    assert not missing, f"round-11 rotations outside the driver window: {missing}"
 
 
 def test_every_oracle_query_windowed_or_sweep_only():

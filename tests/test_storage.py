@@ -2857,6 +2857,218 @@ def test_snapshot_append_schema_and_constraints(spark, tmp_path):
         )
 
 
+def test_snapshot_append_first_commit_race_not_lost(spark, tmp_path, monkeypatch):
+    """A writer that fully commits v1 between snapshot_append's version
+    read and its first-commit write must NOT be erased by the append
+    landing as a v2 full replace: the first-commit path pins
+    expected_version=0, so the race surfaces as a retryable
+    SnapshotConflictError and the retry falls through to the APPEND path
+    (carrying the concurrent writer's rows)."""
+    import f1_data_pipeline_spark.storage as st
+
+    tdir = str(tmp_path / "tbl")
+    concurrent = spark.createDataFrame([(1, "concurrent")], "k long, s string")
+    mine = spark.createDataFrame([(2, "mine")], "k long, s string")
+    # the concurrent writer lands v1 first; the append's INITIAL version
+    # read is then faked stale (0) — exactly the lost-race interleaving
+    st.snapshot_write(concurrent, tdir, stats_cols=["k"])
+    real = st.snapshot_version
+    calls = {"n": 0}
+
+    def stale_once(sp, td):
+        calls["n"] += 1
+        return 0 if calls["n"] == 1 else real(sp, td)
+
+    monkeypatch.setattr(st, "snapshot_version", stale_once)
+    # without retries: a typed conflict, and NOTHING was overwritten
+    with pytest.raises(st.SnapshotConflictError):
+        st.snapshot_append(mine, tdir)
+    monkeypatch.setattr(st, "snapshot_version", real)
+    assert st.snapshot_version(spark, tdir) == 1
+    assert {r["s"] for r in st.snapshot_read(spark, tdir).collect()} == {"concurrent"}
+
+    # with retries: the loser re-reads and APPENDS onto the winner's v1
+    calls["n"] = 0
+    monkeypatch.setattr(st, "snapshot_version", stale_once)
+    v = st.snapshot_append(mine, tdir, retries=2)
+    monkeypatch.setattr(st, "snapshot_version", real)
+    assert v == 2
+    m2 = st._read_manifest(spark, tdir, 2)
+    assert m2["op"] == "append"
+    assert {r["s"] for r in st.snapshot_read(spark, tdir).collect()} == {
+        "concurrent",
+        "mine",
+    }
+
+
+def test_manifest_log_checkpoint(spark, tmp_path, monkeypatch):
+    """Manifest-log checkpointing (the Delta `_last_checkpoint` shape):
+    version / history / as-of resolution must stay EXACT across
+    checkpoints, resolve without reading every manifest (counted), and
+    survive a torn pointer by falling back to the full scan."""
+    import os
+
+    import f1_data_pipeline_spark.storage as st
+
+    monkeypatch.setattr(st, "SNAPSHOT_CHECKPOINT_INTERVAL", 5)
+    tdir = str(tmp_path / "tbl")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    for i in range(12):
+        st.snapshot_append(b(i * 10, i * 10 + 10), tdir)
+    assert os.path.exists(f"{tdir}/_manifests/5.ckpt.json")
+    assert os.path.exists(f"{tdir}/_manifests/10.ckpt.json")
+    assert os.path.exists(f"{tdir}/_manifests/_last_checkpoint")
+    assert st.snapshot_version(spark, tdir) == 12
+
+    # history through the checkpoint == history from a full manifest scan
+    hist = st.snapshot_history(spark, tdir)
+    real_rc = st._read_checkpoint
+    monkeypatch.setattr(st, "_read_checkpoint", lambda *a: None)
+    hist_full = st.snapshot_history(spark, tdir)
+    assert st.snapshot_version(spark, tdir) == 12  # listing fallback
+    monkeypatch.setattr(st, "_read_checkpoint", real_rc)
+    assert hist == hist_full and len(hist) == 12
+
+    # resolution reads only the post-checkpoint TAIL (counted JSON reads)
+    reads = []
+    real_rm = st._read_manifest
+
+    def counting(sp, td, v):
+        reads.append(v)
+        return real_rm(sp, td, v)
+
+    monkeypatch.setattr(st, "_read_manifest", counting)
+    st.snapshot_history(spark, tdir)
+    assert set(reads) == {11, 12}, f"checkpointed prefix was re-read: {reads}"
+    # as-of inside the checkpointed prefix: ZERO manifest reads
+    ts3, ts4 = hist[2]["ts"], hist[3]["ts"]
+    reads.clear()
+    assert st.snapshot_version_asof(spark, tdir, (ts3 + ts4) / 2) == 3
+    assert reads == []
+    # as-of in the tail: reads only the tail
+    reads.clear()
+    assert st.snapshot_version_asof(spark, tdir, hist[-1]["ts"] + 1) == 12
+    assert set(reads) <= {11, 12}
+    monkeypatch.setattr(st, "_read_manifest", real_rm)
+
+    # torn pointer: every read falls back to the full scan, still exact
+    with open(f"{tdir}/_manifests/_last_checkpoint", "w") as f:
+        f.write("{torn")
+    assert st.snapshot_version(spark, tdir) == 12
+    assert st.snapshot_history(spark, tdir) == hist_full
+
+    # explicit checkpoint repairs the pointer at the CURRENT version
+    assert st.snapshot_checkpoint(spark, tdir) == 12
+    ck = st._read_checkpoint(spark, tdir)
+    assert ck is not None and ck["version"] == 12 and len(ck["log"]) == 12
+    assert [r["version"] for r in ck["log"]] == list(range(1, 13))
+    assert all(r["op"] == "append" for r in ck["log"])
+
+    # the feedsource's latest-version probe rides the same pointer
+    from f1_data_pipeline_spark.ingest.feedsource import _latest_version
+
+    assert _latest_version(tdir) == 12
+    st.snapshot_append(b(200, 205), tdir)
+    assert _latest_version(tdir) == 13  # forward probe past the pointer
+
+
+def test_snapshot_expire_log(spark, tmp_path, monkeypatch):
+    """Log retention: expired manifest records disappear, but version
+    resolution, FULL history and as-of keep working through the forced
+    checkpoint; time travel past the horizon raises; data files and the
+    current read are untouched."""
+    import os
+
+    import f1_data_pipeline_spark.storage as st
+
+    # large interval: no auto-checkpoint — expiry must force its own
+    monkeypatch.setattr(st, "SNAPSHOT_CHECKPOINT_INTERVAL", 1000)
+    tdir = str(tmp_path / "tbl")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    for i in range(15):
+        st.snapshot_append(b(i * 10, i * 10 + 10), tdir)
+    hist_before = st.snapshot_history(spark, tdir)
+
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5, dry_run=True) == list(
+        range(1, 11)
+    )
+    assert os.path.exists(f"{tdir}/_manifests/1.json")  # dry run deletes nothing
+
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5) == list(range(1, 11))
+    kept = sorted(
+        n for n in os.listdir(f"{tdir}/_manifests")
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    assert sorted(int(n[:-5]) for n in kept) == list(range(11, 16))
+
+    assert st.snapshot_version(spark, tdir) == 15
+    # FULL history survives via the compacted log — including expired recs
+    assert st.snapshot_history(spark, tdir) == hist_before
+    # as-of into the expired range still resolves from the log
+    ts3, ts4 = hist_before[2]["ts"], hist_before[3]["ts"]
+    if ts4 > ts3:
+        assert st.snapshot_version_asof(spark, tdir, (ts3 + ts4) / 2) == 3
+    # current read untouched; kept-version time travel works
+    assert st.snapshot_read(spark, tdir).count() == 150
+    assert st.snapshot_read(spark, tdir, version=12).count() == 120
+    with pytest.raises(FileNotFoundError):
+        st.snapshot_read(spark, tdir, version=5)
+    # maintenance still composes: vacuum plans from the kept manifests
+    st.snapshot_vacuum(spark, tdir, keep_last=2, dry_run=True)
+    from f1_data_pipeline_spark.ingest.feedsource import _latest_version
+
+    assert _latest_version(tdir) == 15
+    # idempotent: nothing left below the cut
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5) == []
+
+
+def test_cdc_apply_same_version_insert_beats_delete(spark, tmp_path):
+    """Within ONE feed commit version a key can carry both a delete (new
+    tombstone) and an insert (restored or newly-appended position) — e.g.
+    a restore that swaps the deletion vector. A key with any live
+    position at the END of the commit is live, so the fold must prefer
+    live ops over deletes deterministically — never partition-layout
+    arrival order. Across versions, the version still dominates."""
+    from f1_data_pipeline_spark.storage import snapshot_read
+    from f1_data_pipeline_spark.streaming import stream_snapshot_cdc_apply
+
+    feed, rep, ckpt = tmp_path / "feed", tmp_path / "rep", tmp_path / "ck"
+    schema = "k long, v double, _change_type string, _commit_version long"
+    # two separate files so monotonically_increasing_id orders them by
+    # partition layout — the nondeterminism the op-rank must override
+    spark.createDataFrame(
+        [(7, 1.0, "insert", 5), (1, 10.0, "insert", 5)], schema
+    ).coalesce(1).write.parquet(str(feed))
+    spark.createDataFrame([(7, 2.0, "delete", 5)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+
+    def sync():
+        q = stream_snapshot_cdc_apply(
+            spark.readStream.schema(schema).parquet(str(feed)),
+            str(rep),
+            str(ckpt),
+            key="k",
+        )
+        q.awaitTermination(180)
+
+    sync()
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, str(rep)).collect()}
+    assert rows == {7: 1.0, 1: 10.0}
+
+    # a LATER version's delete still wins over the v5 insert
+    spark.createDataFrame([(7, 0.0, "delete", 6)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(str(feed))
+    sync()
+    rows = {r["k"]: r["v"] for r in snapshot_read(spark, str(rep)).collect()}
+    assert rows == {1: 10.0}
+
+
 def test_snapshot_stats_agg_metadata_only(spark, tmp_path):
     """COUNT/MIN/MAX/nulls from the manifest: zero data files opened on a
     clean table; deletion-vector debt recomputes ONLY the dirty files."""
