@@ -159,9 +159,15 @@ def _latest_version(table_dir: str) -> int:
     if v is None:
         versions = _list_versions(table_dir)
         return versions[-1] if versions else 0
-    while f.get_file_info(f"{mdir}/{v + 1}.json").type != pafs.FileType.NotFound:
-        v += 1
-    return v
+    head = v
+    while f.get_file_info(f"{mdir}/{head + 1}.json").type != pafs.FileType.NotFound:
+        head += 1
+    if head == v and f.get_file_info(f"{mdir}/{v}.json").type == pafs.FileType.NotFound:
+        # corrupt pointer (its own version was never committed): fall
+        # back to the listing rather than report a phantom head
+        versions = _list_versions(table_dir)
+        return versions[-1] if versions else 0
+    return head
 
 
 def _read_json(table_dir: str, version: int) -> dict:
@@ -276,7 +282,26 @@ def _read_file(
     # nullability-tolerant cast: pre-evolution files null-fill added
     # columns, and Spark treats arrow nullability as advisory here
     target = pa.schema([f.with_nullable(True) for f in target])
-    tbl = pq.read_table(part.path)
+    rg_filters = None
+    if where and not part.dv_dir and not part.delta:
+        # push comparison triples into the parquet read: row-group (and
+        # page) statistics skip non-matching chunks INSIDE surviving
+        # files — the second pruning tier under the manifest envelope.
+        # ONLY on DV-free reads: deletion-vector positions are
+        # file-absolute, and a filtered read renumbers rows.
+        ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+        names = set(pq.read_schema(part.path).names)
+        cand = [
+            (c, ops[o], v)
+            for c, o, v in where
+            if o in ops and v is not None and c in names
+        ]
+        rg_filters = cand or None
+    tbl = (
+        pq.read_table(part.path, filters=rg_filters)
+        if rg_filters
+        else pq.read_table(part.path)
+    )
 
     def _positions(dv_dir: str | None) -> set[int]:
         if not dv_dir:
@@ -506,6 +531,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._max_versions = int(mv) if mv else None
         if self._max_versions is not None and self._max_versions < 1:
             raise ValueError("snapshotfeed: maxVersionsPerBatch must be >= 1")
+        mb = options.get("maxbytesperbatch", options.get("maxBytesPerBatch"))
+        self._max_bytes = int(mb) if mb else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("snapshotfeed: maxBytesPerBatch must be >= 1")
         self._change_feed = str(
             options.get("changefeed", options.get("changeFeed", "false"))
         ).lower() in ("true", "1")
@@ -568,6 +597,45 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         # would commit and then re-deliver the gap — never regress.
         if self._max_versions is not None and self._last_end is not None:
             cur = min(cur, self._last_end + self._max_versions)
+        if self._max_bytes is not None and self._last_end is not None:
+            # byte-based admission control (Delta's maxBytesPerTrigger,
+            # in manifest-recorded APPENDED bytes): extend the span one
+            # version at a time until the NEXT version would blow the
+            # budget; always admit at least one version so the stream
+            # can't stall on a single oversized commit. Maintenance
+            # commits count zero — their added files (e.g. optimize's
+            # packed rewrites) never stream. Cost: tail-bounded manifest
+            # JSON reads, the same records partitions() reads anyway.
+            total, v = 0, self._last_end
+            while v < cur:
+                m = _read_json(self._dir, v + 1)
+                op = m.get("op")
+                if op in _MAINTENANCE_OPS or (
+                    op is None and any(k in m for k in _MAINTENANCE_KEYS)
+                ):
+                    v += 1
+                    continue
+                if m.get("files") is None:
+                    v += 1  # v1-era record: partitions() raises its own error
+                    continue
+                prev = (
+                    _read_json(self._dir, v) if v > 0 else {"files": []}
+                )
+                prev_paths = (
+                    {x["path"] for x in prev["files"]}
+                    if prev.get("files") is not None
+                    else set()
+                )
+                added = sum(
+                    x.get("bytes", 0)
+                    for x in m["files"]
+                    if x["path"] not in prev_paths
+                )
+                if total > 0 and total + added > self._max_bytes:
+                    break
+                total += added
+                v += 1
+            cur = max(v, self._last_end + 1) if cur > self._last_end else cur
         return {"version": cur, "mode": "replay"}
 
     def partitions(self, start: dict, end: dict) -> list[_FeedFile]:

@@ -328,7 +328,12 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int:
             _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v + 1}.json")
         ):
             v += 1
-        return v
+        if v > int(ck["version"]) or fs.exists(
+            _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")
+        ):
+            return v
+        # a pointer whose own version was never committed is corrupt —
+        # fall through to the listing rather than report a phantom head
     mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
     if not fs.exists(mdir):
         return 0
@@ -643,7 +648,20 @@ def _check_staged_against(
 def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     """CLAIM and write the next version's staging dir (steps 1–2 of the
     commit protocol); returns ``(version, staging_dir)``. See
-    ``snapshot_write`` for the protocol rationale."""
+    ``snapshot_write`` for the protocol rationale.
+
+    The claim must be ATOMIC, not check-then-create: Hadoop's
+    ``createNewFile`` on the local FS is exists()-then-create, so two
+    threads racing the same version could both "claim" it and then write
+    parquet jobs into ONE directory — each job's commit tears down the
+    other's ``_temporary`` tree, and worse, the winner's manifest would
+    list the loser's committed part-files (duplicate rows once the loser
+    retries). Found by the concurrent-append stress test. On ``file:``
+    paths the claim is therefore published by hard link (the same
+    EEXIST-atomic syscall the commit record uses); elsewhere
+    ``create(overwrite=false)`` is the namespace-atomic primitive."""
+    import uuid
+
     spark = df.sparkSession
     fs, jvm = _snap_fs(spark, table_dir)
     version = snapshot_version(spark, table_dir) + 1
@@ -657,11 +675,36 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
             f"_manifests/{version}.json is absent, the orphan was never "
             f"committed and is safe to delete"
         )
-    if not fs.createNewFile(_snap_path(jvm, vdir, "_CLAIM")):
-        raise SnapshotConflictError(
-            f"snapshot_write: lost the staging race for v={version} under "
-            f"{table_dir} to a concurrent writer"
-        )
+    claim = _snap_path(jvm, vdir, "_CLAIM")
+    lost = SnapshotConflictError(
+        f"snapshot_write: lost the staging race for v={version} under "
+        f"{table_dir} to a concurrent writer"
+    )
+    if claim.toUri().getScheme() in (None, "file"):
+        fs.mkdirs(vpath)
+        tmp = _snap_path(jvm, vdir, f"._claim.{uuid.uuid4().hex}.tmp")
+        fs.create(tmp, True).close()
+        try:
+            _publish_by_link(jvm, claim, tmp)
+        except Exception as e:
+            # same trichotomy as the commit record: only a LOST RACE is a
+            # conflict (retryable); IO/config failures must fail loudly or
+            # they'd burn every retry on a hopeless loop
+            if fs.exists(claim):
+                raise lost from e
+            raise RuntimeError(
+                f"snapshot_write: publishing staging claim {claim} failed "
+                f"for a non-conflict reason (permissions? no hard-link "
+                f"support?): {e}"
+            ) from e
+        finally:
+            fs.delete(tmp, False)
+    else:
+        try:
+            out = fs.create(claim, False)
+            out.close()
+        except Exception as e:
+            raise lost from e
     # append, not overwrite: overwrite would delete the dir and with it the
     # _CLAIM marker that holds the stage against concurrent writers
     df.write.mode("append").parquet(vdir)

@@ -815,3 +815,56 @@ def test_datasource_writer_streaming_exactly_once(spark, tmp_path):
     assert snapshot_read(spark, tdir).count() == 45
     props = snapshot_properties(spark, tdir)["txn"]
     assert props["app1"] == 1 and "e2e" in props  # stamps coexist per app
+
+
+def test_max_bytes_per_batch_paces_by_size(spark, tmp_path):
+    """Byte-based admission control (the maxBytesPerTrigger analog):
+    steady-state spans stop before the budget, always admit at least one
+    version, and maintenance commits count zero."""
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+    from f1_data_pipeline_spark.storage import _read_manifest
+
+    tdir = tmp_path / "tbl"
+    for i in range(5):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10).coalesce(1), str(tdir))
+    snapshot_restamp(spark, str(tdir), {"note": "maintenance"})  # v6, 0 bytes
+    snapshot_append(_batch(spark, 50, 60).coalesce(1), str(tdir))  # v7
+
+    m2 = _read_manifest(spark, str(tdir), 2)
+    one_file = sum(
+        e["bytes"] for e in m2["files"] if e["path"].startswith("v=2/")
+    )
+    assert one_file > 0
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+    r = SnapshotFeedStreamReader(
+        schema,
+        {
+            "path": str(tdir),
+            "startingversion": "1",
+            # budget: one appended file fits, a second would not
+            "maxbytesperbatch": str(int(one_file * 1.5)),
+        },
+    )
+    # first call of a run is uncapped (no cursor yet — same rule as
+    # maxVersionsPerBatch); establish the cursor via partitions()
+    start = r.initialOffset()
+    assert start == {"version": 0, "mode": "replay"}
+    r.partitions(start, {"version": 1, "mode": "replay"})
+    # each steady-state span admits exactly one data version
+    assert r.latestOffset() == {"version": 2, "mode": "replay"}
+    r.partitions({"version": 1, "mode": "replay"}, {"version": 2, "mode": "replay"})
+    assert r.latestOffset() == {"version": 3, "mode": "replay"}
+    # ... until the cursor reaches v5: the restamp (v6) is free, so the
+    # span extends THROUGH it to the next data version's boundary
+    r.partitions({"version": 2, "mode": "replay"}, {"version": 5, "mode": "replay"})
+    assert r.latestOffset() == {"version": 7, "mode": "replay"}
+
+    # an oversized single commit still advances (no stall)
+    r2 = SnapshotFeedStreamReader(
+        schema,
+        {"path": str(tdir), "startingversion": "1", "maxbytesperbatch": "1"},
+    )
+    r2.partitions(
+        {"version": 0, "mode": "replay"}, {"version": 1, "mode": "replay"}
+    )
+    assert r2.latestOffset() == {"version": 2, "mode": "replay"}

@@ -2023,13 +2023,31 @@ def test_commit_nonconflict_link_failure_fails_loudly(spark, tmp_path, monkeypat
 
     tdir = str(tmp_path / "linkfail")
     df = spark.range(10).select(F.col("id").alias("k"))
+    real_link = S._publish_by_link
 
-    def broken_link(jvm, record, tmp):
-        raise OSError("Invalid cross-device link")
+    # scenario 1: the COMMIT RECORD's link fails (claim succeeds)
+    def broken_record_link(jvm, record, tmp):
+        if str(record).endswith(".json"):
+            raise OSError("Invalid cross-device link")
+        return real_link(jvm, record, tmp)
 
-    monkeypatch.setattr(S, "_publish_by_link", broken_link)
+    monkeypatch.setattr(S, "_publish_by_link", broken_record_link)
     with pytest.raises(RuntimeError) as ei:
         snapshot_write(df, tdir, retries=3)
+    assert not isinstance(ei.value, SnapshotConflictError)
+    assert "non-conflict" in str(ei.value)
+    monkeypatch.undo()
+
+    # scenario 2: the STAGING CLAIM's link fails — same trichotomy, same
+    # loud non-conflict error (a conflict mapping would burn the retries)
+    tdir2 = str(tmp_path / "claimfail")
+
+    def broken_claim_link(jvm, record, tmp):
+        raise OSError("Invalid cross-device link")
+
+    monkeypatch.setattr(S, "_publish_by_link", broken_claim_link)
+    with pytest.raises(RuntimeError) as ei:
+        snapshot_write(df, tdir2, retries=3)
     assert not isinstance(ei.value, SnapshotConflictError)
     assert "non-conflict" in str(ei.value)
     monkeypatch.undo()
@@ -2972,6 +2990,69 @@ def test_manifest_log_checkpoint(spark, tmp_path, monkeypatch):
     assert _latest_version(tdir) == 12
     st.snapshot_append(b(200, 205), tdir)
     assert _latest_version(tdir) == 13  # forward probe past the pointer
+
+
+def test_concurrent_appends_no_lost_updates(spark, tmp_path):
+    """OCC under real thread contention: racing snapshot_append(retries=)
+    writers — including the TABLE-CREATION race the r11 fix closed —
+    land every batch exactly once; versions stay contiguous and
+    op-labelled."""
+    import threading
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_append,
+        snapshot_history,
+        snapshot_read,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    errs: list = []
+
+    def worker(wid: int):
+        try:
+            for j in range(2):
+                lo = wid * 1000 + j * 100
+                df = spark.createDataFrame(
+                    [(lo + i, float(wid)) for i in range(10)], "k long, v double"
+                )
+                snapshot_append(df, tdir, retries=60)
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = snapshot_read(spark, tdir).collect()
+    assert len(rows) == 4 * 2 * 10
+    assert len({r["k"] for r in rows}) == 80  # nothing lost, nothing doubled
+    hist = snapshot_history(spark, tdir)
+    assert [h["version"] for h in hist] == list(range(1, 9))
+    assert all(h["op"] == "append" for h in hist)
+
+
+def test_corrupt_checkpoint_pointer_falls_back(spark, tmp_path):
+    """A structurally-valid checkpoint whose version was never committed
+    (pointer corruption) must not fabricate a phantom head — both the
+    JVM-side and the feedsource resolvers fall back to the listing."""
+    import json as _json
+
+    import f1_data_pipeline_spark.storage as st
+    from f1_data_pipeline_spark.ingest.feedsource import _latest_version
+
+    tdir = str(tmp_path / "tbl")
+    for i in range(3):
+        st.snapshot_append(
+            spark.createDataFrame([(i, 1.0)], "k long, v double"), tdir
+        )
+    with open(f"{tdir}/_manifests/99.ckpt.json", "w") as f:
+        f.write(_json.dumps({"version": 99, "log": []}))
+    with open(f"{tdir}/_manifests/_last_checkpoint", "w") as f:
+        f.write(_json.dumps({"version": 99, "path": "99.ckpt.json"}))
+    assert st.snapshot_version(spark, tdir) == 3
+    assert _latest_version(tdir) == 3
 
 
 def test_snapshot_expire_log(spark, tmp_path, monkeypatch):
