@@ -321,14 +321,14 @@ def snapshot_version(spark: SparkSession, table_dir: str) -> int:
     Without a checkpoint (young table, or a torn pointer) it falls back
     to the full listing — correctness never depends on the checkpoint."""
     fs, jvm = _snap_fs(spark, table_dir)
-    ck = _read_checkpoint(spark, table_dir)
-    if ck is not None:
-        v = int(ck["version"])
+    ckv = _checkpoint_version(spark, table_dir)
+    if ckv is not None:
+        v = ckv
         while fs.exists(
             _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v + 1}.json")
         ):
             v += 1
-        if v > int(ck["version"]) or fs.exists(
+        if v > ckv or fs.exists(
             _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json")
         ):
             return v
@@ -392,6 +392,28 @@ def _history_rec(v: int, m: dict) -> dict:
             }
         )
     return rec
+
+
+def _checkpoint_version(spark: SparkSession, table_dir: str) -> int | None:
+    """POINTER-ONLY read of the checkpointed version cursor — what
+    ``snapshot_version`` needs. The compacted log itself is O(all
+    versions) bytes (MBs on a 100k-commit table); version resolution
+    must never pay that, only history/as-of consumers do."""
+    import json
+
+    try:
+        fs, jvm = _snap_fs(spark, table_dir)
+        ptr = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, _CKPT_POINTER)
+        if not fs.exists(ptr):
+            return None
+        stream = fs.open(ptr)
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return int(json.loads(txt)["version"])
+    except Exception:
+        return None
 
 
 def _read_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
