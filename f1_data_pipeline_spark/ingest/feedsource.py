@@ -357,7 +357,11 @@ def _read_file(
             # interpreted set-probes per batch, on exactly the
             # GDPR-erasure tables the DV feature targets
             mask = np.ones(tbl.num_rows, dtype=bool)
-            mask[np.fromiter(pos, dtype=np.int64, count=len(pos))] = False
+            idx = np.fromiter(pos, dtype=np.int64, count=len(pos))
+            # out-of-range positions (corrupt/stale DV debris) are
+            # tolerated exactly like the old per-row set-probe was: they
+            # never matched a row then, they must not crash the read now
+            mask[idx[(idx >= 0) & (idx < tbl.num_rows)]] = False
             tbl = tbl.filter(pa.array(mask))
     yield from _project(tbl, part.change)
 
@@ -607,6 +611,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             # packed rewrites) never stream. Cost: tail-bounded manifest
             # JSON reads, the same records partitions() reads anyway.
             total, v = 0, self._last_end
+            prev = None  # carried forward: one manifest read per version
             while v < cur:
                 m = _read_json(self._dir, v + 1)
                 op = m.get("op")
@@ -614,13 +619,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     op is None and any(k in m for k in _MAINTENANCE_KEYS)
                 ):
                     v += 1
+                    prev = m
                     continue
                 if m.get("files") is None:
                     v += 1  # v1-era record: partitions() raises its own error
+                    prev = m
                     continue
-                prev = (
-                    _read_json(self._dir, v) if v > 0 else {"files": []}
-                )
+                if prev is None:
+                    prev = _read_json(self._dir, v) if v > 0 else {"files": []}
                 prev_paths = (
                     {x["path"] for x in prev["files"]}
                     if prev.get("files") is not None
@@ -635,6 +641,7 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     break
                 total += added
                 v += 1
+                prev = m
             cur = max(v, self._last_end + 1) if cur > self._last_end else cur
         return {"version": cur, "mode": "replay"}
 
@@ -950,6 +957,21 @@ def _commit_staged(
         latest = _latest_version(table_dir)
         cur = _read_json(table_dir, latest) if latest >= 1 else None
         if cur is not None:
+            # txn replay gate FIRST (SetTransaction semantics): a batchId
+            # at or below the stamped watermark already committed — skip
+            # before ANY refusal check, or a post-crash constraint/schema/
+            # bloom change would permanently fail a replayed batch that
+            # needs no write at all
+            if txn_app is not None and txn_batch is not None:
+                stamped = ((cur.get("properties") or {}).get("txn") or {}).get(
+                    txn_app
+                )
+                if stamped is not None and int(stamped) >= int(txn_batch):
+                    for m in files:
+                        f.delete_file(
+                            f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}"
+                        )
+                    return None
             if cur.get("files") is None:
                 raise ValueError(
                     "snapshotfeed writer needs file-list manifests — "
@@ -988,19 +1010,6 @@ def _commit_staged(
                         f"writer does not evolve schemas; use "
                         f"storage.snapshot_append(evolve_schema=True))"
                     )
-            # txn replay gate (SetTransaction semantics): a batchId at or
-            # below the stamped watermark already committed — skip, and
-            # clean our staged files
-            if txn_app is not None and txn_batch is not None:
-                stamped = ((cur.get("properties") or {}).get("txn") or {}).get(
-                    txn_app
-                )
-                if stamped is not None and int(stamped) >= int(txn_batch):
-                    for m in files:
-                        f.delete_file(
-                            f"{root.rstrip('/')}/{_STAGING}/{m.subdir}/{m.name}"
-                        )
-                    return None
         version = latest + 1
         vdir = f"{root.rstrip('/')}/v={version}"
         from pyarrow import fs as pafs
@@ -1133,6 +1142,11 @@ def _maybe_checkpoint_pa(table_dir: str, version: int, payload: dict) -> None:
                 prev = json.loads(s.read())
             if int(prev["version"]) != int(meta["version"]) or "log" not in prev:
                 prev = None
+            elif (
+                f.get_file_info(f"{mdir}/{int(prev['version'])}.json").type
+                == pafs.FileType.NotFound
+            ):
+                prev = None  # phantom pointer: never trust, rebuild
         except Exception:
             prev = None
         if prev is not None and int(prev["version"]) >= version:

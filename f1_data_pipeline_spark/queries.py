@@ -2209,6 +2209,7 @@ SWEEP_ONLY: dict[str, str] = {
     # built round 11 after the r11 rotation was already full — rotate next round
     "x_asof_checkpoint": "manifest-log checkpoint + as-of time travel (new r11); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_append",
     "x_sql_writer": "python-DataSource SQL write surface, INSERT INTO e2e (new r11); rotate next round; lakehouse family in-window via x_snapshot_append/x_merge_into",
+    "x_expire_log": "commit-log retention with checkpointed history survival (new r11); rotate next round; lakehouse family in-window via x_snapshot_append/x_meta_agg",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)
@@ -2551,15 +2552,19 @@ def x_asof_checkpoint(t: Tables) -> DataFrame:
             f"interval cadence regressed"
         )
     hist = st.snapshot_history(spark, tdir)
-    real = st._read_checkpoint
+    real_rc, real_cv = st._read_checkpoint, st._checkpoint_version
     try:
-        st._read_checkpoint = lambda *a: None  # force the full-scan path
+        # force the full-scan paths: history/as-of read the full
+        # checkpoint (_read_checkpoint), version resolution reads only
+        # the pointer (_checkpoint_version) — both must fall back
+        st._read_checkpoint = lambda *a: None
+        st._checkpoint_version = lambda *a: None
         if st.snapshot_history(spark, tdir) != hist:
             raise RuntimeError("checkpointed history diverged from the full scan")
         if st.snapshot_version(spark, tdir) != 12:
             raise RuntimeError("listing-fallback version resolution broke")
     finally:
-        st._read_checkpoint = real
+        st._read_checkpoint, st._checkpoint_version = real_rc, real_cv
     ts6, ts7 = hist[5]["ts"], hist[6]["ts"]
     if ts7 > ts6:  # distinct ms-resolution stamps (always, in practice)
         v = st.snapshot_version_asof(spark, tdir, (ts6 + ts7) / 2)
@@ -2642,3 +2647,72 @@ def x_sql_writer(t: Tables) -> DataFrame:
         if not own or any("event_id" not in (e.get("stats") or {}) for e in own):
             raise RuntimeError(f"writer v{v} staged files without stats")
     return spark.sql(f"SELECT * FROM {view} ORDER BY event_id")
+
+
+# scratch table dir of x_expire_log's previous invocation per sf_dir
+_EXPIRE_LOG_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_expire_log",
+    """SELECT event_id, user_id, ROUND(value, 4) AS val
+       FROM events WHERE event_id < 960
+       ORDER BY event_id""",
+)
+def x_expire_log(t: Tables) -> DataFrame:
+    """Commit-log retention round-trip, externally hash-verified: twelve
+    append commits, then ``snapshot_expire_log(keep_last=4)`` deletes the
+    eight oldest manifest records — and the CURRENT read must be
+    bit-identical to the unexpired table (carried data files are never
+    touched by log expiry; the oracle recomputes all twelve slices from
+    the raw events table).
+
+    The builder self-asserts the retention contract the result can't
+    show: the expired records are really gone from ``_manifests/``, FULL
+    history (including the expired versions' summaries) still serves
+    from the forced checkpoint, kept-version time travel works, expired
+    time travel raises, and a second expiry is a no-op."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark import storage as st
+
+    spark = t.spark
+
+    def sl(lo: int, hi: int) -> DataFrame:
+        return t.events.where(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).select("event_id", "user_id", F.round("value", 4).alias("val"))
+
+    tdir = tempfile.gettempdir() + f"/f1dp_expire_log_{uuid.uuid4().hex}"
+    prev = _EXPIRE_LOG_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _EXPIRE_LOG_DIRS[t.sf_dir] = tdir
+    for i in range(12):
+        st.snapshot_append(sl(i * 80, (i + 1) * 80), tdir, stats_cols=["event_id"])
+    hist_before = st.snapshot_history(spark, tdir)
+    expired = st.snapshot_expire_log(spark, tdir, keep_last=4)
+    if expired != list(range(1, 9)):
+        raise RuntimeError(f"expire removed {expired}, expected v1..v8")
+    left = sorted(
+        int(n[:-5])
+        for n in os.listdir(f"{tdir}/{st.SNAPSHOT_MANIFEST_DIR}")
+        if n.endswith(".json") and n[:-5].isdigit()
+    )
+    if left != list(range(9, 13)):
+        raise RuntimeError(f"manifest dir holds {left}, expected v9..v12")
+    if st.snapshot_history(spark, tdir) != hist_before:
+        raise RuntimeError("history diverged across log expiry")
+    if st.snapshot_read(spark, tdir, version=10).count() != 800:
+        raise RuntimeError("kept-version time travel broke after expiry")
+    try:
+        st.snapshot_read(spark, tdir, version=3)
+        raise RuntimeError("expired-version read did not raise")
+    except FileNotFoundError:
+        pass
+    if st.snapshot_expire_log(spark, tdir, keep_last=4) != []:
+        raise RuntimeError("second expiry was not a no-op")
+    return st.snapshot_read(spark, tdir).orderBy("event_id")

@@ -442,6 +442,19 @@ def _read_checkpoint(spark: SparkSession, table_dir: str) -> dict | None:
         )
         if int(ck["version"]) != int(meta["version"]) or "log" not in ck:
             return None
+        # a genuine checkpoint's own version is always a committed record
+        # (commits precede checkpoints; expiry never deletes at-or-above
+        # the checkpoint). A PHANTOM version here is pointer corruption —
+        # trusting it would make as-of/history answer from a fake log and
+        # would let snapshot_expire_log delete history the log does not
+        # actually carry. One exists() probe; consumers fall back to the
+        # full manifest scan.
+        if not fs.exists(
+            _snap_path(
+                jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{int(ck['version'])}.json"
+            )
+        ):
+            return None
         return ck
     except Exception:
         return None
@@ -726,7 +739,15 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
             out = fs.create(claim, False)
             out.close()
         except Exception as e:
-            raise lost from e
+            # same trichotomy on remote stores: the claim now existing
+            # proves a lost race; anything else (permissions, network) is
+            # a real IO failure that must not burn retries as "conflicts"
+            if fs.exists(claim):
+                raise lost from e
+            raise RuntimeError(
+                f"snapshot_write: creating staging claim {claim} failed "
+                f"for a non-conflict reason: {e}"
+            ) from e
     # append, not overwrite: overwrite would delete the dir and with it the
     # _CLAIM marker that holds the stage against concurrent writers
     df.write.mode("append").parquet(vdir)
@@ -3727,6 +3748,15 @@ def snapshot_vacuum(
             removed.append(v)
         elif swept_any:
             removed.append(v)  # swept of unreachable data; carried files stay
+    # DataSource-writer staging leftovers: files under `_staging/` are
+    # NEVER referenced by a manifest (commits MOVE them into `v=N/`
+    # first), so anything still there is a crashed/aborted writer's
+    # residue — reclaimable under the same single-operator assumption
+    # that covers orphan `v=N` stages (a LIVE writer's in-flight stage
+    # looks identical; run vacuum only when no writer is active).
+    sdir = _snap_path(jvm, table_dir, "_staging")
+    if not dry_run and fs.exists(sdir):
+        fs.delete(sdir, True)
     return sorted(removed)
 
 

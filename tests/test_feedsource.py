@@ -816,6 +816,17 @@ def test_datasource_writer_streaming_exactly_once(spark, tmp_path):
     props = snapshot_properties(spark, tdir)["txn"]
     assert props["app1"] == 1 and "e2e" in props  # stamps coexist per app
 
+    # replay AFTER a post-crash constraint DDL: the stamp must prove the
+    # batch already landed BEFORE the constraint refusal fires (the gate
+    # runs first), while a genuinely NEW batch still refuses loudly
+    from f1_data_pipeline_spark.storage import snapshot_add_constraint
+
+    snapshot_add_constraint(spark, tdir, "k_pos", "k >= 0")
+    w.commit(stage(10, 15), 1)  # replayed batchId: silent skip
+    assert snapshot_read(spark, tdir).count() == 45
+    with pytest.raises(Exception, match="CHECK constraints"):
+        w.commit(stage(200, 205), 2)
+
 
 def test_max_bytes_per_batch_paces_by_size(spark, tmp_path):
     """Byte-based admission control (the maxBytesPerTrigger analog):

@@ -2941,12 +2941,16 @@ def test_manifest_log_checkpoint(spark, tmp_path, monkeypatch):
     assert st.snapshot_version(spark, tdir) == 12
 
     # history through the checkpoint == history from a full manifest scan
+    # (disable BOTH fast paths: the full-log read history uses and the
+    # pointer-only read version resolution uses)
     hist = st.snapshot_history(spark, tdir)
-    real_rc = st._read_checkpoint
+    real_rc, real_cv = st._read_checkpoint, st._checkpoint_version
     monkeypatch.setattr(st, "_read_checkpoint", lambda *a: None)
+    monkeypatch.setattr(st, "_checkpoint_version", lambda *a: None)
     hist_full = st.snapshot_history(spark, tdir)
     assert st.snapshot_version(spark, tdir) == 12  # listing fallback
     monkeypatch.setattr(st, "_read_checkpoint", real_rc)
+    monkeypatch.setattr(st, "_checkpoint_version", real_cv)
     assert hist == hist_full and len(hist) == 12
 
     # resolution reads only the post-checkpoint TAIL (counted JSON reads)
@@ -3053,6 +3057,38 @@ def test_corrupt_checkpoint_pointer_falls_back(spark, tmp_path):
         f.write(_json.dumps({"version": 99, "path": "99.ckpt.json"}))
     assert st.snapshot_version(spark, tdir) == 3
     assert _latest_version(tdir) == 3
+    # as-of/history must not trust the phantom log either
+    hist = st.snapshot_history(spark, tdir)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert st.snapshot_version_asof(spark, tdir, hist[-1]["ts"] + 1) == 3
+    # and expiry must not delete history a phantom log can't carry: it
+    # rebuilds a GENUINE checkpoint at the current version first
+    assert st.snapshot_expire_log(spark, tdir, keep_last=1) == [1, 2]
+    assert [h["version"] for h in st.snapshot_history(spark, tdir)] == [1, 2, 3]
+    assert st.snapshot_version(spark, tdir) == 3
+    assert st.snapshot_read(spark, tdir).count() == 3
+
+
+def test_vacuum_reclaims_writer_staging(spark, tmp_path):
+    """Crashed/aborted DataSource-writer stages under `_staging/` are
+    never manifest-referenced (commits MOVE files out first) — vacuum
+    reclaims them under its single-operator assumption; dry_run leaves
+    them."""
+    import os
+
+    from f1_data_pipeline_spark.storage import snapshot_read, snapshot_vacuum, snapshot_write
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(spark.range(10).withColumnRenamed("id", "k"), tdir)
+    crashed = f"{tdir}/_staging/dsw-deadbeef"
+    os.makedirs(crashed)
+    with open(f"{crashed}/part-orphan.parquet", "wb") as f:
+        f.write(b"not really parquet")
+    snapshot_vacuum(spark, tdir, dry_run=True)
+    assert os.path.exists(f"{crashed}/part-orphan.parquet")
+    snapshot_vacuum(spark, tdir)
+    assert not os.path.exists(f"{tdir}/_staging")
+    assert snapshot_read(spark, tdir).count() == 10
 
 
 def test_snapshot_expire_log(spark, tmp_path, monkeypatch):
