@@ -1372,6 +1372,23 @@ def register(spark) -> None:
     cluster) would otherwise fail with ModuleNotFoundError the moment the
     format plans. Shipping is best-effort: if the zip can't be built the
     in-repo import path still works."""
+    # THREAD ROBUSTNESS: Python threads map to fresh JVM threads with NO
+    # active SparkSession, and format lookup resolves the data-source
+    # registry through the JVM thread's active session — so a registered
+    # format "vanishes" (DATA_SOURCE_NOT_FOUND) for any .save()/.load()
+    # issued from a worker thread (observed under the bench's concurrent
+    # phase). Pin the caller's session as this thread's active session;
+    # callers must invoke register() on each thread that uses the format
+    # (it is cheap and idempotent).
+    for cls in ("classic.SparkSession", "SparkSession"):
+        try:
+            obj = spark._jvm.org.apache.spark.sql
+            for part in cls.split("."):
+                obj = getattr(obj, part)
+            obj.setActiveSession(spark._jsparkSession)
+            break
+        except Exception:
+            continue
     key = "spark.sql.python.filterPushdown.enabled"
     try:
         cur = spark.conf.get(key)
@@ -1385,41 +1402,80 @@ def register(spark) -> None:
 
 
 _PKG_ZIP = "f1_data_pipeline_spark_pkg.zip"
+_SHIP_LOCK = __import__("threading").Lock()
+
+
+def _workers_can_import() -> bool:
+    """True when Spark's python workers can import the package WITHOUT a
+    shipped zip: workers inherit the driver process's cwd (local mode)
+    and $PYTHONPATH — if the package root is reachable through either,
+    ``addPyFile`` is pure risk (see ``_ship_package``) for zero gain."""
+    import os
+
+    import f1_data_pipeline_spark as pkg
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    candidates = [os.getcwd()] + (
+        os.environ.get("PYTHONPATH") or ""
+    ).split(os.pathsep)
+    return any(
+        c and os.path.abspath(c) == pkg_root for c in candidates
+    )
 
 
 def _ship_package(sc) -> None:
     """addPyFile a DETERMINISTIC zip of the package (sources only, fixed
     zip timestamps): byte-identical across builds, so a repeated add —
     the context flag can't guard every path — compares equal instead of
-    failing executors with 'exists and does not match contents'. The
-    ``listFiles`` registry is the cross-wrapper idempotence check."""
-    try:
-        if getattr(sc, "_f1dp_pkg_shipped", False) or any(
-            f.endswith(_PKG_ZIP) for f in sc.listFiles
-        ):
+    failing executors with 'exists and does not match contents'.
+
+    SHIPPED ONLY WHEN NEEDED: ``addPyFile`` while OTHER jobs' tasks are
+    running is inherently racy in local mode — the executor's fetch can
+    observe the in-progress userFiles copy and fail the task with
+    'exists and does not match contents', poisoning the session
+    (observed under concurrent query threads, and a lock around the add
+    cannot close it because the racing reader is a task, not a thread we
+    own). A session whose WORKERS can already import the package — the
+    package root is the process cwd or on $PYTHONPATH, which python
+    workers inherit — never needs the file, so in-repo sessions
+    (pytest/bench, where concurrency lives) skip the add entirely; the
+    ship only happens for out-of-repo sessions (e.g. a driver harness in
+    /tmp), whose first use of the format precedes any competing job in
+    practice. Serialized under a module lock with the idempotence check
+    inside it; ``listFiles`` is the cross-wrapper check."""
+    with _SHIP_LOCK:
+        try:
+            if getattr(sc, "_f1dp_pkg_shipped", False) or any(
+                f.endswith(_PKG_ZIP) for f in sc.listFiles
+            ):
+                sc._f1dp_pkg_shipped = True
+                return
+            if _workers_can_import():
+                sc._f1dp_pkg_shipped = True
+                return
+            import os
+            import tempfile
+            import zipfile
+
+            import f1_data_pipeline_spark as pkg
+
+            pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+            pkg_root = os.path.dirname(pkg_dir)
+            zpath = os.path.join(tempfile.mkdtemp(prefix="f1dp_pkg_"), _PKG_ZIP)
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+                for dirpath, dirnames, filenames in os.walk(pkg_dir):
+                    dirnames[:] = sorted(
+                        d for d in dirnames if d != "__pycache__"
+                    )
+                    for fn in sorted(filenames):
+                        if not fn.endswith(".py"):
+                            continue
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, pkg_root)
+                        with open(full, "rb") as fh:
+                            # fixed ZipInfo date (1980) — deterministic bytes
+                            zf.writestr(zipfile.ZipInfo(rel), fh.read())
+            sc.addPyFile(zpath)
             sc._f1dp_pkg_shipped = True
-            return
-        import os
-        import tempfile
-        import zipfile
-
-        import f1_data_pipeline_spark as pkg
-
-        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
-        pkg_root = os.path.dirname(pkg_dir)
-        zpath = os.path.join(tempfile.mkdtemp(prefix="f1dp_pkg_"), _PKG_ZIP)
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for dirpath, dirnames, filenames in os.walk(pkg_dir):
-                dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
-                for fn in sorted(filenames):
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, pkg_root)
-                    with open(full, "rb") as fh:
-                        # fixed ZipInfo date (1980 epoch) — deterministic bytes
-                        zf.writestr(zipfile.ZipInfo(rel), fh.read())
-        sc.addPyFile(zpath)
-        sc._f1dp_pkg_shipped = True
-    except Exception:
-        pass  # in-repo sessions import from the working dir anyway
+        except Exception:
+            pass  # in-repo sessions import from the working dir anyway

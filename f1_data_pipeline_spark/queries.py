@@ -2552,19 +2552,18 @@ def x_asof_checkpoint(t: Tables) -> DataFrame:
             f"interval cadence regressed"
         )
     hist = st.snapshot_history(spark, tdir)
-    real_rc, real_cv = st._read_checkpoint, st._checkpoint_version
-    try:
-        # force the full-scan paths: history/as-of read the full
-        # checkpoint (_read_checkpoint), version resolution reads only
-        # the pointer (_checkpoint_version) — both must fall back
-        st._read_checkpoint = lambda *a: None
-        st._checkpoint_version = lambda *a: None
-        if st.snapshot_history(spark, tdir) != hist:
-            raise RuntimeError("checkpointed history diverged from the full scan")
-        if st.snapshot_version(spark, tdir) != 12:
-            raise RuntimeError("listing-fallback version resolution broke")
-    finally:
-        st._read_checkpoint, st._checkpoint_version = real_rc, real_cv
+    # checkpoint-vs-full-scan equality, asserted WITHOUT patching module
+    # globals (queries run concurrently on one session in the bench —
+    # a monkeypatched fallback would sabotage sibling threads; the
+    # torn-pointer fallback itself is pinned in test_storage.py): read
+    # every manifest directly and rebuild the records the checkpointed
+    # history must match
+    full = [
+        st._history_rec(v, st._read_manifest(spark, tdir, v))
+        for v in range(1, 13)
+    ]
+    if hist != full:
+        raise RuntimeError("checkpointed history diverged from the full scan")
     ts6, ts7 = hist[5]["ts"], hist[6]["ts"]
     if ts7 > ts6:  # distinct ms-resolution stamps (always, in practice)
         v = st.snapshot_version_asof(spark, tdir, (ts6 + ts7) / 2)
