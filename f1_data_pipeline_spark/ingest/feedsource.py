@@ -177,6 +177,30 @@ def _read_json(table_dir: str, version: int) -> dict:
         with f.open_input_stream(p) as s:
             return json.loads(s.read())
     except FileNotFoundError:
+        # distinguish "never committed" from "committed, then retired by
+        # snapshot_expire_log": a lagging stream whose cursor fell behind
+        # the retention horizon must be told WHY its offsets are gone
+        # (Delta's 'offsets no longer available' shape), not pointed at
+        # corruption. At or below the checkpoint pointer the version was
+        # provably committed once — the pointer only ever trails commits.
+        try:
+            with f.open_input_stream(
+                f"{root.rstrip('/')}/{_MANIFEST_DIR}/{_CKPT_POINTER}"
+            ) as s:
+                ck = int(json.loads(s.read())["version"])
+        except Exception:
+            ck = None
+        if ck is not None and version <= ck:
+            raise FileNotFoundError(
+                f"snapshotfeed: version {version} of {table_dir} is no "
+                f"longer available — it is at or behind the table's "
+                f"manifest-log checkpoint (v{ck}), so snapshot_expire_log "
+                f"retention most likely removed its commit record. This "
+                f"stream's offsets cannot be replayed: restart it with a "
+                f"FRESH checkpoint (the initial snapshot re-baselines), "
+                f"and raise the table's keep_last if streams can lag this "
+                f"far"
+            ) from None
         raise FileNotFoundError(
             f"snapshotfeed: version {version} was never committed (or was "
             f"removed) under {table_dir} — cannot plan the batch"
@@ -231,6 +255,9 @@ def _arrow_where(tbl, where: list[tuple]):
     guarantee; the rows of surviving files still need the real filter,
     and unlike engine-pushed filters the engine never re-applies a
     source OPTION). NULL comparisons drop the row — SQL semantics."""
+    import datetime
+
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     fns = {
@@ -248,6 +275,14 @@ def _arrow_where(tbl, where: list[tuple]):
         elif op == "is_not_null":
             m = pc.is_valid(c)
         else:
+            if isinstance(val, datetime.datetime) and pa.types.is_timestamp(
+                c.type
+            ):
+                # a naive literal is session wall-clock; give it the
+                # column's EXACT arrow type — tz-aware columns (Spark
+                # TimestampType parquet) raise on naive scalars instead
+                # of coercing
+                val = pa.scalar(val, type=c.type)
             m = fns[op](c, val)
         mask = m if mask is None else pc.and_(mask, m)
     return tbl.filter(mask) if mask is not None else tbl
@@ -290,9 +325,23 @@ def _read_file(
         # ONLY on DV-free reads: deletion-vector positions are
         # file-absolute, and a filtered read renumbers rows.
         ops = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
-        names = set(pq.read_schema(part.path).names)
+        fschema = pq.read_schema(part.path)
+        names = set(fschema.names)
+
+        def _rg_lit(c, v):
+            import datetime
+
+            # same naive-literal-to-column-type cast as _arrow_where:
+            # the dataset expression a filter tuple compiles to does not
+            # coerce naive datetimes against tz-aware parquet columns
+            if isinstance(v, datetime.datetime) and pa.types.is_timestamp(
+                fschema.field(c).type
+            ):
+                return pa.scalar(v, type=fschema.field(c).type)
+            return v
+
         cand = [
-            (c, ops[o], v)
+            (c, ops[o], _rg_lit(c, v))
             for c, o, v in where
             if o in ops and v is not None and c in names
         ]
@@ -408,6 +457,76 @@ def _live_file_partitions(
 _WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
 
 
+def _coerce_where_value(col: str, val, dtype):
+    """Plan-time check/coercion of a where-triple literal against the
+    column's DECLARED Spark type. JSON has no time types, so an ISO-8601
+    string against a timestamp/date column — the natural encoding for
+    time predicates — becomes a real ``datetime``/``date`` here (pyarrow
+    comparisons never coerce str vs timestamp; without this the triple
+    passed validation and then blew up inside an executor read). Any
+    other cross-typed literal fails HERE, with the column named, matching
+    how ``storage.snapshot_read`` lets ``F.lit`` coerce at plan time."""
+    import datetime
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    def bad(want: str) -> ValueError:
+        return ValueError(
+            f"snapshotfeed: where value {val!r} does not match column "
+            f"{col!r} of type {dtype.simpleString()} — expected {want}"
+        )
+
+    if val is None:
+        raise bad("a non-null literal (use is_null / is_not_null for NULL tests)")
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        if not isinstance(val, str):
+            raise bad("an ISO-8601 timestamp string")
+        try:
+            ts = datetime.datetime.fromisoformat(val)
+        except ValueError:
+            raise bad("an ISO-8601 timestamp string") from None
+        if ts.tzinfo is not None:
+            # stats envelopes and Spark-collected literals are session-
+            # local NAIVE wall-clock; an offset-carrying literal would
+            # compare in a different frame on the two pruning tiers
+            raise bad(
+                "a NAIVE (no UTC offset) ISO-8601 timestamp in the "
+                "session's wall clock"
+            )
+        return ts
+    if isinstance(dtype, DateType):
+        if not isinstance(val, str):
+            raise bad("an ISO-8601 date string")
+        try:
+            return datetime.date.fromisoformat(val)
+        except ValueError:
+            raise bad("an ISO-8601 date string") from None
+    if isinstance(dtype, BooleanType):
+        if isinstance(val, bool):
+            return val
+        raise bad("a JSON boolean")
+    if isinstance(dtype, NumericType):
+        if isinstance(val, (int, float)) and not isinstance(val, bool):
+            return val
+        raise bad("a JSON number")
+    if isinstance(dtype, StringType):
+        if isinstance(val, str):
+            return val
+        raise bad("a JSON string")
+    raise ValueError(
+        f"snapshotfeed: where predicates are not supported on column "
+        f"{col!r} of type {dtype.simpleString()} (numeric, string, "
+        f"boolean, date and timestamp columns only)"
+    )
+
+
 def _parse_where_option(opt, schema) -> list[tuple]:
     """Parse the ``where`` OPTION (a JSON array of ``snapshot_read``-style
     triples, e.g. ``[["event_id", ">=", 100]]``) and validate it against
@@ -422,7 +541,7 @@ def _parse_where_option(opt, schema) -> list[tuple]:
             f"snapshotfeed: the where option must be a JSON array of "
             f"[column, op, value] triples (got {opt!r}): {e}"
         ) from None
-    names = {f.name for f in schema.fields}
+    types = {f.name: f.dataType for f in schema.fields}
     out = []
     for t in triples:
         if not (isinstance(t, (list, tuple)) and len(t) == 3):
@@ -436,11 +555,13 @@ def _parse_where_option(opt, schema) -> list[tuple]:
                 f"snapshotfeed: unsupported where op {op!r} (supported: "
                 f"{_WHERE_OPS})"
             )
-        if col not in names:
+        if col not in types:
             raise ValueError(
                 f"snapshotfeed: where references unknown column {col!r} "
-                f"(table columns: {sorted(names)})"
+                f"(table columns: {sorted(types)})"
             )
+        if op not in ("is_null", "is_not_null"):
+            val = _coerce_where_value(col, val, types[col])
         out.append((col, op, val))
     return out
 
@@ -539,6 +660,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._max_bytes = int(mb) if mb else None
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("snapshotfeed: maxBytesPerBatch must be >= 1")
+        # RESTART HOLE, and the opt-in that closes it: the engine never
+        # reveals the committed offset to a restarted reader (latestOffset
+        # is argument-less in the Python source API), so without state of
+        # our own the caps above are inert on the FIRST trigger of a new
+        # run — a restarted stream facing an accumulated backlog admits
+        # it all in one unpaced batch. pacingStateDir names a per-query
+        # directory (point it INSIDE the query's checkpoint dir so their
+        # lifecycles match) where partitions() persists the last planned
+        # end; a new run recovers it and paces its first batch too, the
+        # cited Delta maxBytesPerTrigger behavior. Without the option the
+        # first-batch hole stands, documented here and in COVERAGE.md.
+        pd_opt = options.get("pacingstatedir", options.get("pacingStateDir"))
+        self._pacing_dir = _norm_dir(pd_opt) if pd_opt else None
         self._change_feed = str(
             options.get("changefeed", options.get("changeFeed", "false"))
         ).lower() in ("true", "1")
@@ -565,6 +699,39 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         )
         self._exact = _parse_where_option(options.get("where"), data_schema)
         self._last_end: int | None = None
+        if self._pacing_dir:
+            self._last_end = self._recover_cursor()
+
+    def _recover_cursor(self) -> int | None:
+        """The pacing cursor a previous run's ``partitions()`` persisted —
+        None when missing, torn, or written for a different table (each
+        falls back to the pre-option unpaced first batch). Pacing is
+        admission CONTROL, never a correctness dependency: the cursor is
+        written monotonically by planned-batch ends, so a recovered value
+        can never sit behind an offset the engine already committed —
+        ``latestOffset`` built on it can cap, but never regress."""
+        try:
+            f, root = _fs(self._pacing_dir)
+            with f.open_input_stream(f"{root}/cursor.json") as s:
+                cur = json.loads(s.read())
+            if cur.get("table") != self._dir:
+                return None
+            return int(cur["end"])
+        except Exception:
+            return None
+
+    def _persist_cursor(self, end: int) -> None:
+        """Record the batch end ``partitions()`` just planned. In-place
+        overwrite of one tiny JSON: a torn write parses as garbage and is
+        ignored on recovery (unpaced first batch, never a wrong offset).
+        Failures raise — a misconfigured pacingStateDir should fail the
+        query loudly, not silently disable the pacing it was set up for."""
+        f, root = _fs(self._pacing_dir)
+        f.create_dir(root, recursive=True)
+        with f.open_output_stream(f"{root}/cursor.json") as s:
+            s.write(
+                json.dumps({"table": self._dir, "end": int(end)}).encode()
+            )
 
     # -- driver-side planning (manifest JSON only, no data IO) ----------
 
@@ -595,8 +762,10 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _latest_version(self._dir)
-        # cap only against a KNOWN cursor (set by this run's previous
-        # partitions() call). Guessing a floor here could return an
+        # cap only against a KNOWN cursor — set by this run's previous
+        # partitions() call, or recovered from pacingStateDir (where the
+        # previous run's partitions() persisted it, so it is never behind
+        # a committed offset). Guessing a floor here could return an
         # offset BEHIND the engine's committed checkpoint, which it
         # would commit and then re-deliver the gap — never regress.
         if self._max_versions is not None and self._last_end is not None:
@@ -647,7 +816,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_FeedFile]:
         s, e = int(start["version"]), int(end["version"])
+        prior = self._last_end
         self._last_end = e
+        if self._pacing_dir and (prior is None or e > prior):
+            # monotonic: a replayed (restart-re-run) batch never moves the
+            # cursor backward, so recovery can never under-read the log
+            self._persist_cursor(e)
         parts: list[_FeedFile] = []
         if self._exact:
             from f1_data_pipeline_spark.storage import _entry_prunable

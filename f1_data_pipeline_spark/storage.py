@@ -1705,15 +1705,19 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
     false positive merely reads one extra file."""
     blooms = entry.get("bloom") or {}
     stats = entry.get("stats") or {}
-    for col, op, val in where:
-        if op == "=" and col in blooms and val is not None:
-            if _bloom_probe_safe(blooms[col], val) and not _bloom_might_contain(
-                blooms[col], val
+    for col, op, raw in where:
+        if op == "=" and col in blooms and raw is not None:
+            if _bloom_probe_safe(blooms[col], raw) and not _bloom_might_contain(
+                blooms[col], raw
             ):
                 return True
         s = stats.get(col)
         if s is None or op not in _WHERE_OPS:
             continue
+        # stats were stored through _json_safe (timestamps/dates as
+        # ISO-8601 strings whose lexicographic order IS chronological);
+        # a datetime/date literal must compare in the same canonical form
+        val = _json_safe(raw)
         mn, mx = s.get("min"), s.get("max")
         nulls = s.get("nulls")  # absent on pre-r9 manifests: never prunes
         if op == "is_null":
@@ -2811,19 +2815,32 @@ def snapshot_history(
     additionally probes every referenced file's existence (False once
     vacuum reclaimed any of it) — one FS round-trip per file, so opt-in;
     it needs the per-version FILE LISTS and therefore always takes the
-    full manifest-read path."""
+    full manifest-read path — versions whose records ``snapshot_expire_log``
+    retired are then served from the checkpointed summaries with
+    ``available=False`` (their data files are unverifiable and typically
+    vacuumed past the horizon), so both flag values return the SAME
+    version set."""
     fs, jvm = _snap_fs(spark, table_dir)
     out = []
     start = 1
+    ck = _read_checkpoint(spark, table_dir)
     if not check_available:
-        ck = _read_checkpoint(spark, table_dir)
         if ck is not None:
             out.extend(dict(rec) for rec in ck["log"])
             start = int(ck["version"]) + 1
+    # expired versions live only in the compacted log; the availability
+    # path must not silently return a shorter history than the default
+    ck_recs = (
+        {int(rec["version"]): rec for rec in ck["log"]}
+        if (check_available and ck is not None)
+        else {}
+    )
     for v in range(start, snapshot_version(spark, table_dir) + 1):
         try:
             m = _read_manifest(spark, table_dir, v)
         except FileNotFoundError:
+            if v in ck_recs:
+                out.append({**dict(ck_recs[v]), "available": False})
             continue
         rec = _history_rec(v, m)
         if check_available:
@@ -3544,6 +3561,62 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
     return version
 
 
+def _live_clone_pins(
+    spark: SparkSession, table_dir: str, caller: str, drop_stale: bool
+) -> list[tuple[str, int]]:
+    """LIVE shallow-clone registrations under ``_clones/`` as
+    ``(clone_dir, pinned_source_version)`` pairs — the versions that both
+    ``snapshot_vacuum`` (reachability) and ``snapshot_expire_log``
+    (expiry clamp) must honor. Registrations whose clone table no longer
+    exists are stale: deleted when ``drop_stale`` (a real maintenance
+    run), kept and ignored otherwise (dry runs must not mutate). A torn
+    registration fails typed — it is indistinguishable from a live
+    clone's protection record, and silently skipping it could let the
+    caller destroy state that clone still reads."""
+    import json
+
+    fs, jvm = _snap_fs(spark, table_dir)
+    cdir = _snap_path(jvm, table_dir, "_clones")
+    regs = [
+        r
+        for r in (fs.listStatus(cdir) if fs.exists(cdir) else [])
+        # dot-hidden names are in-flight registration tmps
+        if r.getPath().getName().endswith(".json")
+        and not r.getPath().getName().startswith(".")
+    ]
+    pins: list[tuple[str, int]] = []
+    for rst in regs:
+        stream = fs.open(rst.getPath())
+        try:
+            txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        try:
+            reg = json.loads(txt)
+            clone, pin = reg["clone"], int(reg["source_version"])
+        except (ValueError, KeyError, TypeError) as e:
+            # a torn registration (clone writer crashed mid-write on a
+            # pre-atomic-rename layout) could belong to a LIVE clone —
+            # fail typed and actionable instead of guessing (force=True
+            # on vacuum ignores registrations entirely)
+            raise ValueError(
+                f"{caller}: unreadable clone registration {rst.getPath()} "
+                f"— if no live clone references this table, delete the "
+                f"file (or, for vacuum, run force=True, which ignores "
+                f"clone protection entirely): {e}"
+            ) from e
+        try:
+            alive = snapshot_version(spark, clone) >= 1
+        except Exception:
+            alive = False  # unreachable storage: assume gone
+        if not alive:
+            if drop_stale:
+                fs.delete(rst.getPath(), False)  # stale registration
+            continue
+        pins.append((clone, pin))
+    return pins
+
+
 def snapshot_expire_log(
     spark: SparkSession,
     table_dir: str,
@@ -3574,7 +3647,18 @@ def snapshot_expire_log(
     N)`` / ``restore`` / ``snapshotfeed startingVersion=N``) to an
     expired version raises FileNotFoundError — the same contract every
     log-structured format has past its retention horizon. ``keep_last``
-    is clamped to >= 1 (the current version is never expirable)."""
+    is clamped to >= 1 (the current version is never expirable).
+
+    Live shallow clones (registered under ``_clones/``) pin a source
+    version whose manifest is the ONLY record of which files they carry
+    — checkpoint summaries hold counts, not file lists — and clone-aware
+    ``snapshot_vacuum`` reads exactly that manifest to protect the
+    clone's data. Expiring it would blind vacuum and make the clone's
+    files reclaimable, so the cut is CLAMPED below the oldest live
+    clone's pin (expiry past a long-lived clone is a no-op until the
+    clone is dropped or its registration removed). Stale registrations
+    are dropped in passing (kept under ``dry_run``); a torn registration
+    fails typed, exactly as in ``snapshot_vacuum``."""
     keep_last = max(1, int(keep_last))
     current = snapshot_version(spark, table_dir)
     if current < 1:
@@ -3582,6 +3666,13 @@ def snapshot_expire_log(
     cut = current - keep_last  # expire versions <= cut
     if cut < 1:
         return []
+    pins = _live_clone_pins(
+        spark, table_dir, "snapshot_expire_log", drop_stale=not dry_run
+    )
+    if pins:
+        cut = min(cut, min(p for _, p in pins) - 1)
+        if cut < 1:
+            return []
     fs, jvm = _snap_fs(spark, table_dir)
     expired = [
         v
@@ -3642,11 +3733,14 @@ def snapshot_vacuum(
     manifests reference files living in OLDER version directories, so an
     old ``v=N`` dir is swept file-by-file — anything a kept manifest still
     lists survives in place, the rest is deleted, and the dir goes only
-    when nothing reachable remains in it. Commit records are KEPT (they
-    are the table history, like Delta's log) — time travel to a vacuumed
-    version raises FileNotFoundError because its data is gone, while the
-    current version can never be deleted: ``keep_last`` is clamped to
-    >= 1. A v1 manifest (no file list) keeps its whole directory."""
+    when nothing reachable remains in it. Vacuum itself never deletes
+    commit records (they are the table history, like Delta's log; only
+    ``snapshot_expire_log`` retires them, and it clamps below live clone
+    pins) — time travel to a vacuumed version raises FileNotFoundError
+    because its data is gone, while the current version can never be
+    deleted: ``keep_last`` is clamped to >= 1. A v1 manifest (no file
+    list) keeps its whole directory. If a LIVE clone's pinned manifest is
+    missing (out-of-band loss), vacuum fails typed rather than guess."""
     import re
 
     fs, jvm = _snap_fs(spark, table_dir)
@@ -3672,53 +3766,31 @@ def snapshot_vacuum(
             dv_dirs.add(m["dv"]["dir"])
     if not force:
         # live registered shallow clones pin their cloned source version
-        import json
-
-        cdir = _snap_path(jvm, table_dir, "_clones")
-        regs = [
-            r
-            for r in (fs.listStatus(cdir) if fs.exists(cdir) else [])
-            # dot-hidden names are in-flight registration tmps
-            if r.getPath().getName().endswith(".json")
-            and not r.getPath().getName().startswith(".")
-        ]
-        for rst in regs:
-            stream = fs.open(rst.getPath())
+        for clone, pin in _live_clone_pins(
+            spark, table_dir, "snapshot_vacuum", drop_stale=not dry_run
+        ):
             try:
-                txt = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-            finally:
-                stream.close()
-            try:
-                reg = json.loads(txt)
-                reg["clone"], reg["source_version"]
-            except (ValueError, KeyError) as e:
-                # a torn registration (clone writer crashed mid-write on a
-                # pre-atomic-rename layout) is indistinguishable from a
-                # LIVE clone's protection record — silently skipping it
-                # could reclaim files that clone still reads, and crashing
-                # with a bare JSONDecodeError bricked vacuum; fail typed
-                # and actionable instead (force=True ignores registrations)
-                raise ValueError(
-                    f"snapshot_vacuum: unreadable clone registration "
-                    f"{rst.getPath()} — if no live clone references this "
-                    f"table, delete the file (or run force=True, which "
-                    f"ignores clone protection entirely): {e}"
-                ) from e
-            try:
-                alive = snapshot_version(spark, reg["clone"]) >= 1
-            except Exception:
-                alive = False  # unreachable storage: assume gone
-            if not alive:
-                if not dry_run:
-                    fs.delete(rst.getPath(), False)  # stale registration
-                continue
-            try:
-                m = _read_manifest(spark, table_dir, reg["source_version"])
+                m = _read_manifest(spark, table_dir, pin)
             except FileNotFoundError:
-                continue
+                # the pin's manifest is the ONLY file-level record of what
+                # the clone carries (checkpoint summaries are counts, not
+                # file lists) — proceeding blind would delete a LIVE
+                # clone's data. snapshot_expire_log clamps below live pins
+                # so this is unreachable through the APIs; it means
+                # out-of-band record loss (or a pre-clamp expiry). Fail
+                # typed, never silently reclaim.
+                raise FileNotFoundError(
+                    f"snapshot_vacuum: live clone {clone} pins source "
+                    f"version {pin}, but _manifests/{pin}.json is gone "
+                    f"(expired out-of-band?) — without its file list "
+                    f"vacuum cannot tell which files the clone still "
+                    f"reads. Drop or re-clone the clone (then delete its "
+                    f"_clones/ registration), or run force=True to "
+                    f"reclaim as if no clones existed"
+                ) from None
             files = m.get("files")
             if files is None:
-                whole_dirs.add(f"v={reg['source_version']}")
+                whole_dirs.add(f"v={pin}")
             else:
                 reachable.update(e["path"] for e in files)
             if m.get("dv"):

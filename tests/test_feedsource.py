@@ -170,6 +170,69 @@ def test_catchup_delivers_everything_exactly_once(spark, tmp_path):
     assert got.count() == 40  # no re-emission across restarts
 
 
+def test_pacing_state_dir_paces_restarted_run(spark, tmp_path):
+    """pacingStateDir closes the restart hole: a NEW reader instance (a
+    restarted run) recovers the cursor the previous run's partitions()
+    persisted, so maxVersionsPerBatch binds on its FIRST batch instead of
+    admitting the whole accumulated backlog unpaced. Foreign-table and
+    torn cursors fall back to the unpaced pre-option behavior."""
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+
+    tdir, pdir = tmp_path / "tbl", tmp_path / "pace"
+    for i in range(4):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+    opts = {
+        "path": str(tdir),
+        "startingversion": "1",
+        "maxversionsperbatch": "1",
+        "pacingstatedir": str(pdir),
+    }
+    r1 = SnapshotFeedStreamReader(schema, opts)
+    assert r1.latestOffset() == {"version": 4, "mode": "replay"}  # no cursor yet
+    r1.partitions({"version": 0, "mode": "replay"}, {"version": 4, "mode": "replay"})
+
+    for i in range(4, 7):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    # restart: a FRESH instance recovers end=4 and paces its first batch
+    r2 = SnapshotFeedStreamReader(schema, opts)
+    assert r2.latestOffset() == {"version": 5, "mode": "replay"}
+    # a replayed (re-run) batch never moves the cursor backward
+    r2.partitions({"version": 3, "mode": "replay"}, {"version": 4, "mode": "replay"})
+    r3 = SnapshotFeedStreamReader(schema, opts)
+    assert r3.latestOffset() == {"version": 5, "mode": "replay"}
+
+    # cursor written for ANOTHER table is ignored, not misapplied
+    other = tmp_path / "other"
+    snapshot_append(_batch(spark, 0, 10), str(other))
+    snapshot_append(_batch(spark, 10, 20), str(other))
+    ro = SnapshotFeedStreamReader(
+        schema, {**opts, "path": str(other), "startingversion": "1"}
+    )
+    assert ro.latestOffset() == {"version": 2, "mode": "replay"}
+    # a torn cursor file falls back to unpaced, never a wrong offset
+    (pdir / "cursor.json").write_text('{"table": ')
+    rt = SnapshotFeedStreamReader(schema, opts)
+    assert rt.latestOffset() == {"version": 7, "mode": "replay"}
+
+
+def test_pacing_state_dir_e2e_across_runs(spark, tmp_path):
+    """End-to-end: availableNow runs (single-batch per run for Python
+    sources) against a backlog admit ONE version per run once the pacing
+    cursor exists — previously the restarted run swallowed the backlog."""
+    tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
+    pace = ckpt / "pacing"  # inside the checkpoint dir: lifecycles match
+    snapshot_append(_batch(spark, 0, 10), str(tdir))
+    opts = dict(maxVersionsPerBatch=1, pacingStateDir=str(pace))
+    got = _run(spark, tdir, out, ckpt, **opts)
+    assert got.count() == 10  # first-ever batch: nothing to pace against
+    for i in range(1, 4):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    for expected in (20, 30, 40):  # one version per restarted run
+        got = _run(spark, tdir, out, ckpt, **opts)
+        assert got.count() == expected
+
+
 def test_schema_evolution_null_fills_old_files(spark, tmp_path):
     tdir, out, ckpt = tmp_path / "tbl", tmp_path / "out", tmp_path / "ck"
     snapshot_append(_batch(spark, 0, 10), str(tdir))
@@ -612,6 +675,34 @@ def test_starting_version_beyond_latest_refused(spark, tmp_path):
         r.initialOffset()
 
 
+def test_lagging_stream_behind_retention_names_the_cause(spark, tmp_path):
+    """A stream whose cursor fell behind a snapshot_expire_log horizon
+    must be told retention removed its offsets (Delta's 'offsets no
+    longer available' shape), not pointed at corruption; a genuinely
+    never-committed version keeps the old message."""
+    from f1_data_pipeline_spark.ingest.feedsource import (
+        SnapshotFeedStreamReader,
+        _read_json,
+    )
+    from f1_data_pipeline_spark.storage import snapshot_expire_log
+
+    tdir = tmp_path / "tbl"
+    for i in range(15):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    snapshot_expire_log(spark, str(tdir), keep_last=2)  # retires v1..v13
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+    r = SnapshotFeedStreamReader(schema, {"path": str(tdir)})
+    with pytest.raises(FileNotFoundError, match="snapshot_expire_log"):
+        r.partitions(
+            {"version": 4, "mode": "replay"}, {"version": 15, "mode": "replay"}
+        )
+    with pytest.raises(FileNotFoundError, match="FRESH checkpoint"):
+        _read_json(str(tdir), 3)
+    # above the checkpoint pointer nothing was ever committed: old wording
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        _read_json(str(tdir), 99)
+
+
 def test_stream_where_prunes_at_manifest_level(spark, tmp_path):
     """A filtered tail (where= option) must skip non-matching appended
     files WITHOUT opening them — pinned physically: the pruned files are
@@ -656,6 +747,53 @@ def test_stream_where_prunes_at_manifest_level(spark, tmp_path):
         spark.read.format("snapshotfeed").option(
             "where", '[["nope", "<", 1]]'
         ).load(str(tdir)).count()
+
+
+def test_where_timestamp_coercion(spark, tmp_path):
+    """A where triple against a timestamp column takes the natural JSON
+    encoding — an ISO-8601 string — coerced to a real datetime at plan
+    time: manifest pruning, parquet row-group pushdown and the exact
+    executor filter all agree, on both full scans and the DV path. Typo'd
+    or cross-typed literals fail at PLAN time with the column named."""
+    tdir = tmp_path / "tbl"
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id"))
+        ).alias("ts"),
+    )
+    snapshot_write(df.repartitionByRange(4, "k"), str(tdir), stats_cols=["k", "ts"])
+    feedsource.register(spark)
+    where = '[["ts", ">=", "2024-01-01 00:30:00"], ["ts", "<", "2024-01-01 00:40:00"]]'
+    got = (
+        spark.read.format("snapshotfeed").option("where", where).load(str(tdir))
+    )
+    assert sorted(r["k"] for r in got.collect()) == list(range(30, 40))
+    # manifest pruning engaged: the range-partitioned files outside the
+    # window are never part of the scan
+    assert len(got.inputFiles()) < 4
+    # DV path (file-absolute positions, no row-group pushdown) agrees
+    snapshot_delete(spark, str(tdir), [("k", "=", 35)], mode="dv")
+    got = (
+        spark.read.format("snapshotfeed").option("where", where).load(str(tdir))
+    )
+    assert sorted(r["k"] for r in got.collect()) == [
+        k for k in range(30, 40) if k != 35
+    ]
+
+    # cross-typed / malformed literals are PLAN-time, column-named errors
+    for bad_where, msg in [
+        ('[["ts", ">=", 42]]', "ISO-8601 timestamp"),
+        ('[["ts", ">=", "not-a-time"]]', "ISO-8601 timestamp"),
+        ('[["ts", ">=", "2024-01-01 00:30:00+02:00"]]', "NAIVE"),
+        ('[["k", "<", "10"]]', "JSON number"),
+        ('[["k", "=", null]]', "is_null"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            spark.read.format("snapshotfeed").option(
+                "where", bad_where
+            ).load(str(tdir)).count()
 
 
 def test_where_filtered_replica(spark, tmp_path):

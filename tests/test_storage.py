@@ -3143,6 +3143,105 @@ def test_snapshot_expire_log(spark, tmp_path, monkeypatch):
     assert st.snapshot_expire_log(spark, tdir, keep_last=5) == []
 
 
+def test_expire_log_clamps_below_live_clone_pins(spark, tmp_path, monkeypatch):
+    """Retention × clones composition: a live shallow clone's pinned
+    manifest is the only file-level record of what it carries, so
+    snapshot_expire_log must clamp its cut below the pin — and the full
+    clone → commits-past-horizon → expire → vacuum pipeline must leave
+    every clone row readable. Dropping the clone lifts the clamp."""
+    import os
+    import shutil
+
+    import f1_data_pipeline_spark.storage as st
+
+    monkeypatch.setattr(st, "SNAPSHOT_CHECKPOINT_INTERVAL", 1000)
+    tdir, cdir = str(tmp_path / "tbl"), str(tmp_path / "clone")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    for i in range(5):
+        st.snapshot_append(b(i * 10, i * 10 + 10), tdir)
+    st.snapshot_clone(spark, tdir, cdir)  # pins source version 5
+    for i in range(5, 15):
+        st.snapshot_append(b(i * 10, i * 10 + 10), tdir)
+
+    # unclamped cut would be 10; the live pin at 5 clamps it to 4
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5, dry_run=True) == [
+        1, 2, 3, 4,
+    ]
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5) == [1, 2, 3, 4]
+    assert os.path.exists(f"{tdir}/_manifests/5.json")  # the pin survives
+
+    # vacuum still resolves the pin and protects the clone's files
+    st.snapshot_vacuum(spark, tdir, keep_last=1)
+    got = {r["k"] for r in st.snapshot_read(spark, cdir).collect()}
+    assert got == set(range(50))
+
+    # pin already at the floor: expiry is a clean no-op, not an error
+    assert st.snapshot_expire_log(spark, tdir, keep_last=1) == []
+
+    # dropping the clone lifts the clamp (stale registration swept)
+    shutil.rmtree(cdir)
+    assert st.snapshot_expire_log(spark, tdir, keep_last=5) == list(range(5, 11))
+    assert os.listdir(f"{tdir}/_clones") == []
+
+
+def test_vacuum_fails_typed_on_missing_live_pin_manifest(spark, tmp_path):
+    """Defense-in-depth: if a LIVE clone's pinned manifest vanished
+    out-of-band, vacuum must refuse typed — silently continuing used to
+    reclaim the clone's data files. force=True remains the escape hatch."""
+    import os
+
+    import f1_data_pipeline_spark.storage as st
+
+    tdir, cdir = str(tmp_path / "tbl"), str(tmp_path / "clone")
+    b = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    st.snapshot_append(b(0, 10), tdir)
+    st.snapshot_clone(spark, tdir, cdir)  # pins v1
+    for i in range(1, 4):
+        st.snapshot_append(b(i * 10, i * 10 + 10), tdir)
+    os.remove(f"{tdir}/_manifests/1.json")  # simulate out-of-band loss
+    with pytest.raises(FileNotFoundError, match="live clone .*pins source"):
+        st.snapshot_vacuum(spark, tdir, keep_last=1)
+    # dry_run takes the same protected walk — same refusal, no deletes
+    with pytest.raises(FileNotFoundError, match="force=True"):
+        st.snapshot_vacuum(spark, tdir, keep_last=1, dry_run=True)
+    st.snapshot_vacuum(spark, tdir, keep_last=1, force=True)  # explicit override
+    assert st.snapshot_read(spark, tdir).count() == 40
+
+
+def test_history_check_available_serves_expired_versions(
+    spark, tmp_path, monkeypatch
+):
+    """check_available=True must return the SAME version set as the
+    default path: versions expired by snapshot_expire_log are served from
+    the compacted log with available=False instead of silently dropped."""
+    import f1_data_pipeline_spark.storage as st
+
+    monkeypatch.setattr(st, "SNAPSHOT_CHECKPOINT_INTERVAL", 1000)
+    tdir = str(tmp_path / "tbl")
+    for i in range(15):
+        st.snapshot_append(
+            spark.range(i * 10, i * 10 + 10).select(F.col("id").alias("k")), tdir
+        )
+    st.snapshot_expire_log(spark, tdir, keep_last=5)  # retires v1..v10
+
+    base = st.snapshot_history(spark, tdir)
+    avail = st.snapshot_history(spark, tdir, check_available=True)
+    assert [r["version"] for r in avail] == [r["version"] for r in base] == list(
+        range(1, 16)
+    )
+    flags = {r["version"]: r["available"] for r in avail}
+    assert all(flags[v] is False for v in range(1, 11))  # expired: log-served
+    assert all(flags[v] is True for v in range(11, 16))  # live: probed
+    # the summaries themselves match the default path byte-for-byte
+    assert [
+        {k: v for k, v in r.items() if k != "available"} for r in avail
+    ] == base
+
+
 def test_cdc_apply_same_version_insert_beats_delete(spark, tmp_path):
     """Within ONE feed commit version a key can carry both a delete (new
     tombstone) and an insert (restored or newly-appended position) — e.g.
