@@ -274,6 +274,15 @@ def _arrow_where(tbl, where: list[tuple]):
             m = pc.is_null(c)
         elif op == "is_not_null":
             m = pc.is_valid(c)
+        elif op == "in":
+            vals = list(val)
+            if vals and isinstance(vals[0], datetime.datetime) and pa.types.is_timestamp(
+                c.type
+            ):
+                value_set = pa.array(vals, type=c.type)
+            else:
+                value_set = pa.array(vals)
+            m = pc.is_in(c, value_set=value_set)
         else:
             if isinstance(val, datetime.datetime) and pa.types.is_timestamp(
                 c.type
@@ -344,6 +353,11 @@ def _read_file(
             (c, ops[o], _rg_lit(c, v))
             for c, o, v in where
             if o in ops and v is not None and c in names
+        ]
+        cand += [
+            (c, "in", [_rg_lit(c, v) for v in vs if v is not None])
+            for c, o, vs in where
+            if o == "in" and c in names and any(v is not None for v in vs)
         ]
         rg_filters = cand or None
     tbl = (
@@ -454,7 +468,7 @@ def _live_file_partitions(
     return parts
 
 
-_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 
 def _coerce_where_value(col: str, val, dtype):
@@ -560,7 +574,17 @@ def _parse_where_option(opt, schema) -> list[tuple]:
                 f"snapshotfeed: where references unknown column {col!r} "
                 f"(table columns: {sorted(types)})"
             )
-        if op not in ("is_null", "is_not_null"):
+        if op == "in":
+            if not isinstance(val, list) or not val:
+                raise ValueError(
+                    f"snapshotfeed: where op 'in' needs a non-empty JSON "
+                    f"array of values for column {col!r} (got {val!r}) — "
+                    f"NULL tests go through is_null"
+                )
+            val = tuple(
+                _coerce_where_value(col, v, types[col]) for v in val
+            )
+        elif op not in ("is_null", "is_not_null"):
             val = _coerce_where_value(col, val, types[col])
         out.append((col, op, val))
     return out
@@ -1067,12 +1091,52 @@ def _write_staged_file(table_dir: str, subdir: str, it, schema_json: str):
     return _StagedFile(name, subdir, tbl.num_rows, nbytes, _arrow_stats(tbl))
 
 
+# schemes whose commit publication is a genuinely ATOMIC claim: local
+# paths publish by hard link (EEXIST-atomic syscall), HDFS-family stores
+# by tmp-write + rename (an atomic namespace operation that refuses an
+# existing destination). Object stores expose no conditional PUT through
+# pyarrow.fs, so they fall back to check-then-write — the documented
+# single-writer caveat every log-structured format carries there, and
+# the reason multiWriter=true refuses them at plan time.
+_ATOMIC_COMMIT_SCHEMES = ("file", "hdfs", "viewfs")
+
+
+def _commit_scheme(path: str) -> str | None:
+    """The table dir's URI scheme (None for a plain local path)."""
+    if "://" in path:
+        return path.split("://", 1)[0]
+    if path.startswith("file:"):
+        return "file"
+    return None
+
+
+def _require_atomic_store(path: str, caller: str) -> None:
+    """The multiWriter=true plan-time gate: refuse typed on stores whose
+    commit publication is check-then-write (no conditional PUT through
+    pyarrow.fs) — concurrent commits there can silently overwrite each
+    other, exactly the lost-update the option exists to rule out."""
+    sch = _commit_scheme(path)
+    if sch is None or sch in _ATOMIC_COMMIT_SCHEMES:
+        return
+    raise ValueError(
+        f"{caller}: multiWriter=true requires a store with an atomic "
+        f"create-no-overwrite — local/file: paths (hard-link publish) or "
+        f"hdfs:/viewfs: (rename publish). {sch}:// offers no conditional "
+        f"PUT through this writer, so concurrent commits could silently "
+        f"lose updates. Coordinate writers externally and drop the "
+        f"option, or point the table at a posix/HDFS dir"
+    )
+
+
 def _publish_record(table_dir: str, version: int, payload: dict) -> bool:
     """Atomically create ``_manifests/N.json`` (the commit). False = lost
     the race to a concurrent writer. Local paths publish by hard link
     (complete-at-visibility + EEXIST atomicity, exactly
-    ``storage._commit_record``); other stores check-then-write with the
-    same single-writer caveat every log-structured format carries there."""
+    ``storage._commit_record``); HDFS-family stores publish by tmp-write
+    + rename (atomic, refuses an existing destination — the same claim
+    the JVM twin gets from ``create(overwrite=false)`` there); other
+    stores check-then-write with the single-writer caveat every
+    log-structured format carries there (gated by ``multiWriter``)."""
     import os
     import time
     import uuid
@@ -1095,6 +1159,22 @@ def _publish_record(table_dir: str, version: int, payload: dict) -> bool:
             return False
         finally:
             os.unlink(tmp)
+        return True
+    if _commit_scheme(table_dir) in ("hdfs", "viewfs"):
+        f.create_dir(mdir, recursive=True)
+        tmp = f"{mdir}/.{version}.json.{uuid.uuid4().hex}.tmp"
+        with f.open_output_stream(tmp) as out:
+            out.write(data)
+        try:
+            f.move(tmp, rec)  # HDFS rename: atomic, fails on existing dst
+        except Exception:
+            try:
+                f.delete_file(tmp)
+            except FileNotFoundError:
+                pass
+            if f.get_file_info(rec).type != pafs.FileType.NotFound:
+                return False  # lost the race: someone committed first
+            raise
         return True
     if f.get_file_info(rec).type != pafs.FileType.NotFound:
         return False
@@ -1196,8 +1276,10 @@ def _commit_staged(
                 raise RuntimeError(
                     f"snapshotfeed writer: staging dir v={version} already "
                     f"exists under {table_dir} — if "
-                    f"_manifests/{version}.json is absent, a crashed "
-                    f"writer's orphan is safe to delete"
+                    f"_manifests/{version}.json is absent, it is a crashed "
+                    f"writer's orphan: run storage.snapshot_clean_orphans("
+                    f"spark, table_dir) (it also sweeps leftover _staging "
+                    f"files), then retry the write"
                 )
             time.sleep(0.05 * (attempt + 1))
             continue
@@ -1397,6 +1479,13 @@ class SnapshotFeedWriter(DataSourceArrowWriter):
                 "snapshotfeed requires a table dir: .save('/path/to/table')"
             )
         self._dir = _norm_dir(path)
+        if str(
+            options.get("multiwriter", options.get("multiWriter", "false"))
+        ).lower() in ("true", "1"):
+            # the option is a DECLARATION of concurrent writers: refuse at
+            # plan time on stores where the commit cannot be an atomic
+            # claim, instead of hiding the caveat in a docstring
+            _require_atomic_store(self._dir, "snapshotfeed writer")
         self._schema_json = schema.json()
         self._overwrite = overwrite
         self._subdir = f"dsw-{uuid.uuid4().hex}"
@@ -1432,6 +1521,10 @@ class SnapshotFeedStreamWriter(DataSourceStreamArrowWriter):
                 "snapshotfeed requires a table dir: .start('/path/to/table')"
             )
         self._dir = _norm_dir(path)
+        if str(
+            options.get("multiwriter", options.get("multiWriter", "false"))
+        ).lower() in ("true", "1"):
+            _require_atomic_store(self._dir, "snapshotfeed stream writer")
         self._schema_json = schema.json()
         self._subdir = f"dsw-{uuid.uuid4().hex}"
         self._txn_app = options.get("txnappid", options.get("txnAppId"))

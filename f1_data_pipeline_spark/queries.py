@@ -1022,7 +1022,21 @@ def x_heavy_hitters(t: Tables) -> DataFrame:
     return heavy_hitters(toks, "term", k=20)
 
 
-@query("x_stream_heavy_hitters", None)  # custom stateful streaming op → rows-only
+@query(
+    "x_stream_heavy_hitters",
+    # The oracle IS the batch twin, expressed naively: the Misra–Gries
+    # completeness guarantee (any value with count > n/capacity survives;
+    # here capacity 64 far exceeds the slice's distinct event types, so
+    # EVERY value is a candidate) makes the stream-replayed candidate
+    # recount provably equal to the full aggregation's top-k — the same
+    # replay==batch identity the builder asserts against
+    # analytics.heavy_hitters, now externally checkable.
+    """SELECT CAST(event_type AS VARCHAR) AS event_type,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM events
+       WHERE user_id < 150 AND event_type IS NOT NULL
+       GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 5""",
+)
 def x_stream_heavy_hitters(t: Tables) -> DataFrame:
     """Streaming Misra–Gries (the ``applyInPandasWithState`` stateful
     operator ``streaming.stream_heavy_hitter_candidates``) surfaced as a
@@ -2062,9 +2076,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_quantize, x_pps_sample, x_taxonomy, x_split, x_profile (reasons
     # per entry in SWEEP_ONLY).
     "x_snapshot_cdc", "x_snapshot_bloom",
-    "x_cms_freq", "x_kmv_distinct", "x_kmv_setops",
-    "x_editdist_join", "x_editdist_clusters",
-    "x_bottomk_sample", "x_temp_mixture",
+    "x_cms_freq", "x_kmv_distinct",
+    "x_editdist_join",
+    "x_temp_mixture",
     # ---- round-10 rotation ----
     # The 5 oracle-bearing queries built in round 9 after the r9 rotation
     # was already full (the deletion-vector / exactly-once-replication /
@@ -2076,7 +2090,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # densely in-window — x_pmi, x_length_buckets, x_winsorize, x_ttr,
     # x_source_overlap (reasons per entry in SWEEP_ONLY).
     "x_snapshot_dv", "x_snapshot_replica",
-    "x_shard_assign", "x_epoch_upsample", "x_resample",
+    "x_shard_assign", "x_epoch_upsample",
     # ---- round-11 rotation ----
     # The 5 oracle-bearing queries built in round 10 after the r10
     # rotation was already full (the MERGE INTO / append-only-commit /
@@ -2088,6 +2102,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_kmv_jaccard, x_source_drift (reasons per entry in SWEEP_ONLY).
     "x_merge_into", "x_merge_composite", "x_snapshot_append",
     "x_meta_agg", "x_meta_count",
+    # ---- round-12 rotation ----
+    # The 3 oracle-bearing queries built in round 11 after the r11
+    # rotation was already full (the manifest-log-checkpoint / SQL-writer
+    # / log-retention wave) — each was marked "rotate next round" in
+    # SWEEP_ONLY, and that whole wave had zero external hash verification
+    # until this window (r11 verdict ask #3). Displaced: 3 entries
+    # hash-green in the r9, r10 AND r11 driver windows whose families
+    # stay densely in-window — x_kmv_setops, x_editdist_clusters,
+    # x_bottomk_sample (reasons per entry in SWEEP_ONLY).
+    "x_asof_checkpoint", "x_sql_writer", "x_expire_log",
+    # x_stream_heavy_hitters gained a DuckDB oracle in r12 (the MG
+    # completeness guarantee makes the batch twin's naive top-k SQL an
+    # exact oracle for the stream-replayed recount — r11 verdict ask #6),
+    # closing the LAST benched query with neither a twin nor a window
+    # slot. Displaced: x_resample (r10+r11 hash-green, reason in
+    # SWEEP_ONLY).
+    "x_stream_heavy_hitters",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -2152,7 +2183,7 @@ SWEEP_ONLY: dict[str, str] = {
     "x_funnel": "1-row ordered-funnel conversion; event-sequence family in-window via x_asof_join",
     "x_pack_assign": "first-fit pack assignment; pack family in-window via x_pack_sequences",
     "x_ppl2": "bigram perplexity; LM-scoring family in-window via x_dsir",
-    "x_mixture_sample": "mixture materialization; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_mixture_sample": "mixture materialization; sampling family in-window via x_temp_mixture",
     "x_dedup_spans": "span-level n-gram index; dedup family in-window via x_dedup_clusters/x_dedup_lines",
     # displaced in the round-6 rotation (all r5-driver-hash-green) to make
     # room for the 12 sweep-only r5 operators + the telemetry wire oracle
@@ -2161,11 +2192,11 @@ SWEEP_ONLY: dict[str, str] = {
     "x_tfidf": "corpus TF-IDF term stats; tf/df geometry in-window via x_invindex posting lists",
     "x_scd2": "SCD2 history build; merge family in-window via x_cdc_apply",
     "x_gapfill": "gap-fill + LOCF; time-series family in-window via x_rolling_scaled/x_asof_join",
-    "x_stratified": "per-group stratified sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_stratified": "per-group stratified sample; sampling family in-window via x_temp_mixture",
     "x_normalize": "NFC + cleanup normalization; text family densely in-window (x_curation/x_text_winnow)",
     "x_decontam": "eval-set decontamination; broadcast shingle-join geometry in-window via x_dedup_clusters",
     "x_text_repetition": "repetition-ratio gates; scan-local text family densely in-window (x_curation/x_text_winnow)",
-    "x_mixture": "mixture weight computation; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_mixture": "mixture weight computation; sampling family in-window via x_temp_mixture",
     "x_pii": "PII detect/redact; scan-local regex text family densely in-window (x_curation/x_text_winnow)",
     "x_gopher": "Gopher quality gate; quality-gate family in-window via x_curation",
     "x_bm25": "BM25 scoring; retrieval-stats geometry in-window via x_invindex",
@@ -2194,9 +2225,9 @@ SWEEP_ONLY: dict[str, str] = {
     "x_ppl": "unigram perplexity scoring; LM-scoring family in-window via x_dsir",
     "x_ngram_spans": "n-gram span extraction; span family in-window via x_dedup_lines",
     "x_quantize": "embedding scalar quantization; embedding family in-window via x_semdedup",
-    "x_pps_sample": "PPS weighted sample; sampling family in-window via x_temp_mixture/x_bottomk_sample",
+    "x_pps_sample": "PPS weighted sample; sampling family in-window via x_temp_mixture",
     "x_taxonomy": "regex taxonomy tagging; scan-local text family in-window via x_curation",
-    "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_bottomk_sample",
+    "x_split": "deterministic train/val/test split; hash-assignment family in-window via x_temp_mixture (mixture hashing twin)",
     "x_profile": "column profile stats; corpus-health family in-window via x_source_kl",
     # displaced in the round-11 rotation (all multi-round hash-green in
     # earlier driver windows) to make room for the 5 r10 MERGE/append/
@@ -2204,12 +2235,15 @@ SWEEP_ONLY: dict[str, str] = {
     "x_urls": "URL extract/dedup; text family in-window via x_curation/x_text_winnow — displaced r11, r6–r10 hash-green",
     "x_dedup_incr": "incremental shingle dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines — displaced r11, r6–r10 hash-green",
     "x_snapshot_changes": "batch change-feed consumer; lakehouse CDC family in-window via x_snapshot_cdc/x_cdc_apply/x_merge_into — displaced r11, r9+r10 hash-green",
-    "x_kmv_jaccard": "KMV Jaccard estimate; sketch family in-window via x_kmv_distinct/x_kmv_setops/x_cms_freq — displaced r11, r9+r10 hash-green",
+    "x_kmv_jaccard": "KMV Jaccard estimate; sketch family in-window via x_kmv_distinct/x_cms_freq — displaced r11, r9+r10 hash-green",
     "x_source_drift": "KS drift detector; corpus-health family in-window via x_source_kl — displaced r11, r9+r10 hash-green",
-    # built round 11 after the r11 rotation was already full — rotate next round
-    "x_asof_checkpoint": "manifest-log checkpoint + as-of time travel (new r11); rotate next round; lakehouse family in-window via x_snapshot_dv/x_snapshot_append",
-    "x_sql_writer": "python-DataSource SQL write surface, INSERT INTO e2e (new r11); rotate next round; lakehouse family in-window via x_snapshot_append/x_merge_into",
-    "x_expire_log": "commit-log retention with checkpointed history survival (new r11); rotate next round; lakehouse family in-window via x_snapshot_append/x_meta_agg",
+    # displaced in the round-12 rotation (hash-green in the r9, r10 AND
+    # r11 driver windows) to make room for the 3 r11 checkpoint/writer/
+    # retention oracle queries (r11 verdict ask #3)
+    "x_kmv_setops": "KMV union/intersection estimates; sketch family in-window via x_kmv_distinct/x_cms_freq — displaced r12, r9–r11 hash-green",
+    "x_editdist_clusters": "edit-distance cluster canonicalization; family in-window via x_editdist_join, CC via x_dedup_clusters — displaced r12, r9–r11 hash-green",
+    "x_bottomk_sample": "deterministic bottom-k sample; sampling family in-window via x_temp_mixture — displaced r12, r9–r11 hash-green",
+    "x_resample": "OHLC time-series resample; time-series family in-window via x_rolling_scaled/x_asof_join — displaced r12 (for the newly-oracled x_stream_heavy_hitters), r10+r11 hash-green",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)

@@ -1584,7 +1584,7 @@ def snapshot_properties(
     return _read_manifest(spark, table_dir, v).get("properties") or {}
 
 
-_WHERE_OPS = ("=", "<", "<=", ">", ">=", "is_null", "is_not_null")
+_WHERE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 
 def _entry_all_match(entry: dict, where: list[tuple]) -> bool:
@@ -1611,6 +1611,21 @@ def _entry_all_match(entry: dict, where: list[tuple]) -> bool:
             if nulls != 0:
                 return False
             continue
+        if op == "in":
+            # provable only in the constant-file case: every row equals
+            # the single enveloped value and that value is in the list
+            if (
+                nulls == 0
+                and isinstance(val, (list, tuple))
+                and any(
+                    v is not None
+                    and _stats_comparable(mn, _json_safe(v))
+                    and mn == mx == _json_safe(v)
+                    for v in val
+                )
+            ):
+                continue
+            return False
         if (
             nulls != 0
             or mn is None
@@ -1711,6 +1726,39 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
                 blooms[col], raw
             ):
                 return True
+        if op == "in":
+            # prunable only when EVERY element is provably absent from the
+            # file — a Bloom miss is a proof, landing outside the [min,max]
+            # envelope is a proof; one possible element keeps the file.
+            # NULL elements match no row (SQL IN), so they never block the
+            # proof. The multi-key point-lookup skipping lever: read K keys
+            # from a hash-distributed table and open only files whose Bloom
+            # might hold one.
+            if not isinstance(raw, (list, tuple)) or not raw:
+                continue  # malformed/empty: the exact filter decides
+            bl = blooms.get(col)
+            s_in = stats.get(col)
+            mn_i = s_in.get("min") if s_in else None
+            mx_i = s_in.get("max") if s_in else None
+            if s_in and mn_i is None and mx_i is None and entry.get("rows", 0) > 0:
+                return True  # all-null column: IN never evaluates true
+
+            def _absent(v) -> bool:
+                if bl is not None and _bloom_probe_safe(
+                    bl, v
+                ) and not _bloom_might_contain(bl, v):
+                    return True
+                sv = _json_safe(v)
+                return (
+                    mn_i is not None
+                    and mx_i is not None
+                    and _stats_comparable(mn_i, sv)
+                    and (sv < mn_i or sv > mx_i)
+                )
+
+            if all(v is None or _absent(v) for v in raw):
+                return True
+            continue
         s = stats.get(col)
         if s is None or op not in _WHERE_OPS:
             continue
@@ -1764,6 +1812,13 @@ def _where_expr(where: list[tuple], qualify: str | None = None):
             expr = expr & _c(col).isNull()
         elif op == "is_not_null":
             expr = expr & _c(col).isNotNull()
+        elif op == "in":
+            if not isinstance(val, (list, tuple)) or not val:
+                raise ValueError(
+                    f"snapshot_read: where op 'in' needs a non-empty list "
+                    f"of values (got {val!r})"
+                )
+            expr = expr & _c(col).isin(list(val))
         elif op not in ops:
             raise ValueError(f"snapshot_read: unsupported where op {op!r} (use one of {_WHERE_OPS})")
         else:
@@ -1893,7 +1948,10 @@ def snapshot_read(
     Delta's TIMESTAMP AS OF; mutually exclusive with ``version``).
 
     ``where`` is a conjunction of ``(column, op, literal)`` triples
-    (ops ``= < <= > >=``). It is applied twice, at two different costs:
+    (ops ``= < <= > >= in is_null is_not_null``; ``in`` takes a non-empty
+    list and prunes a file only when EVERY element is provably absent —
+    Bloom miss or outside the envelope — the multi-key point-lookup
+    skipping lever). It is applied twice, at two different costs:
     once DRIVER-SIDE against the manifest's per-file min/max — files whose
     envelope cannot contain a match are never listed, opened, or scanned
     (manifest-level data skipping, the 100 TB lever) — and once as a real
@@ -3373,7 +3431,12 @@ def snapshot_clean_orphans(
     a directory was never visible to any reader (readers only follow
     committed records) but blocks the next writer's staging claim for
     version N — the commit-protocol errors tell the operator to delete
-    it; this is that remedy as a safe API. Returns the versions removed
+    it; this is that remedy as a safe API. Also sweeps the DataSource
+    writer's ``_staging/`` leftovers (task-written files a crashed driver
+    never moved under ``v=N/`` — no manifest ever references them, so
+    they are reclaimable under the same single-operator assumption),
+    making this the one recovery call the snapshotfeed writer's orphan
+    error points at. Returns the versions removed
     (``dry_run=True`` reports without deleting).
 
     Safety: only UNCOMMITTED stages above the current version qualify.
@@ -3407,6 +3470,9 @@ def snapshot_clean_orphans(
         if not dry_run:
             fs.delete(st.getPath(), True)
         removed.append(v)
+    sdir = _snap_path(jvm, table_dir, "_staging")
+    if not dry_run and fs.exists(sdir):
+        fs.delete(sdir, True)
     return sorted(removed)
 
 

@@ -796,6 +796,58 @@ def test_where_timestamp_coercion(spark, tmp_path):
             ).load(str(tdir)).count()
 
 
+def test_where_in_option_batch_and_stream(spark, tmp_path):
+    """The where= option's 'in' op: manifest-level pruning + row-group
+    pushdown + exact Arrow filtering agree for multi-key lookups, on
+    plain columns and (coerced) timestamps; malformed lists fail at plan
+    time."""
+    tdir = tmp_path / "tbl"
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id"))
+        ).alias("ts"),
+    )
+    snapshot_write(df.repartitionByRange(4, "k"), str(tdir), stats_cols=["k", "ts"])
+    feedsource.register(spark)
+    got = (
+        spark.read.format("snapshotfeed")
+        .option("where", '[["k", "in", [5, 6, 399]]]')
+        .load(str(tdir))
+    )
+    assert sorted(r["k"] for r in got.collect()) == [5, 6, 399]
+    assert len(got.inputFiles()) < 4  # interior files pruned at the manifest
+    # timestamp elements coerce like scalar triples (same session frame)
+    got = (
+        spark.read.format("snapshotfeed")
+        .option(
+            "where",
+            '[["ts", "in", ["2024-01-01 00:05:00", "2024-01-01 06:30:00"]]]',
+        )
+        .load(str(tdir))
+    )
+    assert sorted(r["k"] for r in got.collect()) == [5, 390]
+    # DV path agrees (no row-group pushdown there; file-absolute positions)
+    snapshot_delete(spark, str(tdir), [("k", "=", 6)], mode="dv")
+    got = (
+        spark.read.format("snapshotfeed")
+        .option("where", '[["k", "in", [5, 6, 399]]]')
+        .load(str(tdir))
+    )
+    assert sorted(r["k"] for r in got.collect()) == [5, 399]
+    for bad, msg in [
+        ('[["k", "in", []]]', "non-empty"),
+        ('[["k", "in", 5]]', "non-empty"),
+        ('[["k", "in", [1, null]]]', "is_null"),
+        ('[["k", "in", ["x"]]]', "JSON number"),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            spark.read.format("snapshotfeed").option("where", bad).load(
+                str(tdir)
+            ).count()
+
+
 def test_where_filtered_replica(spark, tmp_path):
     """A filtered changeFeed stream maintains a PARTIAL replica: only
     matching rows flow, deletes included."""
@@ -829,6 +881,59 @@ def test_where_filtered_replica(spark, tmp_path):
     sync()
     ks = sorted(r["k"] for r in snapshot_read(spark, str(rep)).collect())
     assert ks == [k for k in range(20) if k != 5]
+
+
+def test_multiwriter_gate_refuses_non_atomic_stores(spark, tmp_path):
+    """multiWriter=true declares concurrent writers; stores whose commit
+    publication is check-then-write (no conditional PUT through
+    pyarrow.fs) are refused at PLAN time — atomic stores (posix hard
+    link, HDFS rename) pass and the write commits."""
+    from f1_data_pipeline_spark.ingest.feedsource import _require_atomic_store
+    from f1_data_pipeline_spark.storage import snapshot_read
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    # local path: hard-link publish is atomic — the option is honored
+    _batch(spark, 0, 10).write.format("snapshotfeed").mode("append").option(
+        "multiWriter", "true"
+    ).save(tdir)
+    assert snapshot_read(spark, tdir).count() == 10
+    # object store: refused typed before any IO (no credentials needed)
+    with pytest.raises(Exception, match="atomic create-no-overwrite"):
+        _batch(spark, 0, 10).write.format("snapshotfeed").mode("append").option(
+            "multiWriter", "true"
+        ).save("s3://bucket/tbl")
+    # the gate itself: HDFS-family schemes are rename-atomic and pass
+    for ok in (str(tmp_path / "x"), "file:///t/x", "hdfs://nn:9000/t", "viewfs://c/t"):
+        _require_atomic_store(ok, "t")
+    for bad in ("s3://b/t", "gs://b/t", "abfss://c@a/t"):
+        with pytest.raises(ValueError, match="conditional PUT"):
+            _require_atomic_store(bad, "t")
+
+
+def test_writer_orphan_names_recovery_api_and_retry_succeeds(spark, tmp_path):
+    """A crashed SQL writer's orphan stage blocks the next write with an
+    error NAMING storage.snapshot_clean_orphans; running that API (which
+    also sweeps the writer's _staging leftovers) unblocks the retry."""
+    import os
+
+    from f1_data_pipeline_spark.storage import snapshot_clean_orphans, snapshot_read
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    _batch(spark, 0, 10).write.format("snapshotfeed").mode("append").save(tdir)
+    # crash image: claimed-but-uncommitted v=2 stage + staged task files
+    os.makedirs(f"{tdir}/v=2")
+    open(f"{tdir}/v=2/_CLAIM", "w").close()
+    os.makedirs(f"{tdir}/_staging/v2abc")
+    open(f"{tdir}/_staging/v2abc/part-0.parquet", "w").close()
+    with pytest.raises(Exception, match="snapshot_clean_orphans"):
+        _batch(spark, 10, 20).write.format("snapshotfeed").mode("append").save(tdir)
+    assert snapshot_clean_orphans(spark, tdir) == [2]
+    assert not os.path.exists(f"{tdir}/_staging")
+    # recover-then-retry: the write now claims v=2 and commits cleanly
+    _batch(spark, 10, 20).write.format("snapshotfeed").mode("append").save(tdir)
+    assert snapshot_read(spark, tdir).count() == 20
 
 
 def test_datasource_writer_batch(spark, tmp_path):

@@ -77,10 +77,10 @@ def test_every_operator_module_inside_window():
         "merge": {"x_cdc_apply", "x_scd2"},
         "multimodal": {"x_multimodal_features", "x_multimodal_real"},
         "windows": {"x_rolling_scaled"},
-        # streaming-stateful (x_stream_heavy_hitters) is deliberately NOT
-        # here: rows-only by design, it can never hash-verify in the
-        # driver window (r8 verdict ask #1); it is pinned by the builder's
-        # batch-equivalence assert + e2e streaming tests instead.
+        # streaming-stateful: oracled since r12 (the batch twin's naive
+        # top-k SQL is exact by MG completeness), on top of the builder's
+        # batch-equivalence assert + e2e streaming tests
+        "streaming-stateful": {"x_stream_heavy_hitters"},
         "wire-path": {"f1_weather_10min", "f1_telemetry_by_driver"},
         "wire-lap-merge": {"f1_lap_table"},
         "sketches": {"x_cms_freq", "x_kmv_distinct", "x_kmv_jaccard"},
@@ -110,10 +110,11 @@ def test_round9_rotation_verified_then_rotatable():
             f"round-9 rotation {name} left the window without a "
             f"hash-green displacement record in SWEEP_ONLY"
         )
-    assert "x_stream_heavy_hitters" not in window, (
-        "rows-only x_stream_heavy_hitters can never hash-verify; it must "
-        "not occupy a driver-window slot (r8 verdict ask #1)"
-    )
+    # x_stream_heavy_hitters was evicted in r9 as rows-only; in r12 it
+    # gained a real DuckDB oracle (the MG completeness guarantee makes
+    # the batch twin's naive top-k SQL exact for the stream-replayed
+    # recount — r11 verdict ask #6), so it may hold a window slot again.
+    assert QUERIES["x_stream_heavy_hitters"].oracle is not None
     # the r8 rotation's f1 wire oracles stay pinned — they are the only
     # external value-verification of the reference's wire decode paths
     wire = {"f1_lap_table", "f1_positions_latest", "f1_session_report",
@@ -121,18 +122,23 @@ def test_round9_rotation_verified_then_rotatable():
     assert wire <= window, f"f1 wire oracles outside the window: {wire - window}"
 
 
-def test_round10_rotation_inside_window():
+def test_round10_rotation_verified_then_rotatable():
     """Round-10 rotation (r9 judge ask #1): the 5 oracle-bearing queries
-    built in round 9 after that round's rotation was full — the entire
-    deletion-vector / exactly-once-replication / shard-export /
-    upsampling / OHLC wave — must sit inside the independently-verified
-    window; until this rotation that wave had zero external hash
-    verification."""
+    built in round 9 — the deletion-vector / exactly-once-replication /
+    shard-export / upsampling / OHLC wave — rotated into the window in
+    round 10 and held through round 11 (two external hash-green rounds).
+    The standing policy then allows displacement, but only with a
+    SWEEP_ONLY reason recording the multi-round green."""
     window = set(DRIVER_PRIORITY)
     rotated = {"x_snapshot_dv", "x_snapshot_replica", "x_shard_assign",
                "x_epoch_upsample", "x_resample"}
-    missing = rotated - window
-    assert not missing, f"round-10 rotations outside the driver window: {missing}"
+    for name in rotated:
+        if name in window:
+            continue
+        assert name in SWEEP_ONLY and "hash-green" in SWEEP_ONLY[name], (
+            f"round-10 rotation {name} left the window without a "
+            f"hash-green displacement record in SWEEP_ONLY"
+        )
 
 
 def test_round11_rotation_inside_window():
@@ -146,6 +152,20 @@ def test_round11_rotation_inside_window():
                "x_meta_agg", "x_meta_count"}
     missing = rotated - window
     assert not missing, f"round-11 rotations outside the driver window: {missing}"
+
+
+def test_round12_rotation_inside_window():
+    """Round-12 rotation (r11 judge asks #3 and #6): the 3 oracle-bearing
+    queries built in round 11 after that round's rotation was full — the
+    manifest-log-checkpoint / SQL-writer / log-retention wave — plus the
+    newly-oracled x_stream_heavy_hitters must sit inside the
+    independently-verified window; until this rotation none of them had
+    external hash verification."""
+    window = set(DRIVER_PRIORITY)
+    rotated = {"x_asof_checkpoint", "x_sql_writer", "x_expire_log",
+               "x_stream_heavy_hitters"}
+    missing = rotated - window
+    assert not missing, f"round-12 rotations outside the driver window: {missing}"
 
 
 def test_every_oracle_query_windowed_or_sweep_only():

@@ -1276,6 +1276,53 @@ def test_snapshot_bloom_point_lookup_skips_files(spark, tmp_path):
     assert blooms, "compacted version lost its bloom entries"
 
 
+def test_where_in_multi_key_lookup_prunes_files(spark, tmp_path):
+    """The 'in' where-op: a K-key point lookup opens only files whose
+    Bloom filter might hold one of the keys (hash layout — envelopes
+    span everything) or whose envelope admits one (range layout); rows
+    are exact either way, and snapshot_count stays metadata-bounded."""
+    import hashlib
+
+    from f1_data_pipeline_spark.storage import (
+        snapshot_count,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    # range-clustered table: envelope pruning carries 'in'
+    rng = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    rdir = str(tmp_path / "rng")
+    snapshot_write(rng.repartitionByRange(8, "k"), rdir, stats_cols=["k"])
+    got = snapshot_read(spark, rdir, where=[("k", "in", [3, 4, 1999])])
+    assert sorted(r["k"] for r in got.collect()) == [3, 4, 1999]
+    total = len(snapshot_read(spark, rdir).inputFiles())
+    assert len(got.inputFiles()) < total  # interior files never opened
+    # count trichotomy: same pruning, exact answer, bounded scan
+    assert snapshot_count(spark, rdir, where=[("k", "in", [3, 4, 1999])]) == 3
+    assert snapshot_count(spark, rdir, where=[("k", "in", [-5, 9999])]) == 0
+
+    # hash-distributed key: Bloom misses prune where envelopes cannot
+    hsh = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+    ).repartition(8)
+    hdir = str(tmp_path / "hsh")
+    snapshot_write(hsh, hdir, stats_cols=["h"], bloom_cols=["h"])
+    probes = [hashlib.md5(str(i).encode()).hexdigest() for i in (7, 1234)]
+    got = snapshot_read(spark, hdir, where=[("h", "in", probes)])
+    assert sorted(r["k"] for r in got.collect()) == [7, 1234]
+    assert len(got.inputFiles()) < len(snapshot_read(spark, hdir).inputFiles())
+    # all-absent probe set: every file bloom-disproven, zero files read
+    absent = snapshot_read(spark, hdir, where=[("h", "in", ["0" * 32, "f" * 32])])
+    assert absent.count() == 0 and absent.inputFiles() == []
+
+    # malformed lists fail typed, never silently scan-and-guess
+    with pytest.raises(ValueError, match="non-empty list"):
+        snapshot_read(spark, rdir, where=[("k", "in", [])]).count()
+
+
 def test_bloom_positions_agree_spark_and_python(spark):
     """The driver-side probe and the executor-side build must derive the
     SAME bit positions or pruning silently breaks."""
