@@ -150,12 +150,7 @@ def _latest_version(table_dir: str) -> int:
 
     f, root = _fs(table_dir)
     mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
-    v = None
-    try:
-        with f.open_input_stream(f"{mdir}/{_CKPT_POINTER}") as s:
-            v = int(json.loads(s.read())["version"])
-    except Exception:
-        v = None
+    v = _ckpt_pointer_version(table_dir)
     if v is None:
         versions = _list_versions(table_dir)
         return versions[-1] if versions else 0
@@ -168,6 +163,21 @@ def _latest_version(table_dir: str) -> int:
         versions = _list_versions(table_dir)
         return versions[-1] if versions else 0
     return head
+
+
+def _ckpt_pointer_version(table_dir: str) -> int | None:
+    """POINTER-ONLY read of ``_manifests/_last_checkpoint``'s version
+    field (None when absent/torn) — the ONE implementation shared by
+    version resolution and the retention-horizon diagnosis; phantom-
+    pointer trust validation stays with the callers that need it."""
+    try:
+        f, root = _fs(table_dir)
+        with f.open_input_stream(
+            f"{root.rstrip('/')}/{_MANIFEST_DIR}/{_CKPT_POINTER}"
+        ) as s:
+            return int(json.loads(s.read())["version"])
+    except Exception:
+        return None
 
 
 def _read_json(table_dir: str, version: int) -> dict:
@@ -183,13 +193,7 @@ def _read_json(table_dir: str, version: int) -> dict:
         # (Delta's 'offsets no longer available' shape), not pointed at
         # corruption. At or below the checkpoint pointer the version was
         # provably committed once — the pointer only ever trails commits.
-        try:
-            with f.open_input_stream(
-                f"{root.rstrip('/')}/{_MANIFEST_DIR}/{_CKPT_POINTER}"
-            ) as s:
-                ck = int(json.loads(s.read())["version"])
-        except Exception:
-            ck = None
+        ck = _ckpt_pointer_version(table_dir)
         if ck is not None and version <= ck:
             raise FileNotFoundError(
                 f"snapshotfeed: version {version} of {table_dir} is no "
@@ -507,12 +511,16 @@ def _coerce_where_value(col: str, val, dtype):
         except ValueError:
             raise bad("an ISO-8601 timestamp string") from None
         if ts.tzinfo is not None:
-            # stats envelopes and Spark-collected literals are session-
-            # local NAIVE wall-clock; an offset-carrying literal would
-            # compare in a different frame on the two pruning tiers
+            # the where contract is UTC WALL-CLOCK naive timestamps: the
+            # engine's fixed config pins spark.sql.session.timeZone=UTC,
+            # manifest stats are stored as naive ISO strings in that
+            # frame, and the exact Arrow tier interprets a naive literal
+            # against a tz-aware column as UTC — one frame on every tier.
+            # An offset-carrying literal would need per-tier conversion
+            # the stats cannot express; refuse it rather than guess.
             raise bad(
-                "a NAIVE (no UTC offset) ISO-8601 timestamp in the "
-                "session's wall clock"
+                "a NAIVE (no UTC offset) ISO-8601 timestamp in UTC "
+                "wall-clock (the engine pins the session timezone to UTC)"
             )
         return ts
     if isinstance(dtype, DateType):
@@ -745,11 +753,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             return None
 
     def _persist_cursor(self, end: int) -> None:
-        """Record the batch end ``partitions()`` just planned. In-place
-        overwrite of one tiny JSON: a torn write parses as garbage and is
-        ignored on recovery (unpaced first batch, never a wrong offset).
-        Failures raise — a misconfigured pacingStateDir should fail the
-        query loudly, not silently disable the pacing it was set up for."""
+        """Record the batch end ``partitions()`` just planned. The file is
+        GLOBALLY monotonic (read-compare-write): if two queries ever share
+        one pacingStateDir against the recommendation, a laggard can never
+        drag the cursor below a leader's committed offset — a recovered
+        cursor AHEAD merely caps less, a cursor BEHIND a committed offset
+        could regress the offset log. In-place overwrite of one tiny JSON:
+        a torn write parses as garbage and is ignored on recovery (unpaced
+        first batch, never a wrong offset). Failures raise — a
+        misconfigured pacingStateDir should fail the query loudly, not
+        silently disable the pacing it was set up for."""
+        prev = self._recover_cursor()
+        if prev is not None and prev >= int(end):
+            return
         f, root = _fs(self._pacing_dir)
         f.create_dir(root, recursive=True)
         with f.open_output_stream(f"{root}/cursor.json") as s:
@@ -757,9 +773,31 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 json.dumps({"table": self._dir, "end": int(end)}).encode()
             )
 
+    def _drop_cursor(self) -> None:
+        """Invalidate the persisted pacing cursor — called from
+        ``initialOffset``, which the engine only invokes on a FRESH
+        checkpoint: a cursor from a previous checkpoint lifecycle must not
+        pace (or point at retention-expired versions for) a new stream."""
+        self._last_end = None
+        try:
+            f, root = _fs(self._pacing_dir)
+            f.delete_file(f"{root}/cursor.json")
+        except FileNotFoundError:
+            pass
+
     # -- driver-side planning (manifest JSON only, no data IO) ----------
 
     def initialOffset(self) -> dict:
+        if self._pacing_dir:
+            # the engine calls initialOffset only on a FRESH checkpoint:
+            # any recovered cursor belongs to a previous checkpoint
+            # lifecycle (stale pacingStateDir) and must not pace this run
+            # (note: the engine's first latestOffset call precedes this
+            # one, so a stale cursor can still cap the FIRST batch's end
+            # — capping below latest is a correct, if older, snapshot
+            # baseline; it can never sit behind a committed offset,
+            # because a fresh checkpoint has none)
+            self._drop_cursor()
         latest = _latest_version(self._dir)
         if latest < 1:
             raise FileNotFoundError(
@@ -1032,9 +1070,22 @@ def _arrow_stats(tbl) -> dict:
         ).as_py():
             continue  # NaN breaks min/max parity with Spark: omit, stay safe
         mm = pc.min_max(col)
+
+        def _canon(v):
+            # Spark hands the writer tz-aware arrow timestamps (UTC
+            # instants); JVM-side stats are NAIVE ISO strings. Mixed
+            # forms would compare lexicographically wrong at equality
+            # boundaries ('…+00:00' > '…'), so canonicalize to the same
+            # UTC-naive form before the shared _json_safe encoding.
+            import datetime
+
+            if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return _json_safe(v)
+
         out[name] = {
-            "min": _json_safe(mm["min"].as_py()),
-            "max": _json_safe(mm["max"].as_py()),
+            "min": _canon(mm["min"].as_py()),
+            "max": _canon(mm["max"].as_py()),
             "nulls": nulls,
         }
     return out

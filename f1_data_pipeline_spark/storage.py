@@ -1649,16 +1649,38 @@ def _entry_all_match(entry: dict, where: list[tuple]) -> bool:
     return True
 
 
+_TS_OFFSET_SUFFIX = None  # compiled lazily (module import stays light)
+
+
+def _tz_suffix_mixed(a: str, b: str) -> bool:
+    """True when exactly ONE of two strings carries an ISO-8601 UTC-offset
+    suffix (``Z`` / ``±HH:MM``): an offset-bearing timestamp string orders
+    lexicographically ABOVE its naive twin at the same instant
+    (``'…+00:00' > '…'``), so pruning on a mixed pair would silently drop
+    matching files at equality boundaries. Mixed pairs are simply not
+    comparable — less pruning, never a wrong result."""
+    global _TS_OFFSET_SUFFIX
+    if _TS_OFFSET_SUFFIX is None:
+        import re as _re
+
+        _TS_OFFSET_SUFFIX = _re.compile(r"(?:Z|[+-]\d{2}:\d{2})$")
+    return bool(_TS_OFFSET_SUFFIX.search(a)) != bool(_TS_OFFSET_SUFFIX.search(b))
+
+
 def _stats_comparable(a, b) -> bool:
     """Only prune when the stats value and the literal share a total
     order we can evaluate driver-side: both numeric (bool excluded —
-    Python would happily order True against 1) or both strings."""
+    Python would happily order True against 1) or both strings — and for
+    strings, both in the same timestamp frame (naive vs offset-suffixed
+    ISO strings do NOT order consistently; see ``_tz_suffix_mixed``)."""
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         return False
     if isinstance(a, num) and isinstance(b, num):
         return True
-    return isinstance(a, str) and isinstance(b, str)
+    if isinstance(a, str) and isinstance(b, str):
+        return not _tz_suffix_mixed(a, b)
+    return False
 
 
 def _bloom_positions(value, m: int, h: int) -> list[int]:
@@ -3424,7 +3446,10 @@ def snapshot_restamp(
 
 
 def snapshot_clean_orphans(
-    spark: SparkSession, table_dir: str, dry_run: bool = False
+    spark: SparkSession,
+    table_dir: str,
+    dry_run: bool = False,
+    staging_grace_sec: float = 3600.0,
 ) -> list[int]:
     """Remove CRASHED-WRITER orphan stages: ``v=N`` directories carrying
     a ``_CLAIM`` marker but no ``_manifests/N.json`` commit record. Such
@@ -3433,10 +3458,15 @@ def snapshot_clean_orphans(
     version N — the commit-protocol errors tell the operator to delete
     it; this is that remedy as a safe API. Also sweeps the DataSource
     writer's ``_staging/`` leftovers (task-written files a crashed driver
-    never moved under ``v=N/`` — no manifest ever references them, so
-    they are reclaimable under the same single-operator assumption),
-    making this the one recovery call the snapshotfeed writer's orphan
-    error points at. Returns the versions removed
+    never moved under ``v=N/`` — no manifest ever references them), but
+    ONLY staging subdirs whose newest file is older than
+    ``staging_grace_sec`` (default 1 h): the commit-conflict error routes
+    operators here while OTHER writers may be live (``multiWriter``), and
+    a live writer's in-flight staging files are by definition recent —
+    the age gate keeps the recovery call safe to run beside them. A
+    crashed writer's stage trips the gate on the next day's sweep (or
+    pass ``staging_grace_sec=0`` when provably no writer is active).
+    Returns the versions removed
     (``dry_run=True`` reports without deleting).
 
     Safety: only UNCOMMITTED stages above the current version qualify.
@@ -3472,7 +3502,21 @@ def snapshot_clean_orphans(
         removed.append(v)
     sdir = _snap_path(jvm, table_dir, "_staging")
     if not dry_run and fs.exists(sdir):
-        fs.delete(sdir, True)
+        import time
+
+        cutoff_ms = (time.time() - max(0.0, staging_grace_sec)) * 1000.0
+        leftover = False
+        for sub in fs.listStatus(sdir):
+            newest = sub.getModificationTime()
+            if sub.isDirectory():
+                for fst in fs.listStatus(sub.getPath()):
+                    newest = max(newest, fst.getModificationTime())
+            if newest < cutoff_ms:
+                fs.delete(sub.getPath(), True)
+            else:
+                leftover = True  # possibly a LIVE writer's stage: keep
+        if not leftover:
+            fs.delete(sdir, True)
     return sorted(removed)
 
 

@@ -202,6 +202,29 @@ def test_pacing_state_dir_paces_restarted_run(spark, tmp_path):
     r3 = SnapshotFeedStreamReader(schema, opts)
     assert r3.latestOffset() == {"version": 5, "mode": "replay"}
 
+    # the FILE is globally monotonic: a second (lagging) instance
+    # re-planning an old span cannot drag the cursor below the leader's
+    lag = SnapshotFeedStreamReader(schema, opts)
+    lag.partitions({"version": 0, "mode": "replay"}, {"version": 2, "mode": "replay"})
+    assert SnapshotFeedStreamReader(schema, opts).latestOffset() == {
+        "version": 5,
+        "mode": "replay",
+    }
+    # a FRESH checkpoint (initialOffset) invalidates the stale cursor:
+    # the new lifecycle must not be paced by the old one's state
+    fresh = SnapshotFeedStreamReader(
+        schema, {k: v for k, v in opts.items() if k != "startingversion"}
+    )
+    fresh.initialOffset()
+    assert fresh.latestOffset() == {"version": 7, "mode": "replay"}
+    assert SnapshotFeedStreamReader(schema, opts).latestOffset() == {
+        "version": 7,
+        "mode": "replay",
+    }
+    # rebuild the cursor for the remaining assertions
+    r4 = SnapshotFeedStreamReader(schema, opts)
+    r4.partitions({"version": 0, "mode": "replay"}, {"version": 4, "mode": "replay"})
+
     # cursor written for ANOTHER table is ignored, not misapplied
     other = tmp_path / "other"
     snapshot_append(_batch(spark, 0, 10), str(other))
@@ -796,6 +819,48 @@ def test_where_timestamp_coercion(spark, tmp_path):
             ).load(str(tdir)).count()
 
 
+def test_writer_timestamp_stats_match_pruning_frame(spark, tmp_path):
+    """Stats staged by the DataSource WRITER (Spark hands it tz-aware
+    arrow timestamps) must canonicalize to the same UTC-naive ISO form
+    JVM-side stats use: a mixed pair ('…+00:00' vs '…') orders
+    lexicographically wrong and silently pruned files whose min EQUALS
+    the where literal. Pinned at the equality boundary, both ops and
+    'in'; the safety net (_tz_suffix_mixed) keeps legacy mixed manifests
+    unpruned rather than wrong."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        _stats_comparable,
+        _tz_suffix_mixed,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id"))
+        ).alias("ts"),
+    ).coalesce(1).write.format("snapshotfeed").mode("append").save(tdir)
+    st = _read_manifest(spark, tdir, 1)["files"][0]["stats"]["ts"]
+    assert "+" not in st["min"] and not st["min"].endswith("Z")  # UTC-naive
+    # equality at the file's exact min boundary: must NOT be pruned
+    for w, want in [
+        ('[["ts", "=", "2024-01-01 00:00:00"]]', [0]),
+        ('[["ts", "<=", "2024-01-01 00:00:00"]]', [0]),
+        ('[["ts", "in", ["2024-01-01 00:00:00", "2024-01-01 01:39:00"]]]', [0, 99]),
+    ]:
+        got = (
+            spark.read.format("snapshotfeed").option("where", w).load(tdir)
+        )
+        assert sorted(r["k"] for r in got.collect()) == want, w
+    # the safety net for legacy mixed manifests: one-sided offset suffix
+    # means NOT comparable (no prune), same-form strings stay comparable
+    assert _tz_suffix_mixed("2024-01-01 00:00:00+00:00", "2024-01-01 00:00:00")
+    assert not _stats_comparable("2024-01-01 00:00:00+00:00", "2024-01-01 00:00:00")
+    assert _stats_comparable("2024-01-01 00:00:00", "2024-01-01 00:00:01")
+
+
 def test_where_in_option_batch_and_stream(spark, tmp_path):
     """The where= option's 'in' op: manifest-level pruning + row-group
     pushdown + exact Arrow filtering agree for multi-key lookups, on
@@ -929,7 +994,13 @@ def test_writer_orphan_names_recovery_api_and_retry_succeeds(spark, tmp_path):
     open(f"{tdir}/_staging/v2abc/part-0.parquet", "w").close()
     with pytest.raises(Exception, match="snapshot_clean_orphans"):
         _batch(spark, 10, 20).write.format("snapshotfeed").mode("append").save(tdir)
+    # default grace keeps RECENT staging (a live writer may own it) …
     assert snapshot_clean_orphans(spark, tdir) == [2]
+    assert os.path.exists(f"{tdir}/_staging/v2abc/part-0.parquet")
+    # … and grace 0 (operator asserts no writer is active) sweeps it
+    os.makedirs(f"{tdir}/v=2")
+    open(f"{tdir}/v=2/_CLAIM", "w").close()
+    assert snapshot_clean_orphans(spark, tdir, staging_grace_sec=0) == [2]
     assert not os.path.exists(f"{tdir}/_staging")
     # recover-then-retry: the write now claims v=2 and commits cleanly
     _batch(spark, 10, 20).write.format("snapshotfeed").mode("append").save(tdir)
