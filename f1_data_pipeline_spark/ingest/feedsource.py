@@ -472,6 +472,120 @@ def _live_file_partitions(
     return parts
 
 
+def _replay_span_partitions(
+    table_dir: str,
+    s: int,
+    e: int,
+    change_feed: bool,
+    skip_changes: bool,
+    exact: list[tuple],
+    remedy: str,
+) -> list[_FeedFile]:
+    """Plan the commit-log replay of versions ``(s, e]`` as read
+    partitions — the ONE implementation behind the streaming tail and the
+    batch change feed: appended files emit as inserts, deletion-vector-
+    only commits emit file-local DV diffs (deletes, plus restore-
+    resurrected inserts) when ``change_feed``, maintenance commits emit
+    nothing, and rewrite commits raise (``remedy`` names the consumer's
+    way out) unless ``skip_changes``. Pure manifest JSON; no data IO."""
+    parts: list[_FeedFile] = []
+    if exact:
+        from f1_data_pipeline_spark.storage import _entry_prunable
+    for v in range(s + 1, e + 1):
+        m = _read_json(table_dir, v)
+        op = m.get("op")
+        if op in _MAINTENANCE_OPS or (
+            op is None and any(k in m for k in _MAINTENANCE_KEYS)
+        ):
+            continue  # content-preserving: nothing to emit
+        # v=1 is table birth: its predecessor is the empty table
+        prev = _read_json(table_dir, v - 1) if v > 1 else {"files": []}
+        if m.get("files") is None or prev.get("files") is None:
+            raise ValueError(
+                "snapshotfeed needs file-list manifests on both "
+                "span endpoints (v1-era record found)"
+            )
+        prev_paths = {x["path"] for x in prev["files"]}
+        added = [x for x in m["files"] if x["path"] not in prev_paths]
+        removed = prev_paths - {x["path"] for x in m["files"]}
+        dv_changed = (m.get("dv") or None) != (prev.get("dv") or None)
+        if change_feed and dv_changed and not removed:
+            # deletion-vector-only commit: the change IS file-local
+            # (new tombstoned positions per file), so it streams as
+            # delete rows — no rewrite to reconcile. One partition
+            # per affected file; the executor diffs the two DV
+            # datasets for its file and emits both directions
+            # (delete for new tombstones; a restore that shrank a
+            # DV resurfaces those rows as inserts).
+            cur_dv, prev_dv = m.get("dv"), prev.get("dv")
+            cur_counts = (cur_dv or {}).get("files", {})
+            prev_counts = (prev_dv or {}).get("files", {})
+            by_key = {_dv_key(x["path"]): x for x in m["files"]}
+            cur_dir = _abs_entry(table_dir, cur_dv["dir"]) if cur_dv else None
+            prev_dir = (
+                _abs_entry(table_dir, prev_dv["dir"]) if prev_dv else None
+            )
+            for key in sorted(set(cur_counts) | set(prev_counts)):
+                if (
+                    op == "delete"
+                    and cur_counts.get(key, 0) == prev_counts.get(key, 0)
+                ):
+                    # a DELETE commit only ADDS positions, so an
+                    # unchanged count proves unchanged positions.
+                    # A restore swaps the whole DV dataset and can
+                    # preserve a count while changing positions —
+                    # those files must be diffed, not skipped.
+                    continue
+                if key not in by_key:
+                    continue  # file left the table in an earlier commit
+                if exact and _entry_prunable(by_key[key], exact):
+                    # superset guarantee holds for deltas too: a
+                    # file no row of which can match the predicate
+                    # can emit no matching delete/insert rows
+                    continue
+                parts.append(
+                    _FeedFile(
+                        _abs_entry(table_dir, by_key[key]["path"]),
+                        cur_dir,
+                        key,
+                        version=v,
+                        change="delete",
+                        delta_from=prev_dir,
+                        delta=True,
+                    )
+                )
+            for entry in added:
+                if entry.get("rows", 0) and not (
+                    exact and _entry_prunable(entry, exact)
+                ):
+                    parts.append(
+                        _FeedFile(
+                            _abs_entry(table_dir, entry["path"]),
+                            version=v,
+                        )
+                    )
+            continue
+        if removed or dv_changed:
+            if skip_changes:
+                continue
+            raise ValueError(
+                f"snapshotfeed: version {v} of {table_dir} is a "
+                f"CHANGE commit (op={op or 'unknown'}; "
+                f"{len(removed)} file(s) removed"
+                f"{', deletion vector changed' if dv_changed else ''}) "
+                f"— an append replay cannot reconcile a rewrite. "
+                f"{remedy}"
+            )
+        for entry in added:
+            if entry.get("rows", 0) and not (
+                exact and _entry_prunable(entry, exact)
+            ):
+                parts.append(
+                    _FeedFile(_abs_entry(table_dir, entry["path"]), version=v)
+                )
+    return parts
+
+
 _WHERE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
 
 
@@ -668,6 +782,91 @@ class SnapshotFeedBatchReader(DataSourceReader):
 
     def read(self, part: _FeedFile):
         yield from _read_file(part, self._schema_json, False, self._exact)
+
+
+class SnapshotFeedChangesReader(DataSourceReader):
+    """BATCH change feed (Delta's ``table_changes`` shape):
+    ``spark.read.format("snapshotfeed").option("changeFeed", "true")
+    .option("startingVersion", s)[.option("endingVersion", e)]`` — and
+    therefore plain SQL through a ``USING snapshotfeed`` view — returns
+    the CDC rows (``_change_type``/``_commit_version``) for every
+    data-changing commit in ``[startingVersion, endingVersion]``
+    (endingVersion defaults to the current version). Planning is the
+    same manifest-only replay the streaming changeFeed uses
+    (``_replay_span_partitions``): appends emit inserts, DV-only commits
+    emit file-local position diffs (deletes + restore-resurrected
+    inserts), maintenance commits emit nothing, rewrite commits raise
+    unless ``skipChangeCommits=true``. The ``where`` option prunes and
+    filters exactly as on the stream."""
+
+    def __init__(self, schema, options):
+        from pyspark.sql.types import StructType
+
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "snapshotfeed requires a table dir: .load('/path/to/table')"
+            )
+        self._dir = _norm_dir(path)
+        self._schema_json = schema.json()
+        sv = options.get("startingversion", options.get("startingVersion"))
+        if sv is None:
+            raise ValueError(
+                "snapshotfeed: a batch changeFeed read needs "
+                "startingVersion (endingVersion is optional, default "
+                "latest) — a plain batch read of a snapshot is all "
+                "inserts by definition; omit changeFeed for that"
+            )
+        self._start = int(sv)
+        ev = options.get("endingversion", options.get("endingVersion"))
+        self._end = int(ev) if ev is not None else None
+        if options.get("version") is not None:
+            raise ValueError(
+                "snapshotfeed: version= time travel and changeFeed= are "
+                "mutually exclusive — a change feed IS a version range"
+            )
+        self._skip_changes = str(
+            options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
+        ).lower() in ("true", "1")
+        data_schema = StructType(
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+        )
+        self._exact = _parse_where_option(options.get("where"), data_schema)
+
+    def partitions(self):
+        latest = _latest_version(self._dir)
+        if latest < 1:
+            raise FileNotFoundError(
+                f"snapshotfeed: no committed snapshot in {self._dir}"
+            )
+        e = self._end if self._end is not None else latest
+        if not (1 <= self._start <= e <= latest):
+            raise ValueError(
+                f"snapshotfeed: changeFeed range [{self._start}, {e}] is "
+                f"invalid for a table at version {latest} — need "
+                f"1 <= startingVersion <= endingVersion <= latest"
+            )
+        parts = _replay_span_partitions(
+            self._dir,
+            self._start - 1,
+            e,
+            True,
+            self._skip_changes,
+            self._exact,
+            remedy=(
+                "Read the post-rewrite state with a plain batch read "
+                "(version=N time travel), or set skipChangeCommits=true "
+                "to skip such commits."
+            ),
+        )
+        return parts or [_FeedFile(None)]
+
+    def read(self, part: _FeedFile):
+        yield from _read_file(part, self._schema_json, True, self._exact)
 
 
 class SnapshotFeedStreamReader(DataSourceStreamReader):
@@ -885,8 +1084,6 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             # cursor backward, so recovery can never under-read the log
             self._persist_cursor(e)
         parts: list[_FeedFile] = []
-        if self._exact:
-            from f1_data_pipeline_spark.storage import _entry_prunable
         if start.get("mode") == "snapshot":
             # initial batch: the FULL live table at version e (DV-aware),
             # manifest-pruned by the where option when one is set
@@ -896,104 +1093,21 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                 if p.path is not None
             )
         else:
-            for v in range(s + 1, e + 1):
-                m = _read_json(self._dir, v)
-                op = m.get("op")
-                if op in _MAINTENANCE_OPS or (
-                    op is None and any(k in m for k in _MAINTENANCE_KEYS)
-                ):
-                    continue  # content-preserving: nothing to emit
-                # v=1 is table birth: its predecessor is the empty table
-                prev = _read_json(self._dir, v - 1) if v > 1 else {"files": []}
-                if m.get("files") is None or prev.get("files") is None:
-                    raise ValueError(
-                        "snapshotfeed needs file-list manifests on both "
-                        "span endpoints (v1-era record found)"
-                    )
-                prev_paths = {x["path"] for x in prev["files"]}
-                added = [x for x in m["files"] if x["path"] not in prev_paths]
-                removed = prev_paths - {x["path"] for x in m["files"]}
-                dv_changed = (m.get("dv") or None) != (prev.get("dv") or None)
-                if self._change_feed and dv_changed and not removed:
-                    # deletion-vector-only commit: the change IS file-local
-                    # (new tombstoned positions per file), so it streams as
-                    # delete rows — no rewrite to reconcile. One partition
-                    # per affected file; the executor diffs the two DV
-                    # datasets for its file and emits both directions
-                    # (delete for new tombstones; a restore that shrank a
-                    # DV resurfaces those rows as inserts).
-                    cur_dv, prev_dv = m.get("dv"), prev.get("dv")
-                    cur_counts = (cur_dv or {}).get("files", {})
-                    prev_counts = (prev_dv or {}).get("files", {})
-                    by_key = {_dv_key(x["path"]): x for x in m["files"]}
-                    cur_dir = (
-                        _abs_entry(self._dir, cur_dv["dir"]) if cur_dv else None
-                    )
-                    prev_dir = (
-                        _abs_entry(self._dir, prev_dv["dir"]) if prev_dv else None
-                    )
-                    for key in sorted(set(cur_counts) | set(prev_counts)):
-                        if (
-                            op == "delete"
-                            and cur_counts.get(key, 0) == prev_counts.get(key, 0)
-                        ):
-                            # a DELETE commit only ADDS positions, so an
-                            # unchanged count proves unchanged positions.
-                            # A restore swaps the whole DV dataset and can
-                            # preserve a count while changing positions —
-                            # those files must be diffed, not skipped.
-                            continue
-                        if key not in by_key:
-                            continue  # file left the table in an earlier commit
-                        if self._exact and _entry_prunable(by_key[key], self._exact):
-                            # superset guarantee holds for deltas too: a
-                            # file no row of which can match the predicate
-                            # can emit no matching delete/insert rows
-                            continue
-                        parts.append(
-                            _FeedFile(
-                                _abs_entry(self._dir, by_key[key]["path"]),
-                                cur_dir,
-                                key,
-                                version=v,
-                                change="delete",
-                                delta_from=prev_dir,
-                                delta=True,
-                            )
-                        )
-                    for entry in added:
-                        if entry.get("rows", 0) and not (
-                            self._exact and _entry_prunable(entry, self._exact)
-                        ):
-                            parts.append(
-                                _FeedFile(
-                                    _abs_entry(self._dir, entry["path"]),
-                                    version=v,
-                                )
-                            )
-                    continue
-                if removed or dv_changed:
-                    if self._skip_changes:
-                        continue
-                    raise ValueError(
-                        f"snapshotfeed: version {v} of {self._dir} is a "
-                        f"CHANGE commit (op={op or 'unknown'}; "
-                        f"{len(removed)} file(s) removed"
-                        f"{', deletion vector changed' if dv_changed else ''}) "
-                        f"— a streaming tail can only replay appends. "
-                        f"Restart the stream with a fresh checkpoint (the "
-                        f"initial snapshot re-baselines), or set "
-                        f"skipChangeCommits=true to skip such commits."
-                    )
-                for entry in added:
-                    if entry.get("rows", 0) and not (
-                        self._exact and _entry_prunable(entry, self._exact)
-                    ):
-                        parts.append(
-                            _FeedFile(
-                                _abs_entry(self._dir, entry["path"]), version=v
-                            )
-                        )
+            parts.extend(
+                _replay_span_partitions(
+                    self._dir,
+                    s,
+                    e,
+                    self._change_feed,
+                    self._skip_changes,
+                    self._exact,
+                    remedy=(
+                        "Restart the stream with a fresh checkpoint (the "
+                        "initial snapshot re-baselines), or set "
+                        "skipChangeCommits=true to skip such commits."
+                    ),
+                )
+            )
         if not parts:
             # an all-maintenance (or empty-append) span still runs as a
             # zero-row batch; a sentinel keeps the planner satisfied
@@ -1639,16 +1753,15 @@ class SnapshotFeedDataSource(DataSource):
             )
         return base
 
-    def reader(self, schema) -> SnapshotFeedBatchReader:
+    def reader(self, schema) -> DataSourceReader:
         if str(
             self.options.get("changefeed", self.options.get("changeFeed", "false"))
         ).lower() in ("true", "1"):
-            raise ValueError(
-                "snapshotfeed: changeFeed is a STREAMING option (a batch "
-                "read of a snapshot is all inserts by definition) — use "
-                "spark.readStream, or storage.snapshot_changes for a "
-                "batch change feed between two versions"
-            )
+            # the table_changes shape: CDC rows over an explicit version
+            # range (startingVersion required — a plain batch read is all
+            # inserts by definition, so full-history CDF must be asked
+            # for by version, exactly Delta's contract)
+            return SnapshotFeedChangesReader(schema, self.options)
         return SnapshotFeedBatchReader(schema, self.options)
 
     def streamReader(self, schema) -> SnapshotFeedStreamReader:

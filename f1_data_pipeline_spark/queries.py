@@ -1576,6 +1576,95 @@ def x_snapshot_changes(t: Tables) -> DataFrame:
     return feed.orderBy("event_id", "_change_type")
 
 
+# scratch table dir of x_table_changes's previous invocation per sf_dir
+_TABLE_CHANGES_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_table_changes",
+    """WITH base AS (SELECT event_id, user_id, event_type,
+                            ROUND(value, 4) AS val
+                     FROM events WHERE event_id BETWEEN 0 AND 299)
+       SELECT * FROM (
+         SELECT event_id, user_id, event_type, val,
+                'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE event_id BETWEEN 100 AND 199
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'delete', 4
+         FROM base WHERE event_id BETWEEN 150 AND 159
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'insert', 5
+         FROM base WHERE event_id BETWEEN 200 AND 299
+       ) ORDER BY _commit_version, _change_type, event_id""",
+)
+def x_table_changes(t: Tables) -> DataFrame:
+    """BATCH change feed through the DataSource (Delta's ``table_changes``
+    shape, new r12): commit an events slice as v1, append v2, restamp
+    (maintenance, v3), DV-delete a band (v4), append v5 — then read
+    ``changeFeed=true, startingVersion=2`` through
+    ``spark.read.format("snapshotfeed")`` and get exactly v2's inserts,
+    v4's file-local DV-diff deletes, and v5's inserts; the maintenance
+    commit contributes nothing. The CDC rows are a pure function of the
+    events slice, so the oracle reproduces them with no filesystem at
+    all, while the builder self-asserts the mechanics the hash can't
+    show: the DV delete rewrote ZERO files (the manifest still carries
+    v=1/v=2 files by reference) and the feed plan opened no file from
+    the pruned-maintenance version.
+
+    Scale: planning is manifest-JSON-only over the requested span; data
+    IO is one read per ADDED file plus one DV diff per dirtied file —
+    never O(table), the same cost model as the streaming changeFeed
+    (reference parity: loader.py:207-279 re-syncs derived state by
+    re-upserting whole batches through ON CONFLICT; this is the
+    incremental read that makes a consumer pay only for what changed)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.ingest import feedsource
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_delete,
+        snapshot_restamp,
+    )
+
+    spark = t.spark
+    base = t.events.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("val")
+    ).where(F.col("event_id").between(0, 299))
+    tdir = tempfile.gettempdir() + f"/f1dp_table_changes_{uuid.uuid4().hex}"
+    prev = _TABLE_CHANGES_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _TABLE_CHANGES_DIRS[t.sf_dir] = tdir
+    slice_ = lambda lo, hi: base.where(  # noqa: E731
+        F.col("event_id").between(lo, hi)
+    ).coalesce(1)
+    snapshot_append(slice_(0, 99), tdir, stats_cols=["event_id"])   # v1
+    snapshot_append(slice_(100, 199), tdir)                          # v2
+    snapshot_restamp(spark, tdir, {"note": "maintenance"})           # v3
+    snapshot_delete(
+        spark, tdir, [("event_id", ">=", 150), ("event_id", "<=", 159)],
+        mode="dv",
+    )                                                                # v4
+    snapshot_append(slice_(200, 299), tdir)                          # v5
+    m4 = _read_manifest(spark, tdir, 4)
+    if not all(e["path"].startswith(("v=1/", "v=2/")) for e in m4["files"]):
+        raise RuntimeError(
+            "x_table_changes: the DV delete rewrote data files — "
+            "merge-on-read regressed"
+        )
+    feedsource.register(spark)
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(tdir)
+    )
+    return feed.orderBy("_commit_version", "_change_type", "event_id")
+
+
 # scratch table dir of x_snapshot_bloom's previous invocation per sf_dir
 _SNAP_BLOOM_DIRS: dict[str, str] = {}
 
@@ -2244,6 +2333,8 @@ SWEEP_ONLY: dict[str, str] = {
     "x_editdist_clusters": "edit-distance cluster canonicalization; family in-window via x_editdist_join, CC via x_dedup_clusters — displaced r12, r9–r11 hash-green",
     "x_bottomk_sample": "deterministic bottom-k sample; sampling family in-window via x_temp_mixture — displaced r12, r9–r11 hash-green",
     "x_resample": "OHLC time-series resample; time-series family in-window via x_rolling_scaled/x_asof_join — displaced r12 (for the newly-oracled x_stream_heavy_hitters), r10+r11 hash-green",
+    # built round 12 after the r12 rotation was already full — rotate next round
+    "x_table_changes": "batch table_changes through the DataSource (new r12); rotate next round; CDC family in-window via x_snapshot_cdc/x_cdc_apply",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)

@@ -531,6 +531,58 @@ def test_change_feed_restore_with_equal_dv_counts(spark, tmp_path):
     )
 
 
+def test_batch_change_feed_table_changes(spark, tmp_path):
+    """Delta's table_changes shape: a BATCH changeFeed read over an
+    explicit version range returns the same CDC rows the streaming
+    changeFeed would replay — inserts for appends, file-local DV-diff
+    deletes, nothing for maintenance — with endingVersion slicing,
+    range validation, and the rewrite-commit refusal + skip."""
+    from f1_data_pipeline_spark.storage import snapshot_upsert
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_append(_batch(spark, 0, 10).coalesce(1), tdir, stats_cols=["k"])  # v1
+    snapshot_append(_batch(spark, 10, 20).coalesce(1), tdir)                   # v2
+    snapshot_restamp(spark, tdir, {"note": "maintenance"})                     # v3
+    snapshot_delete(spark, tdir, [("k", "=", 5)], mode="dv")                   # v4
+    snapshot_append(_batch(spark, 20, 25).coalesce(1), tdir)                   # v5
+    feedsource.register(spark)
+
+    def changes(**opts):
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(tdir)
+
+    got = changes(startingVersion=2)
+    rows = {(r["k"], r["_change_type"], r["_commit_version"]) for r in got.collect()}
+    assert rows == (
+        {(k, "insert", 2) for k in range(10, 20)}
+        | {(5, "delete", 4)}
+        | {(k, "insert", 5) for k in range(20, 25)}
+    )
+    # endingVersion slices the range; from table birth includes v1
+    assert {r["k"] for r in changes(startingVersion=1, endingVersion=2).collect()} == set(
+        range(20)
+    )
+    # where= prunes and filters the feed exactly
+    assert {
+        (r["k"], r["_change_type"])
+        for r in changes(startingVersion=2, where='[["k", "<", 12]]').collect()
+    } == {(10, "insert"), (11, "insert"), (5, "delete")}
+    # validation: range, missing start, version= exclusivity
+    with pytest.raises(Exception, match="invalid for a table at version"):
+        changes(startingVersion=4, endingVersion=99).count()
+    with pytest.raises(Exception, match="needs\\s+startingVersion"):
+        changes().count()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        changes(startingVersion=1, version=2).count()
+    # a rewrite commit (upsert) raises with the batch remedy, skip skips
+    snapshot_upsert(spark, tdir, _batch(spark, 0, 3), key="k")  # v6 rewrite
+    with pytest.raises(Exception, match="plain batch read"):
+        changes(startingVersion=6).count()
+    assert changes(startingVersion=6, skipChangeCommits="true").count() == 0
+
+
 def test_batch_reader_matches_snapshot_read(spark, tmp_path):
     """spark.read.format('snapshotfeed') is the batch face of the table
     format: live-row semantics equal snapshot_read (DV-aware), version=N
