@@ -472,6 +472,92 @@ def _live_file_partitions(
     return parts
 
 
+def _read_checkpoint_pa(table_dir: str) -> dict | None:
+    """pyarrow twin of ``storage._read_checkpoint`` for the JVM-less
+    reader processes: pointer → compacted ``{"version", "log"}``, None
+    when absent/torn/phantom (same trust validation — a pointer whose own
+    version was never committed is corruption, not a checkpoint)."""
+    from pyarrow import fs as pafs
+
+    try:
+        f, root = _fs(table_dir)
+        mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+        with f.open_input_stream(f"{mdir}/{_CKPT_POINTER}") as s:
+            meta = json.loads(s.read())
+        with f.open_input_stream(f"{mdir}/{meta['path']}") as s:
+            ck = json.loads(s.read())
+        if int(ck["version"]) != int(meta["version"]) or "log" not in ck:
+            return None
+        if (
+            f.get_file_info(f"{mdir}/{int(ck['version'])}.json").type
+            == pafs.FileType.NotFound
+        ):
+            return None
+        return ck
+    except Exception:
+        return None
+
+
+def _parse_ts_option(opt, name: str) -> float:
+    """A timestamp option as unix seconds: a JSON/number literal passes
+    through, an ISO-8601 string is UTC wall-clock when naive (the same
+    frame commit records are stamped in — ``time.time()``)."""
+    import datetime
+
+    if isinstance(opt, (int, float)) and not isinstance(opt, bool):
+        return float(opt)
+    try:
+        # DataSource options arrive as STRINGS — numeric-looking ones are
+        # unix seconds (the commit-stamp form), everything else ISO-8601
+        return float(opt)
+    except (TypeError, ValueError):
+        pass
+    try:
+        ts = datetime.datetime.fromisoformat(str(opt))
+    except ValueError:
+        raise ValueError(
+            f"snapshotfeed: {name} must be an ISO-8601 timestamp or unix "
+            f"seconds (got {opt!r})"
+        ) from None
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=datetime.timezone.utc)
+    return ts.timestamp()
+
+
+def _version_bound_asof(table_dir: str, ts: float, after: bool) -> int:
+    """Version bounds from commit times, checkpoint-accelerated and
+    skew-clamped exactly like ``storage.snapshot_version_asof`` (each
+    version's EFFECTIVE time is the running max of all earlier stamps, so
+    versions never travel back in time). ``after=True`` → the FIRST
+    version committed at-or-after ``ts`` (latest+1 when every commit
+    predates it — start-at-next-commit, the Delta startingTimestamp
+    shape); ``after=False`` → the LAST version committed at-or-before
+    ``ts`` (0 when the first commit is later). Pre-stamp-era records
+    count as infinitely old. The compacted (version, ts) log answers for
+    the prefix with zero manifest reads; only the tail reads manifests."""
+    eff = float("-inf")
+    best_before = 0
+    ck = _read_checkpoint_pa(table_dir)
+    start = 1
+    if ck is not None:
+        for rec in ck["log"]:
+            if rec.get("ts") is not None:
+                eff = max(eff, float(rec["ts"]))
+            if eff >= ts:
+                return int(rec["version"]) if after else best_before
+            best_before = int(rec["version"])
+        start = int(ck["version"]) + 1
+    latest = _latest_version(table_dir)
+    for v in range(start, latest + 1):
+        m = _read_json(table_dir, v)
+        if m.get("ts") is not None:
+            eff = max(eff, float(m["ts"]))
+        if eff >= ts:
+            return v if after else best_before
+        best_before = v
+    return (latest + 1) if after else best_before
+
+
 def _replay_span_partitions(
     table_dir: str,
     s: int,
@@ -810,16 +896,35 @@ class SnapshotFeedChangesReader(DataSourceReader):
         self._dir = _norm_dir(path)
         self._schema_json = schema.json()
         sv = options.get("startingversion", options.get("startingVersion"))
-        if sv is None:
+        st = options.get("startingtimestamp", options.get("startingTimestamp"))
+        if sv is not None and st is not None:
+            raise ValueError(
+                "snapshotfeed: startingVersion and startingTimestamp are "
+                "mutually exclusive"
+            )
+        if sv is None and st is None:
             raise ValueError(
                 "snapshotfeed: a batch changeFeed read needs "
-                "startingVersion (endingVersion is optional, default "
-                "latest) — a plain batch read of a snapshot is all "
-                "inserts by definition; omit changeFeed for that"
+                "startingVersion or startingTimestamp (the ending bound "
+                "is optional, default latest) — a plain batch read of a "
+                "snapshot is all inserts by definition; omit changeFeed "
+                "for that"
             )
-        self._start = int(sv)
+        self._start = int(sv) if sv is not None else None
+        self._start_ts = (
+            _parse_ts_option(st, "startingTimestamp") if st is not None else None
+        )
         ev = options.get("endingversion", options.get("endingVersion"))
+        et = options.get("endingtimestamp", options.get("endingTimestamp"))
+        if ev is not None and et is not None:
+            raise ValueError(
+                "snapshotfeed: endingVersion and endingTimestamp are "
+                "mutually exclusive"
+            )
         self._end = int(ev) if ev is not None else None
+        self._end_ts = (
+            _parse_ts_option(et, "endingTimestamp") if et is not None else None
+        )
         if options.get("version") is not None:
             raise ValueError(
                 "snapshotfeed: version= time travel and changeFeed= are "
@@ -843,16 +948,33 @@ class SnapshotFeedChangesReader(DataSourceReader):
             raise FileNotFoundError(
                 f"snapshotfeed: no committed snapshot in {self._dir}"
             )
-        e = self._end if self._end is not None else latest
-        if not (1 <= self._start <= e <= latest):
+        s = self._start
+        if s is None:
+            # first commit at-or-after the instant (Delta startingTimestamp)
+            s = _version_bound_asof(self._dir, self._start_ts, after=True)
+        e = self._end
+        if e is None:
+            e = (
+                latest
+                if self._end_ts is None
+                # last commit at-or-before the instant (TIMESTAMP AS OF)
+                else _version_bound_asof(self._dir, self._end_ts, after=False)
+            )
+        if s == latest + 1 and s > e:
+            # every commit predates startingTimestamp: an EMPTY feed, not
+            # an error — the caller asked for "changes since ts" and the
+            # honest answer is "none yet"
+            return [_FeedFile(None)]
+        if not (1 <= s <= e <= latest):
             raise ValueError(
-                f"snapshotfeed: changeFeed range [{self._start}, {e}] is "
-                f"invalid for a table at version {latest} — need "
-                f"1 <= startingVersion <= endingVersion <= latest"
+                f"snapshotfeed: changeFeed range [{s}, {e}] is invalid "
+                f"for a table at version {latest} — need 1 <= start <= "
+                f"end <= latest (timestamp bounds resolve against commit "
+                f"times first)"
             )
         parts = _replay_span_partitions(
             self._dir,
-            self._start - 1,
+            s - 1,
             e,
             True,
             self._skip_changes,
@@ -880,6 +1002,17 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         self._schema_json = schema.json()
         sv = options.get("startingversion", options.get("startingVersion"))
         self._starting = int(sv) if sv is not None else None
+        st = options.get("startingtimestamp", options.get("startingTimestamp"))
+        if st is not None and self._starting is not None:
+            raise ValueError(
+                "snapshotfeed: startingVersion and startingTimestamp are "
+                "mutually exclusive"
+            )
+        # resolved lazily at initialOffset (the table may gain commits
+        # between reader construction and the first planning call)
+        self._starting_ts = (
+            _parse_ts_option(st, "startingTimestamp") if st is not None else None
+        )
         self._skip_changes = str(
             options.get("skipchangecommits", options.get("skipChangeCommits", "false"))
         ).lower() in ("true", "1")
@@ -1002,6 +1135,12 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             raise FileNotFoundError(
                 f"snapshotfeed: no committed snapshot in {self._dir}"
             )
+        if self._starting_ts is not None:
+            # the Delta startingTimestamp shape: replay every commit made
+            # at-or-after the instant; all-older tables start at the next
+            # commit (latest+1 is valid for startingVersion too)
+            v = _version_bound_asof(self._dir, self._starting_ts, after=True)
+            return {"version": v - 1, "mode": "replay"}
         if self._starting is not None:
             if self._starting < 1:
                 raise ValueError(

@@ -583,6 +583,75 @@ def test_batch_change_feed_table_changes(spark, tmp_path):
     assert changes(startingVersion=6, skipChangeCommits="true").count() == 0
 
 
+def test_starting_timestamp_resolves_against_commit_times(spark, tmp_path):
+    """Delta's startingTimestamp shape on both faces: the stream replays
+    every commit at-or-after the instant (all-older tables tail from the
+    next commit; all-newer from v1), and the batch changeFeed accepts
+    timestamp bounds on either end — resolved manifest-only against the
+    skew-clamped commit stamps."""
+    import datetime
+
+    from f1_data_pipeline_spark.ingest.feedsource import (
+        SnapshotFeedStreamReader,
+        _read_json,
+    )
+
+    tdir = tmp_path / "tbl"
+    for i in range(3):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10).coalesce(1), str(tdir))
+    ts = [_read_json(str(tdir), v)["ts"] for v in (1, 2, 3)]
+    assert ts == sorted(ts)
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+
+    def reader(**opts):
+        return SnapshotFeedStreamReader(schema, {"path": str(tdir), **opts})
+
+    if ts[1] > ts[0] and ts[2] > ts[1]:  # distinct stamps: midpoints exist
+        mid12 = (ts[0] + ts[1]) / 2
+        assert reader(startingtimestamp=mid12).initialOffset() == {
+            "version": 1, "mode": "replay",
+        }
+        # ISO form (UTC wall-clock) resolves identically
+        iso = datetime.datetime.utcfromtimestamp(mid12).isoformat()
+        assert reader(startingtimestamp=iso).initialOffset() == {
+            "version": 1, "mode": "replay",
+        }
+    # before the first commit: the whole log replays (from v1)
+    assert reader(startingtimestamp=ts[0] - 10).initialOffset() == {
+        "version": 0, "mode": "replay",
+    }
+    # after the last commit: tail-only (start at the next commit)
+    assert reader(startingtimestamp=ts[2] + 10).initialOffset() == {
+        "version": 3, "mode": "replay",
+    }
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        reader(startingtimestamp=ts[0], startingversion="1")
+
+    # batch changeFeed: timestamp bounds on either end
+    feedsource.register(spark)
+
+    def changes(**opts):
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load(str(tdir))
+
+    if ts[1] > ts[0] and ts[2] > ts[1]:
+        got = changes(
+            startingTimestamp=(ts[0] + ts[1]) / 2,
+            endingTimestamp=(ts[1] + ts[2]) / 2,
+        )
+        assert {r["_commit_version"] for r in got.collect()} == {2}
+    assert changes(startingTimestamp=ts[2] + 10).count() == 0  # none yet
+    assert changes(startingTimestamp=ts[0] - 10).count() == 30  # full log
+    with pytest.raises(Exception, match="mutually exclusive"):
+        changes(startingTimestamp=ts[0], startingVersion=1).count()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        changes(startingVersion=1, endingVersion=2, endingTimestamp=ts[1]).count()
+    with pytest.raises(Exception, match="ISO-8601"):
+        changes(startingTimestamp="not-a-time").count()
+
+
 def test_batch_reader_matches_snapshot_read(spark, tmp_path):
     """spark.read.format('snapshotfeed') is the batch face of the table
     format: live-row semantics equal snapshot_read (DV-aware), version=N
