@@ -199,11 +199,11 @@ def _read_json(table_dir: str, version: int) -> dict:
                 f"snapshotfeed: version {version} of {table_dir} is no "
                 f"longer available — it is at or behind the table's "
                 f"manifest-log checkpoint (v{ck}), so snapshot_expire_log "
-                f"retention most likely removed its commit record. This "
-                f"stream's offsets cannot be replayed: restart it with a "
-                f"FRESH checkpoint (the initial snapshot re-baselines), "
-                f"and raise the table's keep_last if streams can lag this "
-                f"far"
+                f"retention most likely removed its commit record. A "
+                f"stream must restart with a FRESH checkpoint (the "
+                f"initial snapshot re-baselines); a batch changeFeed must "
+                f"raise its starting bound above the horizon. Raise the "
+                f"table's keep_last if readers can lag this far"
             ) from None
         raise FileNotFoundError(
             f"snapshotfeed: version {version} was never committed (or was "
@@ -504,12 +504,23 @@ def _parse_ts_option(opt, name: str) -> float:
     frame commit records are stamped in — ``time.time()``)."""
     import datetime
 
+    import math
+
     if isinstance(opt, (int, float)) and not isinstance(opt, bool):
+        if not math.isfinite(float(opt)):
+            raise ValueError(
+                f"snapshotfeed: {name} must be a FINITE timestamp (got {opt!r})"
+            )
         return float(opt)
     try:
         # DataSource options arrive as STRINGS — numeric-looking ones are
-        # unix seconds (the commit-stamp form), everything else ISO-8601
-        return float(opt)
+        # unix seconds (the commit-stamp form), everything else ISO-8601.
+        # 'nan'/'inf' parse as floats but poison every >= comparison into
+        # a silently-empty feed — refuse them like any malformed literal.
+        num = float(opt)
+        if not math.isfinite(num):
+            raise TypeError
+        return num
     except (TypeError, ValueError):
         pass
     try:
@@ -524,7 +535,9 @@ def _parse_ts_option(opt, name: str) -> float:
     return ts.timestamp()
 
 
-def _version_bound_asof(table_dir: str, ts: float, after: bool) -> int:
+def _version_bound_asof(
+    table_dir: str, ts: float, after: bool, latest: int, ck: dict | None
+) -> int:
     """Version bounds from commit times, checkpoint-accelerated and
     skew-clamped exactly like ``storage.snapshot_version_asof`` (each
     version's EFFECTIVE time is the running max of all earlier stamps, so
@@ -532,27 +545,37 @@ def _version_bound_asof(table_dir: str, ts: float, after: bool) -> int:
     version committed at-or-after ``ts`` (latest+1 when every commit
     predates it — start-at-next-commit, the Delta startingTimestamp
     shape); ``after=False`` → the LAST version committed at-or-before
-    ``ts`` (0 when the first commit is later). Pre-stamp-era records
-    count as infinitely old. The compacted (version, ts) log answers for
-    the prefix with zero manifest reads; only the tail reads manifests."""
+    ``ts`` (0 when the first commit is later) — an exactly-at-``ts``
+    stamp belongs to BOTH bounds, so the stop test is ``>=`` for after
+    and strict ``>`` for before (the JVM twin's contract; a shared ``>=``
+    silently dropped the equal-stamped commit from ``endingTimestamp``).
+    Pre-stamp-era records count as infinitely old; retention-expired
+    manifests in the tail are skipped like the JVM twin skips them.
+    ``latest`` and ``ck`` (``_read_checkpoint_pa``) come from the caller
+    so a two-bound resolution parses the compacted log once."""
     eff = float("-inf")
     best_before = 0
-    ck = _read_checkpoint_pa(table_dir)
+
+    def _past(v: float) -> bool:
+        return v >= ts if after else v > ts
+
     start = 1
     if ck is not None:
         for rec in ck["log"]:
             if rec.get("ts") is not None:
                 eff = max(eff, float(rec["ts"]))
-            if eff >= ts:
+            if _past(eff):
                 return int(rec["version"]) if after else best_before
             best_before = int(rec["version"])
         start = int(ck["version"]) + 1
-    latest = _latest_version(table_dir)
     for v in range(start, latest + 1):
-        m = _read_json(table_dir, v)
+        try:
+            m = _read_json(table_dir, v)
+        except FileNotFoundError:
+            continue  # retention-expired record: resolve past the gap
         if m.get("ts") is not None:
             eff = max(eff, float(m["ts"]))
-        if eff >= ts:
+        if _past(eff):
             return v if after else best_before
         best_before = v
     return (latest + 1) if after else best_before
@@ -948,17 +971,26 @@ class SnapshotFeedChangesReader(DataSourceReader):
             raise FileNotFoundError(
                 f"snapshotfeed: no committed snapshot in {self._dir}"
             )
+        ck = (
+            _read_checkpoint_pa(self._dir)
+            if (self._start_ts is not None or self._end_ts is not None)
+            else None
+        )
         s = self._start
         if s is None:
             # first commit at-or-after the instant (Delta startingTimestamp)
-            s = _version_bound_asof(self._dir, self._start_ts, after=True)
+            s = _version_bound_asof(
+                self._dir, self._start_ts, after=True, latest=latest, ck=ck
+            )
         e = self._end
         if e is None:
             e = (
                 latest
                 if self._end_ts is None
                 # last commit at-or-before the instant (TIMESTAMP AS OF)
-                else _version_bound_asof(self._dir, self._end_ts, after=False)
+                else _version_bound_asof(
+                    self._dir, self._end_ts, after=False, latest=latest, ck=ck
+                )
             )
         if s == latest + 1 and s > e:
             # every commit predates startingTimestamp: an EMPTY feed, not
@@ -1139,7 +1171,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             # the Delta startingTimestamp shape: replay every commit made
             # at-or-after the instant; all-older tables start at the next
             # commit (latest+1 is valid for startingVersion too)
-            v = _version_bound_asof(self._dir, self._starting_ts, after=True)
+            v = _version_bound_asof(
+                self._dir,
+                self._starting_ts,
+                after=True,
+                latest=latest,
+                ck=_read_checkpoint_pa(self._dir),
+            )
             return {"version": v - 1, "mode": "replay"}
         if self._starting is not None:
             if self._starting < 1:
@@ -1694,21 +1732,7 @@ def _maybe_checkpoint_pa(table_dir: str, version: int, payload: dict) -> None:
 
         f, root = _fs(table_dir)
         mdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}"
-        prev = None
-        try:
-            with f.open_input_stream(f"{mdir}/{_CKPT_POINTER}") as s:
-                meta = json.loads(s.read())
-            with f.open_input_stream(f"{mdir}/{meta['path']}") as s:
-                prev = json.loads(s.read())
-            if int(prev["version"]) != int(meta["version"]) or "log" not in prev:
-                prev = None
-            elif (
-                f.get_file_info(f"{mdir}/{int(prev['version'])}.json").type
-                == pafs.FileType.NotFound
-            ):
-                prev = None  # phantom pointer: never trust, rebuild
-        except Exception:
-            prev = None
+        prev = _read_checkpoint_pa(table_dir)  # trust rules live in ONE place
         if prev is not None and int(prev["version"]) >= version:
             return
         log, start = (

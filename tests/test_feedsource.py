@@ -642,7 +642,14 @@ def test_starting_timestamp_resolves_against_commit_times(spark, tmp_path):
             endingTimestamp=(ts[1] + ts[2]) / 2,
         )
         assert {r["_commit_version"] for r in got.collect()} == {2}
+        # EXACT-stamp equality belongs to BOTH bounds (the JVM as-of
+        # contract): start=end=ts(v2) is precisely v2, not an error
+        got = changes(startingTimestamp=ts[1], endingTimestamp=ts[1])
+        assert {r["_commit_version"] for r in got.collect()} == {2}
     assert changes(startingTimestamp=ts[2] + 10).count() == 0  # none yet
+    # non-finite literals refuse instead of resolving to an empty feed
+    with pytest.raises(Exception, match="ISO-8601|FINITE"):
+        changes(startingTimestamp="nan").count()
     assert changes(startingTimestamp=ts[0] - 10).count() == 30  # full log
     with pytest.raises(Exception, match="mutually exclusive"):
         changes(startingTimestamp=ts[0], startingVersion=1).count()
