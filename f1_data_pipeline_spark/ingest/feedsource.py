@@ -1098,44 +1098,72 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         if self._pacing_dir:
             self._last_end = self._recover_cursor()
 
+    # The pacing cursor is VALUE-ADDRESSED: each planned batch end N
+    # writes its own marker `cursor.<N zero-padded>.json` and prunes
+    # strictly-smaller markers; recovery takes the max. Monotone BY
+    # CONSTRUCTION under any interleaving — a read-compare-write single
+    # file had a race window (laggard reads stale, overwrites the
+    # leader's higher value AFTER it, found by the threaded stress test)
+    # whose consequence is exactly the offset regression the option must
+    # never cause. Markers with the same N are byte-identical, so
+    # concurrent same-value writes are harmless on any store; pruning is
+    # done only by writers holding a HIGHER value, so the max never drops.
+
+    def _cursor_markers(self) -> list[tuple[int, str]]:
+        from pyarrow import fs as pafs
+
+        f, root = _fs(self._pacing_dir)
+        sel = pafs.FileSelector(root, allow_not_found=True)
+        out = []
+        for info in f.get_file_info(sel):
+            name = info.base_name
+            if name.startswith("cursor.") and name.endswith(".json"):
+                mid = name[len("cursor."):-len(".json")]
+                if mid.isdigit():
+                    out.append((int(mid), f"{root}/{name}"))
+        return sorted(out)
+
     def _recover_cursor(self) -> int | None:
-        """The pacing cursor a previous run's ``partitions()`` persisted —
-        None when missing, torn, or written for a different table (each
-        falls back to the pre-option unpaced first batch). Pacing is
-        admission CONTROL, never a correctness dependency: the cursor is
-        written monotonically by planned-batch ends, so a recovered value
-        can never sit behind an offset the engine already committed —
+        """The highest pacing marker a previous run's ``partitions()``
+        persisted — None when absent, torn, or written for a different
+        table (each falls back to the pre-option unpaced first batch).
+        Pacing is admission CONTROL, never a correctness dependency: the
+        marker set is append-only-upward, so a recovered value can never
+        sit behind an offset the engine already committed —
         ``latestOffset`` built on it can cap, but never regress."""
         try:
-            f, root = _fs(self._pacing_dir)
-            with f.open_input_stream(f"{root}/cursor.json") as s:
+            markers = self._cursor_markers()
+            if not markers:
+                return None
+            end, path = markers[-1]
+            f, _ = _fs(self._pacing_dir)
+            with f.open_input_stream(path) as s:
                 cur = json.loads(s.read())
             if cur.get("table") != self._dir:
                 return None
-            return int(cur["end"])
+            return end
         except Exception:
             return None
 
     def _persist_cursor(self, end: int) -> None:
-        """Record the batch end ``partitions()`` just planned. The file is
-        GLOBALLY monotonic (read-compare-write): if two queries ever share
-        one pacingStateDir against the recommendation, a laggard can never
-        drag the cursor below a leader's committed offset — a recovered
-        cursor AHEAD merely caps less, a cursor BEHIND a committed offset
-        could regress the offset log. In-place overwrite of one tiny JSON:
-        a torn write parses as garbage and is ignored on recovery (unpaced
-        first batch, never a wrong offset). Failures raise — a
+        """Record the batch end ``partitions()`` just planned as a
+        value-addressed marker (see the block comment above), then prune
+        markers below it. A torn marker body is ignored on recovery
+        (unpaced first batch, never a wrong offset). Failures raise — a
         misconfigured pacingStateDir should fail the query loudly, not
         silently disable the pacing it was set up for."""
-        prev = self._recover_cursor()
-        if prev is not None and prev >= int(end):
-            return
         f, root = _fs(self._pacing_dir)
         f.create_dir(root, recursive=True)
-        with f.open_output_stream(f"{root}/cursor.json") as s:
+        with f.open_output_stream(f"{root}/cursor.{int(end):020d}.json") as s:
             s.write(
                 json.dumps({"table": self._dir, "end": int(end)}).encode()
             )
+        for n, path in self._cursor_markers():
+            if n < int(end):
+                try:
+                    f.delete_file(path)
+                except FileNotFoundError:
+                    pass  # a concurrent higher writer pruned it first
 
     def _drop_cursor(self) -> None:
         """Invalidate the persisted pacing cursor — called from
@@ -1144,9 +1172,13 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         pace (or point at retention-expired versions for) a new stream."""
         self._last_end = None
         try:
-            f, root = _fs(self._pacing_dir)
-            f.delete_file(f"{root}/cursor.json")
-        except FileNotFoundError:
+            f, _ = _fs(self._pacing_dir)
+            for _n, path in self._cursor_markers():
+                try:
+                    f.delete_file(path)
+                except FileNotFoundError:
+                    pass
+        except Exception:
             pass
 
     # -- driver-side planning (manifest JSON only, no data IO) ----------

@@ -233,10 +233,55 @@ def test_pacing_state_dir_paces_restarted_run(spark, tmp_path):
         schema, {**opts, "path": str(other), "startingversion": "1"}
     )
     assert ro.latestOffset() == {"version": 2, "mode": "replay"}
-    # a torn cursor file falls back to unpaced, never a wrong offset
-    (pdir / "cursor.json").write_text('{"table": ')
+    # a torn cursor marker falls back to unpaced, never a wrong offset
+    (pdir / "cursor.00000000000000000099.json").write_text('{"table": ')
     rt = SnapshotFeedStreamReader(schema, opts)
     assert rt.latestOffset() == {"version": 7, "mode": "replay"}
+
+
+def test_pacing_cursor_concurrent_writes_stay_monotonic(spark, tmp_path):
+    """Two queries sharing one pacingStateDir (against the
+    recommendation) must never drag the cursor backward — a recovered
+    cursor BEHIND a committed offset could regress the offset log, a
+    cursor AHEAD merely caps less. Threaded interleaving of leader and
+    laggard ends must leave the file at the global max."""
+    import threading
+
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+
+    tdir, pdir = tmp_path / "tbl", tmp_path / "pace"
+    for i in range(2):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), str(tdir))
+    schema = spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+    opts = {
+        "path": str(tdir),
+        "maxversionsperbatch": "1",
+        "pacingstatedir": str(pdir),
+    }
+
+    errs = []
+
+    def worker(ends):
+        try:
+            r = SnapshotFeedStreamReader(schema, opts)
+            for e in ends:
+                r._persist_cursor(e)
+        except Exception as e:  # pragma: no cover - surfaced by the assert
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(range(1, 120, 2),)),   # laggard
+        threading.Thread(target=worker, args=(range(2, 121, 2),)),   # leader
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert SnapshotFeedStreamReader(schema, opts)._recover_cursor() == 120
+    # pruning kept the marker set bounded: only the max survives
+    leftover = [p.name for p in pdir.iterdir()]
+    assert leftover == ["cursor.00000000000000000120.json"]
 
 
 def test_pacing_state_dir_e2e_across_runs(spark, tmp_path):
