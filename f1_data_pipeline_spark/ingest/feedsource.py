@@ -517,10 +517,15 @@ def _parse_ts_option(opt, name: str) -> float:
         # unix seconds (the commit-stamp form), everything else ISO-8601.
         # 'nan'/'inf' parse as floats but poison every >= comparison into
         # a silently-empty feed — refuse them like any malformed literal.
+        # A small numeric string is NOT a plausible commit stamp ("2024"
+        # as epoch 1970 would silently replay the full history) — those
+        # fall through to the ISO parse ("2024" → 2024-01-01) or the
+        # typed error below, which names both interpretations.
         num = float(opt)
         if not math.isfinite(num):
             raise TypeError
-        return num
+        if num >= 1e9:  # ~2001-09; every real commit stamp clears this
+            return num
     except (TypeError, ValueError):
         pass
     try:
@@ -528,7 +533,9 @@ def _parse_ts_option(opt, name: str) -> float:
     except ValueError:
         raise ValueError(
             f"snapshotfeed: {name} must be an ISO-8601 timestamp or unix "
-            f"seconds (got {opt!r})"
+            f"seconds >= 1e9 (~2001-09 — smaller numbers are not "
+            f"plausible commit stamps and are not treated as epoch "
+            f"seconds; got {opt!r})"
         ) from None
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=datetime.timezone.utc)
@@ -1004,6 +1011,26 @@ class SnapshotFeedChangesReader(DataSourceReader):
                 f"end <= latest (timestamp bounds resolve against commit "
                 f"times first)"
             )
+        if s > 1:
+            # the replay diffs version s against s-1's manifest, so the
+            # effective CDF floor is ONE ABOVE the oldest retained
+            # version (the checkpoint log keeps summaries, not file
+            # lists — the base file-set is not reconstructible). Probe
+            # the base up front so the error names the real constraint
+            # instead of surfacing as a confusing miss on a version the
+            # caller never asked for.
+            try:
+                _read_json(self._dir, s - 1)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"snapshotfeed: changeFeed from version {s} needs "
+                    f"version {s - 1}'s manifest as its diff base, and "
+                    f"that record is no longer available (most likely "
+                    f"snapshot_expire_log retention). The effective "
+                    f"changeFeed floor is oldest-retained-version + 1 — "
+                    f"raise startingVersion by one, or raise the "
+                    f"table's keep_last if readers need this span"
+                ) from None
         parts = _replay_span_partitions(
             self._dir,
             s - 1,
@@ -1099,15 +1126,21 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             self._last_end = self._recover_cursor()
 
     # The pacing cursor is VALUE-ADDRESSED: each planned batch end N
-    # writes its own marker `cursor.<N zero-padded>.json` and prunes
-    # strictly-smaller markers; recovery takes the max. Monotone BY
-    # CONSTRUCTION under any interleaving — a read-compare-write single
-    # file had a race window (laggard reads stale, overwrites the
-    # leader's higher value AFTER it, found by the threaded stress test)
-    # whose consequence is exactly the offset regression the option must
-    # never cause. Markers with the same N are byte-identical, so
-    # concurrent same-value writes are harmless on any store; pruning is
-    # done only by writers holding a HIGHER value, so the max never drops.
+    # writes its own marker `cursor.<N zero-padded>.json`, prunes
+    # strictly-smaller markers, then re-lists and deletes its OWN marker
+    # if a higher one appeared meanwhile (the laggard self-prunes);
+    # recovery takes the max. Monotone BY CONSTRUCTION under any
+    # interleaving — a read-compare-write single file had a race window
+    # (laggard reads stale, overwrites the leader's higher value AFTER
+    # it, found by the threaded stress test) whose consequence is exactly
+    # the offset regression the option must never cause. Markers with the
+    # same N are byte-identical, so concurrent same-value writes are
+    # harmless on any store. Only the max survives every interleaving:
+    # a stale marker M is deleted either by a higher writer's prune (when
+    # M existed at its listing) or by M's own self-prune (when the higher
+    # marker existed at M's re-list) — one of the two always holds,
+    # because M's write precedes M's re-list and the higher write
+    # precedes the higher prune's listing.
 
     def _cursor_markers(self) -> list[tuple[int, str]]:
         from pyarrow import fs as pafs
@@ -1154,16 +1187,30 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         silently disable the pacing it was set up for."""
         f, root = _fs(self._pacing_dir)
         f.create_dir(root, recursive=True)
-        with f.open_output_stream(f"{root}/cursor.{int(end):020d}.json") as s:
+        own = f"{root}/cursor.{int(end):020d}.json"
+        with f.open_output_stream(own) as s:
             s.write(
                 json.dumps({"table": self._dir, "end": int(end)}).encode()
             )
+        higher = False
         for n, path in self._cursor_markers():
             if n < int(end):
                 try:
                     f.delete_file(path)
                 except FileNotFoundError:
                     pass  # a concurrent higher writer pruned it first
+            elif n > int(end):
+                higher = True
+        if higher:
+            # a higher writer landed between our write and the re-list:
+            # our marker is stale and that writer's prune listing may
+            # have missed it — self-prune so only the max survives
+            # (recovery takes the max, so deleting a lower marker is
+            # always safe)
+            try:
+                f.delete_file(own)
+            except FileNotFoundError:
+                pass  # the higher writer's prune got there first
 
     def _drop_cursor(self) -> None:
         """Invalidate the persisted pacing cursor — called from
@@ -1288,10 +1335,6 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         prior = self._last_end
         self._last_end = e
-        if self._pacing_dir and (prior is None or e > prior):
-            # monotonic: a replayed (restart-re-run) batch never moves the
-            # cursor backward, so recovery can never under-read the log
-            self._persist_cursor(e)
         parts: list[_FeedFile] = []
         if start.get("mode") == "snapshot":
             # initial batch: the FULL live table at version e (DV-aware),
@@ -1321,6 +1364,14 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
             # an all-maintenance (or empty-append) span still runs as a
             # zero-row batch; a sentinel keeps the planner satisfied
             parts.append(_FeedFile(None))
+        if self._pacing_dir and (prior is None or e > prior):
+            # monotonic: a replayed (restart-re-run) batch never moves the
+            # cursor backward, so recovery can never under-read the log.
+            # Persisted only AFTER the span planned successfully — a batch
+            # whose planning raises (e.g. a rewrite-commit refusal) must
+            # not advance the cursor, or a restarted run would be paced
+            # against a never-planned span.
+            self._persist_cursor(e)
         return parts
 
     def commit(self, end: dict) -> None:

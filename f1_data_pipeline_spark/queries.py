@@ -1665,6 +1665,107 @@ def x_table_changes(t: Tables) -> DataFrame:
     return feed.orderBy("_commit_version", "_change_type", "event_id")
 
 
+# scratch table dir of x_cdf_timestamps's previous invocation per sf_dir
+_CDF_TS_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_cdf_timestamps",
+    """WITH base AS (SELECT event_id, user_id, event_type,
+                            ROUND(value, 4) AS val
+                     FROM events WHERE event_id BETWEEN 0 AND 299)
+       SELECT * FROM (
+         SELECT event_id, user_id, event_type, val,
+                'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE event_id BETWEEN 100 AND 199
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'delete', 3
+         FROM base WHERE event_id BETWEEN 120 AND 129
+       ) ORDER BY _commit_version, _change_type, event_id""",
+)
+def x_cdf_timestamps(t: Tables) -> DataFrame:
+    """Timestamp-BOUNDED batch change feed (new r13): commit an events
+    slice as v1, append v2, DV-delete a band (v3), append v4 — then read
+    the changeFeed with ``startingTimestamp`` set EXACTLY EQUAL to v2's
+    commit stamp and ``endingTimestamp`` exactly equal to v3's. The
+    boundary contract (``_version_bound_asof``: ``>=`` for the starting
+    bound, strict ``>`` for the ending bound — an exactly-at-stamp
+    commit belongs to BOTH bounds) is what the hash verifies: a wrong
+    ``>`` on the start drops v2's inserts, a wrong ``>=`` on the end
+    drops v3's deletes — either way the value hash diverges from the
+    oracle's version-bound reconstruction. The builder self-asserts the
+    equivalence the hash rides on: the timestamp-bounded feed returns
+    exactly the rows of the explicit ``startingVersion=2,
+    endingVersion=3`` feed, and the commit stamps strictly increase (a
+    degenerate equal-stamp log would make the boundary test vacuous).
+
+    Scale: timestamp resolution is manifest-summary-only (the compacted
+    checkpoint log prefix + the tail, zero data IO); the replay itself
+    pays one read per added file + one DV diff — the x_table_changes
+    cost model with bound resolution in front (reference parity:
+    loader.py:207-279's re-upsert loop has no "changes since an
+    instant" form at all; this is the Delta timestamp-CDF shape)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.ingest import feedsource
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_delete,
+    )
+
+    spark = t.spark
+    base = t.events.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("val")
+    ).where(F.col("event_id").between(0, 299))
+    tdir = tempfile.gettempdir() + f"/f1dp_cdf_ts_{uuid.uuid4().hex}"
+    prev = _CDF_TS_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _CDF_TS_DIRS[t.sf_dir] = tdir
+    slice_ = lambda lo, hi: base.where(  # noqa: E731
+        F.col("event_id").between(lo, hi)
+    ).coalesce(1)
+    snapshot_append(slice_(0, 99), tdir, stats_cols=["event_id"])   # v1
+    snapshot_append(slice_(100, 199), tdir)                          # v2
+    snapshot_delete(
+        spark, tdir, [("event_id", ">=", 120), ("event_id", "<=", 129)],
+        mode="dv",
+    )                                                                # v3
+    snapshot_append(slice_(200, 299), tdir)                          # v4
+    stamps = [float(_read_manifest(spark, tdir, v)["ts"]) for v in (1, 2, 3, 4)]
+    if not all(a < b for a, b in zip(stamps, stamps[1:])):
+        raise RuntimeError(
+            "x_cdf_timestamps: commit stamps did not strictly increase — "
+            "the equal-stamp boundary check would be vacuous"
+        )
+    feedsource.register(spark)
+
+    def changes(**opts) -> DataFrame:
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(tdir)
+
+    # exact-equal stamps on BOTH bounds: v2 in (>=), v3 in (not >), v4 out
+    feed = changes(
+        startingTimestamp=repr(stamps[1]), endingTimestamp=repr(stamps[2])
+    )
+    by_version = changes(startingVersion="2", endingVersion="3")
+    key = ["_commit_version", "_change_type", "event_id"]
+    if (
+        feed.select(key).exceptAll(by_version.select(key)).count() != 0
+        or by_version.select(key).exceptAll(feed.select(key)).count() != 0
+    ):
+        raise RuntimeError(
+            "x_cdf_timestamps: timestamp bounds did not reconstruct the "
+            "version-bound feed — the >=/> boundary contract regressed"
+        )
+    return feed.orderBy("_commit_version", "_change_type", "event_id")
+
+
 # scratch table dir of x_snapshot_bloom's previous invocation per sf_dir
 _SNAP_BLOOM_DIRS: dict[str, str] = {}
 
@@ -2165,7 +2266,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # x_quantize, x_pps_sample, x_taxonomy, x_split, x_profile (reasons
     # per entry in SWEEP_ONLY).
     "x_snapshot_cdc", "x_snapshot_bloom",
-    "x_cms_freq", "x_kmv_distinct",
+    "x_cms_freq",
     "x_editdist_join",
     "x_temp_mixture",
     # ---- round-10 rotation ----
@@ -2189,7 +2290,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Displaced: 5 multi-round hash-green entries whose families stay
     # densely in-window — x_urls, x_dedup_incr, x_snapshot_changes,
     # x_kmv_jaccard, x_source_drift (reasons per entry in SWEEP_ONLY).
-    "x_merge_into", "x_merge_composite", "x_snapshot_append",
+    "x_merge_into", "x_snapshot_append",
     "x_meta_agg", "x_meta_count",
     # ---- round-12 rotation ----
     # The 3 oracle-bearing queries built in round 11 after the r11
@@ -2208,6 +2309,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # slot. Displaced: x_resample (r10+r11 hash-green, reason in
     # SWEEP_ONLY).
     "x_stream_heavy_hitters",
+    # ---- round-13 rotation ----
+    # The batch-CDF pair (r12 verdict ask #2): x_table_changes (built
+    # r12, marked "rotate next round") and x_cdf_timestamps (new r13 —
+    # the exact-equal-stamp boundary contract for startingTimestamp/
+    # endingTimestamp, windowed immediately because the whole
+    # timestamp-bound surface had zero external hash verification).
+    # Displaced: x_kmv_distinct (hash-green r9–r12; sketch family stays
+    # via x_cms_freq) and x_merge_composite (hash-green r11–r12; MERGE
+    # family stays via x_merge_into + x_cdc_apply) — reasons per entry
+    # in SWEEP_ONLY.
+    "x_table_changes", "x_cdf_timestamps",
 )
 
 # Oracle-bearing queries deliberately OUTSIDE the 50-entry driver window.
@@ -2324,17 +2436,19 @@ SWEEP_ONLY: dict[str, str] = {
     "x_urls": "URL extract/dedup; text family in-window via x_curation/x_text_winnow — displaced r11, r6–r10 hash-green",
     "x_dedup_incr": "incremental shingle dedup; dedup family in-window via x_dedup_clusters/x_dedup_lines — displaced r11, r6–r10 hash-green",
     "x_snapshot_changes": "batch change-feed consumer; lakehouse CDC family in-window via x_snapshot_cdc/x_cdc_apply/x_merge_into — displaced r11, r9+r10 hash-green",
-    "x_kmv_jaccard": "KMV Jaccard estimate; sketch family in-window via x_kmv_distinct/x_cms_freq — displaced r11, r9+r10 hash-green",
+    "x_kmv_jaccard": "KMV Jaccard estimate; sketch family in-window via x_cms_freq — displaced r11, r9+r10 hash-green",
     "x_source_drift": "KS drift detector; corpus-health family in-window via x_source_kl — displaced r11, r9+r10 hash-green",
     # displaced in the round-12 rotation (hash-green in the r9, r10 AND
     # r11 driver windows) to make room for the 3 r11 checkpoint/writer/
     # retention oracle queries (r11 verdict ask #3)
-    "x_kmv_setops": "KMV union/intersection estimates; sketch family in-window via x_kmv_distinct/x_cms_freq — displaced r12, r9–r11 hash-green",
+    "x_kmv_setops": "KMV union/intersection estimates; sketch family in-window via x_cms_freq — displaced r12, r9–r11 hash-green",
     "x_editdist_clusters": "edit-distance cluster canonicalization; family in-window via x_editdist_join, CC via x_dedup_clusters — displaced r12, r9–r11 hash-green",
     "x_bottomk_sample": "deterministic bottom-k sample; sampling family in-window via x_temp_mixture — displaced r12, r9–r11 hash-green",
     "x_resample": "OHLC time-series resample; time-series family in-window via x_rolling_scaled/x_asof_join — displaced r12 (for the newly-oracled x_stream_heavy_hitters), r10+r11 hash-green",
-    # built round 12 after the r12 rotation was already full — rotate next round
-    "x_table_changes": "batch table_changes through the DataSource (new r12); rotate next round; CDC family in-window via x_snapshot_cdc/x_cdc_apply",
+    # displaced in the round-13 rotation to make room for the batch-CDF
+    # pair x_table_changes + x_cdf_timestamps (r12 verdict ask #2)
+    "x_kmv_distinct": "KMV distinct-count sketch; sketch family in-window via x_cms_freq — displaced r13, r9–r12 hash-green",
+    "x_merge_composite": "composite-key tri-clause MERGE; family in-window via x_merge_into + x_cdc_apply — displaced r13, r11+r12 hash-green",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)

@@ -1775,6 +1775,7 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
                     mn_i is not None
                     and mx_i is not None
                     and _stats_comparable(mn_i, sv)
+                    and _stats_comparable(mx_i, sv)
                     and (sv < mn_i or sv > mx_i)
                 )
 
@@ -1800,7 +1801,17 @@ def _entry_prunable(entry: dict, where: list[tuple]) -> bool:
             continue
         if mn is None and mx is None and entry.get("rows", 0) > 0:
             return True
-        if mn is None or mx is None or not _stats_comparable(mn, val):
+        # BOTH bounds must be comparable with the literal: one writer's
+        # canonicalization keeps min/max in one form today, but the
+        # prune-proof must be locally sound against any future mixed-form
+        # manifest (a tz-suffixed max beside a naive min would otherwise
+        # be compared lexicographically-wrong below)
+        if (
+            mn is None
+            or mx is None
+            or not _stats_comparable(mn, val)
+            or not _stats_comparable(mx, val)
+        ):
             continue
         if op == "=" and (val < mn or val > mx):
             return True
@@ -3466,8 +3477,10 @@ def snapshot_clean_orphans(
     the age gate keeps the recovery call safe to run beside them. A
     crashed writer's stage trips the gate on the next day's sweep (or
     pass ``staging_grace_sec=0`` when provably no writer is active).
-    Returns the versions removed
-    (``dry_run=True`` reports without deleting).
+    Returns the versions removed, followed by the swept staging subdirs
+    as ``"_staging/<name>"`` strings (``dry_run=True`` runs the SAME
+    scans — including the age-gated staging one — and reports everything
+    the real run would delete, without deleting).
 
     Safety: only UNCOMMITTED stages above the current version qualify.
     A claimed-but-uncommitted stage at or below the current version is
@@ -3500,8 +3513,9 @@ def snapshot_clean_orphans(
         if not dry_run:
             fs.delete(st.getPath(), True)
         removed.append(v)
+    swept = []
     sdir = _snap_path(jvm, table_dir, "_staging")
-    if not dry_run and fs.exists(sdir):
+    if fs.exists(sdir):
         import time
 
         cutoff_ms = (time.time() - max(0.0, staging_grace_sec)) * 1000.0
@@ -3512,12 +3526,14 @@ def snapshot_clean_orphans(
                 for fst in fs.listStatus(sub.getPath()):
                     newest = max(newest, fst.getModificationTime())
             if newest < cutoff_ms:
-                fs.delete(sub.getPath(), True)
+                if not dry_run:
+                    fs.delete(sub.getPath(), True)
+                swept.append(f"_staging/{sub.getPath().getName()}")
             else:
                 leftover = True  # possibly a LIVE writer's stage: keep
-        if not leftover:
+        if not leftover and not dry_run:
             fs.delete(sdir, True)
-    return sorted(removed)
+    return sorted(removed) + sorted(swept)
 
 
 def snapshot_constraints(spark: SparkSession, table_dir: str) -> dict:

@@ -899,6 +899,60 @@ def test_lagging_stream_behind_retention_names_the_cause(spark, tmp_path):
         _read_json(str(tdir), 99)
 
 
+def test_batch_changefeed_floor_is_one_above_oldest_retained(spark, tmp_path):
+    """The batch changeFeed diffs startingVersion against its
+    predecessor's manifest, so its effective floor is one ABOVE the
+    oldest retained version — the error must name that '+1' constraint
+    (not surface as a miss on a version the caller never asked for),
+    and starting exactly at the floor must work."""
+    from f1_data_pipeline_spark.storage import snapshot_expire_log
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    for i in range(15):
+        snapshot_append(_batch(spark, i * 10, i * 10 + 10), tdir)
+    snapshot_expire_log(spark, tdir, keep_last=3)  # retains v13..v15
+
+    def changes(**opts):
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load(tdir)
+
+    # v13 is retained, but its diff base v12 is expired: typed floor error
+    with pytest.raises(Exception, match="oldest-retained-version \\+ 1"):
+        changes(startingVersion=13).count()
+    # the floor itself (v14 diffs against retained v13) works
+    assert changes(startingVersion=14).count() == 20
+
+
+def test_ts_option_rejects_implausible_numeric_strings():
+    """A small numeric string ('2024') must never resolve as epoch
+    seconds (a silent full-history replay) — it parses as ISO when it
+    can, and the refusal names both interpretations when it can't."""
+    import pytest
+
+    from f1_data_pipeline_spark.ingest.feedsource import _parse_ts_option
+
+    # real commit stamps (>= 1e9) pass through as unix seconds
+    assert _parse_ts_option("1700000000.5", "t") == 1700000000.5
+    assert _parse_ts_option(1700000000, "t") == 1700000000.0
+    # '2024' is a year, not epoch 1970: refused with the units named
+    # (it is not a full ISO form either — fromisoformat needs a date)
+    with pytest.raises(ValueError, match="1e9"):
+        _parse_ts_option("2024", "t")
+    import datetime
+
+    assert _parse_ts_option("2024-01-01", "t") == datetime.datetime(
+        2024, 1, 1, tzinfo=datetime.timezone.utc
+    ).timestamp()
+    # a bare small number that is no ISO form either: typed, names units
+    with pytest.raises(ValueError, match="1e9"):
+        _parse_ts_option("500.25", "t")
+    # explicit numeric literals (programmatic epochs) stay trusted
+    assert _parse_ts_option(500.25, "t") == 500.25
+
+
 def test_stream_where_prunes_at_manifest_level(spark, tmp_path):
     """A filtered tail (where= option) must skip non-matching appended
     files WITHOUT opening them — pinned physically: the pruned files are
@@ -1032,6 +1086,26 @@ def test_writer_timestamp_stats_match_pruning_frame(spark, tmp_path):
     assert _tz_suffix_mixed("2024-01-01 00:00:00+00:00", "2024-01-01 00:00:00")
     assert not _stats_comparable("2024-01-01 00:00:00+00:00", "2024-01-01 00:00:00")
     assert _stats_comparable("2024-01-01 00:00:00", "2024-01-01 00:00:01")
+    # and the prune-proof itself is LOCALLY sound against a mixed-form
+    # manifest (naive min beside a tz-suffixed max — no writer produces
+    # one today, but the envelope check must not assume that): every op
+    # declines to prune rather than compare across frames
+    from f1_data_pipeline_spark.storage import _entry_prunable
+
+    mixed = {
+        "path": "v=1/f.parquet",
+        "rows": 10,
+        "stats": {
+            "ts": {
+                "min": "2024-01-01 00:00:00",
+                "max": "2024-01-01 01:39:00+00:00",
+                "nulls": 0,
+            }
+        },
+    }
+    for op in ("=", "<", "<=", ">", ">="):
+        assert not _entry_prunable(mixed, [("ts", op, "2025-06-01 00:00:00")]), op
+    assert not _entry_prunable(mixed, [("ts", "in", ["2025-06-01 00:00:00"])])
 
 
 def test_where_in_option_batch_and_stream(spark, tmp_path):
@@ -1170,10 +1244,15 @@ def test_writer_orphan_names_recovery_api_and_retry_succeeds(spark, tmp_path):
     # default grace keeps RECENT staging (a live writer may own it) …
     assert snapshot_clean_orphans(spark, tdir) == [2]
     assert os.path.exists(f"{tdir}/_staging/v2abc/part-0.parquet")
-    # … and grace 0 (operator asserts no writer is active) sweeps it
+    # … and grace 0 (operator asserts no writer is active) sweeps it —
+    # the dry run reports the SAME set it would delete, deleting nothing
     os.makedirs(f"{tdir}/v=2")
     open(f"{tdir}/v=2/_CLAIM", "w").close()
-    assert snapshot_clean_orphans(spark, tdir, staging_grace_sec=0) == [2]
+    dry = snapshot_clean_orphans(spark, tdir, dry_run=True, staging_grace_sec=0)
+    assert dry[0] == 2 and "_staging/v2abc" in dry  # plus the aborted
+    # write's own dsw-* staging leftovers — also reported, also swept
+    assert os.path.exists(f"{tdir}/_staging/v2abc/part-0.parquet")
+    assert snapshot_clean_orphans(spark, tdir, staging_grace_sec=0) == dry
     assert not os.path.exists(f"{tdir}/_staging")
     # recover-then-retry: the write now claims v=2 and commits cleanly
     _batch(spark, 10, 20).write.format("snapshotfeed").mode("append").save(tdir)

@@ -148,7 +148,9 @@ def test_round11_rotation_inside_window():
     must sit inside the independently-verified window; until this
     rotation that wave had zero external hash verification."""
     window = set(DRIVER_PRIORITY)
-    rotated = {"x_merge_into", "x_merge_composite", "x_snapshot_append",
+    # x_merge_composite: r11-rotated, hash-green r11+r12, displaced in
+    # the r13 rotation (MERGE family stays via x_merge_into + x_cdc_apply)
+    rotated = {"x_merge_into", "x_snapshot_append",
                "x_meta_agg", "x_meta_count"}
     missing = rotated - window
     assert not missing, f"round-11 rotations outside the driver window: {missing}"
@@ -166,6 +168,19 @@ def test_round12_rotation_inside_window():
                "x_stream_heavy_hitters"}
     missing = rotated - window
     assert not missing, f"round-12 rotations outside the driver window: {missing}"
+
+
+def test_round13_rotation_inside_window():
+    """Round-13 rotation (r12 judge ask #2): the batch-CDF pair —
+    x_table_changes (built r12, sweep-only for one round) and
+    x_cdf_timestamps (the exact-equal-stamp startingTimestamp/
+    endingTimestamp boundary contract) — must sit inside the
+    independently-verified window; until this rotation the whole
+    timestamp-bound CDF surface had zero external hash verification."""
+    window = set(DRIVER_PRIORITY)
+    rotated = {"x_table_changes", "x_cdf_timestamps"}
+    missing = rotated - window
+    assert not missing, f"round-13 rotations outside the driver window: {missing}"
 
 
 def test_every_oracle_query_windowed_or_sweep_only():
