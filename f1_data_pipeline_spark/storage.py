@@ -591,37 +591,39 @@ def snapshot_version_asof(spark: SparkSession, table_dir: str, ts: float) -> int
     return best
 
 
-def _require_unique_keys(df: DataFrame, keys: list[str], what: str) -> None:
-    """ANSI MERGE cardinality gate, shared by the whole merge family: at
-    most one change row per key tuple, keys non-null (one aggregate)."""
-    nonnull = F.lit(True)
-    for k in keys:
-        nonnull = nonnull & F.col(k).isNotNull()
-    dup = df.agg(
-        F.count(F.when(nonnull, 1)).alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
-        F.count(F.lit(1)).alias("all"),
-    ).head()
-    if dup["all"] != dup["n"]:
-        raise ValueError(f"{what}: change batch has NULL {keys!r} keys")
-    if dup["n"] != dup["d"]:
-        raise ValueError(
-            f"{what}: change batch has duplicate {keys!r} keys — a target "
-            f"row must match at most one change row; fold the batch to one "
-            f"row per key (e.g. merge.cdc_apply) first"
-        )
-
-
-def _envelope_touched(
-    spark: SparkSession, entries: list[dict], keys: list[str], probe_df: DataFrame
+def _probe_merge_batch(
+    spark: SparkSession,
+    entries: list[dict],
+    keys: list[str],
+    probe_df: DataFrame,
+    what: str,
 ) -> set[str]:
-    """The manifest-level pruning shared by the merge family: the set of
-    file paths whose composite [min,max] envelope admits at least one of
-    ``probe_df``'s key tuples — a file can hold a tuple only if EVERY key
-    column's envelope admits its component (per-column conjunction,
-    exactly the multi-column pruning Delta/Iceberg stats give). The probe
-    is a broadcast join against the (file-count-bounded) envelope table;
-    the result is collected driver-side because it IS the rewrite plan."""
+    """ONE Spark job serving both pre-stage gates of the merge family —
+    previously two separate passes over the change batch per commit:
+
+    1. ANSI MERGE cardinality (at most one change row per key tuple,
+       key components non-null) — raises typed on violation.
+    2. Manifest-level envelope pruning: the set of file paths whose
+       composite [min,max] envelope admits at least one change-key tuple
+       (a file can hold a tuple only if EVERY key column's envelope
+       admits its component — the per-column conjunction Delta/Iceberg
+       stats give). Collected driver-side because it IS the rewrite
+       plan, bounded by the FILE count, never the change count.
+
+    The fused plan is one groupBy over the change keys (the same shuffle
+    the old distinct() paid) left-joined against the broadcast
+    (KB-scale) envelope table, folded to a single row — so update
+    batches of any size make one pass and never round-trip rows through
+    the driver."""
+    knames = [f"__k{i}" for i in range(len(keys))]
+    keyed = (
+        probe_df.select(*[F.col(k).alias(n) for k, n in zip(keys, knames)])
+        .groupBy(*knames)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    nonnull = F.lit(True)
+    for n in knames:
+        nonnull = nonnull & F.col(n).isNotNull()
     env_rows = [
         tuple(
             [e["path"]]
@@ -631,30 +633,34 @@ def _envelope_touched(
         if e.get("rows", 0) > 0
         and all(e["stats"][k]["min"] is not None for k in keys)
     ]
-    if not env_rows:
-        return set()
-    env_cols = ["__path"] + [
-        n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
-    ]
-    env = spark.createDataFrame(env_rows, env_cols)
-    probe = probe_df.select(
-        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)]
-    ).distinct()
-    cond = F.lit(True)
-    for i in range(len(keys)):
-        cond = cond & (
-            (F.col(f"__k{i}") >= F.col(f"__min{i}"))
-            & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
+    joined, path_col = keyed, F.lit(None).cast("string")
+    if env_rows:
+        env_cols = ["__path"] + [
+            n for i in range(len(keys)) for n in (f"__min{i}", f"__max{i}")
+        ]
+        env = spark.createDataFrame(env_rows, env_cols)
+        cond = F.lit(True)
+        for i in range(len(keys)):
+            cond = cond & (
+                (F.col(f"__k{i}") >= F.col(f"__min{i}"))
+                & (F.col(f"__k{i}") <= F.col(f"__max{i}"))
+            )
+        joined = keyed.join(F.broadcast(env), cond, "left")
+        path_col = F.col("__path")
+    row = joined.agg(
+        F.max("__n").alias("__mx"),
+        F.max(F.when(nonnull, 0).otherwise(1)).alias("__has_null"),
+        F.collect_set(path_col).alias("__touched"),
+    ).head()
+    if row["__has_null"]:
+        raise ValueError(f"{what}: change batch has NULL {keys!r} keys")
+    if row["__mx"] is not None and row["__mx"] > 1:
+        raise ValueError(
+            f"{what}: change batch has duplicate {keys!r} keys — a target "
+            f"row must match at most one change row; fold the batch to one "
+            f"row per key (e.g. merge.cdc_apply) first"
         )
-    return {
-        r["__path"]
-        for r in (
-            probe.join(F.broadcast(env), cond)
-            .select("__path")
-            .distinct()
-            .collect()  # bounded by the FILE count, not the change count
-        )
-    }
+    return set(row["__touched"])
 
 
 def _check_staged_against(
@@ -803,16 +809,134 @@ def _json_safe(v):
     return str(v)
 
 
+def _pa_fs(path: str):
+    """``(pyarrow FileSystem, fs-internal path)`` — the same URI-capable
+    resolution ``feedsource._fs`` uses, local here so the storage module
+    stays importable without the ingest package."""
+    from pyarrow import fs as pafs
+
+    if "://" in path or path.startswith("file:"):
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+# Parquet physical types whose FOOTER statistics decode to the same
+# Python values the Spark stats job collects (so the two stat sources are
+# interchangeable byte-for-byte in the manifest): integrals, UTF-8
+# strings (unsigned-byte order == code-point order under UTF-8), dates,
+# booleans. Floats are EXCLUDED (a NaN-polluted chunk's footer min/max
+# silently diverges from Spark's NaN-aware aggregate — same rule the
+# Arrow writer path applies value-side), INT96 timestamps carry no stats
+# at all, and anything else falls back to the Spark job below.
+_FOOTER_TRUSTED_PHYSICAL = {"INT32", "INT64", "BOOLEAN", "BYTE_ARRAY"}
+
+
+def _footer_file_entries(
+    table_dir: str, version: int, names: dict[str, int],
+    stats_cols: list[str] | None,
+) -> list[dict] | None:
+    """Manifest entries for the staged files read from their parquet
+    FOOTERS — no Spark job, no data IO beyond one footer per file. Every
+    byte staged was already scanned once by the writer; re-reading it
+    all (the fallback Spark aggregate below) just to recompute what the
+    parquet writer already recorded is the dominant per-commit constant
+    at small batch sizes and a full second read of the batch at large
+    ones. Returns None whenever ANY requested stat is not provably
+    footer-recoverable in Spark-job parity form (float/double columns,
+    INT96 timestamps, missing chunk statistics, truncated string bounds,
+    unreadable footers …) — the caller then runs the Spark job, so
+    correctness never depends on footer quality."""
+    import concurrent.futures as cf
+    import datetime
+
+    try:
+        import pyarrow.parquet as pq
+
+        f, root = _pa_fs(table_dir)
+    except Exception:
+        return None
+    vroot = f"{root.rstrip('/')}/v={version}"
+    cols = list(stats_cols or [])
+
+    def _canon_stat(v):
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return _json_safe(v)
+
+    def one(name: str) -> dict | None:
+        with f.open_input_file(f"{vroot}/{name}") as src:
+            md = pq.ParquetFile(src).metadata
+        e: dict = {
+            "path": f"v={version}/{name}",
+            "rows": int(md.num_rows),
+            "bytes": names[name],
+        }
+        if not cols or md.num_rows == 0:
+            return e  # zero-row files carry no stats key (Spark-job parity)
+        idx = {
+            md.schema.column(j).path: j for j in range(md.num_columns)
+        }
+        stats: dict = {}
+        for c in cols:
+            j = idx.get(c)
+            if j is None:
+                return None  # column absent from this footer: not provable
+            mn = mx = None
+            nulls = 0
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                cc = rg.column(j)
+                st = cc.statistics
+                if st is None or not st.has_null_count:
+                    return None
+                nulls += int(st.null_count)
+                if not st.has_min_max:
+                    if st.null_count == rg.num_rows:
+                        continue  # all-null chunk: contributes nulls only
+                    return None
+                if cc.physical_type not in _FOOTER_TRUSTED_PHYSICAL:
+                    return None
+                gmn, gmx = st.min, st.max
+                if isinstance(gmx, str) and len(gmx.encode()) >= 64:
+                    # parquet-mr truncates long binary bounds (valid but
+                    # inexact) — not Spark-job parity, fall back
+                    return None
+                if isinstance(gmx, bytes):
+                    return None  # raw binary: stringification diverges
+                mn = gmn if mn is None or gmn < mn else mn
+                mx = gmx if mx is None or gmx > mx else mx
+            stats[c] = {
+                "min": _canon_stat(mn),
+                "max": _canon_stat(mx),
+                "nulls": nulls,
+            }
+        e["stats"] = stats
+        return e
+
+    try:
+        with cf.ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+            out = list(ex.map(one, sorted(names)))
+    except Exception:
+        return None
+    if any(e is None for e in out):
+        return None
+    return out
+
+
 def _staged_file_entries(
     spark: SparkSession, table_dir: str, version: int, stats_cols: list[str] | None
 ) -> list[dict]:
     """Manifest entries for the files just staged under ``v=N``: relative
     path + row count, plus per-file min/max for each of ``stats_cols``.
 
-    The stats come from ONE Spark job over only the new files (grouped by
-    ``input_file_name`` — the incremental cost Delta pays at write time
-    for the same reason): they are what lets readers and upserts skip
-    whole files without listing or opening them."""
+    Primary source: the parquet FOOTERS the staging write already
+    produced (``_footer_file_entries`` — zero data IO). Fallback: ONE
+    Spark job over only the new files (grouped by ``input_file_name`` —
+    the incremental cost Delta pays at write time for the same reason)
+    whenever any requested stat is not footer-recoverable in exact
+    Spark-job parity (float/double stats, INT96 timestamps, truncated
+    string bounds …). Either way the entries are what lets readers and
+    upserts skip whole files without listing or opening them."""
     fs, jvm = _snap_fs(spark, table_dir)
     vdir = f"{table_dir.rstrip('/')}/v={version}"
     names: dict[str, int] = {}
@@ -822,6 +946,9 @@ def _staged_file_entries(
             names[name] = int(st.getLen())
     if not names:
         return []
+    footer = _footer_file_entries(table_dir, version, names, stats_cols)
+    if footer is not None:
+        return footer
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols or []:
         aggs.append(F.min(c).alias(f"__min_{c}"))
@@ -2199,8 +2326,7 @@ def _merge_into_snapshot(
         stats_cols = sorted(with_stats["stats"]) if with_stats else list(keys)
 
     all_keys = upserts.select(*keys).unionByName(delete_keys.select(*keys))
-    _require_unique_keys(all_keys, keys, what)
-    touched = _envelope_touched(spark, entries, keys, all_keys)
+    touched = _probe_merge_batch(spark, entries, keys, all_keys, what)
     carried = [e for e in entries if e["path"] not in touched]
 
     if merge_mode not in ("replace", "coalesce"):
@@ -2457,7 +2583,6 @@ def snapshot_merge(
             f"new columns"
         )
     cols = cols + extra
-    _require_unique_keys(source, keys, "snapshot_merge")
 
     nbs_triples = (
         not_matched_by_source_condition
@@ -2465,7 +2590,7 @@ def snapshot_merge(
         else None
     )
     base = table_dir.rstrip("/")
-    touched = _envelope_touched(spark, entries, keys, source)
+    touched = _probe_merge_batch(spark, entries, keys, source, "snapshot_merge")
     if when_not_matched_by_source:
         if nbs_triples is not None:
             # a file whose envelope PROVES no row satisfies the by-source

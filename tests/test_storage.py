@@ -3758,3 +3758,89 @@ def test_snapshot_count_opens_only_boundary_files(spark, tmp_path):
     snapshot_delete(spark, tdir, [("k", ">=", 300), ("k", "<=", 309)], mode="dv")
     assert snapshot_count(spark, tdir, where) == 591
     assert snapshot_count(spark, tdir) == 990
+
+
+def test_footer_stats_match_spark_job_exactly(spark, tmp_path):
+    """Per-file manifest stats now come from the parquet FOOTERS the
+    staging write already produced (zero data IO) — they must be
+    BYTE-IDENTICAL to what the fallback Spark aggregate computes, across
+    integrals, strings with nulls, all-null columns, dates, and multiple
+    row groups; float/double and timestamp (INT96) stats must DECLINE
+    (return None) so the Spark job keeps authority where footer parity
+    is not provable."""
+    from f1_data_pipeline_spark.storage import (
+        _footer_file_entries,
+        _read_manifest,
+        _snap_fs,
+        _snap_path,
+        _staged_file_entries,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 != 0, F.concat(F.lit("s"), F.col("id"))).alias("s"),
+        F.when(F.col("id") < 0, F.lit("x")).alias("allnull"),
+        F.to_date(
+            F.concat(
+                F.lit("2024-01-"),
+                F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"),
+            )
+        ).alias("d"),
+        (F.col("id") * 1.5).alias("v"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("id"))
+        ).alias("ts"),
+    )
+    cols = ["k", "s", "allnull", "d"]
+    snapshot_write(df.repartition(4), tdir, stats_cols=cols)
+
+    fs, jvm = _snap_fs(spark, tdir)
+    names = {}
+    for st in fs.listStatus(_snap_path(jvm, tdir, "v=1")):
+        n = st.getPath().getName()
+        if n.endswith(".parquet"):
+            names[n] = int(st.getLen())
+
+    foot = _footer_file_entries(tdir, 1, names, cols)
+    assert foot is not None, "footer path declined on trusted column types"
+    import f1_data_pipeline_spark.storage as S
+
+    real = S._footer_file_entries
+    S._footer_file_entries = lambda *a, **k: None  # force the Spark job
+    try:
+        job = _staged_file_entries(spark, tdir, 1, cols)
+    finally:
+        S._footer_file_entries = real
+    assert foot == job
+
+    # float/double (NaN parity hazard) and INT96 timestamps decline —
+    # and the commit path still produced stats for them via the fallback
+    assert _footer_file_entries(tdir, 1, names, cols + ["v"]) is None
+    assert _footer_file_entries(tdir, 1, names, cols + ["ts"]) is None
+    tdir2 = str(tmp_path / "tbl2")
+    snapshot_write(df.coalesce(1), tdir2, stats_cols=["k", "v", "ts"])
+    st = _read_manifest(spark, tdir2, 1)["files"][0]["stats"]
+    assert st["v"] == {"min": 0.0, "max": 7498.5, "nulls": 0}
+    assert st["ts"]["min"] == "2024-01-01 00:00:00"
+
+    # multi-row-group files aggregate across groups
+    import pyarrow.parquet as pq
+
+    one = sorted(names)[0]
+    t = pq.read_table(f"{tdir}/v=1/{one}")
+    import os
+
+    os.makedirs(f"{tdir}/v=99")
+    pq.write_table(t, f"{tdir}/v=99/{one}", row_group_size=200)
+    multi = _footer_file_entries(
+        tdir, 99, {one: os.path.getsize(f"{tdir}/v=99/{one}")}, cols
+    )
+    assert multi is not None and pq.ParquetFile(
+        f"{tdir}/v=99/{one}"
+    ).metadata.num_row_groups > 1
+    want = next(e for e in foot if e["path"].endswith(one))
+    assert multi[0]["stats"] == want["stats"]
+    assert multi[0]["rows"] == want["rows"]
