@@ -243,6 +243,7 @@ class _FeedFile(InputPartition):
         change: str = "insert",
         delta_from: str | None = None,
         delta: bool = False,
+        change_file: bool = False,
     ):
         self.path = path
         self.dv_dir = dv_dir
@@ -251,6 +252,9 @@ class _FeedFile(InputPartition):
         self.change = change
         self.delta_from = delta_from
         self.delta = delta
+        # a materialized CDF file (_changes/v=N/…): rows carry their own
+        # _change_type column instead of a partition-constant label
+        self.change_file = change_file
 
 
 def _arrow_where(tbl, where: list[tuple]):
@@ -401,6 +405,30 @@ def _read_file(
             )
         yield from out.to_batches()
 
+    if part.change_file:
+        # materialized CDF file: data columns + a stored _change_type —
+        # project the data part onto the declared schema, keep the
+        # stored change label (NOT a partition-constant), filter exactly,
+        # stamp the commit version
+        cols = {}
+        for field in target:
+            cols[field.name] = (
+                tbl.column(field.name)
+                if field.name in tbl.column_names
+                else pa.nulls(tbl.num_rows, field.type)
+            )
+        out = pa.table(cols).cast(target)
+        out = out.append_column(
+            "_change_type", tbl.column("_change_type").cast(pa.string())
+        )
+        if where:
+            out = _arrow_where(out, where)
+        out = out.append_column(
+            "_commit_version",
+            pa.array([int(part.version or 0)] * out.num_rows, pa.int64()),
+        )
+        yield from out.to_batches()
+        return
     if part.delta:
         # change-feed delta over one file: new tombstones stream as
         # deletes; positions a restore removed from the DV resurface
@@ -625,6 +653,31 @@ def _replay_span_partitions(
         added = [x for x in m["files"] if x["path"] not in prev_paths]
         removed = prev_paths - {x["path"] for x in m["files"]}
         dv_changed = (m.get("dv") or None) != (prev.get("dv") or None)
+        if (
+            change_feed
+            and (removed or dv_changed)
+            and m.get("changes") is not None
+        ):
+            # the commit MATERIALIZED its change rows at write time (cdf
+            # tables, Delta's enableChangeDataFeed trade — upsert/MERGE
+            # keyed diffs, predicate-delete rows, restore multiset
+            # diffs): the feed replays those files verbatim — one
+            # partition per change file, rows already typed by
+            # _change_type. The where option still filters exactly
+            # executor-side (change entries carry no stats, so manifest
+            # pruning conservatively keeps them all). Authoritative over
+            # the DV-delta derivation below: same content, zero reads
+            # outside _changes/.
+            for entry in m["changes"]:
+                if entry.get("rows", 0):
+                    parts.append(
+                        _FeedFile(
+                            _abs_entry(table_dir, entry["path"]),
+                            version=v,
+                            change_file=True,
+                        )
+                    )
+            continue
         if change_feed and dv_changed and not removed:
             # deletion-vector-only commit: the change IS file-local
             # (new tombstoned positions per file), so it streams as
@@ -1040,8 +1093,10 @@ class SnapshotFeedChangesReader(DataSourceReader):
             self._exact,
             remedy=(
                 "Read the post-rewrite state with a plain batch read "
-                "(version=N time travel), or set skipChangeCommits=true "
-                "to skip such commits."
+                "(version=N time travel), set skipChangeCommits=true to "
+                "skip such commits, or enable change-file materialization "
+                "on the table (snapshot_write change_files=True) so "
+                "future rewrites read as CDC rows."
             ),
         )
         return parts or [_FeedFile(None)]
@@ -1355,8 +1410,11 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     self._exact,
                     remedy=(
                         "Restart the stream with a fresh checkpoint (the "
-                        "initial snapshot re-baselines), or set "
-                        "skipChangeCommits=true to skip such commits."
+                        "initial snapshot re-baselines), set "
+                        "skipChangeCommits=true to skip such commits, or "
+                        "enable change-file materialization on the table "
+                        "(snapshot_write change_files=True) so future "
+                        "rewrites stream as CDC rows (changeFeed=true)."
                     ),
                 )
             )

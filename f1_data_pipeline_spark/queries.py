@@ -1766,6 +1766,117 @@ def x_cdf_timestamps(t: Tables) -> DataFrame:
     return feed.orderBy("_commit_version", "_change_type", "event_id")
 
 
+# scratch table dir of x_cdf_rewrite's previous invocation per sf_dir
+_CDF_REWRITE_DIRS: dict[str, str] = {}
+
+
+@query(
+    "x_cdf_rewrite",
+    """WITH base AS (SELECT event_id, user_id, event_type,
+                            ROUND(value, 4) AS val
+                     FROM events WHERE event_id BETWEEN 0 AND 249)
+       SELECT * FROM (
+         SELECT event_id, user_id, event_type, val,
+                'update_preimage' AS _change_type,
+                CAST(2 AS BIGINT) AS _commit_version
+         FROM base WHERE event_id BETWEEN 100 AND 149
+         UNION ALL
+         SELECT event_id, user_id, 'updated', val + 1000,
+                'update_postimage', 2
+         FROM base WHERE event_id BETWEEN 100 AND 149
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'insert', 2
+         FROM base WHERE event_id BETWEEN 200 AND 249
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'delete', 3
+         FROM base WHERE event_id < 50
+         UNION ALL
+         SELECT event_id, user_id, event_type, val, 'insert', 4
+         FROM base WHERE event_id < 50
+       ) ORDER BY _commit_version, _change_type, event_id""",
+)
+def x_cdf_rewrite(t: Tables) -> DataFrame:
+    """Change feed ACROSS A REWRITE COMMIT (new r13 — the Delta
+    enableChangeDataFeed trade): commit an events slice with
+    ``change_files=True``, upsert a band (updates + fresh inserts), then
+    COW-delete a band and restore past the delete; read
+    ``changeFeed=true, startingVersion=2`` — instead of the rewrite
+    refusal, the feed replays the NET row-level diff each commit
+    MATERIALIZED under ``_changes/v=N`` (upsert: update_preimage/
+    postimage per changed key, insert per fresh key, identical-value
+    survivors emit nothing; COW delete: exactly the predicate-matched
+    rows as deletes; restore: the netted keyless multiset diff — the
+    deleted band returns as inserts, rewritten-but-identical survivors
+    cancel via exceptAll). The oracle reproduces all three diffs from
+    the events table with no filesystem; the builder self-asserts the
+    mechanics the hash can't show: each manifest records its change
+    files, and the feed's input files all come from ``_changes/`` (the
+    rewritten data files are never re-read to serve the feed).
+
+    Scale: the diff is computed once at WRITE time from touched files
+    only (never carried files), so the feed costs O(changed rows) per
+    consumer instead of one keyed full-outer join per consumer per
+    rewrite — Delta's exact write-amplification trade (reference parity:
+    loader.py:202-251 re-upserts whole batches; consumers re-derive)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from f1_data_pipeline_spark.ingest import feedsource
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_restore,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    spark = t.spark
+    base = t.events.select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("val")
+    ).where(F.col("event_id").between(0, 249))
+    tdir = tempfile.gettempdir() + f"/f1dp_cdf_rw_{uuid.uuid4().hex}"
+    prev = _CDF_REWRITE_DIRS.pop(t.sf_dir, None)
+    if prev:
+        shutil.rmtree(prev, ignore_errors=True)
+    _CDF_REWRITE_DIRS[t.sf_dir] = tdir
+    snapshot_write(
+        base.where(F.col("event_id") < 200).repartitionByRange(4, "event_id"),
+        tdir,
+        stats_cols=["event_id"],
+        change_files=True,
+    )                                                                # v1
+    ups = (
+        base.where(F.col("event_id").between(100, 149))
+        .withColumn("event_type", F.lit("updated"))
+        .withColumn("val", F.col("val") + 1000)
+        .unionByName(base.where(F.col("event_id") >= 200))
+    )
+    snapshot_upsert(spark, tdir, ups, key="event_id", cluster_files=2)  # v2
+    snapshot_delete(spark, tdir, [("event_id", "<", 50)], mode="cow")   # v3
+    snapshot_restore(spark, tdir, 2)                                    # v4
+    for v in (2, 3, 4):
+        if not _read_manifest(spark, tdir, v).get("changes"):
+            raise RuntimeError(
+                f"x_cdf_rewrite: rewrite commit v={v} recorded no change "
+                f"files — CDF materialization regressed"
+            )
+    feedsource.register(spark)
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(tdir)
+    )
+    files = feed.inputFiles()
+    if files and not all("/_changes/" in f for f in files):
+        raise RuntimeError(
+            "x_cdf_rewrite: the feed read data files instead of the "
+            "materialized change files"
+        )
+    return feed.orderBy("_commit_version", "_change_type", "event_id")
+
+
 # scratch table dir of x_snapshot_bloom's previous invocation per sf_dir
 _SNAP_BLOOM_DIRS: dict[str, str] = {}
 
@@ -2449,6 +2560,8 @@ SWEEP_ONLY: dict[str, str] = {
     # pair x_table_changes + x_cdf_timestamps (r12 verdict ask #2)
     "x_kmv_distinct": "KMV distinct-count sketch; sketch family in-window via x_cms_freq — displaced r13, r9–r12 hash-green",
     "x_merge_composite": "composite-key tri-clause MERGE; family in-window via x_merge_into + x_cdc_apply — displaced r13, r11+r12 hash-green",
+    # built round 13 after the r13 rotation was already full — rotate next round
+    "x_cdf_rewrite": "changeFeed across upsert + COW-delete + restore commits via materialized change files (new r13); rotate next round; CDF family in-window via x_table_changes/x_cdf_timestamps",
     # displaced in the round-10 rotation (hash-green in BOTH the r8 and
     # r9 driver windows) to make room for the 5 r9 DV/replication/export
     # oracle queries (r9 verdict ask #1)

@@ -1273,9 +1273,20 @@ def snapshot_write(
     expected_version: int | None = None,
     retries: int = 0,
     constraints: dict[str, str] | None = None,
+    change_files: bool | None = None,
     _op: str = "write",
 ) -> int:
     """Commit ``df`` as the next table version and return it.
+
+    ``change_files=True`` enables CHANGE DATA FEED materialization for
+    the table (Delta's ``delta.enableChangeDataFeed`` trade): every
+    rewrite commit (``snapshot_upsert`` / ``snapshot_apply_cdc`` /
+    ``snapshot_merge``) additionally persists its NET row-level diff
+    under ``_changes/v=N/`` and records it in the manifest, so the
+    ``snapshotfeed`` changeFeed (stream and batch) replays rewrites as
+    CDC rows instead of raising. The flag is a table property carried by
+    every subsequent commit; ``None`` (default) inherits the current
+    table's flag on a replace, ``False`` disables it.
 
     Every commit record carries an ``op`` label (the Delta
     ``commitInfo.operation`` shape) so history and the ``snapshotfeed``
@@ -1413,10 +1424,14 @@ def snapshot_write(
             # (the fresh-table and deep-clone path). Both sets gate the
             # new rows INSIDE the staging write — no extra pass.
             cur = snapshot_version(spark, table_dir)
-            prior = (
-                _read_manifest(spark, table_dir, cur).get("constraints")
-                if cur >= 1
-                else None
+            prior_manifest = (
+                _read_manifest(spark, table_dir, cur) if cur >= 1 else {}
+            )
+            prior = prior_manifest.get("constraints")
+            cdf = (
+                bool(change_files)
+                if change_files is not None
+                else bool(prior_manifest.get("cdf"))
             )
             effective = {**(prior or {}), **(constraints or {})} or None
             staged_df, c_obs, c_names = (
@@ -1447,6 +1462,8 @@ def snapshot_write(
                 payload["constraints"] = effective
             if bloom_spec:
                 payload["bloom_spec"] = bloom_spec
+            if cdf:
+                payload["cdf"] = True
             if properties:
                 payload["properties"] = _props_payload(properties)
             _commit_record(spark, table_dir, version, payload)
@@ -1683,6 +1700,8 @@ def snapshot_append(
                 payload["dv"] = manifest["dv"]
             if bloom_spec:
                 payload["bloom_spec"] = bloom_spec
+            if manifest.get("cdf"):
+                payload["cdf"] = True
             props = _merge_txn(manifest, properties)
             if props:
                 payload["properties"] = _props_payload(props)
@@ -2461,6 +2480,22 @@ def _merge_into_snapshot(
         payload["properties"] = _props_payload(props)
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("cdf"):
+        payload["cdf"] = True
+        if touched:
+            # materialize this rewrite's CDC rows so changeFeed consumers
+            # replay it instead of refusing: old = the touched files'
+            # live rows (already DV-applied above), new = the staged
+            # files just written — the diff never scans carried files
+            # explicit schema: a rewrite that deletes every touched
+            # row stages ZERO data files, and schema inference over an
+            # empty dir would fail
+            payload["changes"] = _write_change_files(
+                spark, table_dir, version,
+                existing.select(cols),
+                spark.read.schema(staged_df.schema).parquet(vdir).select(cols),
+                keys, cols,
+            )
     _commit_record(spark, table_dir, version, payload)
     return version
 
@@ -2775,6 +2810,18 @@ def snapshot_merge(
         payload["properties"] = _props_payload(props)
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("cdf"):
+        payload["cdf"] = True
+        if touched:
+            # same CDF materialization as the upsert core: tgt holds the
+            # touched files' pre-merge live rows, the staged dir the
+            # post-merge state of that region
+            payload["changes"] = _write_change_files(
+                spark, table_dir, version,
+                tgt.select(cols),
+                spark.read.schema(staged_df.schema).parquet(vdir).select(cols),
+                keys, cols,
+            )
     try:
         _commit_record(spark, table_dir, version, payload)
     except SnapshotConflictError:
@@ -2782,6 +2829,105 @@ def snapshot_merge(
         fs.delete(_snap_path(jvm, vdir), True)  # never committed
         raise
     return version, metrics
+
+
+def _keyed_diff(
+    old_df: DataFrame, new_df: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """NET row-level diff of two keyed states — the CDC core shared by
+    ``snapshot_changes`` (batch version diff) and the merge family's
+    change-file materialization: each key yields 0 (identical rows), 1
+    (``insert``/``delete``), or 2 (``update_preimage``/
+    ``update_postimage``) change events from ONE full-outer join (the
+    only shuffle) and a null-safe struct compare."""
+    val_cols = [c for c in cols if c not in keys]
+    o = old_df.select(*keys, F.struct(*val_cols).alias("__old"))
+    n = new_df.select(*keys, F.struct(*val_cols).alias("__new"))
+    j = o.join(n, list(keys), "full_outer")
+    old, new = F.col("__old"), F.col("__new")
+
+    def _ev(side, change):
+        return F.struct(side.alias("vals"), F.lit(change).alias("_change_type"))
+
+    events = (
+        F.when(old.isNull(), F.array(_ev(new, "insert")))
+        .when(new.isNull(), F.array(_ev(old, "delete")))
+        .when(
+            ~old.eqNullSafe(new),
+            F.array(_ev(old, "update_preimage"), _ev(new, "update_postimage")),
+        )
+    )  # otherwise NULL: explode drops the row
+    return (
+        j.select(*keys, F.explode(events).alias("__e"))
+        .select(
+            *keys,
+            *[F.col(f"__e.vals.{c}").alias(c) for c in val_cols],
+            F.col("__e._change_type").alias("_change_type"),
+        )
+        .select(*cols, "_change_type")
+    )
+
+
+def _write_change_files(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    old_df: DataFrame,
+    new_df: DataFrame,
+    keys: list[str],
+    cols: list[str],
+) -> list[dict]:
+    """Materialize a rewrite commit's NET row-level diff as parquet under
+    ``_changes/v=N/`` and return its manifest entries (``path/rows/
+    bytes``, paths table-relative) — Delta's enableChangeDataFeed trade:
+    pay O(changed rows) once at write time so changeFeed consumers replay
+    the rewrite as CDC rows instead of refusing (or re-deriving the diff
+    per consumer). ``old_df``/``new_df`` are the touched files' live rows
+    before and after the commit, so the diff never scans carried files —
+    the upsert cost model extends to its change feed. Crash debris from
+    a previous attempt at the SAME version is overwritten: the staging
+    claim for N is already ours, and the records only publish with the
+    commit."""
+    return _materialize_changes(
+        spark, table_dir, version, _keyed_diff(old_df, new_df, keys, cols)
+    )
+
+
+def _materialize_changes(
+    spark: SparkSession, table_dir: str, version: int, changes: DataFrame
+) -> list[dict]:
+    """Write an already-typed change DataFrame (data columns +
+    ``_change_type``) under ``_changes/v=N/`` and return its manifest
+    entries — the storage half shared by the keyed-diff (upsert/MERGE),
+    predicate-delete, and restore materializations."""
+    changes = changes.withColumn(
+        "_change_type", F.col("_change_type").cast("string")
+    )
+    cdir = f"{table_dir.rstrip('/')}/_changes/v={version}"
+    changes.write.mode("overwrite").parquet(cdir)
+    fs, jvm = _snap_fs(spark, table_dir)
+    names: dict[str, int] = {}
+    for st in fs.listStatus(_snap_path(jvm, cdir)):
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            names[name] = int(st.getLen())
+    import pyarrow.parquet as pq
+
+    f, root = _pa_fs(table_dir)
+    entries = []
+    for name in sorted(names):
+        with f.open_input_file(
+            f"{root.rstrip('/')}/_changes/v={version}/{name}"
+        ) as srcf:
+            rows = int(pq.ParquetFile(srcf).metadata.num_rows)
+        entries.append(
+            {
+                "path": f"_changes/v={version}/{name}",
+                "rows": rows,
+                "bytes": names[name],
+            }
+        )
+    return entries
 
 
 def snapshot_changes(
@@ -2820,16 +2966,38 @@ def snapshot_changes(
         )
     m_from = _read_manifest(spark, table_dir, from_version)
     m_to = _read_manifest(spark, table_dir, v_to)
+    old_df, new_df, cols = _state_diff_sides(
+        spark, table_dir, m_from, m_to, "snapshot_changes"
+    )
+    return _keyed_diff(old_df, new_df, [key], cols)
+
+
+def _state_diff_sides(
+    spark: SparkSession,
+    table_dir: str,
+    m_from: dict,
+    m_to: dict,
+    caller: str,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """File-wise (old_rows, new_rows, cols) sides of the state diff
+    between two manifests — the manifest-level CDC core shared by
+    ``snapshot_changes`` (keyed diff downstream) and the RESTORE
+    change-file materialization (keyless multiset diff: old side emits
+    as deletes, new side as inserts, after the caller nets identical
+    rows out with an ``exceptAll`` pair — rewritten-but-identical
+    survivors appear in both sides when restoring across a COW
+    rewrite). Only files unique to one side, plus DV-delta positions
+    in shared files, are ever opened."""
     if m_from.get("files") is None or m_to.get("files") is None:
         raise ValueError(
-            "snapshot_changes needs file-list manifests on both endpoints "
-            "(v1-era whole-directory records carry no file identity)"
+            f"{caller} needs file-list manifests on both endpoints "
+            f"(v1-era whole-directory records carry no file identity)"
         )
     schema = _manifest_schema(m_to)
     if schema is None:
         raise ValueError(
-            "snapshot_changes: the target version carries no schema "
-            "(v1-era record) — rewrite the table once with snapshot_write"
+            f"{caller}: the target version carries no schema "
+            f"(v1-era record) — rewrite the table once with snapshot_write"
         )
     cols = [f.name for f in schema.fields]
     from_paths = {e["path"] for e in m_from["files"]}
@@ -2901,34 +3069,7 @@ def snapshot_changes(
         resurrected = _dv_delta_rows(f_dv.exceptAll(t_dv))
         old_df = old_df.unionByName(newly_deleted)
         new_df = new_df.unionByName(resurrected)
-    val_cols = [c for c in cols if c != key]
-    o = old_df.select(F.col(key), F.struct(*val_cols).alias("__old"))
-    n = new_df.select(F.col(key), F.struct(*val_cols).alias("__new"))
-    j = o.join(n, key, "full_outer")
-    # ONE pass over the join: each row yields 0 (rewritten-but-identical
-    # survivor), 1 (insert/delete), or 2 (update pre+post) change events
-    old, new = F.col("__old"), F.col("__new")
-
-    def _ev(side, change):
-        return F.struct(side.alias("vals"), F.lit(change).alias("_change_type"))
-
-    events = (
-        F.when(old.isNull(), F.array(_ev(new, "insert")))
-        .when(new.isNull(), F.array(_ev(old, "delete")))
-        .when(
-            ~old.eqNullSafe(new),
-            F.array(_ev(old, "update_preimage"), _ev(new, "update_postimage")),
-        )
-    )  # otherwise NULL: explode drops the row
-    return (
-        j.select(F.col(key), F.explode(events).alias("__e"))
-        .select(
-            F.col(key),
-            *[F.col(f"__e.vals.{c}").alias(c) for c in val_cols],
-            F.col("__e._change_type").alias("_change_type"),
-        )
-        .select(*cols, "_change_type")
-    )
+    return old_df, new_df, cols
 
 
 def snapshot_changes_since(
@@ -3362,7 +3503,7 @@ def snapshot_delete(
             "dv": dv_block,
             "op": "delete",
         }
-        for carry in ("bloom_spec", "constraints"):
+        for carry in ("bloom_spec", "constraints", "cdf"):
             if manifest.get(carry):
                 payload[carry] = manifest[carry]
         txn = _merge_txn(manifest, None)
@@ -3379,13 +3520,14 @@ def snapshot_delete(
     # manifest schema = read contract: after a schema evolution the
     # candidate files can differ in width — inferring from one footer
     # could rewrite survivors minus an evolved column
-    survivors = _apply_dv(
+    live = _apply_dv(
         _manifest_reader(spark, manifest).parquet(
             *[_entry_uri(base, e["path"]) for e in candidates]
         ),
         old_dv,
         _dv_deleted(manifest),
-    ).where(keep)
+    )
+    survivors = live.where(keep)
     version, vdir_cow = _stage_version(survivors, table_dir)
     _check_staged_against(
         spark, table_dir, vdir_cow, version, current, "snapshot_delete"
@@ -3418,6 +3560,17 @@ def snapshot_delete(
             payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("cdf"):
+        payload["cdf"] = True
+        # a predicate delete's CDC is exactly the predicate-matched live
+        # rows (no keyed diff needed): materialize them as `delete`
+        # change rows so the changeFeed replays the rewrite — same
+        # O(candidate files) read the survivor rewrite already pays
+        payload["changes"] = _materialize_changes(
+            spark, table_dir, version,
+            live.where(F.coalesce(_where_expr(where), F.lit(False)))
+            .withColumn("_change_type", F.lit("delete")),
+        )
     if manifest.get("constraints"):
         # deletes cannot create violating rows: carry, don't re-check
         payload["constraints"] = manifest["constraints"]
@@ -3498,7 +3651,7 @@ def snapshot_clone(
         "cloned_from": {"table": src_base, "version": current},
         "op": "clone",
     }
-    for carry in ("bloom_spec", "constraints"):
+    for carry in ("bloom_spec", "constraints", "cdf"):
         if manifest.get(carry):
             payload[carry] = manifest[carry]
     if manifest.get("dv"):
@@ -3574,7 +3727,7 @@ def snapshot_restamp(
         "restamped_from": current,
         "op": "restamp",
     }
-    for carry in ("bloom_spec", "dv", "constraints"):
+    for carry in ("bloom_spec", "dv", "constraints", "cdf"):
         if manifest.get(carry):
             payload[carry] = manifest[carry]
     _commit_record(spark, table_dir, current + 1, payload)
@@ -3712,7 +3865,7 @@ def snapshot_add_constraint(
         "constraint_added": name,
         "op": "add-constraint",
     }
-    for carry in ("bloom_spec", "dv", "properties"):
+    for carry in ("bloom_spec", "dv", "properties", "cdf"):
         if manifest.get(carry):
             payload[carry] = manifest[carry]
     _commit_record(spark, table_dir, current + 1, payload)
@@ -3745,7 +3898,7 @@ def snapshot_drop_constraint(
     }
     if existing:
         payload["constraints"] = existing
-    for carry in ("bloom_spec", "dv", "properties"):
+    for carry in ("bloom_spec", "dv", "properties", "cdf"):
         if manifest.get(carry):
             payload[carry] = manifest[carry]
     _commit_record(spark, table_dir, current + 1, payload)
@@ -3786,7 +3939,9 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
             f"longer fully present (vacuumed?) — {len(missing)} file(s) "
             f"missing, e.g. {missing[0]}"
         )
-    version = snapshot_version(spark, table_dir) + 1
+    current = snapshot_version(spark, table_dir)
+    m_cur = _read_manifest(spark, table_dir, current)
+    version = current + 1
     payload = {
         "version": version,
         "dir": f"v={version}",
@@ -3801,6 +3956,36 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         payload["dv"] = manifest["dv"]
     if manifest.get("bloom_spec"):
         payload["bloom_spec"] = manifest["bloom_spec"]
+    if manifest.get("cdf") or m_cur.get("cdf"):
+        # once enabled, a restore never silently drops the feed contract
+        # (either endpoint's flag keeps it on)
+        payload["cdf"] = True
+        if (
+            m_cur.get("files") is not None
+            and m_cur.get("schema")
+            and manifest.get("schema")
+        ):
+            # a restore only re-references immutable files, so the
+            # file-wise multiset diff is exact net CDC once identical
+            # rows cancel: restoring across a COW rewrite puts a
+            # survivor's row content in BOTH sides (old = the rewritten
+            # file, new = the original), and the exceptAll pair nets
+            # those out so only true churn emits (delete for rows
+            # leaving, insert for rows returning; DV deltas on shared
+            # files included). Both sides are bounded by files unique
+            # to one side — O(span churn), never O(table).
+            old_side, new_side, cdc_cols = _state_diff_sides(
+                spark, table_dir, m_cur, manifest, "snapshot_restore"
+            )
+            payload["changes"] = _materialize_changes(
+                spark, table_dir, version,
+                old_side.exceptAll(new_side)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    new_side.exceptAll(old_side)
+                    .withColumn("_change_type", F.lit("insert"))
+                ),
+            )
     if manifest.get("constraints"):
         # the restored version's rows passed ITS constraint set; that set
         # (not a later one) travels with the restored state
@@ -3948,6 +4133,12 @@ def snapshot_expire_log(
         fs.delete(
             _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR, f"{v}.json"), False
         )
+        # a version's materialized change files (_changes/v=N, cdf
+        # tables) live exactly as long as its commit record: the feed
+        # plans them FROM the manifest, so they are unreadable past it
+        cdir = _snap_path(jvm, table_dir, "_changes", f"v={v}")
+        if fs.exists(cdir):
+            fs.delete(cdir, True)
     # checkpoint files below the live pointer are superseded
     mdir = _snap_path(jvm, table_dir, SNAPSHOT_MANIFEST_DIR)
     for st in fs.listStatus(mdir):
@@ -4283,6 +4474,8 @@ def snapshot_optimize(
             payload["dv"] = dv_block
     if bloom_spec:
         payload["bloom_spec"] = bloom_spec
+    if manifest.get("cdf"):
+        payload["cdf"] = True
     if manifest.get("constraints"):
         # packing moves rows, never changes them: carry, don't re-check
         payload["constraints"] = manifest["constraints"]

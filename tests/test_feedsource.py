@@ -1445,3 +1445,263 @@ def test_max_bytes_per_batch_paces_by_size(spark, tmp_path):
         {"version": 0, "mode": "replay"}, {"version": 1, "mode": "replay"}
     )
     assert r2.latestOffset() == {"version": 2, "mode": "replay"}
+
+
+def test_cdf_rewrites_stream_as_change_rows(spark, tmp_path):
+    """CDF for rewrite commits (the Delta enableChangeDataFeed trade):
+    a table written with change_files=True materializes every rewrite
+    commit's NET row-level diff under _changes/v=N, and the changeFeed
+    — batch AND stream — replays it as CDC rows instead of raising;
+    tables without the flag keep the refusal; net-zero rewrites stream
+    nothing; expire_log reclaims a version's change files with its
+    commit record."""
+    import os
+
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_apply_cdc,
+        snapshot_expire_log,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    base = _batch(spark, 0, 100)
+    snapshot_write(
+        base.repartitionByRange(4, "k"), tdir, stats_cols=["k"],
+        change_files=True,
+    )
+    # v2: upsert — 10 updated keys, 5 fresh inserts
+    ups = _batch(spark, 40, 50).withColumn("v", F.col("v") + 1000).unionByName(
+        _batch(spark, 100, 105)
+    )
+    snapshot_upsert(spark, tdir, ups, key="k", cluster_files=2)
+    m2 = _read_manifest(spark, tdir, 2)
+    assert m2.get("cdf") is True and m2.get("changes")
+    assert sum(e["rows"] for e in m2["changes"]) == 25  # 10 pre + 10 post + 5 ins
+    # v3: mixed CDC batch — delete 2 keys, update 1
+    ch = spark.createDataFrame(
+        [(0, None, "D"), (1, None, "D"), (50, 9999.0, "U")], "k long, v double, op string"
+    )
+    snapshot_apply_cdc(spark, tdir, ch, key="k")
+    # v4: net-zero rewrite (upsert with identical values) → empty feed
+    snapshot_upsert(spark, tdir, _batch(spark, 60, 62), key="k")
+    m4 = _read_manifest(spark, tdir, 4)
+    assert m4.get("changes") == [] or sum(e["rows"] for e in m4["changes"]) == 0
+
+    def changes(**opts):
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for kk, vv in opts.items():
+            r = r.option(kk, str(vv))
+        return r.load(tdir)
+
+    f2 = changes(startingVersion=2, endingVersion=2)
+    got = {r["_change_type"]: 0 for r in f2.collect()}
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in f2.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {
+        "update_preimage": 10, "update_postimage": 10, "insert": 5,
+    }, by_type
+    pre = f2.where((F.col("k") == 45) & (F.col("_change_type") == "update_preimage"))
+    post = f2.where((F.col("k") == 45) & (F.col("_change_type") == "update_postimage"))
+    assert post.head()["v"] == pre.head()["v"] + 1000
+    f3 = changes(startingVersion=3, endingVersion=3)
+    by3 = {
+        r["_change_type"]: r["count"]
+        for r in f3.groupBy("_change_type").count().collect()
+    }
+    assert by3 == {"delete": 2, "update_preimage": 1, "update_postimage": 1}, by3
+    assert changes(startingVersion=4).count() == 0  # net-zero commit
+    # where= filters change rows exactly (no stats on change entries:
+    # pruning keeps them, the executor filter is the semantics)
+    assert changes(
+        startingVersion=2, endingVersion=3, where='[["k", "=", 45]]'
+    ).count() == 2
+
+    # STREAMING changeFeed across the same commits
+    out, ckpt = tmp_path / "out", tmp_path / "ck"
+    q = (
+        spark.readStream.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(tdir)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    sgot = spark.read.parquet(str(out))
+    assert sgot.count() == 25 + 4
+    assert sgot.where(F.col("_commit_version") == 3).count() == 4
+
+    # the flag survives maintenance and appends
+    snapshot_append(_batch(spark, 200, 210), tdir)
+    assert _read_manifest(spark, tdir, 5).get("cdf") is True
+
+    # refusal intact without the flag
+    t2 = str(tmp_path / "plain")
+    snapshot_write(base, t2, stats_cols=["k"])
+    snapshot_upsert(spark, t2, _batch(spark, 0, 5).withColumn("v", F.col("v") + 1), key="k")
+    with pytest.raises(Exception, match="CHANGE commit"):
+        spark.read.format("snapshotfeed").option("changeFeed", "true").option(
+            "startingVersion", "2"
+        ).load(t2).count()
+
+    # retention: expiring a version's record reclaims its change files
+    for i in range(6):
+        snapshot_append(_batch(spark, 300 + i * 10, 310 + i * 10), tdir)
+    assert os.path.isdir(f"{tdir}/_changes/v=2")
+    expired = snapshot_expire_log(spark, tdir, keep_last=3)
+    assert 2 in expired and 3 in expired
+    assert not os.path.exists(f"{tdir}/_changes/v=2")
+    assert not os.path.exists(f"{tdir}/_changes/v=3")
+
+
+def test_cdf_merge_and_schema_evolution_change_files(spark, tmp_path):
+    """The tri-clause MERGE materializes change files on cdf tables too
+    — including the by-source delete clause — and an evolving upsert's
+    change rows carry the widened schema (old rows NULL-fill)."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_merge,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _batch(spark, 0, 20).repartitionByRange(2, "k"), tdir,
+        stats_cols=["k"], change_files=True,
+    )
+    src = _batch(spark, 10, 25).withColumn("v", F.col("v") + 500)
+    snapshot_merge(
+        spark, tdir, src, key="k",
+        when_not_matched_by_source="delete",
+    )  # updates 10..19, inserts 20..24, deletes 0..9
+    f = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(str(tdir))
+    )
+    by = {r["_change_type"]: r["count"] for r in f.groupBy("_change_type").count().collect()}
+    assert by == {
+        "delete": 10, "insert": 5,
+        "update_preimage": 10, "update_postimage": 10,
+    }, by
+    # schema evolution: the change file carries the widened column
+    ev = _batch(spark, 12, 14).withColumn("w", F.lit("x"))
+    snapshot_upsert(spark, tdir, ev, key="k", evolve_schema=True)
+    m3 = _read_manifest(spark, tdir, 3)
+    assert m3.get("changes")
+    f3 = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "3")
+        .load(str(tdir))
+    )
+    rows = {(r["k"], r["_change_type"]): r for r in f3.collect()}
+    assert rows[(12, "update_preimage")]["w"] is None
+    assert rows[(12, "update_postimage")]["w"] == "x"
+
+
+def test_cdf_delete_and_restore_change_files(spark, tmp_path):
+    """Predicate deletes and restores materialize change files on cdf
+    tables too: a COW delete's CDC is exactly the predicate-matched live
+    rows as ``delete`` events (no keyed diff), a restore's is the exact
+    keyless multiset diff (rows leaving emit as deletes, rows returning
+    as inserts — DV deltas included), and a net-zero restore streams
+    nothing. The materialized branch is authoritative: the feed never
+    re-reads data files for these commits."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_delete,
+        snapshot_restore,
+        snapshot_write,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _batch(spark, 0, 100).repartitionByRange(4, "k"), tdir,
+        stats_cols=["k"], change_files=True,
+    )
+
+    def changes(**opts):
+        r = spark.read.format("snapshotfeed").option("changeFeed", "true")
+        for kk, vv in opts.items():
+            r = r.option(kk, str(vv))
+        return r.load(tdir)
+
+    # v2: COW delete — 10 predicate-matched rows emit as deletes
+    ver, n = snapshot_delete(spark, tdir, [("k", "<", 10)], mode="cow")
+    assert (ver, n) == (2, 10)
+    assert _read_manifest(spark, tdir, 2).get("changes")
+    f2 = changes(startingVersion=2)
+    rows = f2.collect()
+    assert len(rows) == 10
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(10))
+    assert all("/_changes/" in f for f in f2.inputFiles())
+    # where= still filters the delete rows exactly
+    assert changes(startingVersion=2, where='[["k", "<", 5]]').count() == 5
+
+    # v3: append, then v4: restore to v2 — the appended rows leave as
+    # deletes; the restore's diff comes from the materialized files
+    snapshot_append(_batch(spark, 100, 150), tdir)
+    assert snapshot_restore(spark, tdir, 2) == 4
+    m4 = _read_manifest(spark, tdir, 4)
+    assert m4.get("cdf") is True and m4.get("changes")
+    f4 = changes(startingVersion=4)
+    rows = f4.collect()
+    assert len(rows) == 50
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert sorted(r["k"] for r in rows) == list(range(100, 150))
+    assert all("/_changes/" in f for f in f4.inputFiles())
+
+    # v5: net-zero restore (current state) emits nothing
+    assert snapshot_restore(spark, tdir, 4) == 5
+    assert changes(startingVersion=5).count() == 0
+
+    # v6: DV delete, v7: restore past it — the resurrected rows emit as
+    # inserts from the materialized files (authoritative over the
+    # DV-delta derivation: same content, zero reads outside _changes/)
+    ver, n = snapshot_delete(
+        spark, tdir, [("k", ">=", 95), ("k", "<", 100)], mode="dv"
+    )
+    assert (ver, n) == (6, 5)
+    assert snapshot_restore(spark, tdir, 5) == 7
+    f7 = changes(startingVersion=7)
+    rows = f7.collect()
+    assert sorted(r["_change_type"] for r in rows) == ["insert"] * 5
+    assert sorted(r["k"] for r in rows) == list(range(95, 100))
+    assert all("/_changes/" in f for f in f7.inputFiles())
+
+    # v8: COW delete, v9: restore past it — rewritten-but-identical
+    # survivors live in BOTH diff sides (old = rewritten file, new =
+    # original file); the exceptAll netting cancels them so only the
+    # true churn (the 10 deleted keys, returning) emits
+    ver, n = snapshot_delete(spark, tdir, [("k", "<", 20)], mode="cow")
+    assert (ver, n) == (8, 10)  # state held k >= 10 since v2
+    assert snapshot_restore(spark, tdir, 7) == 9
+    rows = changes(startingVersion=9).collect()
+    assert sorted(r["_change_type"] for r in rows) == ["insert"] * 10, [
+        (r["k"], r["_change_type"]) for r in rows
+    ]
+    assert sorted(r["k"] for r in rows) == list(range(10, 20))
+
+    # plain-table restores keep the refusal (and skipChangeCommits)
+    t2 = str(tmp_path / "plain")
+    snapshot_write(_batch(spark, 0, 20), t2, stats_cols=["k"])
+    snapshot_append(_batch(spark, 20, 30), t2)
+    snapshot_restore(spark, t2, 1)
+    plain = spark.read.format("snapshotfeed").option("changeFeed", "true")
+    with pytest.raises(Exception, match="CHANGE commit"):
+        plain.option("startingVersion", "3").load(t2).count()
