@@ -1373,11 +1373,19 @@ class SnapshotFeedStreamReader(DataSourceStreamReader):
                     if prev.get("files") is not None
                     else set()
                 )
-                added = sum(
-                    x.get("bytes", 0)
-                    for x in m["files"]
-                    if x["path"] not in prev_paths
-                )
+                if self._change_feed and m.get("changes") is not None:
+                    # a materialized-CDF rewrite streams its change
+                    # files, not its staged data files — budget the
+                    # bytes the batch will actually read (a COW delete
+                    # can stage MBs of survivors yet stream KBs of
+                    # delete rows)
+                    added = sum(x.get("bytes", 0) for x in m["changes"])
+                else:
+                    added = sum(
+                        x.get("bytes", 0)
+                        for x in m["files"]
+                        if x["path"] not in prev_paths
+                    )
                 if total > 0 and total + added > self._max_bytes:
                     break
                 total += added

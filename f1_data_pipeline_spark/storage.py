@@ -1280,13 +1280,16 @@ def snapshot_write(
 
     ``change_files=True`` enables CHANGE DATA FEED materialization for
     the table (Delta's ``delta.enableChangeDataFeed`` trade): every
-    rewrite commit (``snapshot_upsert`` / ``snapshot_apply_cdc`` /
-    ``snapshot_merge``) additionally persists its NET row-level diff
-    under ``_changes/v=N/`` and records it in the manifest, so the
+    rewrite commit — the merge family (``snapshot_upsert`` /
+    ``snapshot_apply_cdc`` / ``snapshot_merge``), COW
+    ``snapshot_delete``, ``snapshot_restore``, and a full REPLACE via
+    ``snapshot_write`` itself — additionally persists its NET row-level
+    diff under ``_changes/v=N/`` and records it in the manifest, so the
     ``snapshotfeed`` changeFeed (stream and batch) replays rewrites as
-    CDC rows instead of raising. The flag is a table property carried by
-    every subsequent commit; ``None`` (default) inherits the current
-    table's flag on a replace, ``False`` disables it.
+    CDC rows instead of raising: a cdf table's changeFeed NEVER refuses.
+    The flag is a table property carried by every subsequent commit;
+    ``None`` (default) inherits the current table's flag on a replace,
+    ``False`` disables it.
 
     Every commit record carries an ``op`` label (the Delta
     ``commitInfo.operation`` shape) so history and the ``snapshotfeed``
@@ -1464,6 +1467,43 @@ def snapshot_write(
                 payload["bloom_spec"] = bloom_spec
             if cdf:
                 payload["cdf"] = True
+                if (
+                    _op == "write"
+                    and cur >= 1
+                    and prior_manifest.get("files") is not None
+                ):
+                    # a full REPLACE on a cdf table materializes the
+                    # NETTED multiset diff of old state vs staged state
+                    # (old rows leaving emit as deletes, new rows as
+                    # inserts; identical rows cancel via exceptAll, so a
+                    # replace that merely re-clusters identical content
+                    # nets to an empty feed). Columns follow the NEW
+                    # schema (old rows NULL-fill added columns, dropped
+                    # columns leave the comparison). O(old+new) — the
+                    # honest cost of a replace, paid once at write time.
+                    old_paths = [
+                        _entry_uri(table_dir.rstrip("/"), x["path"])
+                        for x in prior_manifest["files"]
+                    ]
+                    old_live = (
+                        _apply_dv(
+                            spark.read.schema(df.schema).parquet(*old_paths),
+                            _dv_read(spark, table_dir, prior_manifest),
+                            _dv_deleted(prior_manifest),
+                        ).select([f.name for f in df.schema.fields])
+                        if old_paths
+                        else spark.createDataFrame([], df.schema)
+                    )
+                    new_rows = spark.read.schema(df.schema).parquet(vdir)
+                    payload["changes"] = _materialize_changes(
+                        spark, table_dir, version,
+                        old_live.exceptAll(new_rows)
+                        .withColumn("_change_type", F.lit("delete"))
+                        .unionByName(
+                            new_rows.exceptAll(old_live)
+                            .withColumn("_change_type", F.lit("insert"))
+                        ),
+                    )
             if properties:
                 payload["properties"] = _props_payload(properties)
             _commit_record(spark, table_dir, version, payload)

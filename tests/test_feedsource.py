@@ -1705,3 +1705,113 @@ def test_cdf_delete_and_restore_change_files(spark, tmp_path):
     plain = spark.read.format("snapshotfeed").option("changeFeed", "true")
     with pytest.raises(Exception, match="CHANGE commit"):
         plain.option("startingVersion", "3").load(t2).count()
+
+
+def test_cdf_replace_change_files(spark, tmp_path):
+    """A full REPLACE via snapshot_write on a cdf table materializes the
+    netted multiset diff (rows leaving as deletes, rows arriving as
+    inserts, identical rows cancel): a cdf table's changeFeed never
+    refuses. A re-clustering replace of identical content nets to an
+    empty feed, and the old side honors accumulated deletion vectors."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        _batch(spark, 0, 100).repartition(4), tdir,
+        stats_cols=["k"], change_files=True,
+    )
+
+    def changes(v):
+        return (
+            spark.read.format("snapshotfeed")
+            .option("changeFeed", "true")
+            .option("startingVersion", str(v))
+            .option("endingVersion", str(v))
+            .load(tdir)
+        )
+
+    # v2: replace dropping 0..9 and adding 100..109; 10..99 identical
+    snapshot_write(_batch(spark, 10, 110).repartition(3), tdir, stats_cols=["k"])
+    m2 = _read_manifest(spark, tdir, 2)
+    assert m2.get("cdf") is True and m2.get("changes") is not None
+    f2 = changes(2)
+    by = {}
+    for r in f2.collect():
+        by.setdefault(r["_change_type"], []).append(r["k"])
+    assert sorted(by.pop("delete")) == list(range(10))
+    assert sorted(by.pop("insert")) == list(range(100, 110))
+    assert not by
+    assert all("/_changes/" in f for f in f2.inputFiles())
+
+    # v3: identical-content re-cluster nets to an empty feed
+    snapshot_write(_batch(spark, 10, 110).repartition(7), tdir, stats_cols=["k"])
+    assert changes(3).count() == 0
+
+    # v4: DV delete, v5: replace — the old side honors the tombstones
+    # (10..14 already dead, so only 15..19 emit as deletes)
+    snapshot_delete(spark, tdir, [("k", "<", 15)], mode="dv")
+    snapshot_write(_batch(spark, 20, 110).repartition(3), tdir, stats_cols=["k"])
+    rows = changes(5).collect()
+    assert sorted(r["k"] for r in rows) == list(range(15, 20))
+    assert all(r["_change_type"] == "delete" for r in rows)
+
+    # change_files=False on a replace disables the flag going forward
+    snapshot_write(_batch(spark, 20, 110), tdir, change_files=False)
+    assert _read_manifest(spark, tdir, 6).get("cdf") is None
+
+
+def test_max_bytes_pacing_counts_change_files_on_cdf_tables(spark, tmp_path):
+    """Byte pacing on a changeFeed stream budgets what the batch will
+    actually read: a materialized-CDF rewrite counts its (small) change
+    files, not the (large) staged survivor files the commit rewrote."""
+    from f1_data_pipeline_spark.ingest.feedsource import SnapshotFeedStreamReader
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    tdir = tmp_path / "tbl"
+    snapshot_write(
+        _batch(spark, 0, 4000).coalesce(1), str(tdir),
+        stats_cols=["k"], change_files=True,
+    )
+    # v2: COW delete of 5 rows — stages ~the whole table again, but the
+    # change file holds only the 5 delete rows
+    snapshot_delete(spark, str(tdir), [("k", "<", 5)], mode="cow")
+    snapshot_append(_batch(spark, 4000, 4010).coalesce(1), str(tdir))  # v3
+    m2 = _read_manifest(spark, str(tdir), 2)
+    m3 = _read_manifest(spark, str(tdir), 3)
+    change_bytes = sum(e["bytes"] for e in m2["changes"])
+    staged_bytes = sum(
+        e["bytes"] for e in m2["files"] if e["path"].startswith("v=2/")
+    )
+    added_v3 = sum(
+        e["bytes"] for e in m3["files"] if e["path"].startswith("v=3/")
+    )
+    assert 0 < change_bytes < staged_bytes
+    schema = (
+        spark.read.schema("k long, v double").parquet(str(tdir / "v=1")).schema
+        .add("_change_type", "string").add("_commit_version", "long")
+    )
+    budget = change_bytes + added_v3 + 64  # < staged_bytes by construction
+    assert budget < staged_bytes
+    r = SnapshotFeedStreamReader(
+        schema,
+        {
+            "path": str(tdir),
+            "changefeed": "true",
+            "startingversion": "1",
+            "maxbytesperbatch": str(budget),
+        },
+    )
+    start = r.initialOffset()
+    r.partitions(start, {"version": 1, "mode": "replay"})
+    # change-file accounting admits BOTH the rewrite and the append in
+    # one span; staged-file accounting would have stopped after v2
+    assert r.latestOffset() == {"version": 3, "mode": "replay"}
