@@ -386,6 +386,8 @@ def _read_file(
         }
 
     def _project(sub, change):
+        # change=None → a materialized CDF file: keep its STORED
+        # _change_type column (row-typed, not a partition constant)
         cols = {}
         for field in target:
             if field.name in sub.column_names:
@@ -393,41 +395,25 @@ def _read_file(
             else:
                 cols[field.name] = pa.nulls(sub.num_rows, field.type)
         out = pa.table(cols).cast(target)
-        if where:
-            out = _arrow_where(out, where)
         if change_feed:
             n = out.num_rows
-            out = out.append_column(
-                "_change_type", pa.array([change] * n, pa.string())
-            ).append_column(
+            label = (
+                sub.column("_change_type").cast(pa.string())
+                if change is None
+                else pa.array([change] * n, pa.string())
+            )
+            out = out.append_column("_change_type", label).append_column(
                 "_commit_version",
                 pa.array([int(part.version or 0)] * n, pa.int64()),
             )
+        if where:
+            # the mask comes from data columns only, so filtering after
+            # the append keeps the stored change labels row-aligned
+            out = _arrow_where(out, where)
         yield from out.to_batches()
 
     if part.change_file:
-        # materialized CDF file: data columns + a stored _change_type —
-        # project the data part onto the declared schema, keep the
-        # stored change label (NOT a partition-constant), filter exactly,
-        # stamp the commit version
-        cols = {}
-        for field in target:
-            cols[field.name] = (
-                tbl.column(field.name)
-                if field.name in tbl.column_names
-                else pa.nulls(tbl.num_rows, field.type)
-            )
-        out = pa.table(cols).cast(target)
-        out = out.append_column(
-            "_change_type", tbl.column("_change_type").cast(pa.string())
-        )
-        if where:
-            out = _arrow_where(out, where)
-        out = out.append_column(
-            "_commit_version",
-            pa.array([int(part.version or 0)] * out.num_rows, pa.int64()),
-        )
-        yield from out.to_batches()
+        yield from _project(tbl, None)
         return
     if part.delta:
         # change-feed delta over one file: new tombstones stream as
@@ -547,8 +533,9 @@ def _parse_ts_option(opt, name: str) -> float:
         # a silently-empty feed — refuse them like any malformed literal.
         # A small numeric string is NOT a plausible commit stamp ("2024"
         # as epoch 1970 would silently replay the full history) — those
-        # fall through to the ISO parse ("2024" → 2024-01-01) or the
-        # typed error below, which names both interpretations.
+        # fall through to the ISO parse (which rejects a bare year:
+        # fromisoformat needs a full date) and land in the typed error
+        # below, which names both interpretations.
         num = float(opt)
         if not math.isfinite(num):
             raise TypeError

@@ -10,6 +10,7 @@ DataFrame helpers so pipelines opt in per table/join.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
@@ -701,11 +702,28 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
     paths the claim is therefore published by hard link (the same
     EEXIST-atomic syscall the commit record uses); elsewhere
     ``create(overwrite=false)`` is the namespace-atomic primitive."""
+    spark = df.sparkSession
+    version = snapshot_version(spark, table_dir) + 1
+    vdir = _claim_version_dir(spark, table_dir, version)
+    fs, jvm = _snap_fs(spark, table_dir)
+    # append, not overwrite: overwrite would delete the dir and with it the
+    # _CLAIM marker that holds the stage against concurrent writers
+    df.write.mode("append").parquet(vdir)
+    if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
+        raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
+    return version, vdir
+
+
+def _claim_version_dir(spark: SparkSession, table_dir: str, version: int) -> str:
+    """ATOMICALLY claim the ``v=N`` staging dir for ``version`` and
+    return it — the mutual-exclusion step every writer of version-N side
+    files (staged parquet, deletion vectors, materialized change files)
+    must take before writing, so two writers deriving the same next
+    version can never interleave into one directory. Raises
+    ``SnapshotConflictError`` on a lost race."""
     import uuid
 
-    spark = df.sparkSession
     fs, jvm = _snap_fs(spark, table_dir)
-    version = snapshot_version(spark, table_dir) + 1
     vdir = f"{table_dir.rstrip('/')}/v={version}"
     vpath = _snap_path(jvm, vdir)
     if fs.exists(vpath):
@@ -754,12 +772,7 @@ def _stage_version(df: DataFrame, table_dir: str) -> tuple[int, str]:
                 f"snapshot_write: creating staging claim {claim} failed "
                 f"for a non-conflict reason: {e}"
             ) from e
-    # append, not overwrite: overwrite would delete the dir and with it the
-    # _CLAIM marker that holds the stage against concurrent writers
-    df.write.mode("append").parquet(vdir)
-    if not fs.exists(_snap_path(jvm, vdir, "_SUCCESS")):
-        raise RuntimeError(f"snapshot stage at {vdir} missing _SUCCESS marker")
-    return version, vdir
+    return vdir
 
 
 def _merge_txn(manifest: dict, properties: dict | None) -> dict | None:
@@ -897,12 +910,13 @@ def _footer_file_entries(
                 if cc.physical_type not in _FOOTER_TRUSTED_PHYSICAL:
                     return None
                 gmn, gmx = st.min, st.max
-                if isinstance(gmx, str) and len(gmx.encode()) >= 64:
-                    # parquet-mr truncates long binary bounds (valid but
-                    # inexact) — not Spark-job parity, fall back
-                    return None
-                if isinstance(gmx, bytes):
-                    return None  # raw binary: stringification diverges
+                for bound in (gmn, gmx):
+                    if isinstance(bound, str) and len(bound.encode()) >= 64:
+                        # parquet-mr truncates long binary bounds (valid
+                        # but inexact) — not Spark-job parity, fall back
+                        return None
+                    if isinstance(bound, bytes):
+                        return None  # raw binary: stringification diverges
                 mn = gmn if mn is None or gmn < mn else mn
                 mx = gmx if mx is None or gmx > mx else mx
             stats[c] = {
@@ -1478,22 +1492,36 @@ def snapshot_write(
                     # inserts; identical rows cancel via exceptAll, so a
                     # replace that merely re-clusters identical content
                     # nets to an empty feed). Columns follow the NEW
-                    # schema (old rows NULL-fill added columns, dropped
-                    # columns leave the comparison). O(old+new) — the
+                    # schema: old rows are read under THEIR OWN manifest
+                    # schema and projected onto it — added columns
+                    # NULL-fill, dropped columns leave the comparison,
+                    # and a retyped column try_casts (a replace may
+                    # change any type; scanning old files with the new
+                    # schema would crash the diff). O(old+new) — the
                     # honest cost of a replace, paid once at write time.
                     old_paths = [
                         _entry_uri(table_dir.rstrip("/"), x["path"])
                         for x in prior_manifest["files"]
                     ]
-                    old_live = (
-                        _apply_dv(
-                            spark.read.schema(df.schema).parquet(*old_paths),
+                    prior_schema = _manifest_schema(prior_manifest)
+                    if old_paths and prior_schema is not None:
+                        prior_names = {f.name for f in prior_schema.fields}
+                        old_live = _apply_dv(
+                            spark.read.schema(prior_schema).parquet(*old_paths),
                             _dv_read(spark, table_dir, prior_manifest),
                             _dv_deleted(prior_manifest),
-                        ).select([f.name for f in df.schema.fields])
-                        if old_paths
-                        else spark.createDataFrame([], df.schema)
-                    )
+                        ).select(
+                            [
+                                (
+                                    F.col(f.name).try_cast(f.dataType)
+                                    if f.name in prior_names
+                                    else F.lit(None).cast(f.dataType)
+                                ).alias(f.name)
+                                for f in df.schema.fields
+                            ]
+                        )
+                    else:
+                        old_live = spark.createDataFrame([], df.schema)
                     new_rows = spark.read.schema(df.schema).parquet(vdir)
                     payload["changes"] = _materialize_changes(
                         spark, table_dir, version,
@@ -2879,11 +2907,24 @@ def _keyed_diff(
     change-file materialization: each key yields 0 (identical rows), 1
     (``insert``/``delete``), or 2 (``update_preimage``/
     ``update_postimage``) change events from ONE full-outer join (the
-    only shuffle) and a null-safe struct compare."""
+    only shuffle) and a null-safe struct compare. The join itself is
+    null-safe too: a NULL-keyed row (legal in merge targets) carried
+    unchanged through a rewrite must MATCH its own pre-image and emit
+    nothing — plain equality would put its two copies on opposite
+    outer-join sides and fabricate a delete+insert pair. Assumes the
+    keyed-state contract (one row per key, the merge family's own
+    invariant); duplicate keys in either state fan the join out."""
     val_cols = [c for c in cols if c not in keys]
     o = old_df.select(*keys, F.struct(*val_cols).alias("__old"))
     n = new_df.select(*keys, F.struct(*val_cols).alias("__new"))
-    j = o.join(n, list(keys), "full_outer")
+    cond = functools.reduce(
+        lambda a, b: a & b, [o[k].eqNullSafe(n[k]) for k in keys]
+    )
+    j = o.join(n, cond, "full_outer").select(
+        *[F.coalesce(o[k], n[k]).alias(k) for k in keys],
+        o["__old"],
+        n["__new"],
+    )
     old, new = F.col("__old"), F.col("__new")
 
     def _ev(side, change):
@@ -3043,13 +3084,21 @@ def _state_diff_sides(
     from_paths = {e["path"] for e in m_from["files"]}
     to_paths = {e["path"] for e in m_to["files"]}
     base = table_dir.rstrip("/")
+    # columns follow m_to's schema, but each side's FILES are read under
+    # their OWN manifest schema and projected onto it with try_cast —
+    # diffing across a type-changing replace (int v1, string v2, restore
+    # to v1) would otherwise crash the old-side parquet scan with a
+    # physical-type mismatch; added columns NULL-fill, dropped columns
+    # leave the comparison
+    from_schema = _manifest_schema(m_from) or schema
 
-    def _read(paths: set[str]) -> DataFrame:
+    def _read(paths: set[str], src=None) -> DataFrame:
+        src = src if src is not None else schema
         if not paths:
             return spark.createDataFrame([], schema)
         # explicit schema: pre-evolution files fill missing columns with
         # NULL, and no footer-merging schema inference pass is paid
-        return spark.read.schema(schema).parquet(
+        return spark.read.schema(src).parquet(
             *[_entry_uri(base, p) for p in sorted(paths)]
         )
 
@@ -3058,13 +3107,27 @@ def _state_diff_sides(
     dv_from = _dv_read(spark, table_dir, m_from)
     dv_to = _dv_read(spark, table_dir, m_to)
 
-    def _read_live(paths: set[str], dv, deleted) -> DataFrame:
+    def _read_live(paths: set[str], dv, deleted, src) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], schema)
-        return _apply_dv(_read(paths), dv, deleted).select(cols)
+        names = {f.name for f in src.fields}
+        return _apply_dv(_read(paths, src), dv, deleted).select(
+            [
+                (
+                    F.col(f.name).try_cast(f.dataType)
+                    if f.name in names
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
-    old_df = _read_live(from_paths - to_paths, dv_from, _dv_deleted(m_from))
-    new_df = _read_live(to_paths - from_paths, dv_to, _dv_deleted(m_to))
+    old_df = _read_live(
+        from_paths - to_paths, dv_from, _dv_deleted(m_from), from_schema
+    )
+    new_df = _read_live(
+        to_paths - from_paths, dv_to, _dv_deleted(m_to), schema
+    )
     if dv_from is not None or dv_to is not None:
         # DV delta over SHARED files: positions deleted between the
         # endpoints are live-at-from rows (they surface as deletes); a
@@ -3604,8 +3667,11 @@ def snapshot_delete(
         payload["cdf"] = True
         # a predicate delete's CDC is exactly the predicate-matched live
         # rows (no keyed diff needed): materialize them as `delete`
-        # change rows so the changeFeed replays the rewrite — same
-        # O(candidate files) read the survivor rewrite already pays
+        # change rows so the changeFeed replays the rewrite. Cost: ONE
+        # additional scan of the candidate files (deliberately re-read
+        # rather than persisted — mass deletes are the COW use case, and
+        # caching gigabytes of candidates to save a parquet re-scan is
+        # the wrong trade); still O(candidates), never O(table)
         payload["changes"] = _materialize_changes(
             spark, table_dir, version,
             live.where(F.coalesce(_where_expr(where), F.lit(False)))
@@ -3996,6 +4062,7 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
         payload["dv"] = manifest["dv"]
     if manifest.get("bloom_spec"):
         payload["bloom_spec"] = manifest["bloom_spec"]
+    claimed = None
     if manifest.get("cdf") or m_cur.get("cdf"):
         # once enabled, a restore never silently drops the feed contract
         # (either endpoint's flag keeps it on)
@@ -4005,6 +4072,11 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
             and m_cur.get("schema")
             and manifest.get("schema")
         ):
+            # hold the v=N claim while writing _changes/v=N: a
+            # concurrent writer deriving the same next version must not
+            # interleave its own change files into our directory (the
+            # merge family holds this claim implicitly via its staging)
+            claimed = _claim_version_dir(spark, table_dir, version)
             # a restore only re-references immutable files, so the
             # file-wise multiset diff is exact net CDC once identical
             # rows cancel: restoring across a COW rewrite puts a
@@ -4033,7 +4105,15 @@ def snapshot_restore(spark: SparkSession, table_dir: str, to_version: int) -> in
     if manifest.get("properties"):
         # the restored content IS the target version's: its stamp applies
         payload["properties"] = manifest["properties"]
-    _commit_record(spark, table_dir, version, payload)
+    try:
+        _commit_record(spark, table_dir, version, payload)
+    except SnapshotConflictError:
+        if claimed is not None:
+            # our claim and change files were never published — remove
+            # them so the next claimant's exists-check doesn't trip
+            fs.delete(_snap_path(jvm, claimed), True)
+            fs.delete(_snap_path(jvm, table_dir, "_changes", f"v={version}"), True)
+        raise
     return version
 
 

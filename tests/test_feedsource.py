@@ -1815,3 +1815,67 @@ def test_max_bytes_pacing_counts_change_files_on_cdf_tables(spark, tmp_path):
     # change-file accounting admits BOTH the rewrite and the append in
     # one span; staged-file accounting would have stopped after v2
     assert r.latestOffset() == {"version": 3, "mode": "replay"}
+
+
+def test_cdf_null_keys_and_type_changing_replace(spark, tmp_path):
+    """Two review-pinned diff invariants: (1) a NULL-keyed row (legal in
+    merge targets) carried unchanged through a rewrite emits NOTHING —
+    the keyed diff joins null-safely, so the row matches its own
+    pre-image instead of fabricating a delete+insert pair; (2) a replace
+    that retypes a column, and a restore across it, diff via try_cast
+    under each side's own schema instead of crashing the parquet scan."""
+    from f1_data_pipeline_spark.storage import (
+        _read_manifest,
+        snapshot_restore,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    feedsource.register(spark)
+    tdir = str(tmp_path / "nullkey")
+    rows = [(None, 1.0)] + [(float(i), float(i)) for i in range(10)]
+    snapshot_write(
+        spark.createDataFrame(rows, "k double, v double").coalesce(1),
+        tdir, stats_cols=["k"], change_files=True,
+    )
+    snapshot_upsert(
+        spark, tdir,
+        spark.createDataFrame([(5.0, 500.0)], "k double, v double"),
+        key="k",
+    )
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(tdir)
+    )
+    got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
+    assert got == [(5.0, "update_postimage"), (5.0, "update_preimage")], got
+
+    t2 = str(tmp_path / "retype")
+    snapshot_write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v int").coalesce(1),
+        t2, change_files=True,
+    )
+    # v2: replace retypes v int→string; "10" casts equal to old 10 → nets
+    snapshot_write(spark.createDataFrame([(1, "10"), (2, "99")], "k long, v string"), t2)
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2").option("endingVersion", "2")
+        .load(t2)
+    )
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in feed.collect())
+    assert got == [(2, "20", "delete"), (2, "99", "insert")], got
+    # v3: restore across the type change — old side ("99") casts to the
+    # restored int schema; k=1 cancels
+    snapshot_restore(spark, t2, 1)
+    assert _read_manifest(spark, t2, 3).get("changes") is not None
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "3")
+        .load(t2)
+    )
+    got = sorted((r["k"], r["v"], r["_change_type"], ) for r in feed.collect())
+    assert got == [(2, 20, "insert"), (2, 99, "delete")], got

@@ -3844,3 +3844,121 @@ def test_footer_stats_match_spark_job_exactly(spark, tmp_path):
     want = next(e for e in foot if e["path"].endswith(one))
     assert multi[0]["stats"] == want["stats"]
     assert multi[0]["rows"] == want["rows"]
+
+
+def test_footer_stats_decline_truncated_min(spark, tmp_path):
+    """A >=64-byte string MIN declines the footer path just like a long
+    MAX does (parquet-mr truncates long binary bounds to a prefix — a
+    valid envelope but not byte-identical to the Spark job), so manifest
+    stats keep exact-parity authority via the fallback."""
+    from f1_data_pipeline_spark.storage import (
+        _footer_file_entries,
+        _read_manifest,
+        _snap_fs,
+        _snap_path,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    long_min = "a" * 100
+    df = spark.createDataFrame(
+        [(1, long_min), (2, "b")], "k long, s string"
+    )
+    snapshot_write(df.coalesce(1), tdir, stats_cols=["k", "s"])
+    fs, jvm = _snap_fs(spark, tdir)
+    names = {}
+    for st in fs.listStatus(_snap_path(jvm, tdir, "v=1")):
+        n = st.getPath().getName()
+        if n.endswith(".parquet"):
+            names[n] = int(st.getLen())
+    assert _footer_file_entries(tdir, 1, names, ["k", "s"]) is None
+    # the commit path fell back to the Spark job: the full min survives
+    st = _read_manifest(spark, tdir, 1)["files"][0]["stats"]["s"]
+    assert st["min"] == long_min and st["max"] == "b"
+
+
+def test_cdf_restore_vs_append_race_leaves_no_torn_changes(spark, tmp_path):
+    """Restore on a cdf table holds the v=N staging claim while writing
+    _changes/v=N, so a concurrent writer deriving the same next version
+    can never interleave its change files into a committed manifest:
+    after racing restores against appends, every committed manifest's
+    change entries exist on disk and the full change feed replays."""
+    import os
+    import threading
+
+    from f1_data_pipeline_spark.ingest import feedsource
+    from f1_data_pipeline_spark.storage import (
+        SnapshotConflictError,
+        _read_manifest,
+        snapshot_append,
+        snapshot_restore,
+        snapshot_upsert,
+        snapshot_version,
+        snapshot_write,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(50)], "k long, v double"
+        ).coalesce(2),
+        tdir,
+        stats_cols=["k"],
+        change_files=True,
+    )
+    # v2: an upsert so restores have real churn to diff
+    snapshot_upsert(
+        spark, tdir,
+        spark.createDataFrame([(1, 100.0)], "k long, v double"),
+        key="k",
+    )
+    errs: list = []
+
+    def restorer():
+        try:
+            for _ in range(3):
+                for attempt in range(40):
+                    try:
+                        snapshot_restore(spark, tdir, 1)
+                        break
+                    except SnapshotConflictError:
+                        continue
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender():
+        try:
+            for j in range(3):
+                snapshot_append(
+                    spark.createDataFrame(
+                        [(1000 + j * 10 + i, 0.0) for i in range(5)],
+                        "k long, v double",
+                    ),
+                    tdir,
+                    retries=60,
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=restorer),
+        threading.Thread(target=appender),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    latest = snapshot_version(spark, tdir)
+    for v in range(1, latest + 1):
+        m = _read_manifest(spark, tdir, v)
+        for entry in m.get("changes") or []:
+            assert os.path.exists(f"{tdir}/{entry['path']}"), (v, entry)
+    feedsource.register(spark)
+    feed = (
+        spark.read.format("snapshotfeed")
+        .option("changeFeed", "true")
+        .option("startingVersion", "2")
+        .load(tdir)
+    )
+    feed.collect()  # no FileNotFound: every served change file exists
