@@ -72,8 +72,9 @@ def test_rate_observer_collects_progress(spark, tmp_path):
     qs = stream_silver(spark, str(d), str(tmp_path / "ck"), str(tmp_path / "out"), entities=["weather"])
     for q in qs:
         q.awaitTermination(120)
-    # listener delivery is async; give it a beat
-    for _ in range(20):
+    # listener delivery is async; give it a beat (a loaded host can delay
+    # the listener bus well past 10s — observed in the r13 full-suite run)
+    for _ in range(90):
         if obs.progress:
             break
         time.sleep(0.5)
