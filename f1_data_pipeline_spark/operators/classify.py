@@ -70,27 +70,74 @@ def hashed_features(
 ) -> DataFrame:
     """(id, [label,] features) with ``features`` a dense
     ``array<double>`` of B = 16^hex_digits L1-normalized hashed-token
-    term frequencies. Pure Catalyst: explode → (id, bucket) tf aggregate →
-    per-doc map → dense array via ``transform(sequence(...))``."""
+    term frequencies.
+
+    SCAN-LOCAL (r13): the per-doc histogram needs no data movement at
+    all, so it is built inside one Arrow-vectorized pass — tokenization
+    stays the shared Catalyst ``tokens()`` (identical by construction to
+    every other text operator), and the kernel md5-buckets only the
+    UNIQUE terms of each batch (np.unique), then bincounts per row. The
+    previous pure-Catalyst form (explode → (id, bucket) tf aggregate →
+    per-doc map → dense transform) shuffled ~200 rows per document
+    TWICE just to regroup what the scan already had collocated; at 100 TB
+    those were the only exchanges in the classifier's feature path.
+    Values are bit-identical (same md5 leading-digit bucket, same
+    long/long→double L1 division); docs with NULL text drop exactly as
+    ``explode`` dropped them. Ids are assumed unique per row (the old
+    groupBy form would have merged duplicate ids; every caller feeds a
+    primary-keyed corpus)."""
     B = 16**hex_digits
     cols = [F.col(id_col)]
     if label is not None:
         cols.append(label.cast("int").alias("label"))
-    toks = df.select(
-        *cols, F.explode(tokens(text_col)).alias("term")
-    ).withColumn("bucket", F.expr(_bucket_expr(hex_digits)).cast("int"))
     keep = [id_col] + (["label"] if label is not None else [])
-    tf = toks.groupBy(*keep, "bucket").agg(F.count("*").alias("tf"))
-    per_doc = tf.groupBy(*keep).agg(
-        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("__m"),
-        F.sum("tf").alias("__n"),
+    src = df.select(*cols, tokens(text_col).alias("__toks"))
+    id_t = {f.name: f.dataType.simpleString() for f in src.schema.fields}[id_col]
+    out_schema = (
+        f"`{id_col}` {id_t}, "
+        + ("label int, " if label is not None else "")
+        + "features array<double>"
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(B - 1)),
-        lambda b: F.coalesce(F.element_at(F.col("__m"), b), F.lit(0)).cast("double")
-        / F.col("__n"),
-    )
-    return per_doc.select(*keep, dense.alias("features"))
+    has_label = label is not None
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        seen: dict[str, int] = {}  # term → bucket memo, task-lifetime
+
+        def bucket(term: str) -> int:
+            b = seen.get(term)
+            if b is None:
+                b = int(hashlib.md5(term.encode()).hexdigest()[:hex_digits], 16)
+                seen[term] = b
+            return b
+
+        for pdf in batches:
+            toks = pdf["__toks"]
+            live = toks.map(lambda t: t is not None and len(t) > 0).to_numpy(
+                dtype=bool
+            )
+            if not live.any():
+                continue
+            sub = pdf[live]
+            tok_lists = sub["__toks"].to_list()
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64)
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+            uniq, inv = np.unique(flat, return_inverse=True)
+            ub = np.fromiter((bucket(t) for t in uniq), dtype=np.int64)
+            keys = np.repeat(np.arange(len(sub)), lens) * B + ub[inv]
+            counts = np.bincount(keys, minlength=len(sub) * B).reshape(len(sub), B)
+            feats = counts / lens[:, None]  # long/long → float64, as Catalyst did
+            out = {id_col: sub[id_col].to_numpy()}
+            if has_label:
+                out["label"] = sub["label"].to_numpy()
+            out["features"] = list(feats)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, out_schema).select(*keep, "features")
 
 
 @dataclass(frozen=True)
@@ -138,7 +185,6 @@ def fit_logreg(
     driver row count stays B+3 regardless of task count — for
     100k+-task fleets."""
     import numpy as np
-    import pandas as pd
 
     from pyspark import StorageLevel
 
@@ -153,18 +199,29 @@ def fit_logreg(
             w_c, b_c = w.copy(), b
 
             def kernel(batches, w_c=w_c, b_c=b_c):
+                import pyarrow as pa
+
                 gw = np.zeros(dim)
                 gb = 0.0
                 loss = 0.0
                 n = 0
-                for pdf in batches:
-                    if len(pdf) == 0:
+                for rb in batches:
+                    if rb.num_rows == 0:
                         continue
-                    # one C-level ragged-to-dense conversion; the rows are
-                    # fixed-width B-arrays, so this is a straight copy —
-                    # measurably faster than a per-row map + np.stack
-                    X = np.asarray(pdf[feat_col].to_list(), dtype=np.float64)
-                    y = pdf[label_col].to_numpy(dtype=np.float64)
+                    # ZERO-COPY dense view: the features column is a
+                    # fixed-width list<double>, so its flattened values
+                    # buffer IS the (rows, B) matrix — no per-row
+                    # to_list()/asarray materialization (r13: that
+                    # conversion was most of each iteration's cost)
+                    fcol = rb.column(rb.schema.get_field_index(feat_col))
+                    X = np.asarray(fcol.flatten(), dtype=np.float64).reshape(
+                        rb.num_rows, dim
+                    )
+                    y = (
+                        rb.column(rb.schema.get_field_index(label_col))
+                        .cast(pa.float64())
+                        .to_numpy(zero_copy_only=False)
+                    )
                     z = X @ w_c + b_c
                     p = 1.0 / (1.0 + np.exp(-z))
                     r = p - y
@@ -179,17 +236,16 @@ def fit_logreg(
                     )
                     n += len(X)
                 if n:
-                    yield pd.DataFrame(
+                    yield pa.RecordBatch.from_pydict(
                         {
                             "vals": [
-                                np.concatenate(
-                                    (gw, [gb, loss, float(n)])
-                                ).tolist()
+                                np.concatenate((gw, [gb, loss, float(n)])).tolist()
                             ]
-                        }
+                        },
+                        schema=pa.schema([("vals", pa.list_(pa.float64()))]),
                     )
 
-            partials = cached.mapInPandas(kernel, "vals array<double>")
+            partials = cached.mapInArrow(kernel, "vals array<double>")
             if reduce == "tree":
                 reduced = (
                     partials.select(F.posexplode("vals").alias("pos", "val"))

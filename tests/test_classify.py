@@ -83,12 +83,70 @@ def test_partition_invariant(fitted):
     assert abs(model.bias - m7.bias) < 1e-6
 
 
-def test_scoring_is_scan_local_catalyst(fitted):
+def test_scoring_is_scan_local_catalyst(fitted, tmp_path):
+    """score_logreg itself adds NO Python stage: over materialized
+    features (the production shape — quality_classifier_scores always
+    checkpoints the feature frame to parquet before fit/score), the
+    scoring plan is pure Catalyst. The feature BUILD is Arrow-vectorized
+    Python by design (r13: scan-local kernel replaced the explode + two
+    shuffles), so it is materialized first here, as in production."""
     docs, _, model = fitted
-    feats = hashed_features(docs, hex_digits=2)
+    fpath = str(tmp_path / "feats.parquet")
+    hashed_features(docs, hex_digits=2).write.parquet(fpath)
+    feats = docs.sparkSession.read.parquet(fpath)
     plan = score_logreg(feats, model)._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"Python stage {marker} in scoring plan"
+
+
+def test_features_bitwise_match_catalyst_reference(spark):
+    """The r13 scan-local Arrow featurizer must reproduce the original
+    pure-Catalyst build (explode → tf aggregate → per-doc map → dense
+    transform) BIT-FOR-BIT: same md5 leading-digit buckets, same
+    long/long→double L1 division, same null-text drop semantics. The
+    reference implementation lives here so the contract outlives the
+    production code path."""
+    from f1_data_pipeline_spark.operators.classify import _bucket_expr
+    from f1_data_pipeline_spark.operators.text import tokens
+
+    docs = _planted(spark).unionByName(
+        spark.createDataFrame(
+            [
+                (900, None, 0),  # null text: dropped by both paths
+                (901, "  padded   doubled  spaces ", 1),  # empty tokens count
+                (902, "", 0),  # trim→"" → split yields [""], md5("") bucket
+            ],
+            "doc_id long, text string, y int",
+        )
+    )
+    B = 256
+    label = (F.col("y") == 1).cast("int").alias("label")
+    toks = docs.select(
+        "doc_id", label, F.explode(tokens("text")).alias("term")
+    ).withColumn("bucket", F.expr(_bucket_expr(2)).cast("int"))
+    tf = toks.groupBy("doc_id", "label", "bucket").agg(F.count("*").alias("tf"))
+    per_doc = tf.groupBy("doc_id", "label").agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "tf"))).alias("__m"),
+        F.sum("tf").alias("__n"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda b: F.coalesce(F.element_at(F.col("__m"), b), F.lit(0)).cast("double")
+        / F.col("__n"),
+    )
+    want = {
+        r["doc_id"]: (r["label"], r["features"])
+        for r in per_doc.select("doc_id", "label", dense.alias("features")).collect()
+    }
+    got = {
+        r["doc_id"]: (r["label"], r["features"])
+        for r in hashed_features(docs, label=F.col("y") == 1).collect()
+    }
+    assert set(got) == set(want)
+    assert 900 not in got and 901 in got and 902 in got
+    for d in got:
+        assert got[d][0] == want[d][0], d
+        assert got[d][1] == want[d][1], d  # exact float equality, all 256
 
 
 def test_composed_scores_on_documents(spark):
