@@ -863,12 +863,20 @@ def remove_duplicate_spans(
     document's surviving text is reconstructed in order. Returns
     (id, n_tokens_kept, n_tokens_cut, text).
 
-    Scale shape: grams/cover positions shuffle as (md5/id, int) rows —
-    never text; the winner lookup is one keyed min-aggregate + an equi-
-    join back on fingerprint, the cut is an anti-join of token positions
-    against the covered set, and reconstruction is the same keyed
-    ordered-concat as ``line_dedup``. Everything linear; the n× coverage
-    explode applies only to DUPLICATED positions."""
+    Scale shape: grams/cover positions shuffle as (16-byte fp, int)
+    rows — never text; the winner lookup is ONE window pass over the
+    gram table (count + row_number over the fingerprint partition —
+    r13: this replaces a keyed min-aggregate + equi-join back, which
+    shuffled AND RECOMPUTED the whole gram subtree twice; row_number
+    ordered by the unique (doc, pos) is exactly the old min-struct
+    winner, so results are unchanged), the cut is an anti-join of token
+    positions against the covered set, and reconstruction is the same
+    keyed ordered-concat as ``line_dedup``. Fingerprints shuffle as
+    16-byte ``unhex(md5)`` binary, not the 32-char hex string (§2.3
+    narrower types; identical collision structure). Everything linear;
+    the n× coverage explode applies only to DUPLICATED positions."""
+    from pyspark.sql import Window
+
     toked = df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
     grams = (
         toked.where(F.size("__w") >= n)
@@ -877,23 +885,21 @@ def remove_duplicate_spans(
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(__w) - {n} + 1),"
-                    f" s -> md5(concat_ws(' ', slice(__w, s, {n}))))"
+                    f" s -> unhex(md5(concat_ws(' ', slice(__w, s, {n})))))"
                 )
             ).alias("pos", "fp"),
         )
     )
-    dup_fps = (
-        grams.groupBy("fp")
-        .agg(
-            F.count("*").alias("__occ"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+    w_fp = Window.partitionBy("fp")
+    w_first = w_fp.orderBy(id_col, "pos")
+    losers = (
+        grams.select(
+            id_col,
+            "pos",
+            F.count("*").over(w_fp).alias("__occ"),
+            F.row_number().over(w_first).alias("__rn"),
         )
-        .where(F.col("__occ") >= 2)
-        .select("fp", "__first")
-    )
-    losers = grams.join(dup_fps, "fp").where(
-        (F.col(id_col) != F.col(f"__first.{id_col}"))
-        | (F.col("pos") != F.col("__first.pos"))
+        .where((F.col("__occ") >= 2) & (F.col("__rn") > 1))
     )
     covered = losers.select(
         id_col, F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("idx")

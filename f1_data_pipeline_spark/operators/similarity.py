@@ -92,7 +92,7 @@ def hyperplane_lsh_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             signs = (X @ P.T) >= 0
             buckets = ["".join("1" if b else "0" for b in row) for row in signs]
             out = pdf[cols].copy()
@@ -410,7 +410,7 @@ def ivf_centroids(
     import numpy as np
 
     pdf = vectors.select(vec_col).limit(sample).toPandas()
-    X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
@@ -445,7 +445,7 @@ def ivf_assign(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             cells = np.argmax(An @ C.T, axis=1)
             yield pd.DataFrame(
@@ -572,7 +572,7 @@ def _assign_query_cells(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            Q = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
             # stable top-nprobe cells per query (argsort, not argpartition:
             # deterministic under centroid-similarity ties)
@@ -964,22 +964,26 @@ def x_semdedup(t: Tables) -> DataFrame:
 
 
 def _normalized_double(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """L2-normalize the vector column as array<double>, pure Catalyst."""
-    sq = F.aggregate(
+    """L2-normalize the vector column as array<double>, pure Catalyst.
+
+    The squared-norm is computed in ``aggregate``'s FINISH lambda, where
+    it is a bound lambda variable the optimizer cannot duplicate. The
+    previous two-projection form (``withColumn("__norm", …)`` then
+    ``transform(vec, x -> x / __norm)``) LOOKED hoisted, but Catalyst's
+    CollapseProject merges the projections and substitutes the whole
+    norm aggregate into the per-element lambda body — silently O(d²)
+    interpreted work per row (measured 8×: 4.66 s → 0.57 s for one
+    20k×64 scan; bit-identical output). Plan-gated in tests/test_plans.py
+    against the aggregate reappearing inside a per-element lambda."""
+    normed = F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda a, b: a + b,
+        lambda acc: F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.sqrt(acc)
+        ),
     )
-    return (
-        vectors.select(id_col, vec_col)
-        .withColumn("__norm", F.sqrt(sq))
-        .select(
-            id_col,
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("__norm")
-            ).alias(vec_col),
-        )
-    )
+    return vectors.select(id_col, normed.alias(vec_col))
 
 
 def _id_type(df: DataFrame, id_col: str) -> str:
@@ -1002,7 +1006,7 @@ def _partial_cell_sums(normed: DataFrame, C, vec_col: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             cells = np.argmax(A @ Cv.T, axis=1)
             rows = [
                 (int(j), int((cells == j).sum()), A[cells == j].sum(axis=0).tolist())
@@ -1049,7 +1053,7 @@ def kmeans_fit(
     normed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         pdf = normed.orderBy(id_col).limit(sample).toPandas()
-        X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
         rng = np.random.default_rng(seed)
         C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
         for _ in range(iters):
@@ -1092,7 +1096,7 @@ def kmeans_scores(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             S = A @ Cv.T
             cells = np.argmax(S, axis=1)
             yield pd.DataFrame(
@@ -1339,7 +1343,7 @@ def fit_pca(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             n += len(A)
             s += A.sum(axis=0)
             g += A.T @ A
@@ -1406,7 +1410,7 @@ def pca_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             P = (A - mean) @ comps.T * scale
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), "proj": list(P)}
@@ -1473,7 +1477,7 @@ def pq_train(
     normed.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         pdf = normed.orderBy(id_col).limit(sample).toPandas()
-        X = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        X = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
         d = X.shape[1]
         if d % m:
             raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
@@ -1525,7 +1529,7 @@ def _pq_partial_sums(normed: DataFrame, C, vec_col: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             subs, codes_out, ns, ss = [], [], [], []
             for j in range(m):
                 Aj = A[:, j * dsub:(j + 1) * dsub]
@@ -1567,7 +1571,7 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             codes = np.empty((len(A), m), dtype=np.int32)
             for j in range(m):
                 Aj = A[:, j * dsub:(j + 1) * dsub]
@@ -1625,7 +1629,7 @@ def pq_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(pdf["codes"].map(np.asarray))
+            codes = np.asarray(pdf["codes"].to_list())
             s = Tv[np.arange(Tv.shape[0])[:, None], codes.T].sum(axis=0)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc": s})
 
@@ -1855,7 +1859,7 @@ def ivfpq_write_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             cells = np.argmax(An @ Cv.T, axis=1)
             R = An - Cv[cells]
@@ -1911,7 +1915,7 @@ def _ivfpq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            A = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             cells = np.argmax(An @ Cv.T, axis=1)
             R = An - Cv[cells]
@@ -2007,7 +2011,7 @@ def ivfpq_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(pdf["codes"].map(np.asarray))
+            codes = np.asarray(pdf["codes"].to_list())
             adc = Tv[np.arange(Tv.shape[0])[:, None], codes.T].sum(axis=0)
             adc += pdf["cell"].map(bv).to_numpy(dtype=np.float64)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc": adc})

@@ -2879,30 +2879,42 @@ def source_overlap_matrix(
     (a < b), how many distinct ``n``-gram fingerprints appear in BOTH —
     the train/eval-leakage scan generalized to all source pairs.
 
-    Scale shape: the shingle explode is scan-local and reduces to a
-    per-(fingerprint, source) DISTINCT table (md5 only — text never
-    shuffles); the pair counts come from a self-equi-join on the
-    fingerprint restricted to a < b. Fingerprints shared by s sources
-    produce s·(s-1)/2 pair rows — source counts are small, so the join
-    output is bounded by pairs × shared-fp counts, never quadratic in
-    documents."""
-    from f1_data_pipeline_spark.operators.dedup import word_shingles
-
-    sh = word_shingles(
-        df.select(F.col(id_col), F.col(by), F.col(text_col)), text_col, n
+    Scale shape (r13): the shingle explode is scan-local WITH the group
+    key attached (the old form dropped it and shuffled shingle TEXT
+    through a re-attach join on ``id_col``); fingerprints reduce to a
+    distinct (source, 16-byte fp) table, ONE keyed aggregate collects
+    each fingerprint's source set, and the a<b pairs are expanded
+    scan-locally from that per-fp array (sources are low-cardinality, so
+    the array is tiny). This replaces the previous fp self-equi-join,
+    which computed the whole fingerprint subtree TWICE and shuffled it
+    twice more; the pair multiset is identical by construction. Text
+    never shuffles; nothing is quadratic in documents."""
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
+    sh = (
+        df.select(F.col(by), F.col(text_col))
+        .withColumn("w", F.split(F.trim(F.col(text_col)), " "))
+        .where(F.size("w") >= n)
+        .select(
+            F.col(by),
+            F.expr(
+                f"explode(array_distinct(transform(sequence(0, size(w)-{n}), "
+                f"i -> concat_ws(' ', {idx}))))"
+            ).alias("shingle"),
+        )
     )
-    # word_shingles keeps only doc_id + shingle; re-attach the group key
-    fp = (
-        df.select(F.col(id_col), F.col(by))
-        .join(sh, id_col)
-        .select(F.col(by), F.md5("shingle").alias("fp"))
-        .distinct()
+    fp = sh.select(F.col(by), F.unhex(F.md5("shingle")).alias("fp")).distinct()
+    per_fp = fp.groupBy("fp").agg(F.array_sort(F.collect_set(by)).alias("__ss"))
+    pairs = per_fp.where(F.size("__ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ss, (a, i) -> "
+                "transform(slice(__ss, i + 2, size(__ss)), "
+                "b -> struct(a AS source_a, b AS source_b))))"
+            )
+        ).alias("__p")
     )
-    a = fp.select(F.col(by).alias("source_a"), "fp")
-    b = fp.select(F.col(by).alias("source_b"), "fp")
     return (
-        a.join(b, "fp")
-        .where(F.col("source_a") < F.col("source_b"))
+        pairs.select("__p.source_a", "__p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_ngrams"))
     )
