@@ -525,27 +525,49 @@ def repetition_stats(df: DataFrame, n: int = 2, text_col: str = "text") -> DataF
     ratios). Counts REPEATED occurrences, so the shingle explode keeps
     duplicates (unlike ``word_shingles``).
 
-    Two keyed shuffles, both with map-side partials: (doc, gram) counts,
-    then a per-doc max/sum — the same geometry as TF-IDF. Scan-local
-    otherwise; no UDFs."""
+    SCAN-LOCAL (r13): the statistic is per-document, so no data movement
+    is needed at all — the gram array is sorted in place and the top
+    count is the longest equal-run in the sorted array, found by one
+    ``aggregate`` fold (prev, run, best). The previous form exploded
+    every gram and shuffled (doc, gram TEXT) rows through two keyed
+    aggregates just to regroup what the scan already had; zero exchanges
+    now, identical values (max run in the sorted array IS the max group
+    count; total occurrences = size - n + 1)."""
     idx = ", ".join(f"w[i+{k}]" for k in range(n))
-    grams = (
+    sorted_grams = F.array_sort(
+        F.expr(
+            f"transform(sequence(0, size(w)-{n}), "
+            f"i -> concat_ws(' ', {idx}))"
+        )
+    )
+    best_run = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
         df.withColumn("w", tokens(text_col))
         .where(F.size("w") >= n)
         .select(
             "doc_id",
-            F.expr(
-                f"explode(transform(sequence(0, size(w)-{n}), "
-                f"i -> concat_ws(' ', {idx})))"
-            ).alias("gram"),
-        )
-    )
-    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.max("c").alias("top_gram_n"),
+            (F.size("w") - n + 1).cast("long").alias("n_grams"),
+            best_run.alias("top_gram_n"),
         )
         .select(
             "doc_id",
