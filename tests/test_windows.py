@@ -48,6 +48,19 @@ def test_parity_with_single_partition_window(spark, n, partitions):
             assert got[k] == want[k], (k, got[k], want[k])
 
 
+def test_parity_with_adaptive_partitions(spark):
+    """partitions=None derives the bucket count from the data (r13: the
+    hard-coded constant starved the cluster at scale); the decomposition
+    is exact, so the output must equal the naive global window."""
+    df = _fixture(spark)
+    got = {
+        r["k"]: r["ma"]
+        for r in global_rolling_avg(df, ["k"], "v", frame_rows=10).collect()
+    }
+    want = {r["k"]: r["ma"] for r in _plain(df, 10).collect()}
+    assert got == want
+
+
 def test_null_only_frame_yields_null(spark):
     df = spark.createDataFrame([(0, None), (1, None), (2, 5)], "k int, v int")
     got = {
