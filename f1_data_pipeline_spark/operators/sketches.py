@@ -378,6 +378,7 @@ def cms_build(
     width: int = 256,
     depth: int = 4,
     salt: str = "cms-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key count-min sketch (Cormode & Muthukrishnan 2005) over
     ``value_col`` occurrences, as a ``keys + [row, bucket, cnt]`` COO
@@ -403,18 +404,34 @@ def cms_build(
     depth × width cells per (task, key) before the exchange — the
     shuffle moves bounded sketch cells, never value occurrences. At
     100 TB the sketch table is KBs per key regardless of row count.
+
+    ``weight_col``: build from PRE-AGGREGATED counts instead of raw
+    occurrences — each row contributes ``weight_col`` to its cells. The
+    counters are EXACTLY those of the occurrence-level build over the
+    multiset the counts describe (integer sums commute), so a build over
+    ``groupBy(value).count()`` output is bit-identical to the direct
+    build while hashing each distinct value once instead of once per
+    occurrence.
     """
     rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
     v = F.col(value_col).cast("string")
-    cells = df.select(*keys, v.alias("__v")).select(*keys, "__v", rows)
+    wcols = [F.col(weight_col).alias("__wt")] if weight_col else []
+    cells = df.select(*keys, v.alias("__v"), *wcols).select(
+        *keys, "__v", *(["__wt"] if weight_col else []), rows
+    )
     h = F.md5(F.concat(F.col("__v"), F.lit(salt), F.col("row").cast("string")))
     bucket = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % width).alias(
         "bucket"
     )
+    cnt = (
+        F.sum("__wt").cast("long").alias("cnt")
+        if weight_col
+        else F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        cells.select(*keys, "row", bucket)
+        cells.select(*keys, "row", bucket, *(["__wt"] if weight_col else []))
         .groupBy(*keys, "row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt)
     )
 
 
@@ -525,20 +542,29 @@ def x_cms_freq(t: Tables) -> DataFrame:
     one-sided overcount. Deterministic end-to-end — the oracle rebuilds
     every CMS counter in DuckDB and the value hash pins bit equality,
     including the never-underestimate property (overcount ≥ 0 on every
-    row by construction of the same cells)."""
+    row by construction of the same cells).
+
+    Both the sketch and the exact top-20 derive from ONE word-count
+    aggregate (materialized once, vocabulary-sized): the CMS is built
+    weighted from the counts — bit-identical counters, since integer
+    sums commute — so the corpus is exploded once instead of
+    1 + depth times."""
     words = (
         t.documents.select(
             F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
         )
         .where(F.col("w") != "")
     )
-    cms = cms_build(words, [], "w", width=_CMS_W, depth=_CMS_D, salt=_CMS_SALT)
-    top = (
+    wc = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.col("exact_cnt").desc(), F.col("w"))
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
+    cms = cms_build(
+        wc, [], "w", width=_CMS_W, depth=_CMS_D, salt=_CMS_SALT,
+        weight_col="exact_cnt",
+    )
+    top = wc.orderBy(F.col("exact_cnt").desc(), F.col("w")).limit(20)
     est = cms_estimate(cms, top, "w", width=_CMS_W, depth=_CMS_D, salt=_CMS_SALT)
     return (
         est.select(
@@ -579,18 +605,28 @@ def kmv_jaccard(
     denominator is min(k, |union|) by construction).
 
     Returns ``(group_a, group_b, union_k, shared_k, jaccard_est)`` for
-    every unordered pair (a < b)."""
-    e = elements.select(group_col, elem_col).distinct()
+    every unordered pair (a < b).
+
+    The bottom-k runs DIRECTLY on the (possibly duplicated) element rows
+    with ``dense_rank`` — duplicates of an element tie on (hash, elem)
+    and share one rank, so rank ≤ k selects exactly the k smallest
+    DISTINCT elements and the residual dedup runs on ≤ k·dups rows. A
+    distinct-first form would exchange the full element table once for
+    the distinct and again for the window; rank-limit windows instead get
+    map-side pruning (WindowGroupLimit keeps ~k rows per group per task
+    before the exchange), so the corpus-sized table never shuffles."""
+    e = elements.select(group_col, elem_col)
     h = F.md5(F.concat(F.col(elem_col).cast("string"), F.lit(salt)))
     w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(elem_col).asc())
     sk = (
         e.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
+        .withColumn("__dr", F.dense_rank().over(w))
+        .where(F.col("__dr") <= k)
         .select(group_col, elem_col, "__h")
+        .distinct()
         # materialize the sketch ONCE (bounded: k rows per group) — five
         # downstream consumers (two group lists, two membership joins)
-        # would otherwise each re-run the corpus-wide distinct + window
+        # would otherwise each re-run the corpus-wide bottom-k
         .localCheckpoint(eager=True)
     )
     # the group list comes from the SKETCH, not from the corpus-wide
@@ -668,16 +704,27 @@ def x_kmv_jaccard(t: Tables) -> DataFrame:
     distinct-shingle vocabularies overlap? One corpus pass builds the
     per-source sketches; the pairwise phase never re-touches the corpus.
     Deterministic end-to-end, so the oracle reproduces every estimate
-    bit-for-bit (same md5 order, same tie-break, same ROUND)."""
-    from f1_data_pipeline_spark.operators.dedup import word_shingles
+    bit-for-bit (same md5 order, same tie-break, same ROUND).
 
-    d = t.documents
-    sh = word_shingles(d.select("doc_id", "source", "text"), "text", 8)
+    The shingle explode carries ``source`` directly (the old form
+    dropped it and re-attached it by shuffling shingle TEXT through a
+    ``doc_id`` join), and the one distinct lives inside ``kmv_jaccard``
+    — shingle text never shuffles and the fingerprint table is
+    exchanged once, not three times."""
+    n = 8
+    idx = ", ".join(f"w[i+{k}]" for k in range(n))
     fp = (
-        d.select("doc_id", "source")
-        .join(sh, "doc_id")
-        .select(F.col("source"), F.md5("shingle").alias("fp"))
-        .distinct()
+        t.documents.select("source", "text")
+        .withColumn("w", F.split(F.trim(F.col("text")), " "))
+        .where(F.size("w") >= n)
+        .select(
+            F.col("source"),
+            F.expr(
+                f"explode(array_distinct(transform(sequence(0, size(w)-{n}), "
+                f"i -> concat_ws(' ', {idx}))))"
+            ).alias("shingle"),
+        )
+        .select("source", F.md5("shingle").alias("fp"))
     )
     return (
         kmv_jaccard(fp, "source", "fp", _KJ_K, _KJ_SALT)
@@ -712,7 +759,7 @@ def kmv_set_ops(
 
     Returns ``(group_a, group_b, union_k, shared_k, jaccard_est,
     union_est, inter_est)`` for every unordered pair (a < b)."""
-    e = elements.select(group_col, elem_col).distinct()
+    e = elements.select(group_col, elem_col)
     h = F.md5(F.concat(F.col(elem_col).cast("string"), F.lit(salt)))
     hnorm = (
         F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(float(16**13))
@@ -722,9 +769,15 @@ def kmv_set_ops(
     )
     sk = (
         e.withColumn("__h", hnorm)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
+        # dense_rank over the raw rows: duplicates tie on (hash, elem) and
+        # share one rank, so rank <= k is the bottom-k of the DISTINCT set
+        # and the residual dedup runs on <= k*dups rows — the corpus-sized
+        # table never shuffles (map-side WindowGroupLimit pruning), same
+        # shape as kmv_jaccard
+        .withColumn("__dr", F.dense_rank().over(w))
+        .where(F.col("__dr") <= k)
         .select(group_col, elem_col, "__h")
+        .distinct()
         # bounded (k rows per group); materialized once for the four
         # downstream consumers, same discipline as kmv_jaccard
         .localCheckpoint(eager=True)

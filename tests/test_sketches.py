@@ -443,6 +443,34 @@ def test_cms_rollup_exactly_equals_direct_build(spark):
     assert rolled == direct
 
 
+def test_cms_weighted_build_equals_occurrence_build(spark):
+    """r13: building the sketch from pre-aggregated (value, count) rows
+    (weight_col) must be bit-identical to the occurrence-level build —
+    integer sums commute, so each distinct value is hashed once and
+    contributes its count."""
+    from f1_data_pipeline_spark.operators.sketches import cms_build
+
+    words = (
+        load_tables(spark, _SF)
+        .documents.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+    )
+    direct = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(words, [], "w", width=32, depth=4, salt="cms-t4").collect()
+    }
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    weighted = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            wc, [], "w", width=32, depth=4, salt="cms-t4", weight_col="c"
+        ).collect()
+    }
+    assert weighted == direct
+
+
 def test_cms_invariant_under_repartitioning(spark):
     from f1_data_pipeline_spark.operators.sketches import cms_build
 
