@@ -278,13 +278,22 @@ def winnow_candidate_pairs(
     fully DETERMINISTIC (no hash seeds), hence directly oracle-checkable.
 
     Shape at 100 TB: fingerprints are computed scan-local
-    (``text.winnow_fingerprint_array``); candidates come from one
-    self-equi-join on the fingerprint value — the same geometry as an LSH
-    band join, never a cartesian. ``max_df`` drops stop-fingerprints
-    (shared boilerplate appearing in more than ``max_df`` docs) BEFORE the
-    join, the standard guard against hot-key blowup; a pair qualifies when
-    it shares ≥ ``min_shared`` surviving fingerprints (each a witness of a
-    ≥ k+w-1-char common substring).
+    (``text.winnow_fingerprint_array``); candidates come from fingerprint
+    collisions — the same geometry as an LSH band join, never a
+    cartesian. ``max_df`` drops stop-fingerprints (shared boilerplate
+    appearing in more than ``max_df`` docs), the standard guard against
+    hot-key blowup; a pair qualifies when it shares ≥ ``min_shared``
+    surviving fingerprints (each a witness of a ≥ k+w-1-char common
+    substring).
+
+    With ``max_df`` set (the production form), the pair expansion is
+    ONE aggregate: each fingerprint's ≤ ``max_df`` doc ids collect into a
+    sorted array and the a<b pairs expand scan-locally from it — the
+    fingerprint kernel runs once and exactly two keyed exchanges remain
+    (fp, then pair), instead of the self-join shape whose three consumers
+    of the fingerprint table each recompute the kernel. Without
+    ``max_df`` the self-join form is kept: an unbounded hot fingerprint
+    must spread across tasks, not collect into one row.
     """
     from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array_fast
 
@@ -293,20 +302,27 @@ def winnow_candidate_pairs(
         F.explode(winnow_fingerprint_array_fast(k, w)(F.col(text_col))).alias("fp"),
     )
     if max_df is not None:
-        rare = (
+        byfp = (
             fps.groupBy("fp")
-            .agg(F.count("*").alias("__df"))
-            .where(F.col("__df") <= max_df)
-            .select("fp")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+            .where(F.size("__ids") <= max_df)
         )
-        fps = fps.join(rare, "fp")
-    a = fps.select(F.col(id_col).alias("id_a"), "fp")
-    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+        pairs = byfp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b")
+    else:
+        a = fps.select(F.col(id_col).alias("id_a"), "fp")
+        b = fps.select(F.col(id_col).alias("id_b"), "fp")
+        pairs = a.join(b, "fp").where(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, "fp")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
@@ -721,9 +737,18 @@ def ngram_span_index(
     removal at line granularity; this index is the span-level detector.
 
     Scale shape: the sliding window is scan-local (sequence + slice per
-    row, same as ``line_dedup``); the shuffle carries ONLY (md5, id, pos)
-    — 16-byte gram fingerprints, never gram text; one keyed aggregate with
-    map-side combine. Nothing quadratic, nothing driver-side."""
+    row, same as ``line_dedup``); the shuffle carries ONLY (fp, id, pos)
+    with the fingerprint as 16 RAW bytes (``unhex`` — half the hex
+    string, re-hexed only on output) and the first-occurrence locator
+    packed into ONE BIGINT (``id·2³¹ + pos`` orders exactly like
+    ``struct(id, pos)`` since positions are non-negative ints): with no
+    struct/string aggregate buffer, every level of the distinct-count
+    rewrite plans as HashAggregate with map-side combine — the struct
+    ``min`` forced four SortAggregates over the full gram expansion.
+    Precondition of the packing: ``id_col`` is a non-negative id below
+    2³² (corpora beyond 4B documents need a wider locator — at that
+    point shard the index build by id range). Nothing quadratic, nothing
+    driver-side."""
     grams = (
         df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
         .where(F.size("__w") >= n)
@@ -732,25 +757,31 @@ def ngram_span_index(
             F.posexplode(
                 F.expr(
                     f"transform(sequence(1, size(__w) - {n} + 1),"
-                    f" s -> md5(concat_ws(' ', slice(__w, s, {n}))))"
+                    f" s -> unhex(md5(concat_ws(' ', slice(__w, s, {n})))))"
                 )
-            ).alias("pos", "gram_fp"),
+            ).alias("pos", "__fpb"),
         )
     )
+    loc = F.col(id_col).cast("long") * F.lit(2**31).cast("long") + F.col("pos")
     return (
-        grams.groupBy("gram_fp")
+        grams.select(id_col, "__fpb", loc.alias("__loc"))
+        .groupBy("__fpb")
         .agg(
             F.count_distinct(id_col).cast("long").alias("n_docs"),
             F.count("*").cast("long").alias("n_occ"),
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__first"),
+            F.min("__loc").alias("__first"),
         )
         .where(F.col("n_docs") >= min_docs)
         .select(
-            "gram_fp",
+            F.lower(F.hex("__fpb")).alias("gram_fp"),
             "n_docs",
             "n_occ",
-            F.col(f"__first.{id_col}").alias("first_doc"),
-            F.col("__first.pos").alias("first_pos"),
+            F.expr(f"__first div {2**31}")
+            .cast(df.schema[id_col].dataType)
+            .alias("first_doc"),
+            F.pmod(F.col("__first"), F.lit(2**31).cast("long"))
+            .cast("int")
+            .alias("first_pos"),
         )
     )
 
@@ -1306,9 +1337,14 @@ def exact_jaccard_on_pairs(
     candidate set rather than the quadratic cross product the standalone
     ``x_dedup_ngram`` verifier enumerates.
 
-    Cost is |pairs| x avg-shingles: candidates join the shingle table
-    twice on (doc_id, shingle) equi-keys; intersections aggregate with
-    map-side partials. Nothing quadratic, nothing driver-side.
+    Cost is |pairs| x avg-shingles: the corpus is first pruned to the
+    documents the pair list names (a broadcast semi-join on the — by
+    construction small — candidate id set, so docs with no candidate
+    never shingle at all; the shingle subtree has three consumers, each
+    of which would re-explode the full corpus otherwise), then candidates
+    join the pruned shingle table twice on (doc_id, shingle) equi-keys;
+    intersections aggregate with map-side partials. Nothing quadratic,
+    nothing driver-side.
 
     EVERY handed-in pair gets a verdict: zero-intersection pairs AND
     pairs involving a document with fewer than ``shingle_n`` words (no
@@ -1318,9 +1354,15 @@ def exact_jaccard_on_pairs(
     documents it cannot compare (two sub-shingle-length docs may be
     entirely unrelated); callers wanting empty==empty semantics can test
     length upstream."""
+    p = pairs.select("d1", "d2")
+    pair_docs = (
+        p.select(F.col("d1").alias("doc_id"))
+        .unionAll(p.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    df = df.join(F.broadcast(pair_docs), "doc_id", "left_semi")
     sh = word_shingles(df, text_col, shingle_n)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    p = pairs.select("d1", "d2")
     inter = (
         p.join(sh.alias("a"), p.d1 == F.col("a.doc_id"))
         .join(
@@ -1377,22 +1419,39 @@ def fuzzy_dedup(
     # banding pairs straight into the exact verifier: the signature-based
     # Jaccard ESTIMATE stage of the standalone candidate op is redundant
     # here (the exact verdict is computed anyway), so skip its two
-    # 32-column signature re-joins entirely
+    # 32-column signature re-joins entirely.
+    #
+    # Candidates expand scan-locally from ONE per-bucket collect_list
+    # instead of a band-table self-join: the self-join's two consumers
+    # each recomputed the whole shingle+minhash subtree (the pipeline's
+    # most expensive stage), and its output pair multiset is identical by
+    # construction (each doc appears once per band, so the sorted-array
+    # a<b expansion IS the join's a<b collision set). The candidate list
+    # — small by LSH design — is then materialized once
+    # (localCheckpoint); its THREE downstream consumers (intersection
+    # join, verdict re-attach, doc-id prefilter) would otherwise each
+    # replay candidate generation end-to-end.
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         word_shingles(df, text_col, shingle_n), num_hashes
     )
     bb = lsh_bands(sigs, bands, rows_per_band)
     cand = (
-        bb.alias("a")
-        .join(
-            bb.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bb.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) -> "
+                    "transform(slice(__ids, i + 2, size(__ids)), "
+                    "y -> struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select("p.d1", "p.d2")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     verified = exact_jaccard_on_pairs(
         df, cand, shingle_n=shingle_n, text_col=text_col

@@ -1270,19 +1270,27 @@ def inverted_index(
 ) -> DataFrame:
     """Posting lists: one row per term with its sorted distinct document
     list and document frequency — the retrieval-index build pass (BM25's
-    serving-side counterpart). One keyed aggregate over the scan-local
-    token explode; postings are sorted in-row (``array_sort`` after
-    ``collect_set``) so output is deterministic under partitioning. At
+    serving-side counterpart). Term occurrences are deduplicated PER
+    DOCUMENT scan-side (``array_distinct`` before the explode), so the
+    shuffle carries one row per distinct (doc, term) pair — never one per
+    occurrence — and the aggregate needs no distinct machinery:
+    ``collect_list`` of already-unique ids IS the posting set and
+    ``count(*)`` IS the document frequency (``df`` must therefore carry
+    one row per document — the operator's contract since it keys postings
+    by ``id_col``). Postings are sorted in-row (``array_sort``) so output
+    is deterministic under partitioning. At
     100 TB the skew knob is ``min_df``'s complement: ultra-common terms
     produce giant postings — production builds cap or tier them (the
     winnowing banding's stop-fingerprint df-cap is the same idea); the
     df column makes that cap a plain filter."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
     return (
         toks.groupBy("term")
         .agg(
-            F.array_sort(F.collect_set(id_col)).alias("postings"),
-            F.count_distinct(id_col).cast("long").alias("df"),
+            F.array_sort(F.collect_list(id_col)).alias("postings"),
+            F.count(F.lit(1)).cast("long").alias("df"),
         )
         .where(F.col("df") >= min_df)
     )
@@ -1388,7 +1396,14 @@ def unigram_lm_score(
     (doc, term, tf) rows ever move, never text."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    lm = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    # materialize the vocabulary-sized count table once: its two consumers
+    # (the totals row and the log-prob projection) would otherwise each
+    # re-run the corpus explode + both keyed aggregates feeding it
+    lm = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = lm.agg(
         F.sum("c").alias("__t"), F.count("*").alias("__v")
     )  # total tokens, vocab size
@@ -2184,10 +2199,22 @@ def bigram_lm_score(
     caller-side policy).
 
     Shape: unigram + bigram count tables are the same two vocabulary-pass
-    aggregates as every LM/TF-IDF operator here; scoring is the doc
-    bigram explode joined (left) to the bigram table and (inner) to the
-    two unigram legs — all keyed equi-joins, text never shuffles, totals
-    broadcast as a 1-row aggregate."""
+    aggregates as every LM/TF-IDF operator here — the unigram table is
+    materialized once (``localCheckpoint``; it is vocabulary-sized, the
+    same legitimately-bounded class as an IVF codebook) because three to
+    four consumers would otherwise each re-run its corpus explode.
+    Scoring: in the self-scoring default every doc bigram is self-seen,
+    so the per-bigram score is attached by ONE keyed equi-join against a
+    pre-scored (w1, w2, nll) table (the bigram-vocab join of c2 against
+    the unigram leg happens on count tables, never on occurrences) —
+    value-identical to the general form, whose backoff branch cannot fire
+    and whose inner unigram joins cannot drop rows when every scored
+    token is in the model vocabulary by construction. With an external
+    ``model_df`` the general three-join form runs: doc bigram explode
+    left-joined to the bigram table and inner-joined to the two unigram
+    legs. All keyed equi-joins, text never shuffles, totals broadcast as
+    a 1-row aggregate."""
+    self_scored = model_df is None
     model_df = df if model_df is None else model_df
 
     def bigrams(d):
@@ -2211,6 +2238,7 @@ def bigram_lm_score(
         model_df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("c1").cast("double").alias("__t"))
     c2 = bigrams(model_df.select(text_col)).groupBy("w1", "w2").agg(
@@ -2223,21 +2251,27 @@ def bigram_lm_score(
         .crossJoin(F.broadcast(tot))
         .select(F.col(id_col), (-F.log(F.col("c1") / F.col("__t"))).alias("__nll"))
     )
-    rest = (
-        big.join(c2, ["w1", "w2"], "left")
-        .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("__c1w1")), "w1")
-        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("__c1w2")), "w2")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col(id_col),
-            (
-                -F.when(
-                    F.col("c2").isNotNull(),
-                    F.log(F.col("c2") / F.col("__c1w1")),
-                ).otherwise(F.log(0.4 * F.col("__c1w2") / F.col("__t")))
-            ).alias("__nll"),
+    if self_scored:
+        scored = c2.join(
+            uni.select(F.col("w").alias("w1"), F.col("c1").alias("__c1w1")), "w1"
+        ).select("w1", "w2", (-F.log(F.col("c2") / F.col("__c1w1"))).alias("__nll"))
+        rest = big.join(scored, ["w1", "w2"]).select(F.col(id_col), "__nll")
+    else:
+        rest = (
+            big.join(c2, ["w1", "w2"], "left")
+            .join(uni.select(F.col("w").alias("w1"), F.col("c1").alias("__c1w1")), "w1")
+            .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("__c1w2")), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col(id_col),
+                (
+                    -F.when(
+                        F.col("c2").isNotNull(),
+                        F.log(F.col("c2") / F.col("__c1w1")),
+                    ).otherwise(F.log(0.4 * F.col("__c1w2") / F.col("__t")))
+                ).alias("__nll"),
+            )
         )
-    )
     return (
         first.unionAll(rest)
         .groupBy(id_col)

@@ -337,6 +337,45 @@ def test_winnowing_theorem_shared_substring_shares_fingerprint(spark):
     assert not missing, f"pairs without a shared fingerprint: {missing}"
 
 
+def test_winnow_candidate_pairs_agg_path_matches_reference(spark):
+    """r13: with max_df set, pairs expand scan-locally from one
+    per-fingerprint collect_list instead of the fp self-join. Parity
+    against an independent python replay of the banding definition
+    (shared-fp count over fingerprints with df <= max_df)."""
+    from collections import Counter
+
+    from f1_data_pipeline_spark.operators.dedup import winnow_candidate_pairs
+    from f1_data_pipeline_spark.operators.text import winnow_fingerprint_array_fast
+
+    rng = random.Random(7)
+    alpha = "abcde "
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 120))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(df, min_shared=2, max_df=4).collect()
+    }
+    fps = df.select(
+        "doc_id", winnow_fingerprint_array_fast()(F.col("text")).alias("fps")
+    ).collect()
+    byfp: dict = {}
+    for r in fps:
+        for fp in r["fps"]:
+            byfp.setdefault(fp, []).append(r["doc_id"])
+    want: Counter = Counter()
+    for ids in byfp.values():
+        if len(ids) > 4:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                want[(ids[i], ids[j])] += 1
+    assert got == {p: c for p, c in want.items() if c >= 2}
+
+
 def test_winnow_fast_udf_matches_catalyst_form(spark):
     """The vectorized pandas-UDF winnow must be BIT-IDENTICAL to the
     Catalyst higher-order form (the oracle twin) — including short docs,
@@ -2037,6 +2076,24 @@ def test_bigram_lm_unseen_bigram_backs_off(spark):
     # (b,a) unseen -> -ln(0.4 * 2/4)
     out = {r["doc_id"]: r["xent2"] for r in bigram_lm_score(new, model).collect()}
     assert out[3] == round((-math.log(2 / 4) - math.log(0.4 * 2 / 4)) / 2, 4)
+
+
+def test_bigram_lm_self_path_equals_general_path(spark):
+    """r13: self-scoring takes a single-join fast path (pre-scored bigram
+    table). Passing the same corpus EXPLICITLY as model_df runs the
+    general three-join backoff form — the two must agree exactly."""
+    from f1_data_pipeline_spark.operators.text import bigram_lm_score
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(2, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fast = {tuple(r) for r in bigram_lm_score(df).collect()}
+    general = {tuple(r) for r in bigram_lm_score(df, df).collect()}
+    assert fast == general
 
 
 # --- Mixture sampling -------------------------------------------------------
