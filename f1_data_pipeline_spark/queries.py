@@ -849,19 +849,48 @@ def x_pps_sample(t: Tables) -> DataFrame:
     integer arithmetic over a hash-ordered cumulative weight line, so the
     sample is a function of (data, salt, k) alone: stable under retries,
     partitioning, and engine (the oracle reproduces it bit-for-bit).
-    One window shuffle keyed by the group column."""
+
+    The cumulative line is computed with the 256-way bucketed-cumsum
+    decomposition (``export.shard_assign``'s geometry): the hash's first
+    two hex digits are a range bucketing of the per-priority order, so
+    per-(priority, bucket) totals (a tiny map-side-combined aggregate,
+    ≤ groups×256 rows, broadcast back) turn the cumsum window into one
+    keyed by (priority, bucket) — ~256× the parallelism of a window
+    keyed by the handful of priority values, which at scale collapses
+    the whole corpus onto ``n_groups`` tasks. Bucket offsets + in-bucket
+    cumsums compose to the exact global cumsum (integer sums), so the
+    selection is bit-identical."""
+    from f1_data_pipeline_spark.operators.export import _hex_val
+
     k = _PPS_K
-    w = Window.partitionBy("o_orderpriority").orderBy("h")
-    wt_all = Window.partitionBy("o_orderpriority")
-    c = (
-        t.orders.select(
-            "o_orderpriority",
-            "o_orderkey",
-            F.col("o_totalprice").cast("long").alias("wt"),
-            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_PPS_SALT))).alias("h"),
-        )
-        .withColumn("cum", F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("tot", F.sum("wt").over(wt_all))
+    base = t.orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("wt"),
+        F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(_PPS_SALT))).alias("h"),
+    ).withColumn("__b", _hex_val(F.col("h"), 2))
+    # per-(priority, bucket) totals -> offsets + group totals on the tiny
+    # frame (hex digits sort like their values, so bucket order IS hash
+    # order and offset+local cumsum = the global cumsum, exactly)
+    bstats = base.groupBy("o_orderpriority", "__b").agg(F.sum("wt").alias("__bt"))
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boff = bstats.select(
+        "o_orderpriority",
+        "__b",
+        (F.sum("__bt").over(w_off) - F.col("__bt")).alias("__off"),
+        F.sum("__bt").over(Window.partitionBy("o_orderpriority")).alias("tot"),
+    )
+    w_loc = (
+        Window.partitionBy("o_orderpriority", "__b")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = base.join(F.broadcast(boff), ["o_orderpriority", "__b"]).withColumn(
+        "cum", F.col("__off") + F.sum("wt").over(w_loc)
     )
     sel = c.where(
         (F.col("wt") > 0)

@@ -275,12 +275,18 @@ def test_triangles_no_cartesian(spark):
     assert "CartesianProduct" not in p
 
 
-def test_pps_sample_single_keyed_window_no_join(spark):
-    """x_pps_sample: one keyed window (cumsum + total) — no joins, no
-    global sort before the selection filter."""
+def test_pps_sample_bucketed_cumsum_shape(spark):
+    """x_pps_sample: the cumsum window is keyed by (priority, hash
+    bucket) — never by the handful of priority values alone — with the
+    tiny offset table attached by broadcast; no shuffle join, no
+    cartesian, no single-partition exchange."""
     p = plan_of(spark, "x_pps_sample")
-    assert "Join" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "CartesianProduct" not in p
+    assert "Exchange SinglePartition" not in p
+    # the corpus-side window partitioning carries the bucket column
+    assert "hashpartitioning(o_orderpriority" in p and "__b" in p
 
 
 def test_funnel_keyed_equi_joins_only(spark):
