@@ -307,6 +307,11 @@ def winnow_candidate_pairs(
             .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
             .where(F.size("__ids") <= max_df)
         )
+        # the a<b guard after the positional expansion keeps this branch
+        # exactly equal to the self-join form even on dirty input (a
+        # duplicated doc_id row would otherwise emit an (A, A) self-pair
+        # here that the join's strict < filters out) — one long compare
+        # per candidate pair
         pairs = byfp.select(
             F.explode(
                 F.expr(
@@ -315,7 +320,7 @@ def winnow_candidate_pairs(
                     "y -> struct(x AS id_a, y AS id_b))))"
                 )
             ).alias("p")
-        ).select("p.id_a", "p.id_b")
+        ).select("p.id_a", "p.id_b").where(F.col("id_a") < F.col("id_b"))
     else:
         a = fps.select(F.col(id_col).alias("id_a"), "fp")
         b = fps.select(F.col(id_col).alias("id_b"), "fp")
@@ -747,8 +752,12 @@ def ngram_span_index(
     ``min`` forced four SortAggregates over the full gram expansion.
     Precondition of the packing: ``id_col`` is a non-negative id below
     2³² (corpora beyond 4B documents need a wider locator — at that
-    point shard the index build by id range). Nothing quadratic, nothing
-    driver-side."""
+    point shard the index build by id range). The precondition is
+    ENFORCED, not just documented: an out-of-range id raises a typed
+    error at execution (a guarded branch on the packed expression — one
+    long comparison per gram row, noise next to the md5 beside it)
+    instead of silently electing a wrong first-occurrence winner.
+    Nothing quadratic, nothing driver-side."""
     grams = (
         df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
         .where(F.size("__w") >= n)
@@ -762,7 +771,16 @@ def ngram_span_index(
             ).alias("pos", "__fpb"),
         )
     )
-    loc = F.col(id_col).cast("long") * F.lit(2**31).cast("long") + F.col("pos")
+    idl = F.col(id_col).cast("long")
+    loc = F.when(
+        (idl >= 0) & (idl < F.lit(2**32).cast("long")),
+        idl * F.lit(2**31).cast("long") + F.col("pos"),
+    ).otherwise(
+        F.expr(
+            "raise_error('ngram_span_index: doc id outside the packed-locator"
+            " range [0, 2^32) — shard the index build by id range')"
+        ).cast("long")
+    )
     return (
         grams.select(id_col, "__fpb", loc.alias("__loc"))
         .groupBy("__fpb")
@@ -1330,12 +1348,24 @@ def x_ssjoin(t: Tables) -> DataFrame:
 
 
 def exact_jaccard_on_pairs(
-    df: DataFrame, pairs: DataFrame, shingle_n: int = 3, text_col: str = "text"
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    broadcast_doc_filter: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a GIVEN pair list — the verifier stage of
     the production near-dup pipeline, where ``pairs`` is the (tiny) LSH
     candidate set rather than the quadratic cross product the standalone
     ``x_dedup_ngram`` verifier enumerates.
+
+    SIZE CONTRACT of ``broadcast_doc_filter`` (default True): the corpus
+    prefilter broadcasts the distinct doc-id set of ``pairs``, which is
+    correct and fastest when the pair list is candidate-scale (LSH/winnow
+    output — the callers in this module). A caller handing in an
+    arbitrarily large external pair list must pass False, which leaves
+    the semi-join strategy to the planner/AQE instead of forcing a
+    broadcast past driver memory.
 
     Cost is |pairs| x avg-shingles: the corpus is first pruned to the
     documents the pair list names (a broadcast semi-join on the — by
@@ -1360,7 +1390,9 @@ def exact_jaccard_on_pairs(
         .unionAll(p.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    df = df.join(F.broadcast(pair_docs), "doc_id", "left_semi")
+    if broadcast_doc_filter:
+        pair_docs = F.broadcast(pair_docs)
+    df = df.join(pair_docs, "doc_id", "left_semi")
     sh = word_shingles(df, text_col, shingle_n)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -1400,6 +1432,7 @@ def fuzzy_dedup(
     bands: int = 8,
     text_col: str = "text",
     scratch_dir: str | None = None,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """The complete production near-dup pipeline, composed end-to-end:
 
@@ -1431,22 +1464,44 @@ def fuzzy_dedup(
     # (localCheckpoint); its THREE downstream consumers (intersection
     # join, verdict re-attach, doc-id prefilter) would otherwise each
     # replay candidate generation end-to-end.
+    #
+    # Hot-bucket guard (``max_bucket``): a degenerate LSH bucket — one
+    # band value shared by a giant cluster of near-identical or
+    # boilerplate documents — would expand O(m²) pairs inside ONE task.
+    # Buckets above ``max_bucket`` therefore fall back to a STAR
+    # expansion (every member paired with the bucket's smallest id):
+    # O(m) pairs, and a genuinely-duplicate giant cluster still collapses
+    # to one connected component through its hub, so the dedup OUTCOME
+    # for true duplicate clusters is unchanged. The disclosed recall
+    # trade: a pair of docs in an oversized bucket that are BOTH similar
+    # to each other but NOT to the bucket minimum is only found if some
+    # other band emits it — acceptable, because a bucket that large is
+    # either a true duplicate cluster (star suffices) or boilerplate
+    # collisions (whose pairs fail exact verification anyway). The per-
+    # bucket work is bounded at O(min(m, max_bucket)²+m); both expansion
+    # branches sit in one lazily-evaluated CASE over the same aggregate.
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         word_shingles(df, text_col, shingle_n), num_hashes
     )
     bb = lsh_bands(sigs, bands, rows_per_band)
+    all_pairs = (
+        "flatten(transform(__ids, (x, i) -> "
+        "transform(slice(__ids, i + 2, size(__ids)), "
+        "y -> struct(x AS d1, y AS d2))))"
+    )
+    star_pairs = (
+        "transform(slice(__ids, 2, size(__ids) - 1), "
+        "y -> struct(__ids[0] AS d1, y AS d2))"
+    )
     cand = (
         bb.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("__ids"))
         .where(F.size("__ids") >= 2)
         .select(
             F.explode(
-                F.expr(
-                    "flatten(transform(__ids, (x, i) -> "
-                    "transform(slice(__ids, i + 2, size(__ids)), "
-                    "y -> struct(x AS d1, y AS d2))))"
-                )
+                F.when(F.size("__ids") <= max_bucket, F.expr(all_pairs))
+                .otherwise(F.expr(star_pairs))
             ).alias("p")
         )
         .select("p.d1", "p.d2")

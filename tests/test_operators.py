@@ -2834,3 +2834,75 @@ def test_export_jsonl_round_trip_and_balance(spark, tmp_path):
         export_jsonl(
             docs.withColumn("blob", F.col("text").cast("binary")), path, 2,
         )
+
+
+# --- r14 guards: packed-locator bound, hot-bucket cap, winnow branch parity --
+
+
+def test_ngram_span_index_rejects_ids_outside_packing_range(spark):
+    """The id*2^31+pos locator packing is only order-preserving for
+    non-negative ids below 2^32; an id past the bound must raise a typed
+    error at execution instead of silently electing a wrong winner."""
+    import pytest
+
+    from f1_data_pipeline_spark.operators.dedup import ngram_span_index
+
+    base = "one two three four five"
+    ok = spark.createDataFrame(
+        [(2**32 - 1, base), (7, base)], "doc_id long, text string"
+    )
+    # boundary id 2^32-1 is inside the contract and must still win ties
+    # correctly (7 < 2^32-1 -> first_doc 7)
+    row = ngram_span_index(ok, n=5, min_docs=2).collect()[0]
+    assert (row["first_doc"], row["first_pos"]) == (7, 0)
+
+    for bad_id in (2**32, -1):
+        bad = spark.createDataFrame(
+            [(bad_id, base), (7, base)], "doc_id long, text string"
+        )
+        with pytest.raises(Exception, match="packed-locator range"):
+            ngram_span_index(bad, n=5, min_docs=1).collect()
+
+
+def test_fuzzy_dedup_degenerate_bucket_stays_linear_and_dedups(spark):
+    """Hot-bucket guard: a bucket larger than max_bucket must not expand
+    O(m^2) pairs in one task — it star-expands O(m) pairs through the
+    bucket minimum instead, and a giant cluster of true duplicates still
+    collapses to ONE survivor through that hub."""
+    from f1_data_pipeline_spark.operators.dedup import fuzzy_dedup
+
+    same = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, same) for i in range(20)]  # one 20-doc identical cluster
+    rows += [(100 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(20)))
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # cap far below the planted bucket size -> every band bucket of the
+    # cluster takes the star branch; outcome must equal the uncapped run
+    capped = {r.doc_id for r in fuzzy_dedup(df, threshold=0.7, max_bucket=4).collect()}
+    uncapped = {r.doc_id for r in fuzzy_dedup(df, threshold=0.7).collect()}
+    assert capped == uncapped == {0, 100, 101, 102, 103, 104}
+
+
+def test_winnow_agg_and_join_branches_agree_on_duplicated_input_rows(spark):
+    """The aggregate (max_df) branch's positional a<b expansion and the
+    self-join branch must emit the SAME pair multiset even when the input
+    carries duplicate doc_id rows (no (A, A) self-pairs, same n_shared)."""
+    from f1_data_pipeline_spark.operators.dedup import winnow_candidate_pairs
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "the quick brown fox jumps over the lazy dog again and never"
+    rows = [(1, t1), (1, t1), (2, t2), (3, "completely unrelated text body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    agg = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_candidate_pairs(df, min_shared=1, max_df=10).collect()
+    )
+    join = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_candidate_pairs(df, min_shared=1, max_df=None).collect()
+    )
+    assert agg == join
+    assert all(a < b for a, b, _ in agg)
+    assert agg, "planted near-identical pair must surface"
