@@ -23,10 +23,13 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from f1_data_pipeline_spark.catalog import Tables
+from f1_data_pipeline_spark.operators import xxh64np
 from f1_data_pipeline_spark.queries import query
 
 
@@ -95,6 +98,129 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+# rows per sub-chunk inside the minhash kernel: bounds the padded
+# (shingles x max-shingle-bytes) word matrix and keeps the (seeds x
+# shingles) hash state L2/L3-resident regardless of Arrow batch size
+_MINHASH_CHUNK_SHINGLES = 1 << 18
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scan-local MinHash: bit-identical to
+    ``minhash_signatures(word_shingles(df, text_col, shingle_n), num_hashes)``
+    computed in ONE ``mapInArrow`` pass — no shingle-string
+    materialization, no corpus-sized explode, no 32-aggregate exchange
+    (guide §2.4 remove shuffles outright + §4.2 vectorized native code).
+
+    Why it is the same function: a shingle is
+    ``concat_ws(' ', w[i..i+n-1])`` over ``w = split(trim(text), ' ')``,
+    and split-then-rejoin on the same single-char separator is the
+    identity — so every shingle is a CONTIGUOUS byte slice of the trimmed
+    UTF-8 text (consecutive spaces produce empty words, which concat_ws
+    keeps, preserving the identity). The kernel therefore only finds the
+    space positions, hashes (start, end) slices of the raw buffer under
+    the ``num_hashes`` pre-folded salts (``xxh64np`` — bit-identical to
+    Spark's ``xxhash64(lit(j), shingle)``), and takes per-document signed
+    mins. ``array_distinct`` in ``word_shingles`` is dropped because
+    ``min`` over duplicates equals ``min`` over distincts; documents with
+    fewer than ``shingle_n`` words (or NULL text) produce no row, exactly
+    like the ``size(w) >= n`` filter.
+
+    PRECONDITION (same contract ``hashed_features`` carries): one row per
+    ``id_col`` — the aggregate form would merge duplicate ids' shingle
+    sets, this per-row kernel does not. Every caller in this module feeds
+    corpus tables keyed by unique doc_id;
+    ``test_minhash_fast_matches_aggregate_form`` pins parity on clean
+    input.
+    """
+    seeds = np.asarray(
+        xxh64np.string_seeds_for_salts(num_hashes), dtype=np.uint64
+    )
+    src = df.select(id_col, text_col)
+    out_schema = T.StructType(
+        [src.schema[id_col]]
+        + [T.StructField(f"sig_{j}", T.LongType(), True) for j in range(num_hashes)]
+    )
+    n = shingle_n
+    k = num_hashes
+    chunk = _MINHASH_CHUNK_SHINGLES
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            ids, texts = rb.column(0), rb.column(1)
+            if texts.null_count:
+                valid = pc.is_valid(texts)
+                ids, texts = ids.filter(valid), texts.filter(valid)
+            if len(texts) == 0:
+                continue
+            t = pc.utf8_trim(texts, " ")
+            bufs = t.buffers()
+            off = np.frombuffer(bufs[1], dtype=np.int32)[
+                t.offset : t.offset + len(t) + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.zeros(0, dtype=np.uint8)
+            )
+            nrows = len(t)
+            spaces = off[0] + np.flatnonzero(data[off[0] : off[-1]] == 32)
+            nspaces = np.bincount(
+                np.searchsorted(off, spaces, side="right") - 1, minlength=nrows
+            )
+            nwords = nspaces + 1  # split('') == [''] -> 1 word, like Spark
+            m = nwords - n + 1
+            kept = np.flatnonzero(m >= 1)
+            if len(kept) == 0:
+                continue
+            # row-major word starts/ends: a trimmed row never begins or
+            # ends with a space, so merging row boundaries with
+            # (space±1) positions is exactly the per-row split geometry
+            ws = np.sort(np.concatenate([off[:-1], spaces + 1]), kind="stable")
+            we = np.sort(np.concatenate([spaces, off[1:]]), kind="stable")
+            fw = np.concatenate([[0], np.cumsum(nwords)])
+            mk = m[kept]
+            first_sh = np.concatenate([[0], np.cumsum(mk)])
+            total = int(first_sh[-1])
+            sh_row = np.repeat(kept, mk)
+            gi = np.arange(total, dtype=np.int64) - np.repeat(first_sh[:-1], mk)
+            widx = fw[sh_row] + gi
+            starts = ws[widx]
+            lens = we[widx + n - 1] - starts
+
+            sig = np.empty((k, len(kept)), dtype=np.int64)
+            r0 = 0
+            while r0 < len(kept):
+                r1 = int(
+                    np.searchsorted(first_sh, first_sh[r0] + chunk, side="left")
+                )
+                r1 = min(max(r1, r0 + 1), len(kept))
+                s0, s1 = int(first_sh[r0]), int(first_sh[r1])
+                words, l64 = xxh64np.pack_slices(
+                    data, starts[s0:s1], lens[s0:s1]
+                )
+                h = xxh64np.hash_slices_multi(words, l64, seeds).view(np.int64)
+                cuts = (first_sh[r0:r1] - s0).astype(np.int64)
+                sig[:, r0:r1] = np.minimum.reduceat(h, cuts, axis=1)
+                r0 = r1
+
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(kept))]
+                + [pa.array(sig[j]) for j in range(k)],
+                names=[id_col] + [f"sig_{j}" for j in range(k)],
+            )
+
+    return src.mapInArrow(kernel, out_schema)
+
+
 def lsh_bands(sigs: DataFrame, bands: int = 8, rows_per_band: int = 4) -> DataFrame:
     """(doc_id, band, band_hash): hash each band of the signature."""
     cols = []
@@ -120,8 +246,7 @@ def minhash_candidate_pairs(
     comparison. Estimated Jaccard = matching signature fraction.
     """
     rows = num_hashes // bands
-    sh = word_shingles(df, text_col, shingle_n)
-    sigs = minhash_signatures(sh, num_hashes).cache()
+    sigs = minhash_signatures_fast(df, text_col, num_hashes, shingle_n).cache()
     bb = lsh_bands(sigs, bands, rows)
     pairs = (
         bb.alias("a")
@@ -249,7 +374,7 @@ def x_dedup_minhash(t: Tables) -> DataFrame:
     """MinHash signatures (32 hashes) per document — deterministic, so the
     rows-only check is stable across runs; pair extraction is exercised with
     planted duplicates in tests/test_dedup.py."""
-    sigs = minhash_signatures(word_shingles(t.documents))
+    sigs = minhash_signatures_fast(t.documents)
     return sigs.select("doc_id", "sig_0", "sig_31").orderBy("doc_id")
 
 
@@ -1481,9 +1606,7 @@ def fuzzy_dedup(
     # bucket work is bounded at O(min(m, max_bucket)²+m); both expansion
     # branches sit in one lazily-evaluated CASE over the same aggregate.
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        word_shingles(df, text_col, shingle_n), num_hashes
-    )
+    sigs = minhash_signatures_fast(df, text_col, num_hashes, shingle_n)
     bb = lsh_bands(sigs, bands, rows_per_band)
     all_pairs = (
         "flatten(transform(__ids, (x, i) -> "

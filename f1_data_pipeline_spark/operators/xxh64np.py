@@ -60,10 +60,11 @@ def _fmix(h: np.ndarray) -> np.ndarray:
 def hash_int(i: int, seed: int = 42) -> int:
     """Spark XXH64.hashInt of one IntegerType value (scalar; used to
     pre-fold the ``lit(j)`` salt into a per-salt string seed)."""
-    h = _U64(seed) + _P5 + _U64(4)
-    h = h ^ (_U64(i & 0xFFFFFFFF) * _P1)
-    h = _rotl(h, 23) * _P2 + _P3
-    return int(_fmix(h))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        h = _U64(seed) + _P5 + _U64(4)
+        h = h ^ (_U64(i & 0xFFFFFFFF) * _P1)
+        h = _rotl(h, 23) * _P2 + _P3
+        return int(_fmix(h))
 
 
 def hash_long_vec(vals: np.ndarray, seeds: np.ndarray | int) -> np.ndarray:
@@ -101,37 +102,49 @@ def pack_slices(
 def hash_slices(words: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
     """Spark XXH64.hashUnsafeBytes over N byte slices (packed by
     ``pack_slices``) for ONE seed. Returns uint64 hashes (callers
-    ``.view(np.int64)`` for Spark-comparable signed values).
+    ``.view(np.int64)`` for Spark-comparable signed values)."""
+    return hash_slices_multi(words, lens, np.asarray([seed], dtype=np.uint64))[0]
+
+
+def hash_slices_multi(
+    words: np.ndarray, lens: np.ndarray, seeds: np.ndarray
+) -> np.ndarray:
+    """Spark XXH64.hashUnsafeBytes over N byte slices under S seeds at
+    once — the MinHash shape (32 salted hashes of every shingle). Returns
+    a (S, N) uint64 matrix. One pass over the data gathers each word ONCE
+    and broadcasts it across the seed axis, so the per-seed marginal cost
+    is pure uint64 arithmetic, no re-gather.
 
     Stripe/word/tail loops run over the MAX count in the batch with
     per-row active masks — shingle-sized inputs (< 32 bytes) skip the
     stripe phase entirely and do <= 3 word iterations.
     """
     n = len(lens)
-    seed = _U64(seed)
-    rows = np.arange(n)
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    s_col = seeds[:, None]  # (S, 1) broadcasting against (N,) row axes
+    ns = len(seeds)
 
     nstripes = np.where(lens >= 32, lens // _U64(32), _U64(0))
     max_stripes = int(nstripes.max()) if n else 0
 
     if max_stripes:
-        v1 = np.full(n, seed + _P1 + _P2, dtype=np.uint64)
-        v2 = np.full(n, seed + _P2, dtype=np.uint64)
-        v3 = np.full(n, seed, dtype=np.uint64)
-        v4 = np.full(n, seed - _P1, dtype=np.uint64)
+        v1 = np.broadcast_to(s_col + _P1 + _P2, (ns, n)).copy()
+        v2 = np.broadcast_to(s_col + _P2, (ns, n)).copy()
+        v3 = np.broadcast_to(s_col, (ns, n)).copy()
+        v4 = np.broadcast_to(s_col - _P1, (ns, n)).copy()
         for s in range(max_stripes):
             idx = np.flatnonzero(nstripes > s)
             base = 4 * s
-            v1[idx] = _rotl(v1[idx] + words[idx, base] * _P2, 31) * _P1
-            v2[idx] = _rotl(v2[idx] + words[idx, base + 1] * _P2, 31) * _P1
-            v3[idx] = _rotl(v3[idx] + words[idx, base + 2] * _P2, 31) * _P1
-            v4[idx] = _rotl(v4[idx] + words[idx, base + 3] * _P2, 31) * _P1
+            v1[:, idx] = _rotl(v1[:, idx] + words[idx, base] * _P2, 31) * _P1
+            v2[:, idx] = _rotl(v2[:, idx] + words[idx, base + 1] * _P2, 31) * _P1
+            v3[:, idx] = _rotl(v3[:, idx] + words[idx, base + 2] * _P2, 31) * _P1
+            v4[:, idx] = _rotl(v4[:, idx] + words[idx, base + 3] * _P2, 31) * _P1
         big = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
         for v in (v1, v2, v3, v4):
             big = (big ^ (_rotl(v * _P2, 31) * _P1)) * _P1 + _P4
-        h = np.where(lens >= 32, big, seed + _P5) + lens
+        h = np.where(lens >= 32, big, s_col + _P5) + lens
     else:
-        h = np.full(n, seed + _P5, dtype=np.uint64) + lens
+        h = np.broadcast_to(s_col + _P5, (ns, n)) + lens
 
     # full 8-byte words after the stripes: word indices 4*nstripes .. len//8-1
     ntail = lens // _U64(8) - _U64(4) * nstripes
@@ -139,14 +152,15 @@ def hash_slices(words: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
     for t in range(max_tail):
         idx = np.flatnonzero(ntail > t)
         k1 = words[idx, (_U64(4) * nstripes[idx] + _U64(t)).astype(np.int64)]
-        h[idx] = _rotl(h[idx] ^ (_rotl(k1 * _P2, 31) * _P1), 27) * _P1 + _P4
+        mixed = _rotl(k1 * _P2, 31) * _P1
+        h[:, idx] = _rotl(h[:, idx] ^ mixed, 27) * _P1 + _P4
 
     # one 4-byte chunk if (len % 8) >= 4 — it is the low half of word len//8
     rem8 = lens % _U64(8)
     idx = np.flatnonzero(rem8 >= 4)
     if len(idx):
         k4 = words[idx, (lens[idx] // _U64(8)).astype(np.int64)] & _U64(0xFFFFFFFF)
-        h[idx] = _rotl(h[idx] ^ (k4 * _P1), 23) * _P2 + _P3
+        h[:, idx] = _rotl(h[:, idx] ^ (k4 * _P1), 23) * _P2 + _P3
 
     # remaining single bytes — still inside word len//8, after the 4-chunk
     nbytes = lens % _U64(4)
@@ -156,7 +170,7 @@ def hash_slices(words: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
         has4 = (rem8[idx] >= 4).astype(np.uint64)
         shift = _U64(8) * (_U64(4) * has4 + _U64(b))
         byte = (words[idx, (lens[idx] // _U64(8)).astype(np.int64)] >> shift) & _U64(0xFF)
-        h[idx] = _rotl(h[idx] ^ (byte * _P5), 11) * _P1
+        h[:, idx] = _rotl(h[:, idx] ^ (byte * _P5), 11) * _P1
 
     return _fmix(h)
 

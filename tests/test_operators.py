@@ -2906,3 +2906,84 @@ def test_winnow_agg_and_join_branches_agree_on_duplicated_input_rows(spark):
     assert agg == join
     assert all(a < b for a, b, _ in agg)
     assert agg, "planted near-identical pair must surface"
+
+
+# --- r14: scan-local MinHash kernel (xxh64np) parity gates ------------------
+
+
+def test_xxh64np_matches_spark_xxhash64_strings(spark):
+    """The numpy XXH64 must be bit-identical to Spark's xxhash64 for
+    StringType columns under the salted form xxhash64(lit(j), s) — over
+    lengths that exercise every phase (empty, tail bytes, 4-byte chunk,
+    whole words, 32-byte stripes) and multibyte UTF-8."""
+    import numpy as np
+
+    from f1_data_pipeline_spark.operators import xxh64np
+
+    rng = random.Random(11)
+    alpha = "abcdefgh ijklmnop日本語δεζ"
+    texts = [""] + [
+        "".join(rng.choice(alpha) for _ in range(ln))
+        for ln in (1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63, 64, 65, 200)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    for j in (0, 5, 31):
+        expected = [
+            r[0]
+            for r in df.select(F.xxhash64(F.lit(j), F.col("s"))).collect()
+        ]
+        seed = xxh64np.string_seeds_for_salts(j + 1)[j]
+        raw = b"".join(t.encode("utf-8") for t in texts)
+        data = np.frombuffer(raw, dtype=np.uint8)
+        lens = np.asarray([len(t.encode("utf-8")) for t in texts], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        words, l64 = xxh64np.pack_slices(data, starts, lens)
+        got = xxh64np.hash_slices(words, l64, seed).view(np.int64).tolist()
+        assert got == expected, f"salt {j}: numpy XXH64 diverged from Spark"
+
+
+def test_minhash_fast_matches_aggregate_form(spark):
+    """minhash_signatures_fast must equal
+    minhash_signatures(word_shingles(...)) EXACTLY — same doc set (short
+    and NULL docs dropped), same 32 signed mins — on adversarial input:
+    consecutive spaces, leading/trailing spaces, empty strings, multibyte
+    UTF-8, >32-byte words (stripe phase), single-word docs."""
+    from f1_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_fast,
+        word_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "δελτα", "ε", "z" * 41, "日本語テキスト", "x"]
+    rows = []
+    for i in range(120):
+        nw = rng.randrange(0, 9)
+        txt = ""
+        for j in range(nw):
+            txt += (" " * rng.randrange(1, 4) if j else "") + rng.choice(vocab)
+        if rng.random() < 0.25:
+            txt = " " * rng.randrange(0, 3) + txt + " " * rng.randrange(0, 3)
+        rows.append((i, txt))
+    rows += [(1000, None), (1001, ""), (1002, "   "), (1003, "one two"),
+             (1004, "a  b   c d"), (1005, " ".join(["w"] * 150))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for n in (1, 3):
+        ref = {r["doc_id"]: tuple(r)[1:] for r in
+               minhash_signatures(word_shingles(df, "text", n), 32).collect()}
+        fast = {r["doc_id"]: tuple(r)[1:] for r in
+                minhash_signatures_fast(df, "text", 32, n).collect()}
+        assert ref == fast, f"shingle_n={n}: kernel diverged from aggregate form"
+
+
+def test_minhash_fast_plan_is_scan_local(spark, planted_docs):
+    """The fused signature stage must carry NO Exchange — the whole
+    shingle+hash+min pipeline runs inside one MapInArrow over the scan
+    (the r13 form shuffled a corpus-sized shingle explode through a
+    32-aggregate exchange)."""
+    from f1_data_pipeline_spark.operators.dedup import minhash_signatures_fast
+
+    plan = minhash_signatures_fast(planted_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
