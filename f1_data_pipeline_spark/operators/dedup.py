@@ -98,10 +98,12 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-# rows per sub-chunk inside the minhash kernel: bounds the padded
-# (shingles x max-shingle-bytes) word matrix and keeps the (seeds x
-# shingles) hash state L2/L3-resident regardless of Arrow batch size
-_MINHASH_CHUNK_SHINGLES = 1 << 18
+# shingles per sub-chunk inside the minhash kernel: the hash state is
+# (32 seeds x chunk) uint64 and every numpy pass reads+writes it, so the
+# chunk must keep that matrix cache-resident — measured on sf1 text:
+# 2^18 (67 MB state, DRAM-bound) hashed 5.6x SLOWER than 2^15 (8 MB,
+# L2/L3-resident); 2^13 measured identical to 2^15, so 2^15 it is
+_MINHASH_CHUNK_SHINGLES = 1 << 15
 
 
 def minhash_signatures_fast(
@@ -142,6 +144,17 @@ def minhash_signatures_fast(
         xxh64np.string_seeds_for_salts(num_hashes), dtype=np.uint64
     )
     src = df.select(id_col, text_col)
+    # Scale-adaptive input spread (guide §2.5 "input skew: repartition
+    # immediately after the read"): a small corpus arrives as 1-2 scan
+    # splits, which would serialize the kernel AND everything downstream
+    # of its narrow output onto those cores (the aggregate form's final
+    # exchange used to re-spread for free). Spreading by the
+    # deterministic id is a no-op decision at scale — a 100 TB scan has
+    # orders of magnitude more splits than defaultParallelism, so the
+    # guard never fires and the kernel stays purely scan-local.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, id_col)
     out_schema = T.StructType(
         [src.schema[id_col]]
         + [T.StructField(f"sig_{j}", T.LongType(), True) for j in range(num_hashes)]

@@ -2978,12 +2978,15 @@ def test_minhash_fast_matches_aggregate_form(spark):
 
 
 def test_minhash_fast_plan_is_scan_local(spark, planted_docs):
-    """The fused signature stage must carry NO Exchange — the whole
-    shingle+hash+min pipeline runs inside one MapInArrow over the scan
-    (the r13 form shuffled a corpus-sized shingle explode through a
-    32-aggregate exchange)."""
+    """The fused signature stage must carry no shingle explode
+    (Generate) and no aggregate — the whole shingle+hash+min pipeline
+    runs inside one MapInArrow (the r13 form shuffled a corpus-sized
+    shingle explode through a 32-aggregate exchange). At most ONE
+    exchange is allowed: the scale-adaptive input spread that fires only
+    when the scan has fewer splits than cores (never at scale)."""
     from f1_data_pipeline_spark.operators.dedup import minhash_signatures_fast
 
     plan = minhash_signatures_fast(planted_docs)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
-    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+    assert "Generate" not in plan and "HashAggregate" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
