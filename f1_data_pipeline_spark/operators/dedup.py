@@ -106,6 +106,148 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 32) -> DataFrame:
 _MINHASH_CHUNK_SHINGLES = 1 << 15
 
 
+def _slice_geometry(t, n: int):
+    """Word n-gram slice geometry of one Arrow string array ``t``
+    (already trimmed, no nulls): every n-gram of ``split(text, ' ')``
+    re-joined by ``' '`` is a CONTIGUOUS byte slice of the text, so the
+    grams of a whole batch reduce to (start, len) pairs over the shared
+    data buffer. Returns ``(data, kept, mk, first_sh, sh_row, gi,
+    starts, lens)``: the uint8 buffer, indices of rows with >= n words,
+    grams per kept row, exclusive gram-count prefix over kept rows, the
+    (global) row index and 0-based in-row gram index per gram, and the
+    per-gram byte slices. Rows of fewer than n words (Spark's
+    ``size(w) >= n`` filter) contribute nothing."""
+    bufs = t.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        t.offset : t.offset + len(t) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, dtype=np.uint8)
+    )
+    nrows = len(t)
+    spaces = off[0] + np.flatnonzero(data[off[0] : off[-1]] == 32)
+    nspaces = np.bincount(
+        np.searchsorted(off, spaces, side="right") - 1, minlength=nrows
+    )
+    nwords = nspaces + 1  # split('') == [''] -> 1 word, like Spark
+    m = nwords - n + 1
+    kept = np.flatnonzero(m >= 1)
+    if len(kept) == 0:
+        return data, kept, None, None, None, None, None, None
+    # row-major word starts/ends: a trimmed row never begins or ends
+    # with a space, so merging row boundaries with (space±1) positions
+    # is exactly the per-row split geometry
+    ws = np.sort(np.concatenate([off[:-1], spaces + 1]), kind="stable")
+    we = np.sort(np.concatenate([spaces, off[1:]]), kind="stable")
+    fw = np.concatenate([[0], np.cumsum(nwords)])
+    mk = m[kept]
+    first_sh = np.concatenate([[0], np.cumsum(mk)])
+    total = int(first_sh[-1])
+    sh_row = np.repeat(kept, mk)
+    gi = np.arange(total, dtype=np.int64) - np.repeat(first_sh[:-1], mk)
+    widx = fw[sh_row] + gi
+    starts = ws[widx]
+    lens = we[widx + n - 1] - starts
+    return data, kept, mk, first_sh, sh_row, gi, starts, lens
+
+
+def _spread_if_underparallel(df: DataFrame, id_col: str) -> DataFrame:
+    """Scale-adaptive input spread for scan-local kernels (guide §2.5
+    "input skew: repartition immediately after the read"): a small corpus
+    arrives as 1-2 scan splits, which would serialize the kernel AND
+    everything downstream of its narrow output onto those cores.
+    Spreading by the deterministic id is a no-op decision at scale — a
+    100 TB scan has orders of magnitude more splits than
+    defaultParallelism, so the guard never fires and the kernel stays
+    purely scan-local."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, id_col)
+    return df
+
+
+def _gram_fingerprints_fast(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scan-local n-gram MD5 fingerprints: bit-identical to
+
+    ``where(size(w) >= n) SELECT id, posexplode(transform(
+        sequence(1, size(w)-n+1), s -> unhex(md5(concat_ws(' ',
+        slice(w, s, n))))))``  over ``w = split(trim(text), ' ')``
+
+    computed in ONE ``mapInArrow`` pass: the gram string IS a contiguous
+    byte slice of the trimmed text, so the kernel finds space positions
+    and MD5s (start, end) slices of the raw UTF-8 buffer (hashlib's C
+    digest, measured faster than both the per-gram JVM digest with its
+    string churn and a vectorized numpy MD5) — no gram-string
+    materialization, no per-row higher-order-function evaluation.
+    Returns (id_col, pos, fp): 0-based gram position, 16 raw digest
+    bytes. Shared by ``remove_duplicate_spans`` and
+    ``ngram_span_index``; parity pinned by
+    ``test_gram_fingerprints_kernel_matches_catalyst``."""
+    import hashlib
+
+    src = _spread_if_underparallel(df.select(id_col, text_col), id_col)
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("fp", T.BinaryType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        md5 = hashlib.md5
+        for rb in batches:
+            ids, texts = rb.column(0), rb.column(1)
+            if texts.null_count:
+                valid = pc.is_valid(texts)
+                ids, texts = ids.filter(valid), texts.filter(valid)
+            if len(texts) == 0:
+                continue
+            t = pc.utf8_trim(texts, " ")
+            data, kept, mk, first_sh, sh_row, gi, starts, lens = (
+                _slice_geometry(t, n)
+            )
+            if mk is None:
+                continue
+            total = len(starts)
+            mv = memoryview(data)
+            digests = bytearray(total * 16)
+            ends = (starts + lens).tolist()
+            sl = starts.tolist()
+            for i in range(total):
+                digests[i * 16 : (i + 1) * 16] = md5(
+                    mv[sl[i] : ends[i]]
+                ).digest()
+            fp = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                total,
+                [
+                    None,
+                    pa.py_buffer(
+                        (np.arange(total + 1, dtype=np.int32) * 16).tobytes()
+                    ),
+                    pa.py_buffer(bytes(digests)),
+                ],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(sh_row)),
+                    pa.array(gi.astype(np.int32)),
+                    fp,
+                ],
+                names=[id_col, "pos", "fp"],
+            )
+
+    return src.mapInArrow(kernel, out_schema)
+
+
 def minhash_signatures_fast(
     df: DataFrame,
     text_col: str = "text",
@@ -143,18 +285,7 @@ def minhash_signatures_fast(
     seeds = np.asarray(
         xxh64np.string_seeds_for_salts(num_hashes), dtype=np.uint64
     )
-    src = df.select(id_col, text_col)
-    # Scale-adaptive input spread (guide §2.5 "input skew: repartition
-    # immediately after the read"): a small corpus arrives as 1-2 scan
-    # splits, which would serialize the kernel AND everything downstream
-    # of its narrow output onto those cores (the aggregate form's final
-    # exchange used to re-spread for free). Spreading by the
-    # deterministic id is a no-op decision at scale — a 100 TB scan has
-    # orders of magnitude more splits than defaultParallelism, so the
-    # guard never fires and the kernel stays purely scan-local.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, id_col)
+    src = _spread_if_underparallel(df.select(id_col, text_col), id_col)
     out_schema = T.StructType(
         [src.schema[id_col]]
         + [T.StructField(f"sig_{j}", T.LongType(), True) for j in range(num_hashes)]
@@ -175,39 +306,11 @@ def minhash_signatures_fast(
             if len(texts) == 0:
                 continue
             t = pc.utf8_trim(texts, " ")
-            bufs = t.buffers()
-            off = np.frombuffer(bufs[1], dtype=np.int32)[
-                t.offset : t.offset + len(t) + 1
-            ].astype(np.int64)
-            data = (
-                np.frombuffer(bufs[2], dtype=np.uint8)
-                if bufs[2] is not None
-                else np.zeros(0, dtype=np.uint8)
+            data, kept, mk, first_sh, sh_row, gi, starts, lens = (
+                _slice_geometry(t, n)
             )
-            nrows = len(t)
-            spaces = off[0] + np.flatnonzero(data[off[0] : off[-1]] == 32)
-            nspaces = np.bincount(
-                np.searchsorted(off, spaces, side="right") - 1, minlength=nrows
-            )
-            nwords = nspaces + 1  # split('') == [''] -> 1 word, like Spark
-            m = nwords - n + 1
-            kept = np.flatnonzero(m >= 1)
-            if len(kept) == 0:
+            if mk is None:
                 continue
-            # row-major word starts/ends: a trimmed row never begins or
-            # ends with a space, so merging row boundaries with
-            # (space±1) positions is exactly the per-row split geometry
-            ws = np.sort(np.concatenate([off[:-1], spaces + 1]), kind="stable")
-            we = np.sort(np.concatenate([spaces, off[1:]]), kind="stable")
-            fw = np.concatenate([[0], np.cumsum(nwords)])
-            mk = m[kept]
-            first_sh = np.concatenate([[0], np.cumsum(mk)])
-            total = int(first_sh[-1])
-            sh_row = np.repeat(kept, mk)
-            gi = np.arange(total, dtype=np.int64) - np.repeat(first_sh[:-1], mk)
-            widx = fw[sh_row] + gi
-            starts = ws[widx]
-            lens = we[widx + n - 1] - starts
 
             sig = np.empty((k, len(kept)), dtype=np.int64)
             r0 = 0
@@ -896,18 +999,8 @@ def ngram_span_index(
     long comparison per gram row, noise next to the md5 beside it)
     instead of silently electing a wrong first-occurrence winner.
     Nothing quadratic, nothing driver-side."""
-    grams = (
-        df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
-        .where(F.size("__w") >= n)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(__w) - {n} + 1),"
-                    f" s -> unhex(md5(concat_ws(' ', slice(__w, s, {n})))))"
-                )
-            ).alias("pos", "__fpb"),
-        )
+    grams = _gram_fingerprints_fast(df, n, text_col, id_col).withColumnRenamed(
+        "fp", "__fpb"
     )
     idl = F.col(id_col).cast("long")
     loc = F.when(
@@ -1065,18 +1158,11 @@ def remove_duplicate_spans(
     from pyspark.sql import Window
 
     toked = df.withColumn("__w", F.split(F.trim(F.col(text_col)), " "))
-    grams = (
-        toked.where(F.size("__w") >= n)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(__w) - {n} + 1),"
-                    f" s -> unhex(md5(concat_ws(' ', slice(__w, s, {n})))))"
-                )
-            ).alias("pos", "fp"),
-        )
-    )
+    # r14: the gram fingerprints come from the scan-local Arrow kernel
+    # (one MD5 per byte slice, no gram-string materialization) — output
+    # bit-identical to the Catalyst posexplode+md5 form, pinned by
+    # test_gram_fingerprints_kernel_matches_catalyst
+    grams = _gram_fingerprints_fast(df, n, text_col, id_col)
     w_fp = Window.partitionBy("fp")
     w_first = w_fp.orderBy(id_col, "pos")
     losers = (

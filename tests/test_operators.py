@@ -2990,3 +2990,46 @@ def test_minhash_fast_plan_is_scan_local(spark, planted_docs):
     assert "Generate" not in plan and "HashAggregate" not in plan, plan
     assert "MapInArrow" in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_gram_fingerprints_kernel_matches_catalyst(spark):
+    """_gram_fingerprints_fast must equal the Catalyst
+    posexplode(transform(..., md5)) gram frame EXACTLY — same (id, pos,
+    16-byte fp) multiset, short/NULL docs dropped — on adversarial input
+    (consecutive spaces, multibyte UTF-8, >55-byte grams that need a
+    second MD5 block, single-word docs)."""
+    from f1_data_pipeline_spark.operators.dedup import _gram_fingerprints_fast
+
+    rng = random.Random(13)
+    vocab = ["alpha", "beta", "δελτα", "ε", "z" * 60, "日本語テキスト", "x"]
+    rows = []
+    for i in range(100):
+        nw = rng.randrange(0, 14)
+        txt = ""
+        for j in range(nw):
+            txt += (" " * rng.randrange(1, 3) if j else "") + rng.choice(vocab)
+        rows.append((i, txt))
+    rows += [(1000, None), (1001, ""), (1002, "  "), (1003, "a b c d e f g h i"),
+             (1004, " ".join(["w"] * 40))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for n in (2, 8):
+        ref = (
+            df.withColumn("__w", F.split(F.trim(F.col("text")), " "))
+            .where(F.size("__w") >= n)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, size(__w) - {n} + 1),"
+                        f" s -> unhex(md5(concat_ws(' ', slice(__w, s, {n})))))"
+                    )
+                ).alias("pos", "fp"),
+            )
+        )
+        a = sorted((r.doc_id, r.pos, bytes(r.fp)) for r in ref.collect())
+        b = sorted(
+            (r.doc_id, r.pos, bytes(r.fp))
+            for r in _gram_fingerprints_fast(df, n).collect()
+        )
+        assert a == b, f"n={n}: kernel gram frame diverged from Catalyst"
