@@ -2096,6 +2096,19 @@ def domain_pagerank(
     rank frame once. The graph size N joins in as a broadcast 1-row
     aggregate, never a driver scalar.
 
+    Loop invariants are hoisted OUT of the loop (guide §2.4): the edge
+    table is materialized WITH its out-degree (the r13 form re-scanned
+    and re-aggregated the edge parquet for ``deg`` every round), the
+    node table carries the teleport term and the uniform init rank
+    (computed once from the same broadcast count aggregate — bit-equal
+    to recomputing ``(1-d)/N`` per round, it is the same IEEE division),
+    and the rank/contribution frames join in as explicit broadcasts.
+    SIZE CONTRACT of those broadcast hints: rank/contrib rows are one
+    (domain, double) pair per domain — domain-scale by construction
+    (this operator exists because domains are many orders of magnitude
+    fewer than documents), so the broadcast stays tens of MB even at
+    100 TB corpus scale while the edge table never shuffles at all.
+
     Checkpoint discipline (``connected_components``, dedup.py:497-524):
     the graph frames (edges/degrees — and nodes as the degree rows, every
     node has one because of self-endorsement-free co-occurrence symmetry)
@@ -2111,12 +2124,6 @@ def domain_pagerank(
     import uuid
 
     u = extract_urls(df, text_col, id_col).select(id_col, "domain").distinct()
-    ub = u.select(F.col(id_col).alias("__id2"), F.col("domain").alias("dst"))
-    edges_plan = (
-        u.join(ub, (F.col(id_col) == F.col("__id2")) & (F.col("domain") != F.col("dst")))
-        .select(F.col("domain").alias("src"), "dst")
-        .distinct()
-    )
     if scratch_dir is None:
         scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
             prefix="f1dp_pr_"
@@ -2127,36 +2134,66 @@ def domain_pagerank(
     base = scratch_dir.rstrip("/") + f"/pr_{uuid.uuid4().hex}"
     spark = df.sparkSession
 
-    epath = base + "/edges.parquet"
-    edges_plan.write.mode("overwrite").parquet(epath)
-    edges = spark.read.parquet(epath)
-    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
-
-    npath = base + "/nodes.parquet"
-    u.select("domain").distinct().write.mode("overwrite").parquet(npath)
-    nodes = spark.read.parquet(npath)
-    n1 = nodes.agg(F.count("*").cast("double").alias("__N"))
-
-    r = nodes.crossJoin(F.broadcast(n1)).select(
-        "domain", (F.lit(1.0) / F.col("__N")).alias("rank")
+    # the corpus is scanned ONCE: the (doc, domain) pairs are eagerly
+    # localCheckpointed (domain-scale — 1-2 orders below doc count) so
+    # the edge self-join, the degree aggregate and the node/N derivation
+    # all read the materialized pairs instead of re-running the URL
+    # explode (the r13 form ran it 3x across the two scratch writes)
+    ucp = u.localCheckpoint()
+    ub2 = ucp.select(F.col(id_col).alias("__id2"), F.col("domain").alias("dst"))
+    ecp = (
+        ucp.join(
+            ub2, (F.col(id_col) == F.col("__id2")) & (F.col("domain") != F.col("dst"))
+        )
+        .select(F.col("domain").alias("src"), "dst")
+        .distinct()
+        .localCheckpoint()
     )
+
+    # edges materialize WITH their out-degree: deg is a loop invariant,
+    # joining it once at write time removes one scan+aggregate+join from
+    # EVERY iteration (the integer count is bit-equal either way)
+    epath = base + "/edges.parquet"
+    deg_plan = ecp.groupBy("src").agg(F.count("*").alias("__deg"))
+    ecp.join(F.broadcast(deg_plan), "src").write.mode("overwrite").parquet(epath)
+    edges = spark.read.parquet(epath)
+
+    # nodes materialize WITH the two loop-invariant scalars derived from
+    # N — the uniform init rank 1/N and the teleport term (1-d)/N. Both
+    # are the same IEEE division the loop used to repeat per row per
+    # round, so every rank value is bit-identical to the r13 form.
+    npath = base + "/nodes.parquet"
+    n1 = ucp.select("domain").distinct().agg(F.count("*").cast("double").alias("__N"))
+    (
+        ucp.select("domain")
+        .distinct()
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "domain",
+            (F.lit(1.0) / F.col("__N")).alias("__r0"),
+            (F.lit(1.0 - damping) / F.col("__N")).alias("__tele"),
+        )
+        .write.mode("overwrite")
+        .parquet(npath)
+    )
+    nodes = spark.read.parquet(npath)
+
+    r = nodes.select("domain", F.col("__r0").alias("rank"))
     for i in range(iters):
         contrib = (
-            edges.join(r.select(F.col("domain").alias("src"), "rank"), "src")
-            .join(deg, "src")
+            edges.join(
+                F.broadcast(r.select(F.col("domain").alias("src"), "rank")),
+                "src",
+            )
             .groupBy(F.col("dst").alias("domain"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        r = (
-            nodes.join(contrib, "domain", "left")
-            .crossJoin(F.broadcast(n1))
-            .select(
-                "domain",
-                (
-                    (1.0 - damping) / F.col("__N")
-                    + damping * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        r = nodes.join(F.broadcast(contrib), "domain", "left").select(
+            "domain",
+            (
+                F.col("__tele")
+                + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             rpath = base + f"/rank_{i + 1}.parquet"
