@@ -1648,6 +1648,126 @@ def exact_jaccard_on_pairs(
     )
 
 
+def exact_jaccard_on_pairs_fast(
+    df: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """``exact_jaccard_on_pairs`` computed pair-locally: attach the two
+    documents' TEXTS to each candidate pair (two pairs-scale joins), then
+    one ``mapInArrow`` kernel builds both shingle sets from byte slices
+    and intersects them exactly — replacing the (pair x shingle)
+    join-explosion (|pairs| x avg-shingles rows through two shuffles and
+    three aggregates) with work proportional to the pair list. Same
+    byte-slice identity as the MinHash/gram kernels; sets of raw byte
+    slices, so equality is EXACT (no hash involved anywhere).
+
+    Semantics identical to ``exact_jaccard_on_pairs`` (pinned by
+    ``test_jaccard_kernel_matches_join_verifier``): every handed-in pair
+    gets a verdict; a pair doc that is missing from the corpus or has
+    fewer than ``shingle_n`` words contributes an empty set and the
+    0-denominator convention returns 0.0. SIZE CONTRACT: ``pairs`` is
+    candidate-scale (LSH/winnow output — its distinct doc-id set is
+    broadcast as the corpus prefilter and the pair frame re-shuffles
+    with one text column attached); arbitrarily large external pair
+    lists belong on ``exact_jaccard_on_pairs(...,
+    broadcast_doc_filter=False)``."""
+    p = pairs.select("d1", "d2")
+    pair_docs = (
+        p.select(F.col("d1").alias("doc_id"))
+        .unionAll(p.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(pair_docs), "doc_id", "left_semi").select(
+        "doc_id", text_col
+    )
+    withs = (
+        p.join(
+            pruned.select(
+                F.col("doc_id").alias("d1"), F.col(text_col).alias("__t1")
+            ),
+            "d1",
+            "left",
+        )
+        .join(
+            pruned.select(
+                F.col("doc_id").alias("d2"), F.col(text_col).alias("__t2")
+            ),
+            "d2",
+            "left",
+        )
+        .select("d1", "d2", "__t1", "__t2")
+    )
+    # AQE rightly coalesces the small post-join exchange to one or two
+    # partitions of shuffled BYTES — but the kernel's cost is per-PAIR
+    # Python set work, invisible to the byte-based coalescing, so the
+    # pair frame is re-spread to one wave of cores (pairs-scale rows,
+    # deterministic keys; guide §2.5)
+    withs = withs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "d1", "d2"
+    )
+    out_schema = T.StructType(
+        [
+            withs.schema["d1"],
+            withs.schema["d2"],
+            T.StructField("jaccard", T.DoubleType(), False),
+        ]
+    )
+    n = shingle_n
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def row_sets(col, nrows):
+            """Per-row set of shingle byte-slices; NULL/short rows -> {}."""
+            sets = [frozenset()] * nrows
+            mask = pc.is_valid(col)
+            t = pc.utf8_trim(pc.fill_null(col, ""), " ")
+            data, kept, mk, first_sh, sh_row, gi, starts, lens = (
+                _slice_geometry(t, n)
+            )
+            if mk is None:
+                return sets
+            ends = (starts + lens).tolist()
+            sl = starts.tolist()
+            null = (
+                np.zeros(nrows, dtype=bool)
+                if col.null_count == 0
+                else ~np.asarray(mask.to_numpy(zero_copy_only=False))
+            )
+            buf = data.tobytes()
+            for j, r in enumerate(kept.tolist()):
+                if null[r]:
+                    continue
+                s0, s1 = int(first_sh[j]), int(first_sh[j + 1])
+                sets[r] = frozenset(
+                    buf[sl[i] : ends[i]] for i in range(s0, s1)
+                )
+            return sets
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            A = row_sets(rb.column(2), nrows)
+            B = row_sets(rb.column(3), nrows)
+            jac = np.zeros(nrows, dtype=np.float64)
+            for r in range(nrows):
+                a, b = A[r], B[r]
+                i = len(a & b)
+                denom = len(a) + len(b) - i
+                if denom > 0:
+                    jac[r] = i / denom
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(jac)],
+                names=["d1", "d2", "jaccard"],
+            )
+
+    return withs.mapInArrow(kernel, out_schema)
+
+
 def fuzzy_dedup(
     df: DataFrame,
     threshold: float = 0.7,
@@ -1730,7 +1850,7 @@ def fuzzy_dedup(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    verified = exact_jaccard_on_pairs(
+    verified = exact_jaccard_on_pairs_fast(
         df, cand, shingle_n=shingle_n, text_col=text_col
     ).where(F.col("jaccard") >= threshold)
     return dedup_by_clusters(df, verified.select(

@@ -3033,3 +3033,38 @@ def test_gram_fingerprints_kernel_matches_catalyst(spark):
             for r in _gram_fingerprints_fast(df, n).collect()
         )
         assert a == b, f"n={n}: kernel gram frame diverged from Catalyst"
+
+
+def test_jaccard_kernel_matches_join_verifier(spark):
+    """exact_jaccard_on_pairs_fast must emit the SAME verdicts as the
+    join-based exact_jaccard_on_pairs for every handed-in pair —
+    including pairs whose docs are missing from the corpus, shorter than
+    shingle_n, duplicated in the pair list, or UTF-8 heavy."""
+    from f1_data_pipeline_spark.operators.dedup import (
+        exact_jaccard_on_pairs,
+        exact_jaccard_on_pairs_fast,
+    )
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "δελτα", "ε", "common", "words", "here"]
+    docs = []
+    for i in range(40):
+        nw = rng.randrange(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(nw))))
+    docs += [(100, None), (101, ""), (102, "one two"),
+             (103, "alpha beta common words here alpha beta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    prs = [(a, b) for a in range(0, 20, 3) for b in range(a + 1, 25, 7)]
+    prs += [(0, 999), (100, 101), (101, 102), (102, 103), (3, 3), (5, 6), (5, 6)]
+    pairs = spark.createDataFrame(prs, "d1 long, d2 long")
+
+    for n in (1, 3):
+        ref = sorted(
+            (r.d1, r.d2, round(r.jaccard, 12))
+            for r in exact_jaccard_on_pairs(df, pairs, n).collect()
+        )
+        fast = sorted(
+            (r.d1, r.d2, round(r.jaccard, 12))
+            for r in exact_jaccard_on_pairs_fast(df, pairs, n).collect()
+        )
+        assert ref == fast, f"n={n}: kernel verifier diverged"
