@@ -2119,22 +2119,31 @@ def domain_pagerank(
     ``checkpoint_every`` rounds, so plan depth is bounded by a constant in
     ``iters`` — a convergence-grade run (50-100 iterations) analyzes the
     same plan shape as a 10-round one. Scratch resolution: explicit arg >
-    ``F1DP_CC_SCRATCH_DIR`` env > driver-local temp (single-node only;
-    clusters point the env at shared storage)."""
+    ``F1DP_CC_SCRATCH_DIR`` env > eager localCheckpoint (r14: with
+    NEITHER configured the old driver-local temp parquet provided zero
+    durability over localCheckpoint — both die with the node — while
+    paying a write job + commit + read-back per materialization;
+    clusters point the env/arg at shared storage and keep the durable
+    parquet path)."""
     import os
-    import tempfile
     import uuid
 
     u = extract_urls(df, text_col, id_col).select(id_col, "domain").distinct()
-    if scratch_dir is None:
-        scratch_dir = os.environ.get("F1DP_CC_SCRATCH_DIR") or tempfile.mkdtemp(
-            prefix="f1dp_pr_"
-        )
-    # per-invocation subdir: concurrent runs sharing a scratch root must
-    # not overwrite each other's checkpoints (string-concat, not
-    # os.path.join — scratch_dir may be an s3a:// URI)
-    base = scratch_dir.rstrip("/") + f"/pr_{uuid.uuid4().hex}"
+    scratch_dir = scratch_dir or os.environ.get("F1DP_CC_SCRATCH_DIR") or None
+    use_local = scratch_dir is None
+    if not use_local:
+        # per-invocation subdir: concurrent runs sharing a scratch root
+        # must not overwrite each other's checkpoints (string-concat, not
+        # os.path.join — scratch_dir may be an s3a:// URI)
+        base = scratch_dir.rstrip("/") + f"/pr_{uuid.uuid4().hex}"
     spark = df.sparkSession
+
+    def _materialize(frame, rel):
+        if use_local:
+            return frame.localCheckpoint()
+        path = base + "/" + rel
+        frame.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     # the corpus is scanned ONCE: the (doc, domain) pairs are eagerly
     # localCheckpointed (domain-scale — 1-2 orders below doc count) so
@@ -2155,18 +2164,17 @@ def domain_pagerank(
     # edges materialize WITH their out-degree: deg is a loop invariant,
     # joining it once at write time removes one scan+aggregate+join from
     # EVERY iteration (the integer count is bit-equal either way)
-    epath = base + "/edges.parquet"
     deg_plan = ecp.groupBy("src").agg(F.count("*").alias("__deg"))
-    ecp.join(F.broadcast(deg_plan), "src").write.mode("overwrite").parquet(epath)
-    edges = spark.read.parquet(epath)
+    edges = _materialize(
+        ecp.join(F.broadcast(deg_plan), "src"), "edges.parquet"
+    )
 
     # nodes materialize WITH the two loop-invariant scalars derived from
     # N — the uniform init rank 1/N and the teleport term (1-d)/N. Both
     # are the same IEEE division the loop used to repeat per row per
     # round, so every rank value is bit-identical to the r13 form.
-    npath = base + "/nodes.parquet"
     n1 = ucp.select("domain").distinct().agg(F.count("*").cast("double").alias("__N"))
-    (
+    nodes = _materialize(
         ucp.select("domain")
         .distinct()
         .crossJoin(F.broadcast(n1))
@@ -2174,11 +2182,9 @@ def domain_pagerank(
             "domain",
             (F.lit(1.0) / F.col("__N")).alias("__r0"),
             (F.lit(1.0 - damping) / F.col("__N")).alias("__tele"),
-        )
-        .write.mode("overwrite")
-        .parquet(npath)
+        ),
+        "nodes.parquet",
     )
-    nodes = spark.read.parquet(npath)
 
     r = nodes.select("domain", F.col("__r0").alias("rank"))
     for i in range(iters):
@@ -2197,9 +2203,7 @@ def domain_pagerank(
             ).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            rpath = base + f"/rank_{i + 1}.parquet"
-            r.write.mode("overwrite").parquet(rpath)
-            r = spark.read.parquet(rpath)
+            r = _materialize(r, f"rank_{i + 1}.parquet")
     return r
 
 
